@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Multimodal column convention: opaque `binary` payload + typed
+  * metadata struct, with feature extraction as a per-partition batch
+  * map. The container has no image/audio codecs, so the decode step is
+  * a clearly-marked deterministic stub ([[StubDecoder]]); everything
+  * Spark-side — schema, partitioning, batch iteration shape — is real
+  * and tested.
+  *
+  * Scale: assets repartition by doc_id hash so payload bytes spread
+  * evenly; decode is mapPartitions (one decoder instance per partition,
+  * amortized init — same shape as a Pandas-UDF batch loop); features
+  * come back as a fixed-width array<float> column ready for the
+  * [[Similarity]] operators.
+  */
+object Multimodal {
+
+  /** One media asset: payload + metadata (mime, dims filled by decode). */
+  case class Asset(doc_id: Long, content: Array[Byte], mime: String)
+
+  case class AssetFeatures(
+      doc_id: Long, mime: String, n_bytes: Long, feature: Array[Float])
+
+  /** Pluggable decoder: production would bind an image/audio codec here
+    * (JNI / javax.imageio); this container ships only the stub. */
+  trait AssetDecoder extends Serializable {
+    def decode(a: Asset): Array[Float]
+  }
+
+  /** Deterministic fake decode: 16-bin byte histogram, L1-normalized.
+    * Stands in for pixel/PCM feature extraction; real decode is
+    * intentionally NOT implemented in this environment (no codec libs).
+    */
+  object StubDecoder extends AssetDecoder {
+    override def decode(a: Asset): Array[Float] = {
+      val bins = new Array[Float](16)
+      var i = 0
+      while (i < a.content.length) { bins((a.content(i) & 0xff) >> 4) += 1f; i += 1 }
+      val n = math.max(1, a.content.length).toFloat
+      bins.map(_ / n)
+    }
+  }
+
+  /** Build the asset table from documents (text bytes stand in for the
+    * binary media payload). */
+  def assets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit("text/plain").as("mime"))
+      .as[Asset]
+  }
+
+  /** Batch feature extraction: one decoder per partition, streaming
+    * iterator (no materialization of the whole partition). */
+  def extractFeatures(ds: Dataset[Asset], decoder: AssetDecoder): Dataset[AssetFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.repartition(col("doc_id"))
+      .mapPartitions { it =>
+        it.map { a =>
+          AssetFeatures(a.doc_id, a.mime, a.content.length.toLong, decoder.decode(a))
+        }
+      }
+  }
+
+  /** Declared query: the full multimodal plumbing — binary column,
+    * metadata, partitioned batch decode, feature summary. Rows-only
+    * (stubbed decode has no SQL oracle); determinism + schema asserted
+    * in the spec. */
+  val q54Multimodal: QueryDef = QueryDef.rowsOnly("q54_multimodal_features") { (s, d) =>
+    extractFeatures(assets(s, d), StubDecoder).toDF()
+      .select(
+        col("doc_id"), col("mime"), col("n_bytes"),
+        size(col("feature")).cast("long").as("feature_dim"),
+        round(aggregate(col("feature"),
+          lit(0.0), (acc, v) => acc + v.cast("double")), 4).as("feature_l1"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q54Multimodal)
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * tokenization, quality scoring, language ID, token frequencies,
+  * fingerprinting. All built from codegen'd Catalyst expressions and
+  * higher-order array functions — no UDFs, so the scans stay inside
+  * whole-stage codegen and scale linearly with document count (embarrass-
+  * ingly parallel: no shuffle except the declared aggregations).
+  */
+object TextAnalysis {
+  import QueryDef.{rowsOnly, sql}
+
+  /** Whitespace tokenization, lowercased. Mirrors the oracle's
+    * `string_split_regex(lower(text), '\s+')`. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Quality metrics per document (length / token stats / stopword and
+    * lexical-diversity ratios) — SQL-expressible, oracle-checked. */
+  val q40TextQuality: QueryDef = sql(
+    "q40_text_quality",
+    """WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks FROM documents)
+      |SELECT doc_id,
+      |       CAST(LENGTH(text) AS BIGINT)              AS n_chars,
+      |       CAST(len(toks) AS BIGINT)                 AS n_tokens,
+      |       CAST(len(list_distinct(toks)) AS BIGINT)  AS n_distinct,
+      |       ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4) AS distinct_ratio,
+      |       ROUND(CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS DOUBLE)
+      |             / CAST(len(toks) AS DOUBLE), 4)     AS stopword_ratio,
+      |       ROUND(CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len
+      |FROM t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = tokens(col("text"))
+    Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")).cast("double"), 4)
+          .as("distinct_ratio"),
+        round(size(filter(col("toks"), t => t.isin("the", "a"))).cast("double")
+          / size(col("toks")).cast("double"), 4).as("stopword_ratio"),
+        round(length(expr("replace(text, ' ', '')")).cast("double")
+          / size(col("toks")).cast("double"), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus token frequency: explode → count → top 30. Scale: partial
+    * aggregation combines per-partition counts before the shuffle; the
+    * final top-k is TakeOrdered, not a global sort. */
+  val q41TokenFrequency: QueryDef = sql(
+    "q41_token_frequency",
+    """SELECT t AS token, COUNT(*) AS n
+      |FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(t)
+      |GROUP BY t
+      |ORDER BY n DESC, token
+      |LIMIT 30""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(30)
+  }
+
+  /** Corpus stats by language/source (grouped agg over doc metadata). */
+  val q42DocStatsByLang: QueryDef = sql(
+    "q42_doc_stats_by_lang",
+    """SELECT lang,
+      |       COUNT(*) AS n_docs,
+      |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |       ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+      |       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        round(avg(col("n_chars").cast("double")), 2).as("avg_chars"),
+        min("n_chars").cast("long").as("min_chars"),
+        max("n_chars").cast("long").as("max_chars"))
+      .orderBy("lang")
+  }
+
+  /** Language-ID heuristic: score = stopword hits per language profile,
+    * argmax with deterministic tie-break (lexicographically greatest
+    * language at equal score, via array_max over structs). Profiles are
+    * tiny closed-class word lists — the standard n-gram/stopword
+    * heuristic shape. Not SQL-expressible → rows-only check; accuracy
+    * asserted in the ScalaTest spec. */
+  val q43LangId: QueryDef = rowsOnly("q43_langid") { (s, d) =>
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "of", "and", "to", "is"),
+      "fr" -> Seq("le", "la", "de", "et", "les", "des"),
+      "es" -> Seq("el", "la", "de", "y", "los", "que"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+      "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+    val toks = tokens(col("text"))
+    val scored = profiles.map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        array_max(array(scored: _*)).as("best"))
+      .select(
+        col("doc_id"),
+        col("best.lang").as("lang_pred"),
+        col("best.score").cast("long").as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprints: rolling hash (custom codegen'd Expression)
+    * + 64-bit simhash over tokens. Equal fingerprint ⇒ duplicate
+    * candidate without shuffling full text — the 100 TB dedup entry
+    * point. Custom expressions → rows-only check; behavior pinned by
+    * the ScalaTest spec. */
+  val q44Fingerprint: QueryDef = rowsOnly("q44_fingerprint") { (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFunctions.rolling_hash(col("text")).as("fingerprint"),
+        TextFunctions.simhash64(tokens(col("text"))).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q40TextQuality, q41TokenFrequency, q42DocStatsByLang, q43LangId, q44Fingerprint)
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Access bridge: `ExpressionUtils` (Column ⇄ catalyst Expression) is
+  * `private[sql]` in Spark 4, so extension libraries expose it via a
+  * shim in the `org.apache.spark.sql` package — the standard pattern
+  * for Spark-native function libraries.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
