@@ -1,0 +1,157 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned, keyed, last-writer-wins parquet store — the local
+  * stand-in for the reference's Kudu sink (SURVEY §7.1 "UpsertSink
+  * trait … local keyed-Parquet implementation for tests, Kudu behind
+  * the same interface in production").
+  *
+  * Layout: `<path>/v=N/` parquet snapshots + `<path>/_LATEST` pointer.
+  * A commit writes the next snapshot dir, then atomically swaps the
+  * pointer — readers never see a partial snapshot, and a crashed commit
+  * leaves the previous version live (the foreachBatch retry then
+  * re-runs idempotently: same keys, same values, last-writer-wins).
+  *
+  * Single-writer by design: Structured Streaming serializes
+  * `foreachBatch` invocations per query, matching Kudu's
+  * one-session-per-batch usage in the reference
+  * (KafkaToKuduScala.scala:51).
+  *
+  * Scale: merge is a keyed dropDuplicates — one shuffle over
+  * |base| + |delta|, fine while the keyed state is OLTP-table-sized
+  * (the reference's sink holds one row per window). A 100 TB keyed sink
+  * is what Kudu/Delta are for; this interface is the seam where they
+  * plug in.
+  */
+object UpsertStore {
+  private val LatestFile = "_LATEST"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def latestVersion(spark: SparkSession, path: String): Option[Long] = {
+    val f = fs(spark, path)
+    val p = new Path(path, LatestFile)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(0, buf)
+        Some(new String(buf, "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Current table contents (empty DataFrame with the given schema when
+    * the store has never been written). */
+  def read(spark: SparkSession, path: String): Option[DataFrame] =
+    latestVersion(spark, path).map(v => spark.read.parquet(s"$path/v=$v"))
+
+  private def commit(spark: SparkSession, path: String, next: DataFrame): Unit = {
+    val v = latestVersion(spark, path).getOrElse(-1L) + 1L
+    next.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$v")
+    val f = fs(spark, path)
+    val tmp = new Path(path, s"$LatestFile.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    // rename is atomic on HDFS/posix; overwrite the old pointer
+    val dst = new Path(path, LatestFile)
+    if (f.exists(dst)) f.delete(dst, false)
+    f.rename(tmp, dst)
+    // retire older snapshots (keep previous for in-flight readers)
+    val stale = (0L until math.max(0L, v - 1)).map(i => new Path(path, s"v=$i"))
+    stale.foreach(p => if (f.exists(p)) f.delete(p, true))
+  }
+
+  /** Keep exactly one row per key from `df` itself (last-writer-wins
+    * within a batch — the reference's three same-key writes collapsing
+    * to one row, SURVEY §2.2). */
+  private def dedupByKey(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  def upsert(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String]): Unit = {
+    val delta = dedupByKey(df, keys)
+    val next = read(spark, path) match {
+      case None => delta
+      case Some(base) =>
+        base.join(delta.select(keys.map(col): _*), keys, "left_anti").unionByName(delta)
+    }
+    commit(spark, path, next)
+  }
+
+  /** Strict insert: duplicate key (vs base or within the batch) errors —
+    * Kudu INSERT semantics. */
+  def insert(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String]): Unit = {
+    read(spark, path) match {
+      case Some(base) =>
+        val clash = base.join(df, keys, "left_semi").count()
+        require(clash == 0, s"insert: $clash row(s) violate primary key ${keys.mkString(",")}")
+        val dupIn = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()
+        require(dupIn == 0, s"insert: batch contains $dupIn duplicated key group(s)")
+        commit(spark, path, base.unionByName(df))
+      case None =>
+        val dupIn = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()
+        require(dupIn == 0, s"insert: batch contains $dupIn duplicated key group(s)")
+        commit(spark, path, df)
+    }
+  }
+
+  /** Insert rows whose keys are absent; silently skip the rest. */
+  def insertIgnore(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String]): Unit = {
+    val delta = dedupByKey(df, keys)
+    val next = read(spark, path) match {
+      case None => delta
+      case Some(base) => base.unionByName(delta.join(base.select(keys.map(col): _*), keys, "left_anti"))
+    }
+    commit(spark, path, next)
+  }
+
+  /** Update only rows whose keys already exist. */
+  def update(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String]): Unit = {
+    read(spark, path) match {
+      case None => () // nothing to update
+      case Some(base) =>
+        val delta = dedupByKey(df, keys).join(base.select(keys.map(col): _*), keys, "left_semi")
+        commit(spark, path,
+          base.join(delta.select(keys.map(col): _*), keys, "left_anti").unionByName(delta))
+    }
+  }
+
+  /** Delete by key. */
+  def delete(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String]): Unit = {
+    read(spark, path) match {
+      case None => ()
+      case Some(base) =>
+        commit(spark, path, base.join(df.select(keys.map(col): _*), keys, "left_anti"))
+    }
+  }
+}
+
+/** The five mutation verbs of the reference's KuduContext
+  * (KafkaToKuduScala.scala:49-50), behind one interface. */
+trait UpsertSink extends Serializable {
+  def keys: Seq[String]
+  def insert(df: DataFrame): Unit
+  def insertIgnore(df: DataFrame): Unit
+  def upsert(df: DataFrame): Unit
+  def update(df: DataFrame): Unit
+  def delete(df: DataFrame): Unit
+  def read(spark: SparkSession): DataFrame
+}
+
+/** Local keyed-parquet implementation (tests / single-node). */
+final class ParquetUpsertSink(spark: SparkSession, path: String, val keys: Seq[String])
+    extends UpsertSink {
+  override def insert(df: DataFrame): Unit       = UpsertStore.insert(spark, path, df, keys)
+  override def insertIgnore(df: DataFrame): Unit = UpsertStore.insertIgnore(spark, path, df, keys)
+  override def upsert(df: DataFrame): Unit       = UpsertStore.upsert(spark, path, df, keys)
+  override def update(df: DataFrame): Unit       = UpsertStore.update(spark, path, df, keys)
+  override def delete(df: DataFrame): Unit       = UpsertStore.delete(spark, path, df, keys)
+  override def read(s: SparkSession): DataFrame =
+    UpsertStore.read(s, path).getOrElse(
+      throw new IllegalStateException(s"upsert store at $path has no committed version"))
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class UpsertSinkSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def freshSink(): (String, ParquetUpsertSink) = {
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    (dir, new ParquetUpsertSink(spark, dir, Seq("k")))
+  }
+
+  test("upsert: last-writer-wins, idempotent (SURVEY §5.3 property)") {
+    val (_, sink) = freshSink()
+    sink.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    sink.upsert(Seq((2L, "b2"), (3L, "c")).toDF("k", "v"))
+    val got = sink.read(spark).orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // idempotence: upsert(upsert(s, df), df) == upsert(s, df)
+    sink.upsert(Seq((2L, "b2"), (3L, "c")).toDF("k", "v"))
+    assert(sink.read(spark).orderBy("k").as[(Long, String)].collect().toSeq == got)
+  }
+
+  test("insert errors on duplicate key; insertIgnore skips; update touches only existing; delete by key") {
+    val (_, sink) = freshSink()
+    sink.insert(Seq((1L, "a")).toDF("k", "v"))
+    intercept[IllegalArgumentException] {
+      sink.insert(Seq((1L, "dup")).toDF("k", "v"))
+    }
+    sink.insertIgnore(Seq((1L, "ignored"), (2L, "b")).toDF("k", "v"))
+    assert(sink.read(spark).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    sink.update(Seq((2L, "b9"), (9L, "ghost")).toDF("k", "v"))
+    assert(sink.read(spark).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b9")))
+    sink.delete(Seq(Tuple1(1L)).toDF("k"))
+    assert(sink.read(spark).as[(Long, String)].collect().toSeq == Seq((2L, "b9")))
+  }
+
+  test("reference parity: the three equivalent write paths collapse to one row per key") {
+    val dir = Files.createTempDirectory("graft-3paths").toString
+    val df = Seq((42L, 3.5, 1, 9)).toDF("as_of_time", "avg_num_veh", "min_num_veh", "max_num_veh")
+
+    // path 1 — API upsert (reference K1: KuduContext.upsertRows)
+    val sink = new ParquetUpsertSink(spark, dir, Seq("as_of_time"))
+    sink.upsert(df)
+
+    // path 2 — DataFrameWriter (reference K2: write.mode("append").kudu)
+    df.write.format("graft-upsert")
+      .option("path", dir).option("keys", "as_of_time")
+      .mode("append").save()
+
+    // path 3 — SQL INSERT INTO via registered view (reference K3)
+    spark.read.format("graft-upsert").option("path", dir).option("keys", "as_of_time")
+      .load().createOrReplaceTempView("traffic_conditions")
+    df.createOrReplaceTempView("traffic_results")
+    spark.sql("INSERT INTO TABLE traffic_conditions SELECT * FROM traffic_results")
+
+    val out = spark.read.format("graft-upsert").option("path", dir).load()
+    assert(out.count() == 1, "three equivalent writes of one key ⇒ exactly one row")
+    assert(out.collect().head.getAs[Double]("avg_num_veh") == 3.5)
+  }
+
+  test("sink read-back via the relation (reference S2)") {
+    val (dir, sink) = freshSink()
+    sink.upsert(Seq((7L, "x")).toDF("k", "v"))
+    val back = spark.read.format("graft-upsert").option("path", dir).load()
+    assert(back.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(back.as[(Long, String)].collect().toSeq == Seq((7L, "x")))
+  }
+}
