@@ -1,0 +1,141 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Bounded top-k buffer: min-heap over (score, id); ties broken by
+  * smaller id winning (deterministic across partitionings). */
+final class TopKHeap(val k: Int) {
+  // parallel arrays, heap-ordered by (score asc, id desc) at the root,
+  // i.e. the WORST kept element sits at index 0
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var size = 0
+
+  // `a` is worse than `b` if lower score, or equal score and larger id
+  @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+
+  def add(score: Double, id: Long): Unit = {
+    if (size < k) {
+      var i = size
+      scores(i) = score; ids(i) = id; size += 1
+      while (i > 0) { // sift up (min-heap on "worse")
+        val p = (i - 1) / 2
+        if (worse(scores(i), ids(i), scores(p), ids(p))) {
+          swap(i, p); i = p
+        } else i = 0
+      }
+    } else if (worse(scores(0), ids(0), score, id)) {
+      scores(0) = score; ids(0) = id
+      var i = 0 // sift down
+      var continue = true
+      while (continue) {
+        val l = 2 * i + 1; val r = 2 * i + 2
+        var m = i
+        if (l < size && worse(scores(l), ids(l), scores(m), ids(m))) m = l
+        if (r < size && worse(scores(r), ids(r), scores(m), ids(m))) m = r
+        if (m != i) { swap(i, m); i = m } else continue = false
+      }
+    }
+  }
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+  }
+
+  def mergeWith(o: TopKHeap): TopKHeap = {
+    var i = 0
+    while (i < o.size) { add(o.scores(i), o.ids(i)); i += 1 }
+    this
+  }
+
+  /** (id, score) pairs, best first; ties by ascending id. */
+  def sortedPairs: Array[(Long, Double)] =
+    (0 until size).map(i => (ids(i), scores(i))).toArray
+      .sortBy { case (id, s) => (-s, id) }
+}
+
+/** `top_k_by_score(score, id, k)` — partial-aggregatable exact top-k:
+  * each partition keeps a k-element heap (map-side combine), merge is
+  * heap-union, so a 100 TB ANN scan shuffles k rows per partition
+  * instead of every candidate pair (SURVEY §4 item 2: the scalable
+  * alternative to `row_number() OVER (...)` re-ranking).
+  * Output: array<struct<id, score>>, best-first, deterministic ties.
+  */
+case class TopKByScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKHeap] {
+  require(k > 0 && k <= 100000, s"top_k k out of range: $k")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "top_k_by_score"
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+  override def update(b: TopKHeap, input: InternalRow): TopKHeap = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      b.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    }
+    b
+  }
+
+  override def merge(b: TopKHeap, o: TopKHeap): TopKHeap = b.mergeWith(o)
+
+  override def eval(b: TopKHeap): Any =
+    new GenericArrayData(b.sortedPairs.map { case (i, s) =>
+      InternalRow(i, s)
+    }.toArray[Any])
+
+  override def serialize(b: TopKHeap): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 + b.size * 16)
+    buf.putInt(b.k).putInt(b.size)
+    var i = 0
+    while (i < b.size) { buf.putDouble(b.scores(i)).putLong(b.ids(i)); i += 1 }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val buf = ByteBuffer.wrap(bytes)
+    val kk = buf.getInt; val n = buf.getInt
+    val h = new TopKHeap(kk)
+    var i = 0
+    while (i < n) { h.add(buf.getDouble, buf.getLong); i += 1 }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByScore =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByScore =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(score = c(0), id = c(1))
+}
+
+object TopKFunctions {
+  /** Aggregate Column: exact top-k (id, score) pairs by descending
+    * score with deterministic ties. */
+  def top_k_by_score(score: Column, id: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      TopKByScore(GraftSqlBridge.expression(score), GraftSqlBridge.expression(id), k)
+        .toAggregateExpression())
+}

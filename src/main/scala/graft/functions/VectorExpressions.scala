@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -98,4 +98,69 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Fused LSH bucket id over an array<float> embedding column. */
+  def hyperplane_bucket(emb: Column, planes: Int, dim: Int, seed: Long): Column =
+    GraftSqlBridge.column(
+      HyperplaneBucket(GraftSqlBridge.expression(emb), planes, dim, seed))
+}
+
+/** LSH bucket id in one pass: sign bits of `planes` pseudo-random
+  * hyperplane dot products (plane matrix derived from `seed` via
+  * splitmix64, materialized once per executor as a codegen reference
+  * object). Replaces `planes` separate dot-product expressions with a
+  * single fused loop over the embedding.
+  */
+case class HyperplaneBucket(child: Expression, planes: Int, dim: Int, seed: Long)
+    extends UnaryExpression {
+  require(planes > 0 && planes <= 30, s"planes out of range: $planes")
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_bucket"
+
+  /** Flat [planes × dim] row-major matrix, uniform [-1, 1). */
+  @transient lazy val matrix: Array[Double] = Array.tabulate(planes * dim) { idx =>
+    val p = idx / dim; val i = idx % dim
+    Hash64.splitmix(seed + p.toLong * 100003L + i).toDouble / Long.MaxValue.toDouble
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(dim, arr.numElements())
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var i = 0
+      val off = p * dim
+      while (i < n) { dot += arr.getFloat(i).toDouble * matrix(off + i); i += 1 }
+      if (dot >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("matrix", matrix, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val (b, p, i, dot, n) = (ctx.freshName("bucket"), ctx.freshName("p"),
+        ctx.freshName("i"), ctx.freshName("dot"), ctx.freshName("n"))
+      s"""
+         |int $b = 0;
+         |int $n = java.lang.Math.min($dim, $c.numElements());
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  double $dot = 0.0;
+         |  int __off = $p * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $c.getFloat($i) * $mat[__off + $i];
+         |  }
+         |  if ($dot >= 0) $b |= (1 << $p);
+         |}
+         |${ev.value} = $b;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

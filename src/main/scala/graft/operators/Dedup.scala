@@ -23,6 +23,22 @@ import graft.functions.TextFunctions
 object Dedup {
   import QueryDef.{rowsOnly, sql}
 
+  /** Word-3-gram shingle ARRAY per document (empty when < 3 tokens).
+    * Shingling (not unigrams) is what makes LSH selective: unigram sets
+    * over a small vocabulary are near-identical for ALL documents, so
+    * every pair would band-collide; 3-gram space is |V|³. */
+  def shingleArray(documents: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    documents
+      .withColumn("toks", toks)
+      .withColumn("shingles",
+        when(size(col("toks")) >= 3, expr(
+          "array_distinct(transform(sequence(1, size(toks) - 2), " +
+            "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"))
+          .otherwise(array().cast("array<string>")))
+      .drop("toks")
+  }
+
   /** Distinct word-3-gram shingles per document (docs with ≥ 3 tokens). */
   def shingles(documents: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
@@ -96,28 +112,34 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash + LSH banding: k=32 signature, 8 bands × 4 rows. Bucket
-    * collisions → candidate pairs → signature-estimated Jaccard ≥ 0.3.
-    * Custom expression → rows-only check; estimator quality is asserted
-    * against exact Jaccard in the spec. */
+  /** MinHash + LSH banding over 3-gram shingles: k=32 signature,
+    * 16 bands × 2 rows (collision prob ≈ 1-(1-J²)¹⁶ — near 1.0 for
+    * J ≥ 0.6). Bands are hashed to ONE long before the self-join, so
+    * the shuffle carries (band, hash, doc_id) triples — never the
+    * signature arrays; candidates re-join signatures for the estimate.
+    * Custom expression → rows-only check; estimator quality and recall
+    * vs exact Jaccard are asserted in the spec. */
   val q47DedupMinhash: QueryDef = rowsOnly("q47_dedup_minhash") { (s, d) =>
-    val k = 32; val bands = 8; val rows = k / bands
-    val toks = TextAnalysis.tokens(col("text"))
-    val sigs = Tables.documents(s, d)
-      .select(col("doc_id"), TextFunctions.minhash_signature(toks, k, seed = 42L).as("sig"))
+    val k = 32; val bands = 16; val rows = k / bands
+    val sigs = shingleArray(Tables.documents(s, d))
+      .select(col("doc_id"),
+        TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"))
       .cache()
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b * $rows + 1, $rows))")))
-      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("band_sig"))
-    val l = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    val cand = l.join(r, Seq("band", "band_sig"))
+      col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+    val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    val cand = l.join(r, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .select("doc_a", "doc_b")
       .distinct()
     val est = expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / CAST($k AS DOUBLE)")
     cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.3)
       .orderBy("doc_a", "doc_b")
@@ -126,9 +148,8 @@ object Dedup {
   /** SimHash near-dup: 64-bit fingerprints, banded into 4×16-bit chunks
     * for candidate generation, verified by Hamming distance ≤ 6. */
   val q48DedupSimhash: QueryDef = rowsOnly("q48_dedup_simhash") { (s, d) =>
-    val toks = TextAnalysis.tokens(col("text"))
-    val fp = Tables.documents(s, d)
-      .select(col("doc_id"), TextFunctions.simhash64(toks).as("simhash"))
+    val fp = shingleArray(Tables.documents(s, d))
+      .select(col("doc_id"), TextFunctions.simhash64(col("shingles")).as("simhash"))
       .cache()
     val chunks = fp.select(
       col("doc_id"), col("simhash"),
