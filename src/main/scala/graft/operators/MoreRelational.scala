@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Second relational wave: CUBE, arg-min/max (`min_by`/`max_by`),
+  * array functions, and salted (two-phase) aggregation for skewed keys.
+  */
+object MoreRelational {
+  import QueryDef.sql
+
+  /** CUBE over two dimensions with GROUPING indicators. */
+  val q23Cube: QueryDef = sql(
+    "q23_cube_orders",
+    """SELECT o_orderstatus, o_orderpriority,
+      |       COUNT(*) AS n,
+      |       ROUND(SUM(o_totalprice), 2) AS total,
+      |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
+      |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"),
+        grouping(col("o_orderstatus")).cast("long").as("g_s"),
+        grouping(col("o_orderpriority")).cast("long").as("g_p"))
+      .orderBy("g_s", "g_p", "o_orderstatus", "o_orderpriority")
+  }
+
+  /** arg-min / arg-max (SURVEY §2.4 A4's "first/last-in-time" idiom,
+    * expressed directly). Selector is o_totalprice — continuous, so
+    * ties (which would make min_by nondeterministic) don't occur. */
+  val q24MinBy: QueryDef = sql(
+    "q24_minby_maxby",
+    """SELECT o_orderpriority,
+      |       CAST(min_by(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_order,
+      |       CAST(max_by(o_orderkey, o_totalprice) AS BIGINT) AS priciest_order,
+      |       ROUND(MIN(o_totalprice), 2) AS min_price,
+      |       ROUND(MAX(o_totalprice), 2) AS max_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        min_by(col("o_orderkey"), col("o_totalprice")).cast("long").as("cheapest_order"),
+        max_by(col("o_orderkey"), col("o_totalprice")).cast("long").as("priciest_order"),
+        round(min("o_totalprice"), 2).as("min_price"),
+        round(max("o_totalprice"), 2).as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Array functions: sort, slice, join, contains (mapped to DuckDB's
+    * list_* family in the oracle). */
+  val q25ArrayFuncs: QueryDef = sql(
+    "q25_array_funcs",
+    """WITH t AS (SELECT doc_id,
+      |                  list_sort(string_split_regex(lower(text), '\s+')) AS toks
+      |           FROM documents)
+      |SELECT doc_id,
+      |       array_to_string(list_slice(toks, 1, 3), ',') AS first3,
+      |       list_contains(toks, 'spark') AS has_spark,
+      |       CAST(len(toks) AS BIGINT) AS n_tokens
+      |FROM t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = sort_array(TextAnalysis.tokens(col("text")))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        array_join(slice(toks, 1, 3), ",").as("first3"),
+        array_contains(toks, "spark").as("has_spark"),
+        size(toks).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Salted two-phase aggregation: phase 1 groups on (key, salt) so a
+    * hot key's rows spread over `salt` reducers; phase 2 combines the
+    * partials. For algebraic aggregates Catalyst's map-side partial
+    * aggregation already defuses skew — salting is the pattern for the
+    * cases it can't cover (exact per-key distinct, collect-heavy aggs),
+    * declared here so its results are oracle-pinned to the plain
+    * GROUP BY. */
+  val q26SaltedAgg: QueryDef = sql(
+    "q26_salted_agg",
+    """SELECT user_id, COUNT(*) AS n_events,
+      |       ROUND(SUM(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val salted = Tables.events(s, d)
+      .withColumn("__salt", pmod(hash(col("event_id")), lit(8)))
+      .groupBy(col("user_id"), col("__salt"))
+      .agg(count(lit(1)).as("pn"), sum("value").as("psum"))
+    salted
+      .groupBy("user_id")
+      .agg(sum("pn").as("n_events"), round(sum("psum"), 2).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q23Cube, q24MinBy, q25ArrayFuncs, q26SaltedAgg)
+}

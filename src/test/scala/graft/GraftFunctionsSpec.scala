@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL surface for the custom expressions (function registry +
+  * SparkSessionExtensions builders). */
+class GraftFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  test("registered SQL functions: cosine_similarity, rolling_hash, top_k_by_score") {
+    GraftFunctions.register(spark)
+    val cos = spark.sql(
+      """SELECT cosine_similarity(
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+
+    val rh = spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0)
+    val manual = "abc".getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))
+    assert(rh == manual)
+
+    val topk = spark.sql(
+      """SELECT top_k_by_score(s, i, 2) AS t FROM VALUES
+        |  (1.0D, 10L), (3.0D, 30L), (2.0D, 20L) AS v(s, i)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(topk.map(r => (r.getLong(0), r.getDouble(1))) == Seq((30L, 3.0), (20L, 2.0)))
+
+    val mh = spark.sql(
+      "SELECT size(minhash_signature(array('a','b','c'), 16, 42L)) AS n")
+      .head().getInt(0)
+    assert(mh == 16)
+  }
+
+  test("extensions builder set is total (every builder constructs from SQL)") {
+    GraftFunctions.register(spark)
+    // hyperplane_bucket + simhash64 + dot_product through SQL
+    val row = spark.sql(
+      """SELECT dot_product(array(CAST(2.0 AS FLOAT)), array(CAST(4.0 AS FLOAT))) AS d,
+        |       simhash64(array('x', 'y')) AS s,
+        |       hyperplane_bucket(array(CAST(1.0 AS FLOAT)), 4, 1, 7L) AS b""".stripMargin)
+      .head()
+    assert(row.getDouble(0) == 8.0)
+    assert(row.getInt(2) >= 0 && row.getInt(2) < 16)
+  }
+
+  test("non-literal k in top_k_by_score fails with a clear message") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT top_k_by_score(s, i, CAST(i AS INT)) FROM VALUES (1.0D, 1L) AS v(s, i)")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal") || e.getMessage.contains("k"))
+  }
+}
