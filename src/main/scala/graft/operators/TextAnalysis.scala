@@ -137,6 +137,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token counting for training-data budgeting: whitespace words,
+    * vowel-cluster "syllables", and a BPE-ish estimate
+    * (max(words, chars/4) — the standard ~4-chars-per-token rule).
+    * Pure ANSI arithmetic + regexp (RE2-safe, no lookaround) →
+    * oracle-checked. */
+  val q49TokenMetrics: QueryDef = sql(
+    "q49_token_metrics",
+    """SELECT doc_id,
+      |       CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_words,
+      |       CAST(LENGTH(regexp_replace(lower(text), '[^aeiou]+', '', 'g')) AS BIGINT) AS n_vowels,
+      |       CAST(LENGTH(regexp_replace(lower(text), '[aeiou]+', '.', 'g'))
+      |            - LENGTH(regexp_replace(lower(text), '[aeiou]+', '', 'g')) AS BIGINT) AS n_vowel_runs,
+      |       CAST(GREATEST(len(string_split_regex(lower(text), '\s+')),
+      |                     CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_bpe_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val lowered = lower(col("text"))
+    val words = size(split(lowered, "\\s+")).cast("long")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        words.as("n_words"),
+        length(regexp_replace(lowered, "[^aeiou]+", "")).cast("long").as("n_vowels"),
+        (length(regexp_replace(lowered, "[aeiou]+", "."))
+          - length(regexp_replace(lowered, "[aeiou]+", ""))).cast("long").as("n_vowel_runs"),
+        greatest(words, ceil(length(col("text")) / 4.0).cast("long")).as("est_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q40TextQuality, q41TokenFrequency, q42DocStatsByLang, q43LangId, q44Fingerprint)
+    q40TextQuality, q41TokenFrequency, q42DocStatsByLang, q43LangId, q44Fingerprint,
+    q49TokenMetrics)
 }

@@ -85,6 +85,30 @@ object TrafficPipeline {
       .start()
   }
 
+  /** Multi-sink fan-out in one batch — the reference writes each batch
+    * THREE times and recomputes the aggregation each time (SURVEY §3
+    * "recomputation hazard", KafkaToKuduScala.scala:51,56,61). Here the
+    * batch is persisted once and fanned out, fixing the 3× recompute
+    * while keeping the reference's three-paths-one-row semantics. */
+  def runMultiSink(source: DataFrame,
+                   sinks: Seq[UpsertSink],
+                   checkpointDir: String,
+                   trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    val agg = aggregate(parse(source))
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          try sinks.foreach(_.upsert(batch))
+          finally batch.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** Reference-parity appendix (SURVEY §7.3 item 1): the DStream
     * pipeline's PROCESSING-time 60 s window, emulated with a bounded
     * ring of recent micro-batches inside foreachBatch. Kept as the

@@ -155,3 +155,28 @@ final class ParquetUpsertSink(spark: SparkSession, path: String, val keys: Seq[S
     UpsertStore.read(s, path).getOrElse(
       throw new IllegalStateException(s"upsert store at $path has no committed version"))
 }
+
+/** Production Kudu binding, compiled behind the same interface
+  * (SURVEY §7.1). This environment has no Kudu client jars or cluster,
+  * so every verb is a documented stub — the seam is the deliverable:
+  * `TrafficPipeline.run(src, new KuduUpsertSink(...), ...)` is the
+  * production wiring, mirroring the reference's
+  * `KuduContext.upsertRows(df, table)` (KafkaToKuduScala.scala:51)
+  * and write paths K1–K3 without any pipeline change.
+  */
+final class KuduUpsertSink(
+    masterAddresses: String, table: String, val keys: Seq[String])
+    extends UpsertSink {
+  private def unavailable(verb: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"Kudu $verb on $table@$masterAddresses: kudu-spark client not present " +
+        "in this environment; bind org.apache.kudu:kudu-spark3 and replace " +
+        "these bodies with KuduContext.{insert,upsert,update,delete}Rows")
+  override def insert(df: org.apache.spark.sql.DataFrame): Unit       = unavailable("INSERT")
+  override def insertIgnore(df: org.apache.spark.sql.DataFrame): Unit = unavailable("INSERT_IGNORE")
+  override def upsert(df: org.apache.spark.sql.DataFrame): Unit       = unavailable("UPSERT")
+  override def update(df: org.apache.spark.sql.DataFrame): Unit       = unavailable("UPDATE")
+  override def delete(df: org.apache.spark.sql.DataFrame): Unit       = unavailable("DELETE")
+  override def read(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    unavailable("SCAN")
+}
