@@ -30,6 +30,8 @@ object Tables {
     * normalize to a microsecond TimestampType column (floor division —
     * matches DuckDB's ns→ms flooring in the oracle). */
   def events(s: SparkSession, d: String): DataFrame = {
+    // defensive: a caller-provided session may not have set the flag
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -53,7 +53,10 @@ object UpsertStore {
 
   private def commit(spark: SparkSession, path: String, next: DataFrame): Unit = {
     val v = latestVersion(spark, path).getOrElse(-1L) + 1L
-    next.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$v")
+    // keyed sinks are small relative to the pipeline (one row per window/
+    // key-group); without coalesce every snapshot inherits the shuffle
+    // partition count and writes N tiny files per batch
+    next.coalesce(4).write.mode(SaveMode.Overwrite).parquet(s"$path/v=$v")
     val f = fs(spark, path)
     val tmp = new Path(path, s"$LatestFile.tmp")
     val out = f.create(tmp, true)

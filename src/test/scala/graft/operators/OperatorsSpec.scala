@@ -111,6 +111,22 @@ class OperatorsSpec extends AnyFunSuite {
       countDistinct("l_partkey").as("e")).as[(Long, Long)].head()
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
   }
+  test("IVF ANN: recall@3 vs brute force is measured and bounded") {
+    val truth = Similarity.q50AnnBruteForce.fn(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.q55AnnIvf.fn(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = truth.map { case (q, t) => (ivf.getOrElse(q, Set.empty) & t).size }.sum
+    val recall = hits.toDouble / truth.values.map(_.size).sum
+    info(s"IVF recall@3 = $recall")
+    assert(recall >= 0.5, s"IVF recall collapsed: $recall")
+    // IVF results are always true similarities (exact re-rank inside cells)
+    val bogus = ivf.values.flatten.toSet -- Tables.embeddings(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    assert(bogus.isEmpty)
+  }
 }
 
 object OperatorsSpec {
