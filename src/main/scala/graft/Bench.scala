@@ -80,17 +80,18 @@ object BenchStreaming {
       .select(concat(
         (unix_timestamp(col("timestamp")) * 1000).cast("string"),
         lit(","), pmod(col("value"), lit(100)).cast("string")).as("value"))
-    val t0 = System.nanoTime()
+    val warmup = 3
     val q = TrafficPipeline.run(src, sink, s"$dir/ckpt",
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-    var done = 0L
-    while (done < batches.toLong) {
-      Thread.sleep(200)
-      done = q.recentProgress.map(_.batchId).distinct.length.toLong
-    }
+    def completed = q.recentProgress.map(_.batchId).distinct.length
+    while (completed < warmup) Thread.sleep(100)
+    val t0 = System.nanoTime() // steady state: codegen + store warm
+    val before = completed
+    while (completed < before + batches) Thread.sleep(100)
+    val measured = completed - before
     q.stop()
     val secs = (System.nanoTime() - t0) / 1e9
-    rowsPerBatch.toLong * done / secs
+    rowsPerBatch.toLong * measured / secs
   }
 
   /** Upsert rows/s: write `keys` fresh keys, then overwrite half. */

@@ -39,19 +39,17 @@ object Dedup {
       .drop("toks")
   }
 
-  /** Distinct word-3-gram shingles per document (docs with ≥ 3 tokens). */
+  /** Distinct word-3-gram shingles per document (docs with ≥ 3 tokens),
+    * one row each — via the custom [[graft.functions.ShingleGenerator]]
+    * UDTF, which streams shingles and dedups per document without
+    * materializing the intermediate array (same output as the
+    * transform+explode+distinct composition, pinned by the q46 oracle).
+    */
   def shingles(documents: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
-    documents
-      .withColumn("toks", toks)
-      .filter(size(col("toks")) >= 3)
-      .select(
-        col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, size(toks) - 2), " +
-            "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"))
-          .as("shingle"))
-      .distinct()
+    documents.select(
+      col("doc_id"),
+      graft.functions.GeneratorFunctions.shingles(toks, 3))
   }
 
   /** Exact dedup via content hash: one row per distinct content, keeping

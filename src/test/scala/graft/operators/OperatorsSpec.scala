@@ -50,28 +50,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall(_.getAs[Long]("hamming") <= 6))
   }
 
-  test("ANN-LSH results are a subset of each query's true ranking neighborhood") {
-    // brute force top-20 per query = ground truth neighborhood
-    val emb = Tables.embeddings(spark, sf)
-    val queries = emb.filter($"vec_id" < 5)
-      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
-    val truth = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("ce"))
-      .crossJoin(broadcast(queries))
-      .filter($"query_id" =!= $"neighbor_id")
-      .withColumn("sim", VectorFunctions.cosine_similarity($"qe", $"ce"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
-          .orderBy($"sim".desc, $"neighbor_id")))
-      .filter($"rk" <= 20)
+  test("ANN-LSH recall@3 vs brute force (16 tables x 6 planes)") {
+    val truth = Similarity.q50AnnBruteForce.fn(spark, sf)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val lsh = Similarity.q51AnnLsh.fn(spark, sf)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
-    // every LSH-returned neighbor must at least be a plausible one
-    // (subset of true top-20) — approximation may MISS, not INVENT
-    val bogus = lsh.filterNot { case (q, n) => truth.getOrElse(q, Set.empty).contains(n) }
-    assert(bogus.length <= lsh.length / 2,
-      s"too many LSH neighbors outside true top-20: ${bogus.take(5).toSeq}")
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = truth.map { case (q, t) => (lsh.getOrElse(q, Set.empty) & t).size }.sum
+    val recall = hits.toDouble / truth.values.map(_.size).sum
+    info(s"LSH recall@3 (16x6) = $recall")
+    assert(recall >= 0.35, s"LSH recall collapsed: $recall")
+    // approximation may MISS true neighbors but must not invent ids
+    val ids = Tables.embeddings(spark, sf).select("vec_id").as[Long].collect().toSet
+    assert(lsh.values.flatten.forall(ids.contains))
   }
 
   test("exact dedup keeps one representative per distinct text") {
