@@ -81,16 +81,26 @@ object BenchStreaming {
         (unix_timestamp(col("timestamp")) * 1000).cast("string"),
         lit(","), pmod(col("value"), lit(100)).cast("string")).as("value"))
     val warmup = 3
+    val deadline = System.nanoTime() + 300L * 1000000000L
     val q = TrafficPipeline.run(src, sink, s"$dir/ckpt",
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
     def completed = q.recentProgress.map(_.batchId).distinct.length
-    while (completed < warmup) Thread.sleep(100)
+    def await(target: Int): Unit =
+      while (completed < target) {
+        q.exception.foreach(throw _)          // dead query: surface it
+        if (System.nanoTime() > deadline) {
+          q.stop(); throw new IllegalStateException("streaming bench timed out")
+        }
+        Thread.sleep(100)
+      }
+    await(warmup)
     val t0 = System.nanoTime() // steady state: codegen + store warm
     val before = completed
-    while (completed < before + batches) Thread.sleep(100)
+    await(before + batches)
     val measured = completed - before
+    val t1 = System.nanoTime() // before stop(): teardown not billed
     q.stop()
-    val secs = (System.nanoTime() - t0) / 1e9
+    val secs = (t1 - t0) / 1e9
     rowsPerBatch.toLong * measured / secs
   }
 

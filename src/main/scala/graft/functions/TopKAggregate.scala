@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -23,7 +24,10 @@ final class TopKHeap(val k: Int) {
     s1 < s2 || (s1 == s2 && i1 > i2)
 
   def add(score: Double, id: Long): Unit = {
-    if (size < k) {
+    if (score.isNaN) {
+      // NaN compares false under every ordering: once admitted it would
+      // pin the heap root and block all future replacements — drop it.
+    } else if (size < k) {
       var i = size
       scores(i) = score; ids(i) = id; size += 1
       while (i > 0) { // sift up (min-heap on "worse")
@@ -81,6 +85,13 @@ case class TopKByScore(
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    (score.dataType, id.dataType) match {
+      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, i) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double score, bigint id), got " +
+          s"${s.catalogString}, ${i.catalogString}")
+    }
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("id", LongType, nullable = false),

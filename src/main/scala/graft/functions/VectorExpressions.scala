@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -11,15 +12,44 @@ import org.apache.spark.sql.types._
   * every float; these participate in whole-stage codegen: the generated
   * loop reads the unsafe array data directly.
   *
-  * Accumulation is in double regardless of input element type so results
-  * are reproducible against a double-math oracle.
+  * Inputs may be array<float> or array<double> (SQL literals like
+  * `array(1.0, 0.0)` are double arrays); element width is resolved at
+  * analysis time and wrong types fail analysis, never silently
+  * misread bytes. Accumulation is always double so results are
+  * reproducible against a double-math oracle.
   */
+private[functions] object VectorTypeCheck {
+  def isVec(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  def isDoubleVec(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  def check(name: String, dts: Seq[DataType]): TypeCheckResult =
+    if (dts.forall(isVec)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<float> or array<double> arguments, got " +
+        dts.map(_.catalogString).mkString(", "))
+  /** Java accessor expression for element i of an ArrayData variable. */
+  def getter(variable: String, idx: String, double: Boolean): String =
+    if (double) s"$variable.getDouble($idx)" else s"(double) $variable.getFloat($idx)"
+  def get(a: ArrayData, i: Int, double: Boolean): Double =
+    if (double) a.getDouble(i) else a.getFloat(i).toDouble
+}
+
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_similarity"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.check(prettyName, Seq(left.dataType, right.dataType))
+
+  private lazy val lDouble = VectorTypeCheck.isDoubleVec(left.dataType)
+  private lazy val rDouble = VectorTypeCheck.isDoubleVec(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -27,8 +57,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = VectorTypeCheck.get(x, i, lDouble)
+      val yi = VectorTypeCheck.get(y, i, rDouble)
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
@@ -43,8 +73,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |for (int $i = 0; $i < $n; $i++) {
-         |  double xi = (double) $a.getFloat($i);
-         |  double yi = (double) $b.getFloat($i);
+         |  double xi = ${VectorTypeCheck.getter(a, i, lDouble)};
+         |  double yi = ${VectorTypeCheck.getter(b, i, rDouble)};
          |  $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
@@ -55,20 +85,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Dot product over float arrays, double accumulation, codegen'd. */
+/** Dot product over float/double arrays, double accumulation, codegen'd. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_product"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.check(prettyName, Seq(left.dataType, right.dataType))
+
+  private lazy val lDouble = VectorTypeCheck.isDoubleVec(left.dataType)
+  private lazy val rDouble = VectorTypeCheck.isDoubleVec(right.dataType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      dot += VectorTypeCheck.get(x, i, lDouble) * VectorTypeCheck.get(y, i, rDouble)
+      i += 1
+    }
     dot
   }
 
@@ -79,7 +117,7 @@ case class DotProduct(left: Expression, right: Expression)
          |double $dot = 0.0;
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $dot += ${VectorTypeCheck.getter(a, i, lDouble)} * ${VectorTypeCheck.getter(b, i, rDouble)};
          |}
          |${ev.value} = $dot;
        """.stripMargin
@@ -90,7 +128,7 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  /** cosine_similarity(a, b) over array<float> columns → double. */
+  /** cosine_similarity(a, b) over array<float|double> columns → double. */
   def cosine_similarity(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
@@ -99,7 +137,7 @@ object VectorFunctions {
     GraftSqlBridge.column(
       DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
-  /** Fused LSH bucket id over an array<float> embedding column. */
+  /** Fused LSH bucket id over an array<float|double> embedding column. */
   def hyperplane_bucket(emb: Column, planes: Int, dim: Int, seed: Long): Column =
     GraftSqlBridge.column(
       HyperplaneBucket(GraftSqlBridge.expression(emb), planes, dim, seed))
@@ -118,6 +156,10 @@ case class HyperplaneBucket(child: Expression, planes: Int, dim: Int, seed: Long
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hyperplane_bucket"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.check(prettyName, Seq(child.dataType))
+
+  private lazy val cDouble = VectorTypeCheck.isDoubleVec(child.dataType)
 
   /** Flat [planes × dim] row-major matrix, uniform [-1, 1). */
   @transient lazy val matrix: Array[Double] = Array.tabulate(planes * dim) { idx =>
@@ -126,7 +168,7 @@ case class HyperplaneBucket(child: Expression, planes: Int, dim: Int, seed: Long
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val arr = v.asInstanceOf[ArrayData]
     val n = math.min(dim, arr.numElements())
     var bucket = 0
     var p = 0
@@ -134,7 +176,7 @@ case class HyperplaneBucket(child: Expression, planes: Int, dim: Int, seed: Long
       var dot = 0.0
       var i = 0
       val off = p * dim
-      while (i < n) { dot += arr.getFloat(i).toDouble * matrix(off + i); i += 1 }
+      while (i < n) { dot += VectorTypeCheck.get(arr, i, cDouble) * matrix(off + i); i += 1 }
       if (dot >= 0) bucket |= (1 << p)
       p += 1
     }
@@ -153,7 +195,7 @@ case class HyperplaneBucket(child: Expression, planes: Int, dim: Int, seed: Long
          |  double $dot = 0.0;
          |  int __off = $p * $dim;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += (double) $c.getFloat($i) * $mat[__off + $i];
+         |    $dot += ${VectorTypeCheck.getter(c, i, cDouble)} * $mat[__off + $i];
          |  }
          |  if ($dot >= 0) $b |= (1 << $p);
          |}

@@ -23,9 +23,10 @@ object Windows {
       |       COUNT(*) AS n_events,
       |       ROUND(SUM(value), 2) AS sum_value
       |FROM events
-      |JOIN (SELECT unnest(generate_series(TIMESTAMP '2023-12-31 23:00:00',
-      |                                    TIMESTAMP '2024-02-01 00:00:00',
-      |                                    INTERVAL 15 MINUTE)) AS ws) g
+      |JOIN (SELECT unnest(generate_series(
+      |        (SELECT date_trunc('hour', min(ts)) - INTERVAL 1 HOUR FROM events),
+      |        (SELECT date_trunc('hour', max(ts)) + INTERVAL 1 HOUR FROM events),
+      |        INTERVAL 15 MINUTE)) AS ws) g
       |  ON ts >= ws AND ts < ws + INTERVAL 1 HOUR
       |GROUP BY ws
       |ORDER BY window_start_ms""".stripMargin) { (s, d) =>

@@ -57,15 +57,21 @@ class UpsertRelationProvider
     val path = pathOf(parameters)
     val keys = keysOf(parameters)
     require(keys.nonEmpty, "graft-upsert write requires option 'keys'")
+    val exists = UpsertStore.latestVersion(spark, path).isDefined
     mode match {
-      case SaveMode.Append | SaveMode.ErrorIfExists =>
+      case SaveMode.Append =>
+        UpsertStore.upsert(spark, path, data, keys)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft-upsert store at $path already exists (SaveMode.ErrorIfExists); " +
+            "use mode(\"append\") for upsert semantics")
         UpsertStore.upsert(spark, path, data, keys)
       case SaveMode.Overwrite =>
-        UpsertStore.delete(spark, path,
-          UpsertStore.read(spark, path).getOrElse(data.limit(0)), keys)
+        UpsertStore.read(spark, path)
+          .foreach(b => UpsertStore.delete(spark, path, b, keys))
         UpsertStore.upsert(spark, path, data, keys)
       case SaveMode.Ignore =>
-        UpsertStore.insertIgnore(spark, path, data, keys)
+        if (!exists) UpsertStore.upsert(spark, path, data, keys)
     }
     UpsertRelation(spark, path, keys, None)
   }

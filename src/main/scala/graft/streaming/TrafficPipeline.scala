@@ -80,7 +80,12 @@ object TrafficPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) sink.upsert(batch)
+        // persist: isEmpty + the store's read-merge-write each act on
+        // the batch; without caching the window agg recomputes per
+        // action (the reference's recompute hazard, SURVEY §3)
+        batch.persist()
+        try { if (!batch.isEmpty) sink.upsert(batch) }
+        finally batch.unpersist()
       }
       .start()
   }

@@ -65,16 +65,34 @@ object UpsertStore {
     val dst = new Path(path, LatestFile)
     if (f.exists(dst)) f.delete(dst, false)
     f.rename(tmp, dst)
-    // retire older snapshots (keep previous for in-flight readers)
-    val stale = (0L until math.max(0L, v - 1)).map(i => new Path(path, s"v=$i"))
-    stale.foreach(p => if (f.exists(p)) f.delete(p, true))
+    // retire the snapshot two generations back (keep the previous one
+    // for in-flight readers); earlier commits already removed older
+    // generations, so cleanup stays O(1) per commit
+    if (v >= 2) {
+      val stale = new Path(path, s"v=${v - 2}")
+      if (f.exists(stale)) f.delete(stale, true)
+    }
   }
 
-  /** Keep exactly one row per key from `df` itself (last-writer-wins
-    * within a batch — the reference's three same-key writes collapsing
-    * to one row, SURVEY §2.2). */
-  private def dedupByKey(df: DataFrame, keys: Seq[String]): DataFrame =
-    df.dropDuplicates(keys)
+  /** Keep exactly one row per key from `df` itself. A distributed batch
+    * has no row order, so "last writer" is undefined within it;
+    * dropDuplicates would keep a partitioning-dependent row. Instead the
+    * GREATEST value-tuple wins (lexicographic struct max) — fully
+    * deterministic, so a foreachBatch retry/replay converges to the
+    * same row (the reference's three same-key writes still collapse to
+    * one row, SURVEY §2.2; across separate calls, the later call wins).
+    */
+  private def dedupByKey(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = df.columns.filterNot(keys.contains)
+    if (valueCols.isEmpty) df.dropDuplicates(keys)
+    else {
+      val merged = df.groupBy(keys.map(col): _*)
+        .agg(max(struct(valueCols.map(col): _*)).as("__v"))
+      merged.select(df.columns.toIndexedSeq.map { c =>
+        if (keys.contains(c)) col(c) else col(s"__v.$c").as(c)
+      }: _*)
+    }
+  }
 
   def upsert(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String]): Unit = {
     val delta = dedupByKey(df, keys)

@@ -26,6 +26,17 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(sink.read(spark).orderBy("k").as[(Long, String)].collect().toSeq == got)
   }
 
+  test("within-batch duplicate keys resolve deterministically (greatest value wins)") {
+    val (_, sink) = freshSink()
+    sink.upsert(Seq((1L, "x"), (1L, "y"), (2L, "a")).toDF("k", "v"))
+    assert(sink.read(spark).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "y"), (2L, "a")))
+    // replay the same batch: identical result (idempotent under retry)
+    sink.upsert(Seq((1L, "y"), (1L, "x"), (2L, "a")).toDF("k", "v"))
+    assert(sink.read(spark).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "y"), (2L, "a")))
+  }
+
   test("insert errors on duplicate key; insertIgnore skips; update touches only existing; delete by key") {
     val (_, sink) = freshSink()
     sink.insert(Seq((1L, "a")).toDF("k", "v"))
@@ -64,6 +75,19 @@ class UpsertSinkSpec extends AnyFunSuite {
     val out = spark.read.format("graft-upsert").option("path", dir).load()
     assert(out.count() == 1, "three equivalent writes of one key ⇒ exactly one row")
     assert(out.collect().head.getAs[Double]("avg_num_veh") == 3.5)
+  }
+
+  test("SaveMode contract: default ErrorIfExists throws on existing store; Ignore is a no-op") {
+    val (dir, sink) = freshSink()
+    sink.upsert(Seq((1L, "a")).toDF("k", "v"))
+    val e = intercept[IllegalStateException] {
+      Seq((2L, "b")).toDF("k", "v").write.format("graft-upsert")
+        .option("path", dir).option("keys", "k").save() // no mode => ErrorIfExists
+    }
+    assert(e.getMessage.contains("already exists"))
+    Seq((3L, "c")).toDF("k", "v").write.format("graft-upsert")
+      .option("path", dir).option("keys", "k").mode("ignore").save()
+    assert(sink.read(spark).count() == 1, "Ignore on existing store must be a no-op")
   }
 
   test("sink read-back via the relation (reference S2)") {
