@@ -84,7 +84,9 @@ object BenchStreaming {
     val deadline = System.nanoTime() + 300L * 1000000000L
     val q = TrafficPipeline.run(src, sink, s"$dir/ckpt",
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-    def completed = q.recentProgress.map(_.batchId).distinct.length
+    // lastProgress.batchId is monotonic; recentProgress caps at 100
+    // entries and would saturate a long benchmark
+    def completed = Option(q.lastProgress).map(_.batchId.toInt + 1).getOrElse(0)
     def await(target: Int): Unit =
       while (completed < target) {
         q.exception.foreach(throw _)          // dead query: surface it

@@ -101,5 +101,28 @@ object MoreRelational {
       .orderBy("user_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q23Cube, q24MinBy, q25ArrayFuncs, q26SaltedAgg)
+  /** SQL-text entry point (the reference drove everything through
+    * `spark.sql`, KafkaToKuduScala.scala:39-45): tables registered as
+    * temp views, the SAME SQL text runs on Spark and as the DuckDB
+    * oracle. TPC-H Q3 shape (shipping priority). */
+  private val shippingPrioritySql =
+    """SELECT l_orderkey,
+      |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 20""".stripMargin
+
+  val q27SqlEntry: QueryDef = sql("q27_sql_shipping_priority", shippingPrioritySql) { (s, d) =>
+    Tables.registerAll(s, d)
+    s.sql(shippingPrioritySql)
+  }
+
+  val all: Seq[QueryDef] = Seq(q23Cube, q24MinBy, q25ArrayFuncs, q26SaltedAgg, q27SqlEntry)
 }

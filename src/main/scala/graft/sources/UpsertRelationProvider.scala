@@ -57,7 +57,7 @@ class UpsertRelationProvider
     val path = pathOf(parameters)
     val keys = keysOf(parameters)
     require(keys.nonEmpty, "graft-upsert write requires option 'keys'")
-    val exists = UpsertStore.latestVersion(spark, path).isDefined
+    def exists = UpsertStore.latestVersion(spark, path).isDefined
     mode match {
       case SaveMode.Append =>
         UpsertStore.upsert(spark, path, data, keys)
@@ -67,9 +67,7 @@ class UpsertRelationProvider
             "use mode(\"append\") for upsert semantics")
         UpsertStore.upsert(spark, path, data, keys)
       case SaveMode.Overwrite =>
-        UpsertStore.read(spark, path)
-          .foreach(b => UpsertStore.delete(spark, path, b, keys))
-        UpsertStore.upsert(spark, path, data, keys)
+        UpsertStore.replace(spark, path, data, keys) // one atomic commit
       case SaveMode.Ignore =>
         if (!exists) UpsertStore.upsert(spark, path, data, keys)
     }

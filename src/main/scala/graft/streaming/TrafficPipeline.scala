@@ -105,11 +105,9 @@ object TrafficPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          batch.persist()
-          try sinks.foreach(_.upsert(batch))
-          finally batch.unpersist()
-        }
+        batch.persist() // before isEmpty: every action reuses the cache
+        try { if (!batch.isEmpty) sinks.foreach(_.upsert(batch)) }
+        finally batch.unpersist()
       }
       .start()
   }

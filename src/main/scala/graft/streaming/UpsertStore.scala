@@ -65,12 +65,16 @@ object UpsertStore {
     val dst = new Path(path, LatestFile)
     if (f.exists(dst)) f.delete(dst, false)
     f.rename(tmp, dst)
-    // retire the snapshot two generations back (keep the previous one
-    // for in-flight readers); earlier commits already removed older
-    // generations, so cleanup stays O(1) per commit
-    if (v >= 2) {
-      val stale = new Path(path, s"v=${v - 2}")
-      if (f.exists(stale)) f.delete(stale, true)
+    // retire all snapshots older than v-1 (keep the previous one for
+    // in-flight readers). One listing of the store dir — O(live dirs),
+    // which stays ~3 steady-state and self-heals after a crashed
+    // commit's orphan
+    f.listStatus(new Path(path)).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("v=")) {
+        val ver = name.stripPrefix("v=").toLongOption
+        if (ver.exists(_ < v - 1)) f.delete(st.getPath, true)
+      }
     }
   }
 
@@ -82,17 +86,34 @@ object UpsertStore {
     * same row (the reference's three same-key writes still collapse to
     * one row, SURVEY §2.2; across separate calls, the later call wins).
     */
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case st: org.apache.spark.sql.types.StructType => st.forall(f => orderable(f.dataType))
+    case at: org.apache.spark.sql.types.ArrayType => orderable(at.elementType)
+    case _ => true
+  }
+
   private def dedupByKey(df: DataFrame, keys: Seq[String]): DataFrame = {
     val valueCols = df.columns.filterNot(keys.contains)
-    if (valueCols.isEmpty) df.dropDuplicates(keys)
-    else {
-      val merged = df.groupBy(keys.map(col): _*)
-        .agg(max(struct(valueCols.map(col): _*)).as("__v"))
+    val allOrderable = valueCols.forall(c => orderable(df.schema(c).dataType))
+    if (valueCols.isEmpty || !allOrderable) {
+      // map-typed values have no ordering; fall back to arbitrary-row
+      // dedup (documented caveat: retry determinism not guaranteed then)
+      df.dropDuplicates(keys)
+    } else {
+      val merged = df.groupBy(keys.map(k => df(s"`$k`")): _*)
+        .agg(max(struct(valueCols.map(c => df(s"`$c`")): _*)).as("__v"))
       merged.select(df.columns.toIndexedSeq.map { c =>
-        if (keys.contains(c)) col(c) else col(s"__v.$c").as(c)
+        if (keys.contains(c)) merged(s"`$c`") else col("__v").getField(c).as(c)
       }: _*)
     }
   }
+
+  /** Replace the entire store contents in ONE commit (atomic at the
+    * pointer swap — readers see old-complete or new-complete, never
+    * an empty intermediate). */
+  def replace(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String]): Unit =
+    commit(spark, path, dedupByKey(df, keys))
 
   def upsert(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String]): Unit = {
     val delta = dedupByKey(df, keys)
