@@ -124,5 +124,45 @@ object MoreRelational {
     s.sql(shippingPrioritySql)
   }
 
-  val all: Seq[QueryDef] = Seq(q23Cube, q24MinBy, q25ArrayFuncs, q26SaltedAgg, q27SqlEntry)
+  /** Correlated scalar subquery — Catalyst decorrelates it into a
+    * join+aggregate (the reference's engine got this for free from
+    * Spark; we pin that it still holds). Orders priced above their
+    * customer's average order value. */
+  private val aboveAvgSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val q28CorrelatedSubquery: QueryDef = sql("q28_correlated_subquery", aboveAvgSql) { (s, d) =>
+    Tables.registerAll(s, d)
+    s.sql(aboveAvgSql)
+  }
+
+  /** Multiset set operations: INTERSECT ALL / EXCEPT ALL preserve
+    * duplicate cardinality (vs q10's set semantics). */
+  val q29MultisetOps: QueryDef = sql(
+    "q29_multiset_ops",
+    """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'),
+      |     b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT k, 'intersect_all' AS op, COUNT(*) AS n
+      |FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+      |UNION ALL
+      |SELECT k, 'except_all' AS op, COUNT(*) AS n
+      |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+      |ORDER BY op, k""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val a = li.filter(col("l_returnflag") === "A").select(col("l_suppkey").as("k"))
+    val b = li.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+    a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      .unionByName(
+        a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n")).withColumn("op", lit("except_all")))
+      .select("k", "op", "n")
+      .orderBy("op", "k")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q23Cube, q24MinBy, q25ArrayFuncs, q26SaltedAgg, q27SqlEntry,
+    q28CorrelatedSubquery, q29MultisetOps)
 }
