@@ -56,7 +56,13 @@ object AsOf {
         payload.map { case (_, dst) => col(dst) }): _*)
       .unionByName(taggedRight.select((leftCols.map(col) ++ Seq(col("__t"), col("__side")) ++
         payload.map { case (_, dst) => col(dst) }): _*))
-    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+    // final payload-id tie-break: multiple right rows sharing (key, t)
+    // would otherwise carry a partition-order-dependent payload
+    val tieBreak = payload.headOption
+      .map { case (_, dst) => col(dst).asc_nulls_first }
+      .toSeq
+    val w = Window.partitionBy(col(key))
+      .orderBy(Seq(col("__t").asc, col("__side").asc) ++ tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(unioned) { case (df, (_, dst)) =>
       df.withColumn(dst, last(col(dst), ignoreNulls = true).over(w))

@@ -32,23 +32,26 @@ object MoreRelational {
   }
 
   /** arg-min / arg-max (SURVEY §2.4 A4's "first/last-in-time" idiom,
-    * expressed directly). Selector is o_totalprice — continuous, so
-    * ties (which would make min_by nondeterministic) don't occur. */
+    * expressed directly). o_totalprice is 2-decimal-quantized, so ties
+    * DO occur; the selector mixes the unique key in at 1e-9 scale
+    * (well below the price quantum, well above double epsilon at this
+    * magnitude) to make both engines' arg-extremes deterministic. */
   val q24MinBy: QueryDef = sql(
     "q24_minby_maxby",
     """SELECT o_orderpriority,
-      |       CAST(min_by(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_order,
-      |       CAST(max_by(o_orderkey, o_totalprice) AS BIGINT) AS priciest_order,
+      |       CAST(min_by(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS BIGINT) AS cheapest_order,
+      |       CAST(max_by(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS BIGINT) AS priciest_order,
       |       ROUND(MIN(o_totalprice), 2) AS min_price,
       |       ROUND(MAX(o_totalprice), 2) AS max_price
       |FROM orders
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val sel = col("o_totalprice") + col("o_orderkey") * 1e-9
     Tables.orders(s, d)
       .groupBy("o_orderpriority")
       .agg(
-        min_by(col("o_orderkey"), col("o_totalprice")).cast("long").as("cheapest_order"),
-        max_by(col("o_orderkey"), col("o_totalprice")).cast("long").as("priciest_order"),
+        min_by(col("o_orderkey"), sel).cast("long").as("cheapest_order"),
+        max_by(col("o_orderkey"), sel).cast("long").as("priciest_order"),
         round(min("o_totalprice"), 2).as("min_price"),
         round(max("o_totalprice"), 2).as("max_price"))
       .orderBy("o_orderpriority")

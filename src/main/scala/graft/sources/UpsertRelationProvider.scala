@@ -100,9 +100,7 @@ case class UpsertRelation(
   /** SQL `INSERT INTO <view> SELECT ...` → upsert (reference K3). */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     require(keys.nonEmpty, "graft-upsert INSERT requires option 'keys'")
-    if (overwrite) {
-      UpsertStore.read(spark, path).foreach(b => UpsertStore.delete(spark, path, b, keys))
-    }
-    UpsertStore.upsert(spark, path, data, keys)
+    if (overwrite) UpsertStore.replace(spark, path, data, keys) // one atomic commit
+    else UpsertStore.upsert(spark, path, data, keys)
   }
 }

@@ -43,12 +43,21 @@ object Sessionize {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.lastMs < gapMs =>
-                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t),
-                    nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
-                case Some(s) =>
+                // within gap of the session span (either side): merge,
+                // extending the span in both directions — a late
+                // in-watermark event may precede the recorded start
+                case Some(s) if t >= s.startMs - gapMs && t <= s.lastMs + gapMs =>
+                  cur = Some(SessionState(
+                    math.min(s.startMs, t), math.max(s.lastMs, t),
+                    s.nEvents + 1, s.sumValue + e.value))
+                // after the gap: close current, start new
+                case Some(s) if t > s.lastMs + gapMs =>
                   closed ::= UserSession(userId, s.startMs, s.lastMs, s.nEvents, s.sumValue)
                   cur = Some(SessionState(t, t, 1, e.value))
+                // a gap or more BEFORE the session: an earlier,
+                // already-complete session — emit it directly
+                case Some(_) =>
+                  closed ::= UserSession(userId, t, t, 1, e.value)
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }

@@ -61,10 +61,13 @@ object UpsertStore {
     val tmp = new Path(path, s"$LatestFile.tmp")
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    // rename is atomic on HDFS/posix; overwrite the old pointer
+    // atomic pointer swap: FileContext.rename(OVERWRITE) replaces the
+    // old pointer in one metadata op on posix/HDFS — readers always see
+    // either the old or the new version, never a missing pointer
     val dst = new Path(path, LatestFile)
-    if (f.exists(dst)) f.delete(dst, false)
-    f.rename(tmp, dst)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dst.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // retire all snapshots older than v-1 (keep the previous one for
     // in-flight readers). One listing of the store dir — O(live dirs),
     // which stays ~3 steady-state and self-heals after a crashed
