@@ -1,7 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, GraftSqlBridge}
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.{Column, GraftSqlBridge, GraftVectorArgs}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -27,11 +26,6 @@ private[functions] object VectorTypeCheck {
     case ArrayType(DoubleType, _) => true
     case _ => false
   }
-  def check(name: String, dts: Seq[DataType]): TypeCheckResult =
-    if (dts.forall(isVec)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$name requires array<float> or array<double> arguments, got " +
-        dts.map(_.catalogString).mkString(", "))
   /** Java accessor expression for element i of an ArrayData variable. */
   def getter(variable: String, idx: String, double: Boolean): String =
     if (double) s"$variable.getDouble($idx)" else s"(double) $variable.getFloat($idx)"
@@ -40,13 +34,12 @@ private[functions] object VectorTypeCheck {
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with GraftVectorArgs {
 
+  override def vectorArity: Int = 2
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_similarity"
-  override def checkInputDataTypes(): TypeCheckResult =
-    VectorTypeCheck.check(prettyName, Seq(left.dataType, right.dataType))
 
   private lazy val lDouble = VectorTypeCheck.isDoubleVec(left.dataType)
   private lazy val rDouble = VectorTypeCheck.isDoubleVec(right.dataType)
@@ -87,13 +80,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** Dot product over float/double arrays, double accumulation, codegen'd. */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with GraftVectorArgs {
 
+  override def vectorArity: Int = 2
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_product"
-  override def checkInputDataTypes(): TypeCheckResult =
-    VectorTypeCheck.check(prettyName, Seq(left.dataType, right.dataType))
 
   private lazy val lDouble = VectorTypeCheck.isDoubleVec(left.dataType)
   private lazy val rDouble = VectorTypeCheck.isDoubleVec(right.dataType)
@@ -150,14 +142,13 @@ object VectorFunctions {
   * single fused loop over the embedding.
   */
 case class HyperplaneBucket(child: Expression, planes: Int, dim: Int, seed: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with GraftVectorArgs {
   require(planes > 0 && planes <= 30, s"planes out of range: $planes")
 
+  override def vectorArity: Int = 1
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hyperplane_bucket"
-  override def checkInputDataTypes(): TypeCheckResult =
-    VectorTypeCheck.check(prettyName, Seq(child.dataType))
 
   private lazy val cDouble = VectorTypeCheck.isDoubleVec(child.dataType)
 

@@ -44,6 +44,20 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(row.getInt(2) >= 0 && row.getInt(2) < 16)
   }
 
+  test("bare decimal-literal arrays implicit-cast into the vector functions") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(3.0, 4.0), array(3.0, 4.0)) AS c, " +
+        "dot_product(array(3.0, 4.0), array(1.0, 2.0)) AS d").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-6)
+    assert(math.abs(r.getDouble(1) - 11.0) < 1e-5)
+    // non-numeric arrays still fail analysis
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_similarity(array('a'), array('b'))").collect()
+    }
+    assert(e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("non-literal k in top_k_by_score fails with a clear message") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
