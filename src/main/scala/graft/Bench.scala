@@ -48,10 +48,12 @@ object Bench {
       try BenchStreaming.run(spark, rowsPerBatch = 200000, batches = 12)
       catch { case _: Throwable => -1.0 }
 
-    // B3: upsert throughput at 100k keys
+    // B3: upsert throughput at 100k keys (median of 3 — FS-cache noisy)
     val upsertRps =
-      try BenchStreaming.upsertBench(spark, keys = 100000)
-      catch { case _: Throwable => -1.0 }
+      try {
+        val runs = Seq.fill(3)(BenchStreaming.upsertBench(spark, keys = 100000)).sorted
+        runs(1)
+      } catch { case _: Throwable => -1.0 }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -165,7 +165,64 @@ object MoreRelational {
       .orderBy("op", "k")
   }
 
+  /** Exact interpolated + discrete percentiles (Spark `percentile` ↔
+    * DuckDB `quantile_cont`/`quantile_disc` — same definitions). */
+  val q33Percentiles: QueryDef = sql(
+    "q33_percentiles",
+    """SELECT l_returnflag,
+      |       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |       ROUND(CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50_disc
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("CAST(percentile_approx(l_extendedprice, 0.5, 2147483647) AS DOUBLE)"), 4)
+          .as("p50_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Equi-width histogram: Spark's width_bucket builtin vs the
+    * arithmetic bucket formula in the oracle (DuckDB has no
+    * width_bucket; for in-range values the definitions coincide —
+    * left-closed [lo+(i-1)w, lo+iw) buckets). */
+  val q34Histogram: QueryDef = sql(
+    "q34_price_histogram",
+    """SELECT CAST(FLOOR(o_totalprice / 25000) + 1 AS BIGINT) AS bucket,
+      |       COUNT(*) AS n
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(expr("CAST(width_bucket(o_totalprice, 0, 500000, 20) AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** Edit-distance (fuzzy matching primitive for dedup pipelines);
+    * classic DP — identical integers on both engines. */
+  val q35Levenshtein: QueryDef = sql(
+    "q35_levenshtein",
+    """SELECT p_name,
+      |       CAST(levenshtein(p_name, 'small widget') AS BIGINT) AS dist,
+      |       COUNT(*) AS n
+      |FROM part
+      |GROUP BY p_name
+      |ORDER BY dist, p_name""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .groupBy("p_name")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dist", levenshtein(col("p_name"), lit("small widget")).cast("long"))
+      .select("p_name", "dist", "n")
+      .orderBy("dist", "p_name")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q23Cube, q24MinBy, q25ArrayFuncs, q26SaltedAgg, q27SqlEntry,
-    q28CorrelatedSubquery, q29MultisetOps)
+    q28CorrelatedSubquery, q29MultisetOps, q33Percentiles, q34Histogram,
+    q35Levenshtein)
 }
