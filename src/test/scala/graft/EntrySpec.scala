@@ -1,0 +1,16 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's smoke contract: entry() returns rows on sf0.001. */
+class EntrySpec extends AnyFunSuite {
+  test("entry() flagship query returns rows") {
+    val df = SparkEntry.entry(SharedSpark.spark)
+    assert(df.count() > 0)
+  }
+  test("every declared query has a unique name and total fn") {
+    val names = SparkEntry.allQueries.map(_.name)
+    assert(names.distinct.size == names.size, "duplicate query names")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
