@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * times headline queries at 1× vs K×. A plan whose runtime grows
   * ≫ K× has a nonlinearity that would bite harder at 100 TB.
   *
-  * Usage: `sbt "runMain graft.ScaleProbe <sfDir> <K> <workDir>"`.
+  * Usage: `sbt "runMain graft.ScaleProbe <sfDir> <K> <workDir>"`
+  * (K=0 reuses an already-replicated workDir — measure in a clean JVM
+  * unpolluted by the replicate job's GC/page-cache pressure).
   */
 object ScaleProbe {
   // per-table key columns to offset so replicas don't collide
   private val offsetCols: Map[String, Seq[String]] = Map(
     "orders" -> Seq("o_orderkey"),
-    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "lineitem" -> Seq.empty, // all lineitem keys are FKs (+ int linenumber)
     "customer" -> Seq("c_custkey"),
     "supplier" -> Seq("s_suppkey"),
     "part" -> Seq("p_partkey"),
@@ -25,10 +27,14 @@ object ScaleProbe {
   // foreign keys must shift with their referenced table's key space
   private val fkCols: Map[String, Seq[(String, String)]] = Map(
     "orders" -> Seq("o_custkey" -> "customer"),
-    "lineitem" -> Seq("l_partkey" -> "part", "l_suppkey" -> "supplier"))
+    // l_orderkey must shift by the ORDERS key span, not lineitem's own
+    // max — the two coincide in today's data only by accident (orders
+    // without lineitems would silently desync replica FKs otherwise)
+    "lineitem" -> Seq("l_orderkey" -> "orders", "l_partkey" -> "part",
+      "l_suppkey" -> "supplier"))
 
   private def spanOf(df: DataFrame, c: String): Long =
-    df.agg(max(col(c))).head().getLong(0) + 1L
+    df.agg(max(col(c).cast("long"))).head().getLong(0) + 1L
 
   def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
     Tables.all.foreach { t =>
@@ -36,10 +42,14 @@ object ScaleProbe {
       val out =
         if (!offsetCols.contains(t)) base // region/nation: shared dims
         else {
-          val keySpans = (offsetCols(t).filter(c => base.schema(c).dataType ==
-              org.apache.spark.sql.types.LongType) ++
-            fkCols.getOrElse(t, Seq.empty).map(_._1))
-            .distinct
+          // only LongType keys are offset (int keys would overflow /
+          // lose FK alignment); skipped columns are reported
+          val candidates = (offsetCols(t) ++ fkCols.getOrElse(t, Seq.empty).map(_._1)).distinct
+          val keySpans = candidates.filter { c =>
+            val ok = base.schema(c).dataType == org.apache.spark.sql.types.LongType
+            if (!ok) System.err.println(s"[scale] WARN: not offsetting non-long key $t.$c")
+            ok
+          }
           val spans: Map[String, Long] = keySpans.map {
             case c if fkCols.getOrElse(t, Seq.empty).exists(_._1 == c) =>
               val ref = fkCols(t).find(_._1 == c).get._2
@@ -62,12 +72,17 @@ object ScaleProbe {
     "q30_asof_last_signup", "q45_dedup_exact", "q46_dedup_ngram_jaccard",
     "q47_dedup_minhash", "q50_ann_bruteforce", "q55_ann_ivf")
 
+  /** Median of 3 timed runs after one warm-up (single runs are
+    * FS-cache noisy — same reason Bench B3 reports a median). */
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     val fn = SparkEntry.queries(name)
     fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
-    val t0 = System.nanoTime()
-    fn(spark, dir).write.format("noop").mode("overwrite").save()
-    (System.nanoTime() - t0) / 1e9
+    val runs = Seq.fill(3) {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    runs(1)
   }
 
   def main(args: Array[String]): Unit = {
@@ -84,8 +99,10 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    System.err.println(s"[scale] replicating $srcDir x$k -> $workDir")
-    replicate(spark, srcDir, k, workDir)
+    if (k > 0) {
+      System.err.println(s"[scale] replicating $srcDir x$k -> $workDir")
+      replicate(spark, srcDir, k, workDir)
+    } else System.err.println(s"[scale] k=0: reusing existing $workDir")
 
     val rows = headline.map { q =>
       val t1 = time(spark, q, srcDir)

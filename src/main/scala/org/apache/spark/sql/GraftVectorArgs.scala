@@ -16,5 +16,8 @@ trait GraftVectorArgs extends ImplicitCastInputTypes { self: Expression =>
   def vectorArity: Int
   override def inputTypes: Seq[AbstractDataType] =
     Seq.fill(vectorArity)(TypeCollection(
-      ArrayType(FloatType), ArrayType(DoubleType)))
+      // double listed first: other numeric arrays (decimal/bigint
+      // literals) coerce to double (exact to 2^53) rather than float;
+      // float and double inputs still match exactly -> no cast inserted
+      ArrayType(DoubleType), ArrayType(FloatType)))
 }
