@@ -166,7 +166,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Document chunking for context-window processing: overlapping
+    * 40-token windows, stride 30 (10-token overlap) — the standard
+    * training-data chunker shape, fully declarative (sequence +
+    * slice + explode), so it scales as a per-row flatMap with no
+    * shuffle. Oracle-checked against DuckDB range/list_slice. */
+  val q36DocChunks: QueryDef = sql(
+    "q36_doc_chunks",
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents)
+      |SELECT doc_id,
+      |       CAST((i - 1) / 30 AS BIGINT) AS chunk_idx,
+      |       array_to_string(list_slice(toks, i, i + 39), ' ') AS chunk,
+      |       CAST(len(list_slice(toks, i, i + 39)) AS BIGINT) AS n_chunk_tokens
+      |FROM t, unnest(range(1, len(toks) + 1, 30)) AS u(i)
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    val toks = tokens(col("text"))
+    Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, size(toks), 30), i -> slice(toks, i, 40))")))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        array_join(col("col"), " ").as("chunk"),
+        size(col("col")).cast("long").as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40TextQuality, q41TokenFrequency, q42DocStatsByLang, q43LangId, q44Fingerprint,
-    q49TokenMetrics)
+    q49TokenMetrics, q36DocChunks)
 }
