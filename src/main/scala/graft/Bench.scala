@@ -43,10 +43,14 @@ object Bench {
       r
     }
 
-    // B2: streaming throughput (rows/s through the full pipeline)
+    // B2: streaming throughput (median of 3 — page-cache state moves
+    // single runs by ±50%)
     val streamingRps =
-      try BenchStreaming.run(spark, rowsPerBatch = 200000, batches = 12)
-      catch { case _: Throwable => -1.0 }
+      try {
+        val runs = Seq.fill(3)(
+          BenchStreaming.run(spark, rowsPerBatch = 200000, batches = 12)).sorted
+        runs(1)
+      } catch { case _: Throwable => -1.0 }
 
     // B3: upsert throughput at 100k keys (median of 3 — FS-cache noisy)
     val upsertRps =
