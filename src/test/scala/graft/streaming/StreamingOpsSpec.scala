@@ -63,8 +63,29 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(n == 1, s"expected exactly the in-window click, got $n rows")
     assert(v == Seq(1.5))
   }
+  test("streaming exact dedup: replayed document content collapses to first arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOpsSpec.Doc]
+    val deduped = StreamingDedup.exactDedupStream(
+      input.toDF(), watermark = "10 seconds")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("graft_doc_dedup")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def doc(id: Long, t: Long, text: String) =
+      StreamingOpsSpec.Doc(id, new Timestamp(t), text)
+    input.addData(doc(1, 1000, "alpha beta"), doc(2, 2000, "gamma"))
+    q.processAllAvailable()
+    // replayed content (different doc_id, same text) within watermark
+    input.addData(doc(3, 2500, "alpha beta"), doc(4, 3000, "delta"))
+    q.processAllAvailable()
+    val kept = spark.table("graft_doc_dedup")
+      .select("doc_id").as[Long].collect().sorted
+    q.stop()
+    assert(kept.toSeq == Seq(1L, 2L, 4L), s"got ${kept.toSeq}")
+  }
 }
 
 object StreamingOpsSpec {
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
   case class Ev(id: Long, ts: Timestamp, v: Double)
 }
