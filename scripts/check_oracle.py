@@ -59,7 +59,12 @@ def main(sf_dir: str, out_dir: str) -> None:
             wv, gv = w[c], g[c]
             if str(wv.dtype) != str(gv.dtype):
                 mismatch.append(f"dtype[{c}]: duckdb={wv.dtype} spark={gv.dtype}")
-            eq = (wv == gv) | (wv.isna() & gv.isna())
+            # float columns: last-ulp cross-engine drift is not a failure
+            if str(wv.dtype).startswith("float") and str(gv.dtype).startswith("float"):
+                import numpy as np
+                eq = pd.Series(np.isclose(wv, gv, rtol=1e-9, equal_nan=True))
+            else:
+                eq = (wv == gv) | (wv.isna() & gv.isna())
             if not eq.all():
                 bad = (~eq).idxmax()
                 mismatch.append(f"value[{c}] row {bad}: duckdb={wv[bad]!r} spark={gv[bad]!r}")

@@ -31,14 +31,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // B1: batch queries — warm-up (plan + codegen + page cache), then timed
+    // B1: batch queries — warm-up (plan + codegen + page cache), then timed.
+    // A failing query is NOT silently folded into the total: it is listed
+    // in the "errors" key and the process exits non-zero, so a regression
+    // can't hide behind a smaller (fewer-queries) total.
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.allQueries.map { q =>
       val r = try {
         force(q.fn(spark, sfDir))
         val t0 = System.nanoTime()
         force(q.fn(spark, sfDir))
         q.name -> (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => q.name -> -1.0 }
+      } catch {
+        case e: Throwable =>
+          errors += q.name
+          System.err.println(s"[bench] ERROR ${q.name}: ${e.getMessage}")
+          q.name -> -1.0
+      }
       System.err.println(f"[bench] ${r._1}%-32s ${r._2}%8.2f s")
       r
     }
@@ -61,10 +70,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""streaming_rows_per_sec":$streamingRps,"upsert_rows_per_sec":$upsertRps,""" +
-      s""""sf":"$sfDir"}""")
+      s""""errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
 

@@ -39,6 +39,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def vectorArity: Int = 2
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // null on dimension mismatch (a truncated prefix score would be
+  // plausible-but-wrong; DuckDB errors there — null keeps the row
+  // visible without desyncing the engines)
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
   private lazy val lDouble = VectorTypeCheck.isDoubleVec(left.dataType)
@@ -47,7 +51,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
       val xi = VectorTypeCheck.get(x, i, lDouble)
@@ -63,14 +68,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
         (ctx.freshName("dot"), ctx.freshName("nx"), ctx.freshName("ny"),
          ctx.freshName("n"), ctx.freshName("i"))
       s"""
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double xi = ${VectorTypeCheck.getter(a, i, lDouble)};
-         |  double yi = ${VectorTypeCheck.getter(b, i, rDouble)};
-         |  $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double xi = ${VectorTypeCheck.getter(a, i, lDouble)};
+         |    double yi = ${VectorTypeCheck.getter(b, i, rDouble)};
+         |    $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 
@@ -85,6 +94,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def vectorArity: Int = 2
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // null on dimension mismatch — see CosineSimilarity
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
   private lazy val lDouble = VectorTypeCheck.isDoubleVec(left.dataType)
@@ -93,7 +104,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var i = 0
     while (i < n) {
       dot += VectorTypeCheck.get(x, i, lDouble) * VectorTypeCheck.get(y, i, rDouble)
@@ -106,12 +118,16 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (dot, n, i) = (ctx.freshName("dot"), ctx.freshName("n"), ctx.freshName("i"))
       s"""
-         |double $dot = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ${VectorTypeCheck.getter(a, i, lDouble)} * ${VectorTypeCheck.getter(b, i, rDouble)};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ${VectorTypeCheck.getter(a, i, lDouble)} * ${VectorTypeCheck.getter(b, i, rDouble)};
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

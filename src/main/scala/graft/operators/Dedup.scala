@@ -110,19 +110,68 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Exact-Jaccard oracle over full (un-pruned) shingle sets at
+    * threshold `tau` — ground truth for the LSH-accelerated near-dup
+    * operators (q47/q48/q56 share it, with different SELECT lists). */
+  private def exactPairsSql(tau: Double, select: String): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM documents WHERE len(string_split_regex(lower(text), '\\s+')) >= 3),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       |  FROM tok, unnest(range(1, len(toks) - 1)) AS u(i)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh0 GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |  FROM sh0 a JOIN sh0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |jp AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(shared AS DOUBLE) / (sa.nsh + sb.nsh - shared) AS jac
+       |  FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(shared AS DOUBLE) / (sa.nsh + sb.nsh - shared) >= $tau)
+       |$select
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact Jaccard between the shingle arrays of candidate pairs:
+    * intersection/union on the (small) surviving pair set only. */
+  private def verifyExact(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard", jac)
+  }
+
   /** MinHash + LSH banding over 3-gram shingles: k=32 signature,
-    * 16 bands × 2 rows (collision prob ≈ 1-(1-J²)¹⁶ — near 1.0 for
-    * J ≥ 0.6). Bands are hashed to ONE long before the self-join, so
-    * the shuffle carries (band, hash, doc_id) triples — never the
-    * signature arrays; candidates re-join signatures for the estimate.
-    * Custom expression → rows-only check; estimator quality and recall
-    * vs exact Jaccard are asserted in the spec. */
-  val q47DedupMinhash: QueryDef = rowsOnly("q47_dedup_minhash") { (s, d) =>
+    * 16 bands × 2 rows (candidate prob ≈ 1-(1-J²)¹⁶ — >0.999 for
+    * J ≥ 0.6 pairs on this corpus, whose near-dups sit at J ≈ 0.99).
+    * Bands are hashed to ONE long before the self-join, so the shuffle
+    * carries (band, hash, doc_id) triples — never the signature arrays;
+    * candidates re-join signatures for the estimate prefilter, then the
+    * surviving pairs (only) are verified by EXACT Jaccard over their
+    * shingle sets. The emitted result is therefore exact near-dup pairs
+    * at J ≥ 0.6 — oracle-checked against a brute-force DuckDB
+    * self-join; a missed LSH candidate would surface as a row-count
+    * mismatch, so the driver gate doubles as a recall check.
+    *
+    * Docs with < 3 tokens have empty shingle sets and are excluded up
+    * front (an empty set has no Jaccard neighbors; unfiltered, every
+    * short-doc pair would band-collide on the empty signature). */
+  val q47DedupMinhash: QueryDef = sql(
+    "q47_dedup_minhash",
+    exactPairsSql(0.6,
+      "SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM jp")) { (s, d) =>
     val k = 32; val bands = 16; val rows = k / bands
-    val sigs = shingleArray(Tables.documents(s, d))
-      .select(col("doc_id"),
-        TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"))
+    val sh = shingleArray(Tables.documents(s, d))
+      .filter(size(col("shingles")) > 0)
+      .select("doc_id", "shingles")
       .cache()
+    val sigs = sh.select(col("doc_id"),
+      TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"))
     val banded = sigs.select(
       col("doc_id"),
       posexplode(expr(
@@ -135,37 +184,145 @@ object Dedup {
       .select("doc_a", "doc_b")
       .distinct()
     val est = expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / CAST($k AS DOUBLE)")
-    cand
+    val prefiltered = cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.3)
+      .filter(est >= 0.3)
+      .select("doc_a", "doc_b")
+    verifyExact(prefiltered, sh)
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup: 64-bit fingerprints, banded into 4×16-bit chunks
-    * for candidate generation, verified by Hamming distance ≤ 6. */
-  val q48DedupSimhash: QueryDef = rowsOnly("q48_dedup_simhash") { (s, d) =>
-    val fp = shingleArray(Tables.documents(s, d))
-      .select(col("doc_id"), TextFunctions.simhash64(col("shingles")).as("simhash"))
+  /** SimHash near-dup: 64-bit fingerprints over shingle sets, banded
+    * into 8×8-bit chunks for candidate generation (pigeonhole: hamming
+    * ≤ 7 ⇒ at least one chunk equal — J ≥ 0.6 pairs on this corpus
+    * measure hamming ≤ 12 but always share a chunk, vs ~32 for random
+    * pairs), prefiltered by Hamming ≤ 16, then verified by EXACT
+    * Jaccard ≥ 0.6 over the candidate pairs' shingle sets — same
+    * discipline as q47, different sketch. Oracle-checked against the
+    * brute-force exact pairs, so the driver gate doubles as a recall
+    * check for the banding. 8-bit chunks trade more raw candidates
+    * (256 values/chunk) for the wider hamming guarantee; the hamming
+    * prefilter runs on the 16-byte (id, fingerprint) stream before any
+    * shingle array is shuffled. Short docs (< 3 tokens, empty shingle
+    * set) are excluded up front — they'd otherwise all share the
+    * all-zero fingerprint. */
+  val q48DedupSimhash: QueryDef = sql(
+    "q48_dedup_simhash",
+    exactPairsSql(0.6, "SELECT doc_a, doc_b FROM jp")) { (s, d) =>
+    val sh = shingleArray(Tables.documents(s, d))
+      .filter(size(col("shingles")) > 0)
+      .select("doc_id", "shingles")
       .cache()
+    val fp = sh.select(col("doc_id"), TextFunctions.simhash64(col("shingles")).as("simhash"))
     val chunks = fp.select(
       col("doc_id"), col("simhash"),
       posexplode(expr(
-        "transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)")))
+        "transform(sequence(0, 7), c -> (simhash >> (c * 8)) & 255)")))
       .select(col("doc_id"), col("simhash"), col("pos").as("chunk"), col("col").as("chunk_val"))
     val l = chunks.select(col("chunk"), col("chunk_val"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val r = chunks.select(col("chunk"), col("chunk_val"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("chunk", "chunk_val"))
+    val cand = l.join(r, Seq("chunk", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sh_a", "sh_b")
       .distinct()
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
-      .filter(col("hamming") <= 6)
-      .select("doc_a", "doc_b", "hamming")
+      .filter(expr("bit_count(sh_a ^ sh_b)") <= 16)
+      .select("doc_a", "doc_b")
+    verifyExact(cand, sh)
+      .filter(col("jaccard") >= 0.6)
+      .select("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The composed 100 TB near-dup pipeline (SCALING.md "dedup-first"):
+    * exact dedup FIRST collapses identical texts to one representative
+    * per content group, THEN MinHash/LSH banding runs over the (much
+    * smaller) representative set, and group sizes are carried through
+    * so downstream removal can expand membership. This kills the
+    * n²-in-cluster-size candidate blowup a viral document causes when
+    * banding raw docs: c identical copies contribute C(c,2)·bands
+    * candidate rows to one hot bucket; after the collapse they
+    * contribute one row, and the near-dup join cost depends on the
+    * number of DISTINCT contents only.
+    *
+    * Fully SQL-expressible (grouping + the exact-pair join), so the
+    * whole composition is oracle-checked end-to-end. */
+  val q56NearDupPipeline: QueryDef = sql(
+    "q56_neardup_pipeline",
+    s"""WITH g AS (
+       |  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+       |  FROM documents GROUP BY text),
+       |documents_r AS (
+       |  SELECT g.doc_id, d.text, g.n_copies
+       |  FROM g JOIN documents d ON d.doc_id = g.doc_id),
+       |tok AS (
+       |  SELECT doc_id, n_copies, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM documents_r WHERE len(string_split_regex(lower(text), '\\s+')) >= 3),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       |  FROM tok, unnest(range(1, len(toks) - 1)) AS u(i)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh0 GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |  FROM sh0 a JOIN sh0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |jp AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(shared AS DOUBLE) / (sa.nsh + sb.nsh - shared) AS jac
+       |  FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(shared AS DOUBLE) / (sa.nsh + sb.nsh - shared) >= 0.6)
+       |SELECT jp.doc_a, jp.doc_b, ROUND(jp.jac, 4) AS jaccard,
+       |       ta.n_copies AS n_copies_a, tb.n_copies AS n_copies_b
+       |FROM jp
+       |JOIN tok ta ON ta.doc_id = jp.doc_a
+       |JOIN tok tb ON tb.doc_id = jp.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    nearDupPipeline(Tables.documents(s, d))
+  }
+
+  /** See [[q56NearDupPipeline]]. Exposed for ScaleProbe and streaming
+    * composition: documents → exact collapse → banded near-dup over
+    * representatives → (rep_a, rep_b, jaccard, group sizes). */
+  def nearDupPipeline(documents: DataFrame, tau: Double = 0.6): DataFrame = {
+    val k = 32; val bands = 16; val rows = k / bands
+    // exact collapse: one representative (min doc_id) per distinct
+    // content; hash-groupBy on sha256 so the shuffle carries 32 B/doc
+    val reps = documents
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"),
+        first("text").as("text"))
+      .drop("content_hash")
+    val sh = shingleArray(reps)
+      .filter(size(col("shingles")) > 0)
+      .select("doc_id", "shingles", "n_copies")
+      .cache()
+    val sigs = sh.select(col("doc_id"),
+      TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+    val cand = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    verifyExact(cand, sh.select("doc_id", "shingles"))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("n_copies").as("n_copies_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("n_copies").as("n_copies_b")), "doc_b")
+      .select("doc_a", "doc_b", "jaccard", "n_copies_a", "n_copies_b")
       .orderBy("doc_a", "doc_b")
   }
 
   val all: Seq[QueryDef] = Seq(
-    q45DedupExact, q46DedupNgramJaccard, q47DedupMinhash, q48DedupSimhash)
+    q45DedupExact, q46DedupNgramJaccard, q47DedupMinhash, q48DedupSimhash,
+    q56NearDupPipeline)
 }

@@ -8,7 +8,7 @@ import graft.{QueryDef, Tables}
   * array functions, and salted (two-phase) aggregation for skewed keys.
   */
 object MoreRelational {
-  import QueryDef.sql
+  import QueryDef.{rowsOnly, sql}
 
   /** CUBE over two dimensions with GROUPING indicators. */
   val q23Cube: QueryDef = sql(
@@ -165,8 +165,17 @@ object MoreRelational {
       .orderBy("op", "k")
   }
 
-  /** Exact interpolated + discrete percentiles (Spark `percentile` ↔
-    * DuckDB `quantile_cont`/`quantile_disc` — same definitions). */
+  /** Exact interpolated + discrete percentiles, computed by a
+    * DISTRIBUTED rank selection instead of Spark's builtin `percentile`
+    * aggregate: the builtin buffers every group value in executor
+    * memory (OOM at 100 TB); this plan sorts within the group partition
+    * (external, spill-safe), marks the rows at the target ranks with a
+    * window row_number, and aggregates just those — same numbers as
+    * DuckDB `quantile_cont`/`quantile_disc` (linear interpolation at
+    * h = (n-1)q + 1; discrete at rank ⌊(n-1)q⌋ + 1), exact, bounded
+    * memory. Low-cardinality group keys cap sort parallelism (3 flags
+    * ⇒ 3-way); [[q37PercentilesApprox]] is the sketch path when that
+    * matters. */
   val q33Percentiles: QueryDef = sql(
     "q33_percentiles",
     """SELECT l_returnflag,
@@ -176,12 +185,43 @@ object MoreRelational {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byFlag = Window.partitionBy("l_returnflag")
+    // row_number needs a total order; price ties are fine for quantiles
+    // (equal values are interchangeable), so order by value alone
+    val rk = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .withColumn("r", row_number().over(byFlag.orderBy("v")))
+      .withColumn("n", count(lit(1)).over(byFlag))
+    def cont(q: Double): org.apache.spark.sql.Column = {
+      val h = (col("n") - 1) * lit(q) + 1
+      val vLo = max(when(col("r") === floor(h), col("v")))
+      val vHi = max(when(col("r") === ceil(h), col("v")))
+      vLo + (first(h) - floor(first(h))) * (vHi - vLo)
+    }
+    def disc(q: Double): org.apache.spark.sql.Column =
+      max(when(col("r") === floor((col("n") - 1) * lit(q)) + 1, col("v")))
+    rk.groupBy("l_returnflag")
+      .agg(
+        round(cont(0.5), 4).as("p50"),
+        round(cont(0.9), 4).as("p90"),
+        round(disc(0.5).cast("double"), 4).as("p50_disc"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Bounded-memory percentile twin of [[q33Percentiles]]: Spark's
+    * `percentile_approx` (Greenwald–Khanna sketch, accuracy 1000 ⇒
+    * rank error ≤ n/1000 in fixed memory) — the 100 TB scale path when
+    * exact rank selection's per-group sort is not worth it. Sketches
+    * differ across engines, so no SQL oracle; the ScalaTest spec pins
+    * it within tolerance of the exact q33 values. */
+  val q37PercentilesApprox: QueryDef = rowsOnly("q37_percentiles_approx") { (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("CAST(percentile_approx(l_extendedprice, 0.5, 2147483647) AS DOUBLE)"), 4)
+        round(expr("CAST(percentile_approx(l_extendedprice, 0.5, 1000) AS DOUBLE)"), 4).as("p50"),
+        round(expr("CAST(percentile_approx(l_extendedprice, 0.9, 1000) AS DOUBLE)"), 4).as("p90"),
+        round(expr("CAST(percentile_approx(l_extendedprice, 0.5, 1000) AS DOUBLE)"), 4)
           .as("p50_disc"))
       .orderBy("l_returnflag")
   }
@@ -224,5 +264,5 @@ object MoreRelational {
   val all: Seq[QueryDef] = Seq(
     q23Cube, q24MinBy, q25ArrayFuncs, q26SaltedAgg, q27SqlEntry,
     q28CorrelatedSubquery, q29MultisetOps, q33Percentiles, q34Histogram,
-    q35Levenshtein)
+    q35Levenshtein, q37PercentilesApprox)
 }

@@ -71,16 +71,33 @@ object Multimodal {
   }
 
   /** Declared query: the full multimodal plumbing — binary column,
-    * metadata, partitioned batch decode, feature summary. Rows-only
-    * (stubbed decode has no SQL oracle); determinism + schema asserted
-    * in the spec. */
-  val q54Multimodal: QueryDef = QueryDef.rowsOnly("q54_multimodal_features") { (s, d) =>
+    * metadata, partitioned batch decode, feature summary. The stub
+    * decode is a 16-bin byte histogram, which DuckDB can recompute
+    * from the same payload (the corpus is ASCII, so `ord(char)` IS the
+    * byte) — the oracle pins byte length, feature dimensionality, L1
+    * normalization, and the dominant bin end-to-end through the
+    * mapPartitions decode path. */
+  val q54Multimodal: QueryDef = QueryDef.sql(
+    "q54_multimodal_features",
+    """WITH h AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n,
+      |         list_transform(range(0, 16),
+      |           b -> len(list_filter(split(text, ''), c -> ord(c) // 16 = b))) AS bins
+      |  FROM documents)
+      |SELECT doc_id, 'text/plain' AS mime, CAST(n AS BIGINT) AS n_bytes,
+      |       CAST(16 AS BIGINT) AS feature_dim,
+      |       ROUND(list_sum(list_transform(bins, c -> CAST(c AS DOUBLE) / n)), 4) AS feature_l1,
+      |       CAST(list_position(bins, list_max(bins)) - 1 AS BIGINT) AS top_bin
+      |FROM h
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
     extractFeatures(assets(s, d), StubDecoder).toDF()
       .select(
         col("doc_id"), col("mime"), col("n_bytes"),
         size(col("feature")).cast("long").as("feature_dim"),
         round(aggregate(col("feature"),
-          lit(0.0), (acc, v) => acc + v.cast("double")), 4).as("feature_l1"))
+          lit(0.0), (acc, v) => acc + v.cast("double")), 4).as("feature_l1"),
+        (array_position(col("feature"), array_max(col("feature"))) - 1)
+          .cast("long").as("top_bin"))
       .orderBy("doc_id")
   }
 

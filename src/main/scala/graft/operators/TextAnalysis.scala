@@ -93,19 +93,39 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des"),
+    "es" -> Seq("el", "la", "de", "y", "los", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+
   /** Language-ID heuristic: score = stopword hits per language profile,
     * argmax with deterministic tie-break (lexicographically greatest
     * language at equal score, via array_max over structs). Profiles are
     * tiny closed-class word lists — the standard n-gram/stopword
-    * heuristic shape. Not SQL-expressible → rows-only check; accuracy
-    * asserted in the ScalaTest spec. */
-  val q43LangId: QueryDef = rowsOnly("q43_langid") { (s, d) =>
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "a", "of", "and", "to", "is"),
-      "fr" -> Seq("le", "la", "de", "et", "les", "des"),
-      "es" -> Seq("el", "la", "de", "y", "los", "que"),
-      "de" -> Seq("der", "die", "das", "und", "ist", "von"),
-      "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+    * heuristic shape, plain filter+argmax SQL — so the whole heuristic
+    * is oracle-checked (DuckDB scores each profile and picks the same
+    * argmax via ROW_NUMBER with the matching tie-break). */
+  val q43LangId: QueryDef = sql(
+    "q43_langid", {
+      val perLang = langProfiles.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"""SELECT doc_id, '$lang' AS lang_pred,
+           |       CAST(len(list_filter(toks, x -> x IN ($list))) AS BIGINT) AS score
+           |FROM t""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+         |s AS (
+         |  $perLang),
+         |r AS (SELECT doc_id, lang_pred, score,
+         |             ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                                ORDER BY score DESC, lang_pred DESC) AS rk
+         |      FROM s)
+         |SELECT doc_id, lang_pred, score FROM r WHERE rk = 1
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val profiles = langProfiles
     val toks = tokens(col("text"))
     val scored = profiles.map { case (lang, words) =>
       struct(
@@ -123,17 +143,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Document fingerprints: rolling hash (custom codegen'd Expression)
-    * + 64-bit simhash over tokens. Equal fingerprint ⇒ duplicate
-    * candidate without shuffling full text — the 100 TB dedup entry
-    * point. Custom expressions → rows-only check; behavior pinned by
-    * the ScalaTest spec. */
-  val q44Fingerprint: QueryDef = rowsOnly("q44_fingerprint") { (s, d) =>
+  /** Document fingerprint grouping: rolling hash (custom codegen'd
+    * Expression) + 64-bit simhash over tokens; docs sharing BOTH
+    * 64-bit fingerprints form a duplicate group — the 100 TB dedup
+    * entry point (the shuffle carries 16 bytes per doc, never text).
+    * Oracle-checked structurally: the fingerprint partition must equal
+    * the text-equality partition (DuckDB groups by raw text), so a
+    * hash collision or instability would fail the driver gate; the
+    * hash VALUES themselves are pinned by the ScalaTest spec. */
+  val q44Fingerprint: QueryDef = sql(
+    "q44_fingerprint",
+    """SELECT doc_id,
+      |       MIN(doc_id) OVER (PARTITION BY text) AS dup_group,
+      |       COUNT(*) OVER (PARTITION BY text) AS n_in_group
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byFp = Window.partitionBy("fingerprint", "simhash")
     Tables.documents(s, d)
       .select(
         col("doc_id"),
         TextFunctions.rolling_hash(col("text")).as("fingerprint"),
         TextFunctions.simhash64(tokens(col("text"))).as("simhash"))
+      .select(
+        col("doc_id"),
+        min("doc_id").over(byFp).as("dup_group"),
+        count(lit(1)).over(byFp).as("n_in_group"))
       .orderBy("doc_id")
   }
 

@@ -35,22 +35,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(3).toSeq}")
   }
 
-  test("minhash LSH finds every high-Jaccard pair surfaced by the exact n-gram query") {
+  test("minhash LSH + exact verify equals the exact n-gram pair set at J >= 0.6") {
     val exact = Dedup.q46DedupNgramJaccard.fn(spark, sf)
       .filter($"jaccard" >= 0.6)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val lsh = Dedup.q47DedupMinhash.fn(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    val missed = exact -- lsh
-    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: ${missed.take(5)}")
+    assert((exact -- lsh).isEmpty, s"LSH missed high-jaccard pairs: ${(exact -- lsh).take(5)}")
+    assert((lsh -- exact).isEmpty, s"verify let through sub-threshold pairs: ${(lsh -- exact).take(5)}")
   }
 
-  test("simhash near-dup pairs respect the declared hamming bound") {
-    val pairs = Dedup.q48DedupSimhash.fn(spark, sf).collect()
-    assert(pairs.forall(_.getAs[Long]("hamming") <= 6))
+  test("simhash banding + exact verify equals the exact pair set at J >= 0.6") {
+    val exact = Dedup.q46DedupNgramJaccard.fn(spark, sf)
+      .filter($"jaccard" >= 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sim = Dedup.q48DedupSimhash.fn(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(sim == exact, s"simhash path diverged: missed=${(exact -- sim).take(5)} extra=${(sim -- exact).take(5)}")
   }
 
-  test("ANN-LSH recall@3 vs brute force (16 tables x 6 planes)") {
+  test("near-dup pipeline (dedup-first) equals banding raw docs on a duplicated corpus") {
+    // replicate docs 3x with shifted ids: exact-dup clusters of size 3
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val dup = docs
+      .unionByName(docs.withColumn("doc_id", $"doc_id" + maxId))
+      .unionByName(docs.withColumn("doc_id", $"doc_id" + 2 * maxId))
+    val out = Dedup.nearDupPipeline(dup).collect()
+    // every representative is from the original id range (min doc_id kept)
+    assert(out.forall(r => r.getAs[Long]("doc_a") < maxId && r.getAs[Long]("doc_b") < maxId))
+    // every group collapsed exactly 3 copies
+    assert(out.forall(r => r.getAs[Long]("n_copies_a") == 3L && r.getAs[Long]("n_copies_b") == 3L))
+    // and the rep pairs are exactly the single-corpus near-dup pairs
+    val single = Dedup.nearDupPipeline(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val got = out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == single)
+  }
+
+  test("ANN-LSH multi-probe recall@3 vs brute force, with measured candidate rate") {
     val truth = Similarity.q50AnnBruteForce.fn(spark, sf)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -59,11 +82,31 @@ class OperatorsSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val hits = truth.map { case (q, t) => (lsh.getOrElse(q, Set.empty) & t).size }.sum
     val recall = hits.toDouble / truth.values.map(_.size).sum
-    info(s"LSH recall@3 (16x6) = $recall")
-    assert(recall >= 0.35, s"LSH recall collapsed: $recall")
+    // candidate rate: candidates examined / (|Q| * |corpus|) — the
+    // work saved vs brute force, reported alongside recall
+    val emb = Tables.embeddings(spark, sf)
+    val nCorpus = emb.count()
+    val candRate = Similarity.lshCandidates(emb, $"vec_id" < 5).count().toDouble /
+      (truth.size.toDouble * nCorpus)
+    info(f"multi-probe LSH recall@3 = $recall%.2f at candidate rate $candRate%.2f")
+    assert(recall >= 0.8, s"multi-probe LSH recall below target: $recall")
     // approximation may MISS true neighbors but must not invent ids
-    val ids = Tables.embeddings(spark, sf).select("vec_id").as[Long].collect().toSet
+    val ids = emb.select("vec_id").as[Long].collect().toSet
     assert(lsh.values.flatten.forall(ids.contains))
+  }
+
+  test("approx percentiles within 1% of the exact distributed rank selection") {
+    val exact = MoreRelational.q33Percentiles.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = MoreRelational.q37PercentilesApprox.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(exact.keySet == approx.keySet)
+    for (k <- exact.keySet) {
+      val (e, a) = (exact(k), approx(k))
+      def rel(x: Double, y: Double) = math.abs(x - y) / math.max(1.0, math.abs(x))
+      assert(rel(e._1, a._1) < 0.01 && rel(e._2, a._2) < 0.01 && rel(e._3, a._3) < 0.01,
+        s"approx percentile drifted for $k: exact=$e approx=$a")
+    }
   }
 
   test("exact dedup keeps one representative per distinct text") {
