@@ -37,36 +37,34 @@ object Sessionize {
             state.remove()
             Iterator(UserSession(userId, s.startMs, s.lastMs, s.nEvents, s.sumValue))
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[UserSession]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                // within gap of the session span (either side): merge,
-                // extending the span in both directions — a late
-                // in-watermark event may precede the recorded start
-                case Some(s) if t >= s.startMs - gapMs && t <= s.lastMs + gapMs =>
-                  cur = Some(SessionState(
-                    math.min(s.startMs, t), math.max(s.lastMs, t),
-                    s.nEvents + 1, s.sumValue + e.value))
-                // after the gap: close current, start new
-                case Some(s) if t > s.lastMs + gapMs =>
-                  closed ::= UserSession(userId, s.startMs, s.lastMs, s.nEvents, s.sumValue)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                // a gap or more BEFORE the session: an earlier,
-                // already-complete session — emit it directly
-                case Some(_) =>
-                  closed ::= UserSession(userId, t, t, 1, e.value)
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
+            // Gap-merge the stored session and this batch's events as
+            // INTERVALS, sorted by start: consecutive intervals within
+            // gap of each other coalesce, so several late events that
+            // precede the stored session by more than gap still merge
+            // with EACH OTHER into one session instead of fragmenting
+            // into singletons. Everything but the latest interval is
+            // separated by > gap from its successor and is emitted
+            // closed; the latest becomes the new state.
+            val intervals =
+              (state.getOption.toList ++
+                it.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)))
+                .sortBy(s => (s.startMs, s.lastMs))
+            if (intervals.isEmpty) Iterator.empty
+            else {
+              val merged = intervals.foldLeft(List.empty[SessionState]) { (acc, s) =>
+                acc match {
+                  case head :: tail if s.startMs <= head.lastMs + gapMs =>
+                    SessionState(head.startMs, math.max(head.lastMs, s.lastMs),
+                      head.nEvents + s.nEvents, head.sumValue + s.sumValue) :: tail
+                  case _ => s :: acc
+                }
+              }.reverse
+              val last = merged.last
+              state.update(last)
+              state.setTimeoutTimestamp(last.lastMs + gapMs)
+              merged.init.iterator.map(s =>
+                UserSession(userId, s.startMs, s.lastMs, s.nEvents, s.sumValue))
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
-            }
-            closed.reverseIterator
           }
         })
   }

@@ -1,15 +1,22 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Streaming exact dedup for document ingestion: an at-least-once bus
-  * (Kafka replays, producer retries) delivers duplicate documents; this
-  * keeps the first arrival per content hash within the watermark
-  * horizon. State carries a 32-byte hash per kept doc and expires with
-  * the watermark — bounded regardless of ingest volume, which is what
-  * makes it viable at 100 TB/day (SURVEY §2.7 distinct + the
-  * LLM-pipeline exact-dedup op, streaming form).
+import graft.functions.TextFunctions
+
+/** Streaming dedup for document ingestion — exact and NEAR-dup forms.
+  *
+  * Exact: an at-least-once bus (Kafka replays, producer retries)
+  * delivers duplicate documents; keep the first arrival per content
+  * hash within the watermark horizon. State carries a 32-byte hash per
+  * kept doc and expires with the watermark — bounded regardless of
+  * ingest volume, which is what makes it viable at 100 TB/day
+  * (SURVEY §2.7 distinct + the LLM-pipeline exact-dedup op,
+  * streaming form).
+  *
+  * Near-dup: [[StreamingNearDup]] — MinHash banding against a
+  * persistent, retention-bounded band index (see its doc).
   */
 object StreamingDedup {
 
@@ -21,4 +28,142 @@ object StreamingDedup {
       .withColumn("content_hash", sha2(col("text"), 256))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+}
+
+/** Streaming NEAR-duplicate suppression: per micro-batch MinHash
+  * banding probed against a persistent band index.
+  *
+  * Within a batch, docs that band-collide with an earlier (smaller
+  * doc_id) doc and agree on ≥ tau of their MinHash signature are
+  * dropped; survivors are checked the same way against the index of
+  * previously-kept docs, then added to it. Decisions use the MinHash
+  * ESTIMATE (k=32 ⇒ stderr ≈ 0.09 at tau=0.6) — the streaming-budget
+  * tradeoff vs the batch pipeline's exact verify
+  * ([[graft.operators.Dedup.nearDupPipeline]]), which remains the
+  * ground truth for backfills.
+  *
+  * Built on `foreachBatch` + [[UpsertStore]] rather than a second
+  * stateful operator so the band index shares the sink's atomic-commit
+  * machinery and is queryable between batches; the exact-dedup stage
+  * ([[StreamingDedup.exactDedupStream]]) can run upstream in the same
+  * query, mirroring the batch pipeline's dedup-first composition.
+  *
+  * State is BOUNDED: band entries and signatures carry their event
+  * time, and every `pruneEvery` batches entries older than
+  * `retentionMs` behind the newest seen event time are dropped (the
+  * watermark analogue) — so index size tracks the retention window,
+  * not stream history. A near-dup arriving after retention is kept:
+  * same contract as `dropDuplicatesWithinWatermark`.
+  *
+  * @param bandsPath band index store: (band, band_hash) → doc_id, ts_ms
+  * @param sigsPath  signature store: doc_id → sig, ts_ms
+  */
+final class StreamingNearDup(
+    spark: SparkSession, bandsPath: String, sigsPath: String,
+    tau: Double = 0.6, retentionMs: Long = 3600L * 1000,
+    k: Int = 32, bands: Int = 16, pruneEvery: Int = 8) extends Serializable {
+  private val rows = k / bands
+  private var batchCount = 0L
+
+  private def est(sigA: String, sigB: String) =
+    expr(s"aggregate(zip_with($sigA, $sigB, (x, y) -> IF(x = y, 1, 0)), 0, " +
+      s"(acc, v) -> acc + v) / CAST($k AS DOUBLE)")
+
+  private def banded(sigs: DataFrame): DataFrame =
+    sigs.select(
+      col("doc_id"), col("ts_ms"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))")))
+      .select(col("doc_id"), col("ts_ms"), col("pos").as("band"), col("col").as("band_hash"))
+
+  /** Process one micro-batch (`doc_id`, `text`, `ts`); returns the
+    * near-dup survivors and folds them into the index. */
+  def dedupeBatch(batch: DataFrame): DataFrame = {
+    batchCount += 1
+    val sh = graft.operators.Dedup.shingleArray(batch)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), (col("ts").cast("double") * 1000).cast("long").as("ts_ms"),
+        col("shingles"))
+    val sigs = sh.select(col("doc_id"), col("ts_ms"),
+      TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"))
+      .persist()
+    val b = banded(sigs)
+
+    // 1. within-batch: drop docs near-dup of an earlier doc in the batch
+    val inBatch = b.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(b.select(col("band"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter(est("sig_a", "sig_b") >= tau)
+      .select(col("doc_b").as("doc_id")).distinct()
+
+    // 2. vs the index of previously-kept docs
+    val vsIndex = UpsertStore.read(spark, bandsPath) match {
+      case None => inBatch.limit(0)
+      case Some(idx) =>
+        val repSigs = UpsertStore.read(spark, sigsPath).get
+          .select(col("doc_id").as("rep_id"), col("sig").as("rep_sig"))
+        b.join(idx.select(col("band"), col("band_hash"), col("doc_id").as("rep_id")),
+            Seq("band", "band_hash"))
+          .select("doc_id", "rep_id").distinct()
+          .join(sigs.select(col("doc_id"), col("sig")), "doc_id")
+          .join(repSigs, "rep_id")
+          .filter(est("sig", "rep_sig") >= tau)
+          .select("doc_id").distinct()
+    }
+
+    val dropped = inBatch.unionByName(vsIndex).distinct()
+    // eager + lineage-truncating: the decision must be materialized
+    // BEFORE the index commits below — store GC retires the parquet
+    // versions this plan is reading, so a lazy `kept` would fail later
+    val kept = batch.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()
+
+    // 3. index the kept docs (first writer wins on a band); same
+    // materialize-before-commit rule as `kept`
+    val keptSigs = sigs.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()
+    UpsertStore.insertIgnore(spark, bandsPath,
+      banded(keptSigs).select("band", "band_hash", "doc_id", "ts_ms"),
+      Seq("band", "band_hash"))
+    UpsertStore.insertIgnore(spark, sigsPath,
+      keptSigs.select("doc_id", "sig", "ts_ms"), Seq("doc_id"))
+
+    // 4. retention pruning (amortized): expire index entries older than
+    // the horizon so state stays bounded by the retention window
+    if (batchCount % pruneEvery == 0) {
+      val maxTs = sigs.agg(max("ts_ms")).head()
+      if (!maxTs.isNullAt(0)) {
+        val horizon = maxTs.getLong(0) - retentionMs
+        Seq(bandsPath, sigsPath).foreach { p =>
+          UpsertStore.read(spark, p).foreach { s =>
+            UpsertStore.replace(spark, p, s.filter(col("ts_ms") >= horizon),
+              if (p == bandsPath) Seq("band", "band_hash") else Seq("doc_id"))
+          }
+        }
+      }
+    }
+    sigs.unpersist()
+    kept
+  }
+
+  /** Wire into a streaming query: kept docs append to `outPath`. */
+  def run(docs: DataFrame, outPath: String, checkpointDir: String,
+          trigger: org.apache.spark.sql.streaming.Trigger =
+            org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            dedupeBatch(batch).write
+              .mode(org.apache.spark.sql.SaveMode.Append).parquet(outPath)
+        } finally batch.unpersist()
+      }
+      .start()
 }

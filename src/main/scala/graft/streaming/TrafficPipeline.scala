@@ -119,13 +119,26 @@ object TrafficPipeline {
     * replay duplicates rows because the key is the wall clock
     * (here: an injected, testable clock; SURVEY §2.2 footnote). */
   final class ProcessingTimeWindow(
-      sink: UpsertSink, clock: () => Long, batchesPerWindow: Int = 12) extends Serializable {
-    private val ring = scala.collection.mutable.Queue.empty[DataFrame]
+      sink: UpsertSink, clock: () => Long, scratchDir: String,
+      batchesPerWindow: Int = 12) extends Serializable {
+    // a foreachBatch DataFrame is only valid within its own invocation
+    // (holding it across batches is unsupported and can recompute from
+    // a gone source), so each batch is spilled to a scratch parquet dir
+    // and the window is rebuilt from storage — bounded disk, no
+    // retained live plans
+    private val ring = scala.collection.mutable.Queue.empty[String]
+    private var seq = 0L
 
     def onBatch(batch: DataFrame, spark: SparkSession): Unit = {
-      ring.enqueue(batch.persist())
-      if (ring.size > batchesPerWindow) ring.dequeue().unpersist()
-      val windowDf = ring.reduce(_ unionByName _)
+      val dir = s"$scratchDir/b=$seq"
+      seq += 1
+      batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+      ring.enqueue(dir)
+      if (ring.size > batchesPerWindow) {
+        val old = new org.apache.hadoop.fs.Path(ring.dequeue())
+        old.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(old, true)
+      }
+      val windowDf = spark.read.parquet(ring.toSeq: _*)
       val out = windowDf.agg(
         round(avg("number_of_vehicles"), 2).as("avg_num_veh"),
         min("number_of_vehicles").as("min_num_veh"),

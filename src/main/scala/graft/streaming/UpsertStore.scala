@@ -4,79 +4,140 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Versioned, keyed, last-writer-wins parquet store — the local
-  * stand-in for the reference's Kudu sink (SURVEY §7.1 "UpsertSink
-  * trait … local keyed-Parquet implementation for tests, Kudu behind
-  * the same interface in production").
+/** Versioned, keyed, last-writer-wins parquet store with a Delta-style
+  * delta log — the local stand-in for the reference's Kudu sink
+  * (SURVEY §7.1 "UpsertSink trait … local keyed-Parquet implementation
+  * for tests, Kudu behind the same interface in production").
   *
-  * Layout: `<path>/v=N/` parquet snapshots + `<path>/_LATEST` pointer.
-  * A commit writes the next snapshot dir, then atomically swaps the
-  * pointer — readers never see a partial snapshot, and a crashed commit
-  * leaves the previous version live (the foreachBatch retry then
-  * re-runs idempotently: same keys, same values, last-writer-wins).
+  * Layout: `<path>/v=N/` base snapshots, `<path>/d=N/` upsert deltas,
+  * `<path>/_LATEST` manifest (`seq`, live base, live delta list, key
+  * columns). A hot-path upsert writes ONLY its deduped batch as a new
+  * delta dir and swaps the manifest — O(|batch|) I/O instead of
+  * rewriting the whole keyed table every micro-batch (the round-1 B2
+  * bottleneck). Readers merge base + deltas last-writer-wins (highest
+  * manifest seq per key). Every `maxDeltas` upserts — and on every
+  * non-upsert verb — the store compacts back to a single base snapshot,
+  * so read cost stays bounded.
+  *
+  * The manifest swap is a FileContext.rename(OVERWRITE): readers see
+  * old-complete or new-complete, never partial state; a crashed commit
+  * leaves an unreferenced dir that the next compaction's GC removes.
+  * A foreachBatch retry appends a second identical delta whose merge
+  * result equals the first — contents converge, preserving the
+  * reference's idempotent-upsert semantics (KafkaToKuduScala.scala:47).
   *
   * Single-writer by design: Structured Streaming serializes
   * `foreachBatch` invocations per query, matching Kudu's
   * one-session-per-batch usage in the reference
   * (KafkaToKuduScala.scala:51).
   *
-  * Scale: merge is a keyed dropDuplicates — one shuffle over
-  * |base| + |delta|, fine while the keyed state is OLTP-table-sized
-  * (the reference's sink holds one row per window). A 100 TB keyed sink
-  * is what Kudu/Delta are for; this interface is the seam where they
-  * plug in.
+  * Scale: the delta append is the same shape as Kudu's MemRowSet flush
+  * or a Delta-Lake commit; compaction is one keyed shuffle over
+  * |base| + Σ|deltas|, amortized across `maxDeltas` batches. A 100 TB
+  * keyed sink is what Kudu/Delta are for; this interface is the seam
+  * where they plug in.
   */
 object UpsertStore {
   private val LatestFile = "_LATEST"
+  /** Compact after this many live deltas (amortizes the full-merge cost
+    * over that many micro-batches; read merges at most this many parts
+    * on top of the base). */
+  val DefaultMaxDeltas = 8
+
+  private case class Manifest(seq: Long, base: Option[Long], deltas: Seq[Long], keys: Seq[String])
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def latestVersion(spark: SparkSession, path: String): Option[Long] = {
+  private def readManifest(spark: SparkSession, path: String): Option[Manifest] = {
     val f = fs(spark, path)
     val p = new Path(path, LatestFile)
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      try {
+      val text = try {
         val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
         in.readFully(0, buf)
-        Some(new String(buf, "UTF-8").trim.toLong)
+        new String(buf, "UTF-8").trim
       } finally in.close()
+      val fields = text.split(';').map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
+      Some(Manifest(
+        fields("seq").toLong,
+        fields("base") match { case "-" => None; case v => Some(v.toLong) },
+        fields("deltas") match { case "-" => Nil; case v => v.split(',').toSeq.map(_.toLong) },
+        fields("keys").split(',').toSeq))
     }
   }
 
-  /** Current table contents (empty DataFrame with the given schema when
-    * the store has never been written). */
-  def read(spark: SparkSession, path: String): Option[DataFrame] =
-    latestVersion(spark, path).map(v => spark.read.parquet(s"$path/v=$v"))
-
-  private def commit(spark: SparkSession, path: String, next: DataFrame): Unit = {
-    val v = latestVersion(spark, path).getOrElse(-1L) + 1L
-    // keyed sinks are small relative to the pipeline (one row per window/
-    // key-group); without coalesce every snapshot inherits the shuffle
-    // partition count and writes N tiny files per batch
-    next.coalesce(4).write.mode(SaveMode.Overwrite).parquet(s"$path/v=$v")
+  private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
     val f = fs(spark, path)
+    val text = Seq(
+      s"seq=${m.seq}",
+      s"base=${m.base.map(_.toString).getOrElse("-")}",
+      s"deltas=${if (m.deltas.isEmpty) "-" else m.deltas.mkString(",")}",
+      s"keys=${m.keys.mkString(",")}").mkString(";")
     val tmp = new Path(path, s"$LatestFile.tmp")
     val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(text.getBytes("UTF-8")) finally out.close()
     // atomic pointer swap: FileContext.rename(OVERWRITE) replaces the
-    // old pointer in one metadata op on posix/HDFS — readers always see
-    // either the old or the new version, never a missing pointer
+    // old manifest in one metadata op on posix/HDFS
     val dst = new Path(path, LatestFile)
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       dst.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // retire all snapshots older than v-1 (keep the previous one for
-    // in-flight readers). One listing of the store dir — O(live dirs),
-    // which stays ~3 steady-state and self-heals after a crashed
-    // commit's orphan
+  }
+
+  /** Exists/version probe (used by the relation provider). */
+  def latestVersion(spark: SparkSession, path: String): Option[Long] =
+    readManifest(spark, path).map(_.seq)
+
+  /** Current table contents: base + deltas merged last-writer-wins
+    * (highest commit seq per key; each part is already key-unique). */
+  def read(spark: SparkSession, path: String): Option[DataFrame] =
+    readManifest(spark, path).map { m =>
+      val parts =
+        m.base.map(v => spark.read.parquet(s"$path/v=$v").withColumn("__seq", lit(v))).toSeq ++
+          m.deltas.map(v => spark.read.parquet(s"$path/d=$v").withColumn("__seq", lit(v)))
+      val all = parts.reduce(_.unionByName(_))
+      if (m.deltas.isEmpty || parts.size == 1) all.drop("__seq")
+      else {
+        val cols = all.columns.filterNot(_ == "__seq")
+        val valueCols = cols.filterNot(m.keys.contains)
+        if (valueCols.isEmpty) all.select(cols.map(c => col(s"`$c`")): _*).distinct()
+        else {
+          val merged = all.groupBy(m.keys.map(k => col(s"`$k`")): _*)
+            .agg(max_by(struct(valueCols.map(c => col(s"`$c`")): _*), col("__seq")).as("__v"))
+          merged.select(cols.toIndexedSeq.map { c =>
+            if (m.keys.contains(c)) merged(s"`$c`") else col("__v").getField(c).as(c)
+          }: _*)
+        }
+      }
+    }
+
+  /** Full-snapshot commit: write `next` as the new base, clear the
+    * delta list, GC dirs older than the previous manifest's live set
+    * (kept for in-flight readers). */
+  private def commitBase(spark: SparkSession, path: String, next: DataFrame,
+                         keys: Seq[String]): Unit = {
+    val prev = readManifest(spark, path)
+    val v = prev.map(_.seq).getOrElse(-1L) + 1L
+    // keyed sinks are small relative to the pipeline (one row per window/
+    // key-group); without coalesce every snapshot inherits the shuffle
+    // partition count and writes N tiny files per batch
+    next.coalesce(4).write.mode(SaveMode.Overwrite).parquet(s"$path/v=$v")
+    writeManifest(spark, path, Manifest(v, Some(v), Nil, keys))
+    // retire dirs below the previous manifest's live horizon (previous
+    // base + its deltas stay for in-flight readers). One listing —
+    // O(live dirs), ~2 + maxDeltas steady-state, self-heals orphans
+    val horizon = prev.flatMap(_.base).getOrElse(v)
+    val f = fs(spark, path)
     f.listStatus(new Path(path)).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith("v=")) {
-        val ver = name.stripPrefix("v=").toLongOption
-        if (ver.exists(_ < v - 1)) f.delete(st.getPath, true)
+      if (name.startsWith("v=") || name.startsWith("d=")) {
+        val ver = name.drop(2).toLongOption
+        if (ver.exists(ver => ver < horizon && ver != v)) f.delete(st.getPath, true)
       }
     }
   }
@@ -116,16 +177,28 @@ object UpsertStore {
     * pointer swap — readers see old-complete or new-complete, never
     * an empty intermediate). */
   def replace(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String]): Unit =
-    commit(spark, path, dedupByKey(df, keys))
+    commitBase(spark, path, dedupByKey(df, keys), keys)
 
-  def upsert(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String]): Unit = {
+  /** Hot-path upsert: append the deduped batch as a delta (O(|batch|)
+    * I/O); compact to a fresh base once the delta list reaches
+    * `maxDeltas`. */
+  def upsert(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String],
+             maxDeltas: Int = DefaultMaxDeltas): Unit = {
     val delta = dedupByKey(df, keys)
-    val next = read(spark, path) match {
-      case None => delta
-      case Some(base) =>
-        base.join(delta.select(keys.map(col): _*), keys, "left_anti").unionByName(delta)
+    readManifest(spark, path) match {
+      case None =>
+        commitBase(spark, path, delta, keys)
+      case Some(m) if m.deltas.size >= maxDeltas - 1 =>
+        // compaction turn: fold base + deltas + this batch into one base
+        val merged = read(spark, path).get
+          .join(delta.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(delta)
+        commitBase(spark, path, merged, keys)
+      case Some(m) =>
+        val v = m.seq + 1
+        delta.coalesce(4).write.mode(SaveMode.Overwrite).parquet(s"$path/d=$v")
+        writeManifest(spark, path, m.copy(seq = v, deltas = m.deltas :+ v))
     }
-    commit(spark, path, next)
   }
 
   /** Strict insert: duplicate key (vs base or within the batch) errors —
@@ -137,11 +210,11 @@ object UpsertStore {
         require(clash == 0, s"insert: $clash row(s) violate primary key ${keys.mkString(",")}")
         val dupIn = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()
         require(dupIn == 0, s"insert: batch contains $dupIn duplicated key group(s)")
-        commit(spark, path, base.unionByName(df))
+        commitBase(spark, path, base.unionByName(df), keys)
       case None =>
         val dupIn = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()
         require(dupIn == 0, s"insert: batch contains $dupIn duplicated key group(s)")
-        commit(spark, path, df)
+        commitBase(spark, path, df, keys)
     }
   }
 
@@ -152,7 +225,7 @@ object UpsertStore {
       case None => delta
       case Some(base) => base.unionByName(delta.join(base.select(keys.map(col): _*), keys, "left_anti"))
     }
-    commit(spark, path, next)
+    commitBase(spark, path, next, keys)
   }
 
   /** Update only rows whose keys already exist. */
@@ -161,8 +234,8 @@ object UpsertStore {
       case None => () // nothing to update
       case Some(base) =>
         val delta = dedupByKey(df, keys).join(base.select(keys.map(col): _*), keys, "left_semi")
-        commit(spark, path,
-          base.join(delta.select(keys.map(col): _*), keys, "left_anti").unionByName(delta))
+        commitBase(spark, path,
+          base.join(delta.select(keys.map(col): _*), keys, "left_anti").unionByName(delta), keys)
     }
   }
 
@@ -171,7 +244,7 @@ object UpsertStore {
     read(spark, path) match {
       case None => ()
       case Some(base) =>
-        commit(spark, path, base.join(df.select(keys.map(col): _*), keys, "left_anti"))
+        commitBase(spark, path, base.join(df.select(keys.map(col): _*), keys, "left_anti"), keys)
     }
   }
 }

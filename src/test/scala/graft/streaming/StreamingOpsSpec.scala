@@ -83,6 +83,64 @@ class StreamingOpsSpec extends AnyFunSuite {
     q.stop()
     assert(kept.toSeq == Seq(1L, 2L, 4L), s"got ${kept.toSeq}")
   }
+
+  // near-dup corpus: A-variants differ by one word (3-gram Jaccard ≈ 0.7)
+  private val textA = "the quick brown fox jumps over the lazy dog while " +
+    "the cat sleeps on the warm mat near the door"
+  private val textA2 = textA.replace("door", "window")
+  private val textA3 = textA.replace("cat", "bird")
+  private val textA4 = textA.replace("fox", "wolf")
+  private val textB = "completely different subject matter entirely about " +
+    "spacecraft navigation systems and orbital mechanics"
+  private val textC = "another unrelated document concerning deep sea " +
+    "creatures and their bioluminescent displays at night"
+  private val textD = "yet more fresh material on medieval castle " +
+    "architecture and defensive fortification design principles"
+
+  test("streaming near-dup: minhash band index collapses near-duplicates, state expires with retention") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-stream").toString
+    val nd = new StreamingNearDup(spark, s"$dir/bands", s"$dir/sigs",
+      tau = 0.6, retentionMs = 60_000L, pruneEvery = 1)
+    def batch(docs: (Long, Long, String)*) =
+      docs.map { case (id, t, tx) => StreamingOpsSpec.Doc(id, new Timestamp(t), tx) }
+        .toDF("doc_id", "ts", "text").select($"doc_id", $"ts", $"text")
+    def keptIds(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+
+    // batch 1: near-dup pair within the batch + a distinct doc
+    val k1 = keptIds(nd.dedupeBatch(batch((1, 1000, textA), (2, 1500, textA2), (3, 2000, textB))))
+    assert(k1 == Set(1L, 3L), s"got $k1")
+    // batch 2: near-dup of an INDEXED doc is dropped; new doc kept
+    val k2 = keptIds(nd.dedupeBatch(batch((4, 5000, textA3), (5, 6000, textC))))
+    assert(k2 == Set(5L), s"got $k2")
+    // batch 3 far in the future: prune expires the whole old index
+    val k3 = keptIds(nd.dedupeBatch(batch((6, 10_000_000, textD))))
+    assert(k3 == Set(6L), s"got $k3")
+    // batch 4: the A-family is forgotten (outside retention) → kept again
+    val k4 = keptIds(nd.dedupeBatch(batch((7, 10_000_500, textA4))))
+    assert(k4 == Set(7L), s"retention must have expired the A-family: got $k4")
+    // bounded state: the band index holds only in-retention docs (6, 7)
+    val indexed = UpsertStore.read(spark, s"$dir/sigs").get
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexed == Set(6L, 7L), s"index not bounded by retention: $indexed")
+  }
+
+  test("streaming near-dup wiring: foreachBatch query writes only survivors") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-q").toString
+    val nd = new StreamingNearDup(spark, s"$dir/bands", s"$dir/sigs", tau = 0.6)
+    val input = MemoryStream[StreamingOpsSpec.Doc]
+    val q = nd.run(input.toDF(), s"$dir/out", s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    input.addData(StreamingOpsSpec.Doc(1, new Timestamp(1000), textA),
+      StreamingOpsSpec.Doc(2, new Timestamp(2000), textB))
+    q.processAllAvailable()
+    input.addData(StreamingOpsSpec.Doc(3, new Timestamp(3000), textA2)) // near-dup of 1
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), s"got $kept")
+  }
 }
 
 object StreamingOpsSpec {

@@ -73,7 +73,8 @@ class TrafficPipelineSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-ptw").toString
     val sink = new ParquetUpsertSink(spark, s"$dir/sink", Seq("as_of_time"))
     var now = 1000000L
-    val ptw = new TrafficPipeline.ProcessingTimeWindow(sink, () => now, batchesPerWindow = 2)
+    val ptw = new TrafficPipeline.ProcessingTimeWindow(
+      sink, () => now, s"$dir/scratch", batchesPerWindow = 2)
     val b1 = Seq((100L, 10)).toDF("measurement_time", "number_of_vehicles")
     val b2 = Seq((200L, 30)).toDF("measurement_time", "number_of_vehicles")
     val b3 = Seq((300L, 50)).toDF("measurement_time", "number_of_vehicles")
