@@ -99,8 +99,15 @@ object BenchStreaming {
         lit(","), pmod(col("value"), lit(100)).cast("string")).as("value"))
     val warmup = 3
     val deadline = System.nanoTime() + 300L * 1000000000L
-    val q = TrafficPipeline.run(src, sink, s"$dir/ckpt",
+    // the streaming agg's state is a handful of window buckets: 32
+    // shuffle/state partitions would commit 32 near-empty state files
+    // per batch (the dominant fixed cost at this batch size). The
+    // query captures the setting at start; restore right after.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try TrafficPipeline.run(src, sink, s"$dir/ckpt",
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // lastProgress.batchId is monotonic; recentProgress caps at 100
     // entries and would saturate a long benchmark
     def completed = Option(q.lastProgress).map(_.batchId.toInt + 1).getOrElse(0)

@@ -181,10 +181,13 @@ object UpsertStore {
 
   /** Hot-path upsert: append the deduped batch as a delta (O(|batch|)
     * I/O); compact to a fresh base once the delta list reaches
-    * `maxDeltas`. */
+    * `maxDeltas`. `assumeKeyUnique` skips the within-batch dedup
+    * shuffle when the caller guarantees one row per key (e.g. the
+    * output of a keyed aggregation) — wrongly asserting it makes the
+    * kept row partitioning-dependent, nothing worse. */
   def upsert(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String],
-             maxDeltas: Int = DefaultMaxDeltas): Unit = {
-    val delta = dedupByKey(df, keys)
+             maxDeltas: Int = DefaultMaxDeltas, assumeKeyUnique: Boolean = false): Unit = {
+    val delta = if (assumeKeyUnique) df else dedupByKey(df, keys)
     readManifest(spark, path) match {
       case None =>
         commitBase(spark, path, delta, keys)
@@ -264,6 +267,10 @@ trait UpsertSink extends Serializable {
 /** Local keyed-parquet implementation (tests / single-node). */
 final class ParquetUpsertSink(spark: SparkSession, path: String, val keys: Seq[String])
     extends UpsertSink {
+  /** Upsert skipping the within-batch dedup shuffle — callers that emit
+    * keyed-aggregation output (one row per key by construction). */
+  def upsertUnique(df: DataFrame): Unit =
+    UpsertStore.upsert(spark, path, df, keys, assumeKeyUnique = true)
   override def insert(df: DataFrame): Unit       = UpsertStore.insert(spark, path, df, keys)
   override def insertIgnore(df: DataFrame): Unit = UpsertStore.insertIgnore(spark, path, df, keys)
   override def upsert(df: DataFrame): Unit       = UpsertStore.upsert(spark, path, df, keys)
