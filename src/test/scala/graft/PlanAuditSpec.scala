@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-inventory physical-plan audit (VERDICT r1 item 9): every
+  * declared query is materialized at sf0.001 (so AQE settles on its
+  * final plan) and checked against the scale anti-patterns:
+  *
+  *  - `CartesianProduct` — never acceptable; an unconstrained
+  *    fact×fact product is the one plan shape that cannot survive a
+  *    100× scale-up under any partitioning.
+  *  - `BroadcastNestedLoopJoin` — acceptable ONLY where the broadcast
+  *    side is small by construction and the predicate is genuinely
+  *    non-equi: the band join (q18), and the ANN queries that
+  *    broadcast a fixed query set / centroid table (q50, q55).
+  *  - missing `WholeStageCodegen` — every query's hot path must stay
+  *    inside codegen; the one exception is a plan AQE collapses to an
+  *    empty LocalTableScan (q06's anti-join result is empty at this
+  *    SF, so there is nothing left to compile).
+  *
+  * An allowlist entry here is a DECLARATION, not a waiver — a new
+  * query that trips a flag fails this spec until it is either re-planned
+  * or argued onto the list.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  val sf = SharedSpark.sf0001
+
+  private val mayUseBroadcastNL = Set(
+    "q18_price_band_join",   // non-equi band predicate; 3-row broadcast side
+    "q50_ann_bruteforce",    // broadcast 5-query set vs corpus (declared exact baseline)
+    "q55_ann_ivf")           // broadcast 16-centroid table (index build + probe)
+
+  private val mayLackCodegen = Set(
+    "q06_customers_without_orders") // empty result → AQE empty-relation propagation
+
+  test("no declared query plans a CartesianProduct; BNLJ and codegen per allowlist") {
+    val failures = SparkEntry.allQueries.flatMap { q =>
+      val df = q.fn(spark, sf)
+      df.collect() // settle AQE on the final adaptive plan
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val simple = df.queryExecution.executedPlan.toString
+      val problems = Seq(
+        Option.when(formatted.contains("CartesianProduct"))("CartesianProduct"),
+        Option.when(formatted.contains("BroadcastNestedLoopJoin") &&
+          !mayUseBroadcastNL(q.name))("unexpected BroadcastNestedLoopJoin"),
+        Option.when(!simple.contains("*(") && !mayLackCodegen(q.name))(
+          "no WholeStageCodegen span")).flatten
+      if (problems.isEmpty) Nil else List(s"${q.name}: ${problems.mkString(", ")}")
+    }
+    assert(failures.isEmpty, s"plan audit failures:\n${failures.mkString("\n")}")
+  }
+}
