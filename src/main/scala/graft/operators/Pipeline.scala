@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Dataset-preparation operators a large-scale training pipeline runs
+  * between ingest and training: normalization, PII redaction,
+  * deterministic splits/sampling, context-window packing, cross-split
+  * contamination checks, and embedding post-processing. All are
+  * per-row or partitioned-window transforms — shuffle-free or bounded
+  * by declared keys — and all but the sketch op are SQL-expressible,
+  * so the driver's DuckDB gate checks them end-to-end.
+  */
+object Pipeline {
+  import QueryDef.{rowsOnly, sql}
+
+  /** Deterministic 0..99 bucket from a Knuth multiplicative hash of the
+    * doc id — the split/sample primitive. Plain 64-bit integer
+    * arithmetic so ANY engine reproduces the exact same assignment
+    * (the property that makes a train/test split auditable); 2654435761
+    * is ⌊2³²/φ⌋, the classic multiplicative-hash constant. */
+  private def bucket100(id: Column): Column =
+    (id * lit(2654435761L)) % lit(4294967296L) % 100
+  private val bucket100Sql = "(doc_id * 2654435761) % 4294967296 % 100"
+
+  /** Text normalization: lowercase, strip non-alphanumerics, collapse
+    * runs of spaces — the canonicalization pass before hashing/dedup.
+    * Per-row, shuffle-free, RE2-safe regexes on both engines. */
+  val q57TextNormalize: QueryDef = sql(
+    "q57_text_normalize",
+    """SELECT doc_id,
+      |       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                           ' +', ' ', 'g')) AS clean_text,
+      |       CAST(LENGTH(text) -
+      |            LENGTH(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                                       ' +', ' ', 'g'))) AS BIGINT) AS n_chars_removed
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val clean = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        clean.as("clean_text"),
+        (length(col("text")) - length(clean)).cast("long").as("n_chars_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction: emails → <EMAIL>, URLs → <URL>, long digit runs →
+    * <NUM>. The corpus carries no PII, so the operator is exercised on
+    * a deterministic synthetic suffix derived from the doc id — BOTH
+    * engines build the same input, so the oracle genuinely checks the
+    * redaction pipeline (pattern order matters: emails and URLs are
+    * consumed before the bare digit-run pass). */
+  val q58PiiRedact: QueryDef = sql(
+    "q58_pii_redact",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || doc_id || '@mail.example.com' ||
+      |         ' id ' || (doc_id + 10000000) || ' via https://ex.com/d/' || doc_id AS dirty
+      |  FROM documents)
+      |SELECT doc_id,
+      |       regexp_replace(
+      |         regexp_replace(
+      |           regexp_replace(dirty, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |           'https?://[^ ]+', '<URL>', 'g'),
+      |         '[0-9]{7,}', '<NUM>', 'g') AS redacted
+      |FROM raw
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dirty = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.com"),
+      lit(" id "), (col("doc_id") + 10000000L), lit(" via https://ex.com/d/"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(dirty, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+            "https?://[^ ]+", "<URL>"),
+          "[0-9]{7,}", "<NUM>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test split (80/10/10) — hash-of-id
+    * assignment, reproducible by any engine, summarized per split.
+    * At 100 TB the assignment is a per-row expression on the scan;
+    * nothing shuffles except the 3-group rollup. */
+  val q59DatasetSplit: QueryDef = sql(
+    "q59_dataset_split",
+    s"""SELECT CASE WHEN $bucket100Sql < 80 THEN 'train'
+       |            WHEN $bucket100Sql < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY split""".stripMargin) { (s, d) =>
+    val b = bucket100(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
+      .orderBy("split")
+  }
+
+  /** Stratified deterministic sampling: ~10% of every language stratum
+    * via a second independent hash. Emits the sampled ids themselves —
+    * the oracle proves the sample is exactly reproducible, which is
+    * what makes eval subsets auditable. */
+  val q64StratifiedSample: QueryDef = sql(
+    "q64_stratified_sample",
+    """SELECT lang, doc_id
+      |FROM documents
+      |WHERE (doc_id * 2246822519 + 1) % 4294967296 % 10 = 0
+      |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter((col("doc_id") * lit(2246822519L) + 1) % lit(4294967296L) % 10 === 0)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Context-window packing: documents are packed in doc_id order into
+    * 400-token bins per language (contiguous cumulative-sum packing —
+    * bin = ⌊tokens-before / budget⌋). The window partitions by lang,
+    * so the sort parallelism is the stratum count; within a stratum the
+    * running sum streams (no buffering). */
+  val q60TokenPacking: QueryDef = sql(
+    "q60_token_packing",
+    """WITH t AS (
+      |  SELECT lang, doc_id,
+      |         CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT lang, doc_id, n_tokens,
+      |       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 400)
+      |            AS BIGINT) AS bin_id
+      |FROM t
+      |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("bin_id",
+        floor(coalesce(sum("n_tokens").over(w), lit(0)) / 400).cast("long"))
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Train/eval contamination check: test-split documents sharing an
+    * 8-gram with any train-split document (the standard eval-leakage
+    * scan). Same inverted-index + df-pruning shape as q46, so the join
+    * fan-out is bounded; emits per-test-doc contamination counts. */
+  val q61ContaminationCheck: QueryDef = sql(
+    "q61_contamination_check",
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks,
+       |         $bucket100Sql AS b
+       |  FROM documents
+       |  WHERE len(string_split_regex(lower(text), '\\s+')) >= 8),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, b,
+       |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+       |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS g
+       |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)),
+       |df AS (SELECT g, COUNT(*) AS dfreq FROM sh GROUP BY g),
+       |pruned AS (SELECT sh.doc_id, sh.b, sh.g FROM sh JOIN df USING (g) WHERE dfreq <= 50),
+       |pairs AS (
+       |  SELECT e.doc_id AS test_doc, tr.doc_id AS train_doc, COUNT(*) AS shared
+       |  FROM pruned e JOIN pruned tr ON e.g = tr.g
+       |  WHERE e.b >= 90 AND tr.b < 80
+       |  GROUP BY 1, 2)
+       |SELECT test_doc, COUNT(*) AS n_train_docs, CAST(MAX(shared) AS BIGINT) AS max_shared
+       |FROM pairs
+       |GROUP BY test_doc
+       |ORDER BY test_doc""".stripMargin) { (s, d) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    val withToks = Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 8)
+      .withColumn("b", bucket100(col("doc_id")))
+    val sh = withToks.select(
+      col("doc_id"), col("b"),
+      explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 7), " +
+          "i -> concat_ws(' ', slice(toks, i, 8))))")).as("g"))
+    val dfreq = sh.groupBy("g").agg(count(lit(1)).as("dfreq"))
+    val pruned = sh.join(dfreq.filter(col("dfreq") <= 50), "g")
+      .select("doc_id", "b", "g")
+    val e = pruned.filter(col("b") >= 90).select(col("doc_id").as("test_doc"), col("g"))
+    val tr = pruned.filter(col("b") < 80).select(col("doc_id").as("train_doc"), col("g"))
+    e.join(tr, "g")
+      .groupBy("test_doc", "train_doc").agg(count(lit(1)).as("shared"))
+      .groupBy("test_doc")
+      .agg(count(lit(1)).as("n_train_docs"), max("shared").cast("long").as("max_shared"))
+      .orderBy("test_doc")
+  }
+
+  /** Embedding post-processing: L2 norm + int8 quantization (the
+    * storage form ANN indexes serve at scale). Per-row higher-order
+    * array math in double precision; integer summaries keep the oracle
+    * hash float-free. */
+  val q62EmbeddingQuantize: QueryDef = sql(
+    "q62_embedding_quantize",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |n AS (SELECT vec_id, emb, sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm FROM e),
+      |q AS (SELECT vec_id, nrm,
+      |             list_transform(emb, x -> CAST(round(127 * x / nrm) AS BIGINT)) AS qv
+      |      FROM n)
+      |SELECT vec_id, ROUND(nrm, 4) AS l2_norm,
+      |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      |       CAST(list_min(qv) AS BIGINT) AS q_min,
+      |       CAST(list_max(qv) AS BIGINT) AS q_max
+      |FROM q
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val emb = col("embedding").cast("array<double>")
+    Tables.embeddings(s, d)
+      .withColumn("nrm", sqrt(aggregate(emb, lit(0.0), (a, x) => a + x * x)))
+      .withColumn("qv", transform(emb, x => round(lit(127) * x / col("nrm")).cast("long")))
+      .select(
+        col("vec_id"), round(col("nrm"), 4).as("l2_norm"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("qv")).as("q_min"),
+        array_max(col("qv")).as("q_max"))
+      .orderBy("vec_id")
+  }
+
+  /** Count–min sketch token frequencies: the fixed-memory frequency
+    * estimator for 100 TB token statistics (ε = 0.1%, δ = 1%). The
+    * sketch is merged map-side like any aggregate; estimates for the
+    * top tokens are read out against the sketch. Approximate →
+    * rows-only; the spec pins estimate ≥ true ≥ estimate − εN. */
+  val q63TokenCms: QueryDef = rowsOnly("q63_token_cms") { (s, d) =>
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val sketchBytes = toks
+      .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token")).limit(20)
+      .as[(String, Long)].collect()
+    top.toSeq.map { case (t, n) => (t, n, cms.estimateCount(t)) }
+      .toDF("token", "n_exact", "n_estimated")
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q57TextNormalize, q58PiiRedact, q59DatasetSplit, q60TokenPacking,
+    q61ContaminationCheck, q62EmbeddingQuantize, q63TokenCms, q64StratifiedSample)
+}

@@ -130,6 +130,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.forall(r => math.abs(r.getAs[Double]("feature_l1") - 1.0) < 0.01))
   }
 
+  test("count-min sketch estimates: exact <= estimate <= exact + eps*N") {
+    val out = Pipeline.q63TokenCms.fn(spark, sf).collect()
+    assert(out.length == 20)
+    val totalTokens = Tables.documents(spark, sf)
+      .select(explode(TextAnalysis.tokens(col("text")))).count()
+    val epsN = (0.001 * totalTokens).ceil.toLong
+    out.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_estimated"))
+      assert(est >= exact, s"CMS underestimated ${r.getString(0)}: $est < $exact")
+      assert(est <= exact + epsN, s"CMS over bound for ${r.getString(0)}: $est > $exact + $epsN")
+    }
+  }
+
+  test("token packing: bins are consecutive and non-decreasing within a stratum") {
+    val rows = Pipeline.q60TokenPacking.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("doc_id"), r.getAs[Long]("bin_id")))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val bins = rs.sortBy(_._2).map(_._3)
+      assert(bins.head == 0L, s"$lang: first bin must be 0")
+      bins.sliding(2).foreach { case Array(a, b) =>
+        assert(b == a || b == a + 1 || b > a, s"$lang: bins must not decrease")
+        assert(b >= a, s"$lang: bin regressed $a -> $b")
+      }
+    }
+  }
+
+  test("deterministic split: fractions near 80/10/10 and stable across runs") {
+    val a = Pipeline.q59DatasetSplit.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    val total = a.values.sum.toDouble
+    assert(a("train") / total > 0.7 && a("train") / total < 0.9, s"train fraction: $a")
+    val b = Pipeline.q59DatasetSplit.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    assert(a == b, "split must be deterministic")
+  }
+
   test("schema parity: encoder-derived == explicit StructType (SURVEY §1.3)") {
     import org.apache.spark.sql.types._
     val fromEncoder = org.apache.spark.sql.Encoders.product[OperatorsSpec.Traffic].schema
