@@ -101,5 +101,57 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q54Multimodal)
+  /** Frame decode: one asset → many fixed-width frames, each decoded
+    * independently (the video/audio sampling shape — a frame stands in
+    * for a video keyframe / PCM window). */
+  case class AssetFrame(
+      doc_id: Long, frame_idx: Int, n_bytes: Long, feature: Array[Float])
+
+  /** Per-frame batch decode: mapPartitions emits a row per 64-byte
+    * frame — the one-to-many decode shape (frame sampling / chunked
+    * PCM). Frames stay with their asset's partition; no shuffle. */
+  def extractFrames(ds: Dataset[Asset], decoder: AssetDecoder,
+                    frameBytes: Int = 64): Dataset[AssetFrame] = {
+    import ds.sparkSession.implicits._
+    ds.repartition(col("doc_id"))
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          a.content.grouped(frameBytes).zipWithIndex.map { case (frame, i) =>
+            AssetFrame(a.doc_id, i,
+              frame.length.toLong, decoder.decode(Asset(a.doc_id, frame, a.mime)))
+          }
+        }
+      }
+  }
+
+  /** Declared frame-sampling query: every asset explodes into 64-byte
+    * frames, each with its own decoded feature. Same oracle trick as
+    * q54 — DuckDB recomputes the per-frame byte histogram from
+    * substrings of the (ASCII) payload, pinning the frame boundaries,
+    * per-frame byte counts, and dominant bin through the one-to-many
+    * mapPartitions path. */
+  val q65MultimodalFrames: QueryDef = QueryDef.sql(
+    "q65_multimodal_frames",
+    """WITH f AS (
+      |  SELECT doc_id, i AS frame_idx,
+      |         substr(text, i * 64 + 1, 64) AS frame
+      |  FROM documents, unnest(range(0, CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT))) AS u(i)),
+      |h AS (
+      |  SELECT doc_id, frame_idx, octet_length(encode(frame)) AS n,
+      |         list_transform(range(0, 16),
+      |           b -> len(list_filter(split(frame, ''), c -> ord(c) // 16 = b))) AS bins
+      |  FROM f)
+      |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, CAST(n AS BIGINT) AS n_bytes,
+      |       CAST(list_position(bins, list_max(bins)) - 1 AS BIGINT) AS top_bin
+      |FROM h
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    extractFrames(assets(s, d), StubDecoder).toDF()
+      .select(
+        col("doc_id"), col("frame_idx"), col("n_bytes"),
+        (array_position(col("feature"), array_max(col("feature"))) - 1)
+          .cast("long").as("top_bin"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val all: Seq[QueryDef] = Seq(q54Multimodal, q65MultimodalFrames)
 }

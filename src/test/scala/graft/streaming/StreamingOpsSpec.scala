@@ -125,6 +125,38 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(indexed == Set(6L, 7L), s"index not bounded by retention: $indexed")
   }
 
+  test("trending tokens: streaming top-k per finalized window equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-trending").toString
+    val sink = new ParquetUpsertSink(spark, s"$dir/sink", Seq("window_start", "rk"))
+    val input = MemoryStream[StreamingOpsSpec.Doc]
+    val q = TrendingTokens.run(input.toDF(), sink, s"$dir/ckpt", k = 3,
+      windowLen = "60 seconds", slide = "30 seconds", watermark = "0 seconds",
+      trigger = Trigger.ProcessingTime(0))
+    def doc(id: Long, t: Long, text: String) =
+      StreamingOpsSpec.Doc(id, new Timestamp(t), text)
+    val wave1 = Seq(
+      doc(1, 5_000, "alpha alpha beta gamma"),
+      doc(2, 20_000, "alpha beta beta delta"),
+      doc(3, 40_000, "epsilon epsilon epsilon zeta"))
+    input.addData(wave1: _*)
+    q.processAllAvailable()
+    // advance the watermark far past every window end → all finalize
+    input.addData(doc(9, 500_000, "flush flush flush"))
+    q.processAllAvailable()
+    q.stop()
+    import org.apache.spark.sql.functions.col
+    val got = sink.read(spark)
+      .filter(col("window_start") < 400_000L) // ignore the flush window
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val expect = TrendingTokens.batchTopK(
+      wave1.toDF("doc_id", "ts", "text"), k = 3,
+      windowLen = "60 seconds", slide = "30 seconds")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
+
   test("streaming near-dup wiring: foreachBatch query writes only survivors") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-neardup-q").toString
