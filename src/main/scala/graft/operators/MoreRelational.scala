@@ -261,8 +261,122 @@ object MoreRelational {
       .orderBy("dist", "p_name")
   }
 
+  /** Analytic window-function extras: ntile, percent_rank, cume_dist,
+    * lag with default, and a RANGE frame — per-customer spend ranking.
+    * Total order (spend + key tie-break) keeps every rank function
+    * deterministic on both engines. */
+  val q66WindowExtras: QueryDef = sql(
+    "q66_window_extras",
+    """WITH spend AS (
+      |  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, spend,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+      |       ROUND(cume_dist() OVER w, 6) AS cume,
+      |       ROUND(COALESCE(lag(spend, 1) OVER w, -1.0), 2) AS prev_spend,
+      |       ROUND(SUM(spend) OVER (ORDER BY spend, o_custkey
+      |             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_range
+      |FROM spend
+      |WINDOW w AS (ORDER BY spend, o_custkey)
+      |ORDER BY spend, o_custkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("spend", "o_custkey")
+    // RANGE frame needs a single sort expression: Spark's range frame
+    // over the same total order is expressed with rowsBetween here
+    // because (spend, key) is a total order — ranges and rows coincide
+    val wr = Window.orderBy("spend", "o_custkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("spend"))
+      .select(
+        col("o_custkey"), col("spend"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        round(coalesce(lag("spend", 1).over(w), lit(-1.0)), 2).as("prev_spend"),
+        round(sum("spend").over(wr), 2).as("running_range"))
+      .orderBy("spend", "o_custkey")
+  }
+
+  /** Exact decimal money arithmetic: the TPC-H money semantics the
+    * double-typed test data elides. Prices are quantized to cents, so
+    * DECIMAL(14,2) sums are EXACT — emitted as strings so the driver's
+    * hash compare checks every digit with no float tolerance. */
+  val q67DecimalMoney: QueryDef = sql(
+    "q67_decimal_money",
+    """SELECT o_orderstatus,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS total_exact,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 2 AS VARCHAR) AS doubled,
+      |       COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val dec = col("o_totalprice").cast("decimal(14,2)")
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(sum(dec).as("sum_dec"), count(lit(1)).as("n"))
+      .select(
+        col("o_orderstatus"),
+        col("sum_dec").cast("string").as("total_exact"),
+        (col("sum_dec") * 2).cast("string").as("doubled"),
+        col("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Date/interval arithmetic: truncation, offsets, and day diffs over
+    * the order dates (month-level truncation + 30-day shifts). Dates
+    * are emitted as ISO strings — pandas maps Spark DATE to object and
+    * DuckDB DATE to datetime64, so a native-date column can never pass
+    * the driver's dtype check. */
+  val q68DateArithmetic: QueryDef = sql(
+    "q68_date_arithmetic",
+    """SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS order_month,
+      |       COUNT(*) AS n,
+      |       CAST(CAST(MIN(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY) AS DATE) AS VARCHAR) AS min_due,
+      |       CAST(MAX(datediff('day', CAST(date_trunc('month', o_orderdate) AS DATE),
+      |                         CAST(o_orderdate AS DATE))) AS BIGINT) AS max_day_in_month,
+      |       CAST(MIN(last_day(CAST(o_orderdate AS DATE))) AS VARCHAR) AS first_month_end
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY order_month""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").cast("string")
+        .as("order_month"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(date_add(col("o_orderdate").cast("date"), 30)).cast("string").as("min_due"),
+        max(datediff(col("o_orderdate").cast("date"),
+          date_trunc("month", col("o_orderdate")).cast("date"))).cast("long")
+          .as("max_day_in_month"),
+        min(last_day(col("o_orderdate").cast("date"))).cast("string").as("first_month_end"))
+      .orderBy("order_month")
+  }
+
+  /** Explicit GROUPING SETS (the general form behind rollup/cube),
+    * via the SQL entry point like q27. */
+  val q69GroupingSets: QueryDef = sql(
+    "q69_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
+      |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_p
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q23Cube, q24MinBy, q25ArrayFuncs, q26SaltedAgg, q27SqlEntry,
     q28CorrelatedSubquery, q29MultisetOps, q33Percentiles, q34Histogram,
-    q35Levenshtein, q37PercentilesApprox)
+    q35Levenshtein, q37PercentilesApprox, q66WindowExtras, q67DecimalMoney,
+    q68DateArithmetic, q69GroupingSets)
 }
