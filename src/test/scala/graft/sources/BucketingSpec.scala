@@ -63,4 +63,46 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS customer_bucketed")
     }
   }
+
+  test("range-clustered write: selective scans skip row groups via min/max stats") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def deep(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+        case q: QueryStageExec => deep(q.plan)
+        case other => other.children.flatMap(deep)
+      })
+      deep(df.queryExecution.executedPlan)
+        .collectFirst { case s: FileSourceScanExec => s.metrics("numOutputRows").value }
+        .getOrElse(fail("no FileSourceScan in plan"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_shipdate", "l_extendedprice")
+    val total = li.count()
+    // tiny row groups so the small test table has many prunable groups
+    Layout.writeSorted(li, s"$dir/sorted", "l_orderkey", rowGroupBytes = 16 * 1024)
+    // shuffled layout: same data, keys scattered across every row group
+    li.orderBy(org.apache.spark.sql.functions.rand(7))
+      .coalesce(4).write
+      .option("parquet.block.size", (16 * 1024).toString)
+      .parquet(s"$dir/shuffled")
+    // BIGINT key: parquet min/max pruning verified effective; the same
+    // probe on the TIMESTAMP column read every row group (timestamp
+    // stats not consulted in this Spark build) — cluster on integer/
+    // epoch keys when range pruning is the goal
+    val pred = "l_orderkey >= 100 AND l_orderkey < 160"
+    val sortedRead = scanRows(spark.read.parquet(s"$dir/sorted").filter(pred))
+    val shuffledRead = scanRows(spark.read.parquet(s"$dir/shuffled").filter(pred))
+    info(s"scan rows: sorted=$sortedRead shuffled=$shuffledRead total=$total")
+    // identical results either way…
+    assert(spark.read.parquet(s"$dir/sorted").filter(pred).count() ==
+      spark.read.parquet(s"$dir/shuffled").filter(pred).count())
+    // …but the clustered layout reads a fraction of the row groups
+    assert(shuffledRead >= total / 2,
+      s"shuffled layout should scan most rows, read $shuffledRead of $total")
+    assert(sortedRead <= shuffledRead / 4,
+      s"range-clustered layout should prune most row groups: sorted=$sortedRead shuffled=$shuffledRead")
+  }
 }
