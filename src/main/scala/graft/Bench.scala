@@ -61,11 +61,12 @@ object Bench {
         runs(1)
       } catch { case _: Throwable => -1.0 }
 
-    // B3: upsert throughput at 100k keys (median of 3 — FS-cache noisy)
+    // B3: upsert throughput at 100k keys (median of 5 — FS-cache noise
+    // moved the median-of-3 by ±20% across whole-bench runs)
     val upsertRps =
       try {
-        val runs = Seq.fill(3)(BenchStreaming.upsertBench(spark, keys = 100000)).sorted
-        runs(1)
+        val runs = Seq.fill(5)(BenchStreaming.upsertBench(spark, keys = 100000)).sorted
+        runs(2)
       } catch { case _: Throwable => -1.0 }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -249,7 +249,53 @@ object Pipeline {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
+  /** Heuristic quality filter (the C4/Gopher-style rule stack): each
+    * document gets a keep/drop decision plus the FIRST failed rule, so
+    * filter-rate dashboards can attribute drops. Pure per-row
+    * expressions — at 100 TB this runs inside the ingest scan. */
+  val q70QualityFilter: QueryDef = sql(
+    "q70_quality_filter",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+      |         CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS DOUBLE)
+      |           / len(string_split_regex(lower(text), '\s+')) AS distinct_ratio,
+      |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |                              x -> x IN ('the', 'a'))) AS DOUBLE)
+      |           / len(string_split_regex(lower(text), '\s+')) AS stopword_ratio,
+      |         CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+      |           / len(string_split_regex(lower(text), '\s+')) AS avg_token_len
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN n_tokens < 10 THEN 'too_short'
+      |            WHEN distinct_ratio < 0.3 THEN 'low_diversity'
+      |            WHEN stopword_ratio > 0.5 THEN 'stopword_heavy'
+      |            WHEN avg_token_len < 2.0 OR avg_token_len > 12.0 THEN 'token_len_outlier'
+      |            ELSE 'keep' END AS verdict,
+      |       CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       ROUND(distinct_ratio, 4) AS distinct_ratio
+      |FROM m
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    val nTokens = size(toks)
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTokens
+    val stopwordRatio = size(filter(toks, t => t.isin("the", "a"))).cast("double") / nTokens
+    val avgTokenLen = length(expr("replace(text, ' ', '')")).cast("double") / nTokens
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        when(nTokens < 10, "too_short")
+          .when(distinctRatio < 0.3, "low_diversity")
+          .when(stopwordRatio > 0.5, "stopword_heavy")
+          .when(avgTokenLen < 2.0 || avgTokenLen > 12.0, "token_len_outlier")
+          .otherwise("keep").as("verdict"),
+        nTokens.cast("long").as("n_tokens"),
+        round(distinctRatio, 4).as("distinct_ratio"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q57TextNormalize, q58PiiRedact, q59DatasetSplit, q60TokenPacking,
-    q61ContaminationCheck, q62EmbeddingQuantize, q63TokenCms, q64StratifiedSample)
+    q61ContaminationCheck, q62EmbeddingQuantize, q63TokenCms, q64StratifiedSample,
+    q70QualityFilter)
 }
