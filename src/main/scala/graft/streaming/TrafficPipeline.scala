@@ -184,7 +184,7 @@ object TrafficPipeline {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // one collect serves the empty-check, the driver map, and both
         // store writes — the batch is keyed-aggregation output, orders
         // of magnitude smaller than the input rows
@@ -217,8 +217,10 @@ object TrafficPipeline {
           import spark.implicits._
           val winDf = winRows.toDF("as_of_time", "avg_num_veh", "min_num_veh",
             "max_num_veh", "first_meas_time", "last_meas_time")
+          // batchId as the transaction id: a replayed batch after a
+          // crash is skipped at the sink instead of rewritten
           sink match {
-            case p: ParquetUpsertSink => p.upsertUnique(winDf)
+            case p: ParquetUpsertSink => p.upsertUnique(winDf, txnId = Some(batchId))
             case other => other.upsert(winDf)
           }
         }

@@ -44,7 +44,8 @@ object UpsertStore {
     * on top of the base). */
   val DefaultMaxDeltas = 8
 
-  private case class Manifest(seq: Long, base: Option[Long], deltas: Seq[Long], keys: Seq[String])
+  private case class Manifest(seq: Long, base: Option[Long], deltas: Seq[Long],
+                              keys: Seq[String], txn: Long = -1L)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -67,7 +68,8 @@ object UpsertStore {
         fields("seq").toLong,
         fields("base") match { case "-" => None; case v => Some(v.toLong) },
         fields("deltas") match { case "-" => Nil; case v => v.split(',').toSeq.map(_.toLong) },
-        fields("keys").split(',').toSeq))
+        fields("keys").split(',').toSeq,
+        fields.getOrElse("txn", "-1").toLong))
     }
   }
 
@@ -77,7 +79,8 @@ object UpsertStore {
       s"seq=${m.seq}",
       s"base=${m.base.map(_.toString).getOrElse("-")}",
       s"deltas=${if (m.deltas.isEmpty) "-" else m.deltas.mkString(",")}",
-      s"keys=${m.keys.mkString(",")}").mkString(";")
+      s"keys=${m.keys.mkString(",")}",
+      s"txn=${m.txn}").mkString(";")
     val tmp = new Path(path, s"$LatestFile.tmp")
     val out = f.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
@@ -120,14 +123,15 @@ object UpsertStore {
     * delta list, GC dirs older than the previous manifest's live set
     * (kept for in-flight readers). */
   private def commitBase(spark: SparkSession, path: String, next: DataFrame,
-                         keys: Seq[String]): Unit = {
+                         keys: Seq[String], txn: Long = -1L): Unit = {
     val prev = readManifest(spark, path)
     val v = prev.map(_.seq).getOrElse(-1L) + 1L
+    val effTxn = math.max(txn, prev.map(_.txn).getOrElse(-1L))
     // keyed sinks are small relative to the pipeline (one row per window/
     // key-group); without coalesce every snapshot inherits the shuffle
     // partition count and writes N tiny files per batch
     next.coalesce(4).write.mode(SaveMode.Overwrite).parquet(s"$path/v=$v")
-    writeManifest(spark, path, Manifest(v, Some(v), Nil, keys))
+    writeManifest(spark, path, Manifest(v, Some(v), Nil, keys, effTxn))
     // retire dirs below the previous manifest's live horizon (previous
     // base + its deltas stay for in-flight readers). One listing —
     // O(live dirs), ~2 + maxDeltas steady-state, self-heals orphans
@@ -184,23 +188,33 @@ object UpsertStore {
     * `maxDeltas`. `assumeKeyUnique` skips the within-batch dedup
     * shuffle when the caller guarantees one row per key (e.g. the
     * output of a keyed aggregation) — wrongly asserting it makes the
-    * kept row partitioning-dependent, nothing worse. */
+    * kept row partitioning-dependent, nothing worse. `txnId` makes the
+    * write TRANSACTIONALLY idempotent: the manifest records the highest
+    * committed id, and a replayed foreachBatch (same batchId) is
+    * skipped outright instead of relying on value-convergence —
+    * exactly-once to this sink, the same ledger trick as Structured
+    * Streaming's own commit log. Monotonically increasing ids per
+    * store are the caller's contract (batchId is). */
   def upsert(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String],
-             maxDeltas: Int = DefaultMaxDeltas, assumeKeyUnique: Boolean = false): Unit = {
+             maxDeltas: Int = DefaultMaxDeltas, assumeKeyUnique: Boolean = false,
+             txnId: Option[Long] = None): Unit = {
+    val prev = readManifest(spark, path)
+    if (txnId.exists(t => prev.exists(_.txn >= t))) return // replay: already committed
+    val txn = txnId.orElse(prev.map(_.txn)).getOrElse(-1L)
     val delta = if (assumeKeyUnique) df else dedupByKey(df, keys)
-    readManifest(spark, path) match {
+    prev match {
       case None =>
-        commitBase(spark, path, delta, keys)
+        commitBase(spark, path, delta, keys, txn)
       case Some(m) if m.deltas.size >= maxDeltas - 1 =>
         // compaction turn: fold base + deltas + this batch into one base
         val merged = read(spark, path).get
           .join(delta.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(delta)
-        commitBase(spark, path, merged, keys)
+        commitBase(spark, path, merged, keys, txn)
       case Some(m) =>
         val v = m.seq + 1
         delta.coalesce(4).write.mode(SaveMode.Overwrite).parquet(s"$path/d=$v")
-        writeManifest(spark, path, m.copy(seq = v, deltas = m.deltas :+ v))
+        writeManifest(spark, path, m.copy(seq = v, deltas = m.deltas :+ v, txn = txn))
     }
   }
 
@@ -268,9 +282,11 @@ trait UpsertSink extends Serializable {
 final class ParquetUpsertSink(spark: SparkSession, path: String, val keys: Seq[String])
     extends UpsertSink {
   /** Upsert skipping the within-batch dedup shuffle — callers that emit
-    * keyed-aggregation output (one row per key by construction). */
-  def upsertUnique(df: DataFrame): Unit =
-    UpsertStore.upsert(spark, path, df, keys, assumeKeyUnique = true)
+    * keyed-aggregation output (one row per key by construction). Pass
+    * the foreachBatch batchId as `txnId` for transactional replay
+    * skipping (see [[UpsertStore.upsert]]). */
+  def upsertUnique(df: DataFrame, txnId: Option[Long] = None): Unit =
+    UpsertStore.upsert(spark, path, df, keys, assumeKeyUnique = true, txnId = txnId)
   override def insert(df: DataFrame): Unit       = UpsertStore.insert(spark, path, df, keys)
   override def insertIgnore(df: DataFrame): Unit = UpsertStore.insertIgnore(spark, path, df, keys)
   override def upsert(df: DataFrame): Unit       = UpsertStore.upsert(spark, path, df, keys)

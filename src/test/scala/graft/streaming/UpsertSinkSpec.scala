@@ -26,6 +26,22 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(sink.read(spark).orderBy("k").as[(Long, String)].collect().toSeq == got)
   }
 
+  test("transactional upsert: a replayed batch (same txn id) is skipped outright") {
+    val (dir, sink) = freshSink()
+    sink.upsertUnique(Seq((1L, "a")).toDF("k", "v"), txnId = Some(0L))
+    sink.upsertUnique(Seq((2L, "b")).toDF("k", "v"), txnId = Some(1L))
+    val vBefore = UpsertStore.latestVersion(spark, dir).get
+    // crash-replay of batch 1 with DIFFERENT data: transactional skip
+    // means neither the data nor the store version changes
+    sink.upsertUnique(Seq((2L, "SHOULD_NOT_APPLY")).toDF("k", "v"), txnId = Some(1L))
+    assert(UpsertStore.latestVersion(spark, dir).get == vBefore, "replay must not commit")
+    assert(sink.read(spark).orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // the next batch id applies normally
+    sink.upsertUnique(Seq((3L, "c")).toDF("k", "v"), txnId = Some(2L))
+    assert(sink.read(spark).count() == 3)
+  }
+
   test("within-batch duplicate keys resolve deterministically (greatest value wins)") {
     val (_, sink) = freshSink()
     sink.upsert(Seq((1L, "x"), (1L, "y"), (2L, "a")).toDF("k", "v"))
