@@ -187,8 +187,11 @@ object Pipeline {
         "array_distinct(transform(sequence(1, size(toks) - 7), " +
           "i -> concat_ws(' ', slice(toks, i, 8))))")).as("g"))
     val dfreq = sh.groupBy("g").agg(count(lit(1)).as("dfreq"))
+    // cached: both split branches below re-read it — uncached, the
+    // whole shingle+df pipeline would run twice
     val pruned = sh.join(dfreq.filter(col("dfreq") <= 50), "g")
       .select("doc_id", "b", "g")
+      .cache()
     val e = pruned.filter(col("b") >= 90).select(col("doc_id").as("test_doc"), col("g"))
     val tr = pruned.filter(col("b") < 80).select(col("doc_id").as("train_doc"), col("g"))
     e.join(tr, "g")
@@ -294,8 +297,49 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Table profiling (ANALYZE-style): one scan computes null counts,
+    * exact distinct counts, and value ranges for every profiled column,
+    * emitted one row per column — the data-quality snapshot a pipeline
+    * records per ingest batch. One pass + one unpivot; no per-column
+    * scans. */
+  val q71TableProfile: QueryDef = sql(
+    "q71_table_profile", {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |       COUNT(*) - COUNT($c) AS n_nulls,
+           |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       ROUND(MIN($c), 4) AS min_v,
+           |       ROUND(MAX($c), 4) AS max_v,
+           |       ROUND(AVG($c), 4) AS mean_v
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }) { (s, d) =>
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__n_nulls"),
+        countDistinct(col(c)).as(s"${c}__n_distinct"),
+        round(min(col(c)), 4).as(s"${c}__min_v"),
+        round(max(col(c)), 4).as(s"${c}__max_v"),
+        round(avg(col(c)), 4).as(s"${c}__mean_v"))
+    }
+    val wide = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    // unpivot the single wide row into one row per column
+    val stacked = cols.map { c =>
+      wide.select(
+        lit(c).as("col_name"),
+        col(s"${c}__n_nulls").as("n_nulls"),
+        col(s"${c}__n_distinct").as("n_distinct"),
+        col(s"${c}__min_v").as("min_v"),
+        col(s"${c}__max_v").as("max_v"),
+        col(s"${c}__mean_v").as("mean_v"))
+    }.reduce(_.unionByName(_))
+    stacked.orderBy("col_name")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q57TextNormalize, q58PiiRedact, q59DatasetSplit, q60TokenPacking,
     q61ContaminationCheck, q62EmbeddingQuantize, q63TokenCms, q64StratifiedSample,
-    q70QualityFilter)
+    q70QualityFilter, q71TableProfile)
 }
