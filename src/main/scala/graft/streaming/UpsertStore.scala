@@ -36,6 +36,11 @@ import org.apache.spark.sql.functions._
   * |base| + Σ|deltas|, amortized across `maxDeltas` batches. A 100 TB
   * keyed sink is what Kudu/Delta are for; this interface is the seam
   * where they plug in.
+  *
+  * Schema EVOLVES additively: a batch carrying new columns widens the
+  * table (missing values read as null on both old and new rows) — all
+  * merges union by name with missing columns allowed, the Delta
+  * mergeSchema behavior a long-lived ingest table needs.
   */
 object UpsertStore {
   private val LatestFile = "_LATEST"
@@ -103,7 +108,7 @@ object UpsertStore {
       val parts =
         m.base.map(v => spark.read.parquet(s"$path/v=$v").withColumn("__seq", lit(v))).toSeq ++
           m.deltas.map(v => spark.read.parquet(s"$path/d=$v").withColumn("__seq", lit(v)))
-      val all = parts.reduce(_.unionByName(_))
+      val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
       if (m.deltas.isEmpty || parts.size == 1) all.drop("__seq")
       else {
         val cols = all.columns.filterNot(_ == "__seq")
@@ -209,7 +214,7 @@ object UpsertStore {
         // compaction turn: fold base + deltas + this batch into one base
         val merged = read(spark, path).get
           .join(delta.select(keys.map(col): _*), keys, "left_anti")
-          .unionByName(delta)
+          .unionByName(delta, allowMissingColumns = true)
         commitBase(spark, path, merged, keys, txn)
       case Some(m) =>
         val v = m.seq + 1
@@ -227,7 +232,7 @@ object UpsertStore {
         require(clash == 0, s"insert: $clash row(s) violate primary key ${keys.mkString(",")}")
         val dupIn = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()
         require(dupIn == 0, s"insert: batch contains $dupIn duplicated key group(s)")
-        commitBase(spark, path, base.unionByName(df), keys)
+        commitBase(spark, path, base.unionByName(df, allowMissingColumns = true), keys)
       case None =>
         val dupIn = df.groupBy(keys.map(col): _*).count().filter(col("count") > 1).count()
         require(dupIn == 0, s"insert: batch contains $dupIn duplicated key group(s)")
@@ -240,7 +245,9 @@ object UpsertStore {
     val delta = dedupByKey(df, keys)
     val next = read(spark, path) match {
       case None => delta
-      case Some(base) => base.unionByName(delta.join(base.select(keys.map(col): _*), keys, "left_anti"))
+      case Some(base) => base.unionByName(
+        delta.join(base.select(keys.map(col): _*), keys, "left_anti"),
+        allowMissingColumns = true)
     }
     commitBase(spark, path, next, keys)
   }
@@ -252,7 +259,8 @@ object UpsertStore {
       case Some(base) =>
         val delta = dedupByKey(df, keys).join(base.select(keys.map(col): _*), keys, "left_semi")
         commitBase(spark, path,
-          base.join(delta.select(keys.map(col): _*), keys, "left_anti").unionByName(delta), keys)
+          base.join(delta.select(keys.map(col): _*), keys, "left_anti")
+            .unionByName(delta, allowMissingColumns = true), keys)
     }
   }
 

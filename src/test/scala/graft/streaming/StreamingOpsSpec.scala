@@ -157,6 +157,32 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
   }
 
+  test("progress recorder: listener captures per-batch rows off the query path") {
+    implicit val sqlCtx = spark.sqlContext
+    val rec = new ProgressRecorder().attach(spark)
+    try {
+      val input = MemoryStream[Ev]
+      val q = input.toDS().withWatermark("ts", "10 seconds")
+        .dropDuplicatesWithinWatermark("id")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_obs")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      input.addData(Ev(1, new Timestamp(1000), 1.0), Ev(2, new Timestamp(2000), 2.0))
+      q.processAllAvailable()
+      // listener bus is async: progress lands shortly after the batch
+      val deadline = System.currentTimeMillis() + 10000
+      def rows() = rec.snapshot(spark)
+        .filter(col("query_id") === q.id.toString)
+        .agg(sum("num_input_rows")).head().getLong(0)
+      var captured = 0L
+      while ({ captured = try rows() catch { case _: NullPointerException => 0L }
+               captured < 2 && System.currentTimeMillis() < deadline })
+        Thread.sleep(100)
+      q.stop()
+      assert(captured >= 2, s"expected the 2 input rows in progress, saw $captured")
+    } finally rec.detach(spark)
+  }
+
   test("streaming near-dup wiring: foreachBatch query writes only survivors") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-neardup-q").toString

@@ -42,6 +42,20 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(sink.read(spark).count() == 3)
   }
 
+  test("schema evolution: a batch with a new column widens the table, old rows read null") {
+    val (_, sink) = freshSink()
+    sink.upsert(Seq((1L, "a")).toDF("k", "v"))
+    sink.upsert(Seq((2L, "b", 9.5)).toDF("k", "v", "score")) // new column
+    val got = sink.read(spark).orderBy("k")
+      .select("k", "v", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
+    assert(got.toSeq == Seq((1L, "a", None), (2L, "b", Some(9.5))))
+    // and the widened schema persists through a compacting verb
+    sink.insertIgnore(Seq((3L, "c", 1.0)).toDF("k", "v", "score"))
+    assert(sink.read(spark).columns.toSet == Set("k", "v", "score"))
+    assert(sink.read(spark).count() == 3)
+  }
+
   test("within-batch duplicate keys resolve deterministically (greatest value wins)") {
     val (_, sink) = freshSink()
     sink.upsert(Seq((1L, "x"), (1L, "y"), (2L, "a")).toDF("k", "v"))
