@@ -240,16 +240,20 @@ object UpsertStore {
     }
   }
 
-  /** Insert rows whose keys are absent; silently skip the rest. */
+  /** Insert rows whose keys are absent; silently skip the rest.
+    * Hot-path friendly: the batch is anti-joined down to genuinely new
+    * keys and DELTA-appended via [[upsert]] (new keys can't collide, so
+    * last-writer-wins merge preserves first-writer semantics) — the
+    * streaming near-dup index calls this every micro-batch, and a full
+    * rewrite per batch would be the round-1 B2 mistake again. */
   def insertIgnore(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String]): Unit = {
     val delta = dedupByKey(df, keys)
-    val next = read(spark, path) match {
-      case None => delta
-      case Some(base) => base.unionByName(
-        delta.join(base.select(keys.map(col): _*), keys, "left_anti"),
-        allowMissingColumns = true)
+    read(spark, path) match {
+      case None => commitBase(spark, path, delta, keys)
+      case Some(base) =>
+        upsert(spark, path, delta.join(base.select(keys.map(col): _*), keys, "left_anti"),
+          keys, assumeKeyUnique = true)
     }
-    commitBase(spark, path, next, keys)
   }
 
   /** Update only rows whose keys already exist. */
