@@ -374,9 +374,40 @@ object MoreRelational {
         |ORDER BY g_s, g_p, o_orderstatus, o_orderpriority""".stripMargin)
   }
 
+  /** ANSI null semantics end-to-end: nulls group together, `COUNT(col)`
+    * skips them, null-safe equality (`<=>` ↔ IS NOT DISTINCT FROM)
+    * treats null=null as true, and ordering is pinned NULLS FIRST
+    * (Spark's ASC default; DuckDB defaults NULLS LAST, so the oracle
+    * must say it explicitly). The nullable column is manufactured with
+    * NULLIF since the test data ships none. */
+  val q72NullSemantics: QueryDef = sql(
+    "q72_null_semantics",
+    """SELECT NULLIF(o_orderstatus, 'P') AS grp,
+      |       COUNT(*) AS n_rows,
+      |       COUNT(NULLIF(o_orderstatus, 'P')) AS n_nonnull,
+      |       CAST(COUNT(*) FILTER (NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM 'F')
+      |            AS BIGINT) AS n_nullsafe_eq_f,
+      |       CAST(DENSE_RANK() OVER (ORDER BY NULLIF(o_orderstatus, 'P') NULLS FIRST)
+      |            AS BIGINT) AS grp_rank
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY grp NULLS FIRST""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val grp = nullif(col("o_orderstatus"), lit("P"))
+    Tables.orders(s, d)
+      .groupBy(grp.as("grp"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(grp).as("n_nonnull"),
+        count(when(grp <=> "F", 1)).as("n_nullsafe_eq_f"))
+      .withColumn("grp_rank",
+        dense_rank().over(Window.orderBy(col("grp").asc_nulls_first)).cast("long"))
+      .orderBy(col("grp").asc_nulls_first)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q23Cube, q24MinBy, q25ArrayFuncs, q26SaltedAgg, q27SqlEntry,
     q28CorrelatedSubquery, q29MultisetOps, q33Percentiles, q34Histogram,
     q35Levenshtein, q37PercentilesApprox, q66WindowExtras, q67DecimalMoney,
-    q68DateArithmetic, q69GroupingSets)
+    q68DateArithmetic, q69GroupingSets, q72NullSemantics)
 }
