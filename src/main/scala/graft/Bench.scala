@@ -49,6 +49,8 @@ object Bench {
           q.name -> -1.0
       }
       System.err.println(f"[bench] ${r._1}%-32s ${r._2}%8.2f s")
+      // release per-query cached intermediates (shingle tables etc.)
+      spark.catalog.clearCache()
       r
     }
 

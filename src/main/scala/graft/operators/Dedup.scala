@@ -110,13 +110,14 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact-Jaccard oracle over full (un-pruned) shingle sets at
-    * threshold `tau` — ground truth for the LSH-accelerated near-dup
-    * operators (q47/q48/q56 share it, with different SELECT lists). */
-  private def exactPairsSql(tau: Double, select: String): String =
-    s"""WITH tok AS (
+  /** CTE chain computing exact-Jaccard pairs `jp(doc_a, doc_b, jac)`
+    * at threshold `tau` over full (un-pruned) 3-gram shingle sets of
+    * `src` — the shared ground-truth core of the q47/q48/q56 oracles
+    * (each composes its own SELECT, q56 its own source CTEs). */
+  private def pairsCtes(tau: Double, src: String): String =
+    s"""tok AS (
        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
-       |  FROM documents WHERE len(string_split_regex(lower(text), '\\s+')) >= 3),
+       |  FROM $src WHERE len(string_split_regex(lower(text), '\\s+')) >= 3),
        |sh0 AS (
        |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
        |  FROM tok, unnest(range(1, len(toks) - 1)) AS u(i)),
@@ -131,9 +132,20 @@ object Dedup {
        |  FROM pairs
        |  JOIN sizes sa ON sa.doc_id = doc_a
        |  JOIN sizes sb ON sb.doc_id = doc_b
-       |  WHERE CAST(shared AS DOUBLE) / (sa.nsh + sb.nsh - shared) >= $tau)
+       |  WHERE CAST(shared AS DOUBLE) / (sa.nsh + sb.nsh - shared) >= $tau)""".stripMargin
+
+  private def exactPairsSql(tau: Double, select: String): String =
+    s"""WITH ${pairsCtes(tau, "documents")}
        |$select
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** One 64-bit hash per LSH band over a MinHash signature column
+    * named `sig` (slice → xxhash64, band index mixed in). The SINGLE
+    * definition shared by q47, the dedup-first pipeline, and the
+    * streaming near-dup index — a drifting copy would silently desync
+    * batch vs streaming dedup decisions. */
+  private[graft] def bandHashes(bands: Int, rows: Int): Column =
+    expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))")
 
   /** Exact Jaccard between the shingle arrays of candidate pairs:
     * intersection/union on the (small) surviving pair set only. */
@@ -174,8 +186,7 @@ object Dedup {
       TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"))
     val banded = sigs.select(
       col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))")))
+      posexplode(bandHashes(bands, rows)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
     val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
     val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
@@ -255,31 +266,14 @@ object Dedup {
        |  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
        |  FROM documents GROUP BY text),
        |documents_r AS (
-       |  SELECT g.doc_id, d.text, g.n_copies
+       |  SELECT g.doc_id, d.text
        |  FROM g JOIN documents d ON d.doc_id = g.doc_id),
-       |tok AS (
-       |  SELECT doc_id, n_copies, string_split_regex(lower(text), '\\s+') AS toks
-       |  FROM documents_r WHERE len(string_split_regex(lower(text), '\\s+')) >= 3),
-       |sh0 AS (
-       |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-       |  FROM tok, unnest(range(1, len(toks) - 1)) AS u(i)),
-       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh0 GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-       |  FROM sh0 a JOIN sh0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id),
-       |jp AS (
-       |  SELECT doc_a, doc_b,
-       |         CAST(shared AS DOUBLE) / (sa.nsh + sb.nsh - shared) AS jac
-       |  FROM pairs
-       |  JOIN sizes sa ON sa.doc_id = doc_a
-       |  JOIN sizes sb ON sb.doc_id = doc_b
-       |  WHERE CAST(shared AS DOUBLE) / (sa.nsh + sb.nsh - shared) >= 0.6)
+       |${pairsCtes(0.6, "documents_r")}
        |SELECT jp.doc_a, jp.doc_b, ROUND(jp.jac, 4) AS jaccard,
-       |       ta.n_copies AS n_copies_a, tb.n_copies AS n_copies_b
+       |       ga.n_copies AS n_copies_a, gb.n_copies AS n_copies_b
        |FROM jp
-       |JOIN tok ta ON ta.doc_id = jp.doc_a
-       |JOIN tok tb ON tb.doc_id = jp.doc_b
+       |JOIN g ga ON ga.doc_id = jp.doc_a
+       |JOIN g gb ON gb.doc_id = jp.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     nearDupPipeline(Tables.documents(s, d))
   }
@@ -304,8 +298,7 @@ object Dedup {
       TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"))
     val banded = sigs.select(
       col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))")))
+      posexplode(bandHashes(bands, rows)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
     val cand = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
       .join(banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b")),

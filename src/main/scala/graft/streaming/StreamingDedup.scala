@@ -72,8 +72,7 @@ final class StreamingNearDup(
   private def banded(sigs: DataFrame): DataFrame =
     sigs.select(
       col("doc_id"), col("ts_ms"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))")))
+      posexplode(graft.operators.Dedup.bandHashes(bands, rows)))
       .select(col("doc_id"), col("ts_ms"), col("pos").as("band"), col("col").as("band_hash"))
 
   /** Process one micro-batch (`doc_id`, `text`, `ts`); returns the
@@ -100,19 +99,24 @@ final class StreamingNearDup(
       .filter(est("sig_a", "sig_b") >= tau)
       .select(col("doc_b").as("doc_id")).distinct()
 
-    // 2. vs the index of previously-kept docs
-    val vsIndex = UpsertStore.read(spark, bandsPath) match {
-      case None => inBatch.limit(0)
-      case Some(idx) =>
-        val repSigs = UpsertStore.read(spark, sigsPath).get
-          .select(col("doc_id").as("rep_id"), col("sig").as("rep_sig"))
+    // 2. vs the index of previously-kept docs. The doc_id =!= rep_id
+    // guard makes a REPLAYED batch (foreachBatch is at-least-once, and
+    // the index commits before the caller's output write) re-emit its
+    // docs instead of dropping them against their own index entries —
+    // at-least-once output, never data loss. Both stores read via the
+    // same defensive path (a crash can leave one store a step behind).
+    val vsIndex = (UpsertStore.read(spark, bandsPath), UpsertStore.read(spark, sigsPath)) match {
+      case (Some(idx), Some(sigStore)) =>
+        val repSigs = sigStore.select(col("doc_id").as("rep_id"), col("sig").as("rep_sig"))
         b.join(idx.select(col("band"), col("band_hash"), col("doc_id").as("rep_id")),
             Seq("band", "band_hash"))
+          .filter(col("doc_id") =!= col("rep_id"))
           .select("doc_id", "rep_id").distinct()
           .join(sigs.select(col("doc_id"), col("sig")), "doc_id")
           .join(repSigs, "rep_id")
           .filter(est("sig", "rep_sig") >= tau)
           .select("doc_id").distinct()
+      case _ => inBatch.limit(0)
     }
 
     val dropped = inBatch.unionByName(vsIndex).distinct()
@@ -122,13 +126,16 @@ final class StreamingNearDup(
     val kept = batch.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()
 
     // 3. index the kept docs (first writer wins on a band); same
-    // materialize-before-commit rule as `kept`
+    // materialize-before-commit rule as `kept`. Sigs commit FIRST:
+    // bands are the probe entry point, so a crash between the two
+    // commits leaves orphan sigs (harmless, pruned later) rather than
+    // bands referencing missing signatures
     val keptSigs = sigs.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()
+    UpsertStore.insertIgnore(spark, sigsPath,
+      keptSigs.select("doc_id", "sig", "ts_ms"), Seq("doc_id"))
     UpsertStore.insertIgnore(spark, bandsPath,
       banded(keptSigs).select("band", "band_hash", "doc_id", "ts_ms"),
       Seq("band", "band_hash"))
-    UpsertStore.insertIgnore(spark, sigsPath,
-      keptSigs.select("doc_id", "sig", "ts_ms"), Seq("doc_id"))
 
     // 4. retention pruning (amortized): expire index entries older than
     // the horizon so state stays bounded by the retention window

@@ -176,7 +176,9 @@ object TrafficPipeline {
         max("number_of_vehicles").as("max_veh"),
         min("measurement_time").as("first_t"),
         max("measurement_time").as("last_t"))
-      .select((unix_timestamp(col("window.start")) * 1000).as("bucket_start"),
+      // millisecond-precise epoch (unix_timestamp would truncate to
+      // whole seconds and merge sub-second buckets)
+      .select((col("window.start").cast("double") * 1000).cast("long").as("bucket_start"),
         col("cnt"), col("sum_veh"), col("min_veh"), col("max_veh"),
         col("first_t"), col("last_t"))
 
@@ -218,11 +220,9 @@ object TrafficPipeline {
           val winDf = winRows.toDF("as_of_time", "avg_num_veh", "min_num_veh",
             "max_num_veh", "first_meas_time", "last_meas_time")
           // batchId as the transaction id: a replayed batch after a
-          // crash is skipped at the sink instead of rewritten
-          sink match {
-            case p: ParquetUpsertSink => p.upsertUnique(winDf, txnId = Some(batchId))
-            case other => other.upsert(winDf)
-          }
+          // crash is skipped at the sink instead of rewritten (sinks
+          // that can't exploit the hints fall back to plain upsert)
+          sink.upsertUnique(winDf, txnId = Some(batchId))
         }
       }
       .start()

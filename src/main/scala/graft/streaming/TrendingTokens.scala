@@ -31,7 +31,8 @@ object TrendingTokens {
       .select(col("ts"), explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
       .groupBy(window(col("ts"), windowLen, slide), col("token"))
       .agg(count(lit(1)).as("n"))
-      .select((unix_timestamp(col("window.start")) * 1000).as("window_start"),
+      // millisecond-precise epoch (unix_timestamp truncates to seconds)
+      .select((col("window.start").cast("double") * 1000).cast("long").as("window_start"),
         col("token"), col("n"))
 
   /** Wire to a sink keyed by (window_start, rk). */

@@ -251,8 +251,10 @@ object UpsertStore {
     read(spark, path) match {
       case None => commitBase(spark, path, delta, keys)
       case Some(base) =>
-        upsert(spark, path, delta.join(base.select(keys.map(col): _*), keys, "left_anti"),
-          keys, assumeKeyUnique = true)
+        val fresh = delta.join(base.select(keys.map(col): _*), keys, "left_anti")
+          .localCheckpoint() // materialize once: emptiness check + write
+        if (!fresh.isEmpty) upsert(spark, path, fresh, keys, assumeKeyUnique = true)
+        // all keys already present: no empty delta dir, no version churn
     }
   }
 
@@ -288,16 +290,24 @@ trait UpsertSink extends Serializable {
   def update(df: DataFrame): Unit
   def delete(df: DataFrame): Unit
   def read(spark: SparkSession): DataFrame
+
+  /** Upsert with optimization hints from a streaming caller: the batch
+    * is key-unique by construction and `txnId` identifies the
+    * micro-batch for transactional replay skipping. Default ignores
+    * the hints (plain upsert — always correct); implementations that
+    * can exploit them (dedup-shuffle skip, commit-ledger idempotence)
+    * should override, so foreachBatch callers need no instanceof
+    * special-casing per sink. */
+  def upsertUnique(df: DataFrame, txnId: Option[Long] = None): Unit = upsert(df)
 }
 
 /** Local keyed-parquet implementation (tests / single-node). */
 final class ParquetUpsertSink(spark: SparkSession, path: String, val keys: Seq[String])
     extends UpsertSink {
-  /** Upsert skipping the within-batch dedup shuffle — callers that emit
-    * keyed-aggregation output (one row per key by construction). Pass
-    * the foreachBatch batchId as `txnId` for transactional replay
-    * skipping (see [[UpsertStore.upsert]]). */
-  def upsertUnique(df: DataFrame, txnId: Option[Long] = None): Unit =
+  /** Exploits both hints: skips the within-batch dedup shuffle and
+    * records `txnId` in the manifest for transactional replay skipping
+    * (see [[UpsertStore.upsert]]). */
+  override def upsertUnique(df: DataFrame, txnId: Option[Long] = None): Unit =
     UpsertStore.upsert(spark, path, df, keys, assumeKeyUnique = true, txnId = txnId)
   override def insert(df: DataFrame): Unit       = UpsertStore.insert(spark, path, df, keys)
   override def insertIgnore(df: DataFrame): Unit = UpsertStore.insertIgnore(spark, path, df, keys)

@@ -183,6 +183,25 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally rec.detach(spark)
   }
 
+  test("streaming near-dup replay: a re-processed batch re-emits its docs, never drops them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-replay").toString
+    val nd = new StreamingNearDup(spark, s"$dir/bands", s"$dir/sigs", tau = 0.6)
+    def batch(docs: (Long, Long, String)*) =
+      docs.map { case (id, t, tx) => StreamingOpsSpec.Doc(id, new Timestamp(t), tx) }
+        .toDF("doc_id", "ts", "text")
+    def keptIds(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    val b1 = Seq((1L, 1000L, textA), (2L, 2000L, textB))
+    assert(keptIds(nd.dedupeBatch(batch(b1: _*))) == Set(1L, 2L))
+    // foreachBatch is at-least-once: the index already holds these docs
+    // (committed before the caller's output write) — a replayed batch
+    // must not drop them against their own entries
+    assert(keptIds(nd.dedupeBatch(batch(b1: _*))) == Set(1L, 2L),
+      "replayed batch lost documents against its own index entries")
+    // while a genuinely new near-dup in a later batch is still dropped
+    assert(keptIds(nd.dedupeBatch(batch((3L, 3000L, textA2)))) == Set.empty)
+  }
+
   test("streaming near-dup wiring: foreachBatch query writes only survivors") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-neardup-q").toString
