@@ -44,7 +44,7 @@ object TrendingTokens {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
           if (!batch.isEmpty) {
@@ -56,7 +56,8 @@ object TrendingTokens {
               .withColumn("rk", row_number().over(w).cast("long"))
               .filter(col("rk") <= k)
               .select("window_start", "rk", "token", "n")
-            sink.upsert(topk)
+            // key-unique by construction; batchId for replay skipping
+            sink.upsertUnique(topk, txnId = Some(batchId))
           }
         } finally batch.unpersist()
       }
