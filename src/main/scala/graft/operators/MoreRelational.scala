@@ -405,9 +405,71 @@ object MoreRelational {
       .orderBy(col("grp").asc_nulls_first)
   }
 
+  /** FULL OUTER join with unmatched sides surfaced: parts vs the set
+    * of parts actually ordered in 1995 — COALESCE over the join keys,
+    * per-side null accounting. Completes the outer-join surface (inner
+    * /semi/anti/broadcast/band/range/as-of are declared elsewhere). */
+  val q73OuterJoins: QueryDef = sql(
+    "q73_outer_joins",
+    """WITH ordered AS (
+      |  SELECT l_partkey, COUNT(*) AS n_lines
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE year(o_orderdate) = 1995
+      |  GROUP BY l_partkey)
+      |SELECT COALESCE(p_partkey, l_partkey) AS partkey,
+      |       CAST(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END AS BIGINT) AS only_ordered,
+      |       CAST(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END AS BIGINT) AS never_ordered_95,
+      |       CAST(COALESCE(n_lines, 0) AS BIGINT) AS n_lines
+      |FROM part FULL OUTER JOIN ordered ON p_partkey = l_partkey
+      |ORDER BY partkey""".stripMargin) { (s, d) =>
+    val ordered = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(year(col("o_orderdate")) === 1995)
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_lines"))
+    Tables.part(s, d)
+      .join(ordered, col("p_partkey") === col("l_partkey"), "full_outer")
+      .select(
+        coalesce(col("p_partkey"), col("l_partkey")).as("partkey"),
+        when(col("p_partkey").isNull, 1L).otherwise(0L).as("only_ordered"),
+        when(col("l_partkey").isNull, 1L).otherwise(0L).as("never_ordered_95"),
+        coalesce(col("n_lines"), lit(0L)).cast("long").as("n_lines"))
+      .orderBy("partkey")
+  }
+
+  /** EXISTS / NOT EXISTS correlated subqueries via the SQL entry point
+    * (the IN-subquery and join-rewrite forms are declared separately —
+    * this pins the EXISTS syntax path through the analyzer). */
+  val q74ExistsSubqueries: QueryDef = sql(
+    "q74_exists_subqueries",
+    """SELECT c_mktsegment,
+      |       CAST(SUM(CASE WHEN EXISTS (
+      |              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                AND o_totalprice > 400000) THEN 1 ELSE 0 END) AS BIGINT) AS big_spenders,
+      |       CAST(SUM(CASE WHEN NOT EXISTS (
+      |              SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS no_orders
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_mktsegment,
+        |       CAST(SUM(CASE WHEN EXISTS (
+        |              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                AND o_totalprice > 400000) THEN 1 ELSE 0 END) AS BIGINT) AS big_spenders,
+        |       CAST(SUM(CASE WHEN NOT EXISTS (
+        |              SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS no_orders
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q23Cube, q24MinBy, q25ArrayFuncs, q26SaltedAgg, q27SqlEntry,
     q28CorrelatedSubquery, q29MultisetOps, q33Percentiles, q34Histogram,
     q35Levenshtein, q37PercentilesApprox, q66WindowExtras, q67DecimalMoney,
-    q68DateArithmetic, q69GroupingSets, q72NullSemantics)
+    q68DateArithmetic, q69GroupingSets, q72NullSemantics, q73OuterJoins,
+    q74ExistsSubqueries)
 }
