@@ -23,20 +23,31 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sources.kafkaStream(spark, "b:9092", Seq.empty))
   }
 
-  test("file-format coverage: events roundtrip parquet -> json -> csv") {
+  test("file-format coverage: events roundtrip parquet -> json -> csv -> orc -> text") {
     val dir = Files.createTempDirectory("graft-formats").toString
     val events = graft.Tables.events(spark, SharedSpark.sf0001)
       .select($"event_id", $"user_id", $"event_type", $"value")
     events.write.json(s"$dir/json")
     events.write.option("header", "true").csv(s"$dir/csv")
+    events.write.orc(s"$dir/orc")
     val fromJson = spark.read.json(s"$dir/json")
     val fromCsv = spark.read.option("header", "true")
       .option("inferSchema", "true").csv(s"$dir/csv")
+    val fromOrc = spark.read.orc(s"$dir/orc")
     assert(fromJson.count() == events.count())
     assert(fromCsv.count() == events.count())
     val sumP = events.agg(org.apache.spark.sql.functions.sum("value")).head().getDouble(0)
     val sumJ = fromJson.agg(org.apache.spark.sql.functions.sum("value")).head().getDouble(0)
     assert(math.abs(sumP - sumJ) < 1e-6)
+    // ORC preserves types exactly (no inference round-trip)
+    assert(fromOrc.schema == events.schema)
+    val sumO = fromOrc.agg(org.apache.spark.sql.functions.sum("value")).head().getDouble(0)
+    assert(sumO == sumP)
+    // line-oriented text source (the raw-ingest entry point)
+    events.select(org.apache.spark.sql.functions
+      .concat_ws(",", $"event_id", $"event_type").as("value"))
+      .write.text(s"$dir/text")
+    assert(spark.read.text(s"$dir/text").count() == events.count())
   }
 
   test("multi-sink fan-out: one batch, N sinks, no divergence") {
