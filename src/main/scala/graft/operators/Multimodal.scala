@@ -153,5 +153,53 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  val all: Seq[QueryDef] = Seq(q54Multimodal, q65MultimodalFrames)
+  /** Resize / downsample a decoded feature vector by average-pooling
+    * adjacent pairs (the 2× spatial-resize analogue on histogram
+    * features) — pure higher-order array math, usable on any
+    * array<float|double> feature column. */
+  def poolFeature(feature: org.apache.spark.sql.Column, factor: Int = 2): org.apache.spark.sql.Column =
+    transform(
+      sequence(lit(0), (size(feature) / factor).cast("int") - 1),
+      i => {
+        val window = transform(sequence(lit(0), lit(factor - 1)),
+          j => element_at(feature, (i * factor + j + 1).cast("int")))
+        aggregate(window, lit(0.0d), (a, x) => a + x.cast("double")) / factor
+      })
+
+  /** Declared resize query: decode → 16-bin feature → 2× average-pool
+    * → dominant coarse bin. The oracle recomputes the pooled histogram
+    * from the payload in SQL, pinning the pooling arithmetic through
+    * the same end-to-end path as q54/q65. */
+  val q75MultimodalResize: QueryDef = QueryDef.sql(
+    "q75_multimodal_resize",
+    """WITH h AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n,
+      |         list_transform(range(0, 16),
+      |           b -> len(list_filter(split(text, ''), c -> ord(c) // 16 = b))) AS bins
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, n,
+      |         list_transform(range(0, 8),
+      |           b -> (CAST(bins[b * 2 + 1] AS DOUBLE) + bins[b * 2 + 2]) / (2.0 * n)) AS pooled
+      |  FROM h)
+      |SELECT doc_id,
+      |       CAST(8 AS BIGINT) AS pooled_dim,
+      |       CAST(list_position(pooled, list_max(pooled)) - 1 AS BIGINT) AS coarse_top_bin
+      |FROM p
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // argmax only: pooled masses are 1/(2n)-quantized (gaps ≫ float32
+    // noise) so the argmax is engine-stable, while the mass VALUE sits
+    // on exact .5 rounding boundaries where the stub's float32 math and
+    // the oracle's double math round apart
+    extractFeatures(assets(s, d), StubDecoder).toDF()
+      .withColumn("pooled", poolFeature(col("feature")))
+      .select(
+        col("doc_id"),
+        size(col("pooled")).cast("long").as("pooled_dim"),
+        (array_position(col("pooled"), array_max(col("pooled"))) - 1)
+          .cast("long").as("coarse_top_bin"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q54Multimodal, q65MultimodalFrames, q75MultimodalResize)
 }
