@@ -31,7 +31,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // B1: batch queries — warm-up (plan + codegen + page cache), then timed.
+    // B1: batch queries — warm-up (plan + codegen + page cache), then
+    // MEDIAN of 3 timed runs (single timed runs swing ±2× on page
+    // cache/GC; B2/B3 already take medians).
     // A failing query is NOT silently folded into the total: it is listed
     // in the "errors" key and the process exits non-zero, so a regression
     // can't hide behind a smaller (fewer-queries) total.
@@ -39,9 +41,12 @@ object Bench {
     val results = SparkEntry.allQueries.map { q =>
       val r = try {
         force(q.fn(spark, sfDir))
-        val t0 = System.nanoTime()
-        force(q.fn(spark, sfDir))
-        q.name -> (System.nanoTime() - t0) / 1e9
+        val runs = Seq.fill(3) {
+          val t0 = System.nanoTime()
+          force(q.fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        q.name -> runs(1)
       } catch {
         case e: Throwable =>
           errors += q.name

@@ -237,10 +237,12 @@ object Dedup {
     val r = chunks.select(col("chunk"), col("chunk_val"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     val cand = l.join(r, Seq("chunk", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
-      .distinct()
+      // hamming prefilter BEFORE the dedup shuffle: duplicate band
+      // collisions of far pairs are dropped map-side, so the distinct
+      // only shuffles (doc_a, doc_b) of plausible pairs
       .filter(expr("bit_count(sh_a ^ sh_b)") <= 16)
       .select("doc_a", "doc_b")
+      .distinct()
     verifyExact(cand, sh)
       .filter(col("jaccard") >= 0.6)
       .select("doc_a", "doc_b")

@@ -237,19 +237,25 @@ object Pipeline {
     * rows-only; the spec pins estimate ≥ true ≥ estimate − εN. */
   val q63TokenCms: QueryDef = rowsOnly("q63_token_cms") { (s, d) =>
     import s.implicits._
+    // One token explode, shared by the sketch pass and the exact top-20
+    // readout (the readout exists only to print the exact column; at
+    // scale it would be dropped, so it must not cost a second scan).
     val toks = Tables.documents(s, d)
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-    val sketchBytes = toks
-      .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)"))
-      .head().getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(sketchBytes))
-    val top = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
-      .orderBy(col("n_exact").desc, col("token")).limit(20)
-      .as[(String, Long)].collect()
-    top.toSeq.map { case (t, n) => (t, n, cms.estimateCount(t)) }
-      .toDF("token", "n_exact", "n_estimated")
-      .orderBy(col("n_exact").desc, col("token"))
+      .persist()
+    try {
+      val sketchBytes = toks
+        .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(sketchBytes))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(20)
+        .as[(String, Long)].collect()
+      top.toSeq.map { case (t, n) => (t, n, cms.estimateCount(t)) }
+        .toDF("token", "n_exact", "n_estimated")
+        .orderBy(col("n_exact").desc, col("token"))
+    } finally toks.unpersist(blocking = false)
   }
 
   /** Heuristic quality filter (the C4/Gopher-style rule stack): each
@@ -279,21 +285,31 @@ object Pipeline {
       |       ROUND(distinct_ratio, 4) AS distinct_ratio
       |FROM m
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val toks = TextAnalysis.tokens(col("text"))
-    val nTokens = size(toks)
-    val distinctRatio = size(array_distinct(toks)).cast("double") / nTokens
-    val stopwordRatio = size(filter(toks, t => t.isin("the", "a"))).cast("double") / nTokens
-    val avgTokenLen = length(expr("replace(text, ' ', '')")).cast("double") / nTokens
-    Tables.documents(s, d)
-      .select(
-        col("doc_id"),
-        when(nTokens < 10, "too_short")
-          .when(distinctRatio < 0.3, "low_diversity")
-          .when(stopwordRatio > 0.5, "stopword_heavy")
-          .when(avgTokenLen < 2.0 || avgTokenLen > 12.0, "token_len_outlier")
-          .otherwise("keep").as("verdict"),
-        nTokens.cast("long").as("n_tokens"),
-        round(distinctRatio, 4).as("distinct_ratio"))
+    // Materialize the token array ONCE in its own projection: inlining
+    // `split` into every rule re-evaluates the regex ~8×/row, and the
+    // higher-order lambdas defeat subexpression elimination. Catalyst's
+    // CollapseProject keeps the stage because `toks` is expensive and
+    // multiply-referenced.
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
+    val metrics = base.select(
+      col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+        .as("distinct_ratio"),
+      (size(filter(col("toks"), t => t.isin("the", "a"))).cast("double") / size(col("toks")))
+        .as("stopword_ratio"),
+      (length(expr("replace(text, ' ', '')")).cast("double") / size(col("toks")))
+        .as("avg_token_len"))
+    metrics.select(
+      col("doc_id"),
+      when(col("n_tokens") < 10, "too_short")
+        .when(col("distinct_ratio") < 0.3, "low_diversity")
+        .when(col("stopword_ratio") > 0.5, "stopword_heavy")
+        .when(col("avg_token_len") < 2.0 || col("avg_token_len") > 12.0, "token_len_outlier")
+        .otherwise("keep").as("verdict"),
+      col("n_tokens").cast("long").as("n_tokens"),
+      round(col("distinct_ratio"), 4).as("distinct_ratio"))
       .orderBy("doc_id")
   }
 
