@@ -28,6 +28,40 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Write `df` hive-partitioned on `partitionCol`: one directory per
+    * partition value. Queries filtering on the partition column — or
+    * joining it against a filtered dimension (dynamic partition
+    * pruning) — skip whole directories at PLANNING time, before a
+    * single byte is read. At 100 TB this is the single biggest scan
+    * lever a fact layout owns: a date-partitioned table turns "scan 7
+    * years" into "scan the queried month". Partition count is the
+    * design constraint — pick a key with enough cardinality to prune
+    * (days/months) but few enough directories that listing stays cheap
+    * (thousands, not millions; mirrors the reference's partitioned
+    * sink DDL, ddl/create_impala_kudu_table.sql:14). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write
+      .partitionBy(partitionCol)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+
+  /** Path of a month-partitioned copy of `orders` (`o_month=yyyy-MM`
+    * hive directories, ~80 partitions over the TPC-H date span).
+    * Written once per JVM per source dir — the layout cost is paid at
+    * write time, exactly once, like any warehouse fact table; queries
+    * and benchmarks then measure the pruned-read benefit. */
+  private val partitionedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def partitionedOrders(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    partitionedDirs.computeIfAbsent(sfDir, (_: String) => {
+      import org.apache.spark.sql.functions.{col, date_format}
+      val path = java.nio.file.Files.createTempDirectory("graft-orders-bymonth").toString
+      writePartitioned(
+        graft.Tables.orders(spark, sfDir)
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM")),
+        path, "o_month")
+      path
+    })
+
   /** Write `df` range-clustered on `sortCol`: range-partition so each
     * file owns a contiguous key range, sort within partitions so each
     * parquet ROW GROUP owns a contiguous sub-range. Point/range
