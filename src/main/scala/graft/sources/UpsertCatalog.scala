@@ -1,0 +1,185 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.streaming.UpsertStore
+
+/** DataSource V2 catalog over [[graft.streaming.UpsertStore]] — the
+  * catalog-visible face of the keyed upsert sink (SURVEY §2.1 S2's "V2
+  * `Table` registered in a catalog" mapping; the V1
+  * [[UpsertRelationProvider]] stays for `format("graft-upsert")` and
+  * temp-view SQL INSERT parity).
+  *
+  * Register:
+  * {{{
+  *   spark.sql.catalog.graft      = graft.sources.UpsertCatalog
+  *   spark.sql.catalog.graft.path = /warehouse/graft
+  * }}}
+  * then tables live at `<path>/<namespace...>/<name>` and the full V2
+  * surface works against the store:
+  *
+  *  - `df.writeTo("graft.t").tableProperty("keys", "k").create()` — CTAS
+  *  - `df.writeTo("graft.t").append()` — append ⇒ UPSERT (the Kudu
+  *    append-as-upsert contract, reference KafkaToKuduScala.scala:53-56)
+  *  - `INSERT INTO graft.t …` / `INSERT OVERWRITE graft.t …` — upsert /
+  *    atomic replace
+  *  - `spark.table("graft.t")`, `SELECT … FROM graft.t` — merged
+  *    last-writer-wins read-back
+  *  - `DROP TABLE graft.t`
+  *
+  * Read and write bridge through the stable V1 connector adapters
+  * ([[V1Scan]] / [[V1Write]], the same shape Spark's own JDBC V2
+  * connector uses): the store's commit protocol is driver-coordinated
+  * (delta append + atomic manifest swap), so the honest V2 integration
+  * delegates to that protocol rather than faking per-task commits it
+  * doesn't have. Distributed I/O still happens in the store's own
+  * DataFrame writes.
+  *
+  * Catalog metadata is one `_TABLE` sidecar per table (key columns +
+  * created schema). `loadTable` prefers the LIVE store schema once data
+  * exists, so additive schema evolution through any write path is
+  * immediately visible to catalog readers.
+  */
+class UpsertCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option spark.sql.catalog.$name.path"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs: FileSystem =
+    new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def dirOf(ident: Identifier): Path =
+    new Path((warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/"))
+  private def sidecar(ident: Identifier): Path = new Path(dirOf(ident), "_TABLE")
+
+  override def tableExists(ident: Identifier): Boolean = fs.exists(sidecar(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    if (!fs.exists(nsDir)) Array.empty
+    else fs.listStatus(nsDir).toSeq
+      .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, "_TABLE")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val (keys, createdSchema) = readSidecar(ident)
+    val path = dirOf(ident).toString
+    // live store schema wins once data exists (additive evolution)
+    val schema = UpsertStore.read(spark, path).map(_.schema).getOrElse(createdSchema)
+    new UpsertV2Table(ident.toString, path, keys, schema)
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft-upsert tables are keyed, not partitioned: use the 'keys' table property")
+    val keys = Option(properties.get("keys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-upsert tables require a 'keys' table property (comma-separated key columns)"))
+    val missing = keys.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty, s"key columns not in schema: ${missing.mkString(",")}")
+    fs.mkdirs(dirOf(ident))
+    writeSidecar(ident, keys, schema)
+    new UpsertV2Table(ident.toString, dirOf(ident).toString, keys, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-upsert schema evolves additively through writes; ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && fs.delete(dirOf(ident), true)
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    fs.mkdirs(dirOf(to).getParent)
+    fs.rename(dirOf(from), dirOf(to))
+  }
+
+  /** `_TABLE` sidecar: line 1 = comma-separated keys, rest = schema JSON. */
+  private def writeSidecar(ident: Identifier, keys: Seq[String], schema: StructType): Unit = {
+    val out = fs.create(sidecar(ident), true)
+    try out.write(s"${keys.mkString(",")}\n${schema.json}".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readSidecar(ident: Identifier): (Seq[String], StructType) = {
+    val p = sidecar(ident)
+    val in = fs.open(p)
+    val text = try {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(0, buf)
+      new String(buf, "UTF-8")
+    } finally in.close()
+    val (keysLine, schemaJson) = text.span(_ != '\n')
+    (keysLine.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      DataType.fromJson(schemaJson.trim).asInstanceOf[StructType])
+  }
+}
+
+/** The V2 `Table`: batch read via [[V1Scan]] (merged last-writer-wins
+  * snapshot), batch write via [[V1Write]] (append ⇒ upsert; truncate ⇒
+  * atomic replace). */
+class UpsertV2Table(tableName: String, path: String, keys: Seq[String], tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def properties(): util.Map[String, String] =
+    Map("keys" -> keys.mkString(","), "path" -> path).asJava
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
+          UpsertRelation(ctx.sparkSession, path, keys, Some(tableSchema)).asInstanceOf[T]
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+          override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+            val s = data.sparkSession
+            if (doTruncate || overwrite) UpsertStore.replace(s, path, data, keys)
+            else UpsertStore.upsert(s, path, data, keys)
+          }
+        }
+      }
+    }
+}
