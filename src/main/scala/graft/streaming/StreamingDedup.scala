@@ -34,13 +34,21 @@ object StreamingDedup {
   * banding probed against a persistent band index.
   *
   * Within a batch, docs that band-collide with an earlier (smaller
-  * doc_id) doc and agree on ≥ tau of their MinHash signature are
-  * dropped; survivors are checked the same way against the index of
-  * previously-kept docs, then added to it. Decisions use the MinHash
-  * ESTIMATE (k=32 ⇒ stderr ≈ 0.09 at tau=0.6) — the streaming-budget
-  * tradeoff vs the batch pipeline's exact verify
-  * ([[graft.operators.Dedup.nearDupPipeline]]), which remains the
-  * ground truth for backfills.
+  * doc_id) doc and match at ≥ tau are dropped; survivors are checked
+  * the same way against the index of previously-kept docs, then added
+  * to it. Two decision modes:
+  *
+  *  - `exactVerify = false` (default): the MinHash ESTIMATE decides
+  *    (k=32 ⇒ stderr ≈ 0.09 at tau=0.6) — the smallest state
+  *    footprint; the batch pipeline remains ground truth for backfills.
+  *  - `exactVerify = true`: band candidates are verified by EXACT
+  *    Jaccard over shingle sets, the same discipline as
+  *    [[graft.operators.Dedup.nearDupPipeline]] — streaming decisions
+  *    then EQUAL the batch pipeline's on the same corpus (spec-pinned).
+  *    Costs: shingle arrays ride along in the signature store (state
+  *    per kept doc grows from k longs to k longs + the shingle set) and
+  *    candidate pairs join them at verify time. Choose per table;
+  *    a store written in one mode must be probed in the same mode.
   *
   * Built on `foreachBatch` + [[UpsertStore]] rather than a second
   * stateful operator so the band index shares the sink's atomic-commit
@@ -61,13 +69,23 @@ object StreamingDedup {
 final class StreamingNearDup(
     spark: SparkSession, bandsPath: String, sigsPath: String,
     tau: Double = 0.6, retentionMs: Long = 3600L * 1000,
-    k: Int = 32, bands: Int = 16, pruneEvery: Int = 8) extends Serializable {
+    k: Int = 32, bands: Int = 16, pruneEvery: Int = 8,
+    exactVerify: Boolean = false) extends Serializable {
   private val rows = k / bands
   private var batchCount = 0L
 
   private def est(sigA: String, sigB: String) =
     expr(s"aggregate(zip_with($sigA, $sigB, (x, y) -> IF(x = y, 1, 0)), 0, " +
       s"(acc, v) -> acc + v) / CAST($k AS DOUBLE)")
+
+  private def exactJac(shA: String, shB: String) =
+    size(array_intersect(col(shA), col(shB))).cast("double") /
+      size(array_union(col(shA), col(shB))).cast("double")
+
+  /** Columns persisted per kept doc (exact mode adds the shingle set). */
+  private def sigCols: Seq[String] =
+    if (exactVerify) Seq("doc_id", "sig", "shingles", "ts_ms")
+    else Seq("doc_id", "sig", "ts_ms")
 
   private def banded(sigs: DataFrame): DataFrame =
     sigs.select(
@@ -83,21 +101,31 @@ final class StreamingNearDup(
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), (col("ts").cast("double") * 1000).cast("long").as("ts_ms"),
         col("shingles"))
-    val sigs = sh.select(col("doc_id"), col("ts_ms"),
-      TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"))
+    val sigs = sh.select(
+      Seq(col("doc_id"), col("ts_ms"),
+        TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig")) ++
+        (if (exactVerify) Seq(col("shingles")) else Nil): _*)
       .persist()
     val b = banded(sigs)
 
     // 1. within-batch: drop docs near-dup of an earlier doc in the batch
-    val inBatch = b.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val inBatchCand = b.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
       .join(b.select(col("band"), col("band_hash"), col("doc_id").as("doc_b")),
         Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .filter(est("sig_a", "sig_b") >= tau)
-      .select(col("doc_b").as("doc_id")).distinct()
+    val inBatch = (
+      if (exactVerify)
+        inBatchCand
+          .join(sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+          .filter(exactJac("sh_a", "sh_b") >= tau)
+      else
+        inBatchCand
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+          .filter(est("sig_a", "sig_b") >= tau)
+      ).select(col("doc_b").as("doc_id")).distinct()
 
     // 2. vs the index of previously-kept docs. The doc_id =!= rep_id
     // guard makes a REPLAYED batch (foreachBatch is at-least-once, and
@@ -107,15 +135,22 @@ final class StreamingNearDup(
     // same defensive path (a crash can leave one store a step behind).
     val vsIndex = (UpsertStore.read(spark, bandsPath), UpsertStore.read(spark, sigsPath)) match {
       case (Some(idx), Some(sigStore)) =>
-        val repSigs = sigStore.select(col("doc_id").as("rep_id"), col("sig").as("rep_sig"))
-        b.join(idx.select(col("band"), col("band_hash"), col("doc_id").as("rep_id")),
+        val cand = b.join(idx.select(col("band"), col("band_hash"), col("doc_id").as("rep_id")),
             Seq("band", "band_hash"))
           .filter(col("doc_id") =!= col("rep_id"))
           .select("doc_id", "rep_id").distinct()
-          .join(sigs.select(col("doc_id"), col("sig")), "doc_id")
-          .join(repSigs, "rep_id")
-          .filter(est("sig", "rep_sig") >= tau)
-          .select("doc_id").distinct()
+        (if (exactVerify)
+          cand
+            .join(sigs.select(col("doc_id"), col("shingles")), "doc_id")
+            .join(sigStore.select(col("doc_id").as("rep_id"),
+              col("shingles").as("rep_shingles")), "rep_id")
+            .filter(exactJac("shingles", "rep_shingles") >= tau)
+        else
+          cand
+            .join(sigs.select(col("doc_id"), col("sig")), "doc_id")
+            .join(sigStore.select(col("doc_id").as("rep_id"), col("sig").as("rep_sig")), "rep_id")
+            .filter(est("sig", "rep_sig") >= tau)
+          ).select("doc_id").distinct()
       case _ => inBatch.limit(0)
     }
 
@@ -132,7 +167,7 @@ final class StreamingNearDup(
     // bands referencing missing signatures
     val keptSigs = sigs.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()
     UpsertStore.insertIgnore(spark, sigsPath,
-      keptSigs.select("doc_id", "sig", "ts_ms"), Seq("doc_id"))
+      keptSigs.select(sigCols.map(col): _*), Seq("doc_id"))
     UpsertStore.insertIgnore(spark, bandsPath,
       banded(keptSigs).select("band", "band_hash", "doc_id", "ts_ms"),
       Seq("band", "band_hash"))

@@ -202,6 +202,43 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(keptIds(nd.dedupeBatch(batch((3L, 3000L, textA2)))) == Set.empty)
   }
 
+  test("streaming near-dup exact-verify: decisions equal the batch pipeline on a replayed corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-exact").toString
+    val nd = new StreamingNearDup(spark, s"$dir/bands", s"$dir/sigs",
+      tau = 0.6, exactVerify = true)
+    // corpus: an exact-dup pair split across batches, a near-dup family
+    // spread over three batches, and distinct docs
+    val corpus = Seq(
+      (1L, 1000L, textA), (2L, 2000L, textB), (3L, 2500L, textA), // 3 = exact dup of 1
+      (4L, 5000L, textA2), (5L, 6000L, textC),                    // 4 = near-dup of 1
+      (6L, 9000L, textA3), (7L, 9500L, textD), (8L, 9900L, textB) // 6 near-dup, 8 exact dup
+    )
+    def batch(docs: Seq[(Long, Long, String)]) =
+      docs.map { case (id, t, tx) => StreamingOpsSpec.Doc(id, new Timestamp(t), tx) }
+        .toDF("doc_id", "ts", "text")
+    val streamingKept = Seq(corpus.take(3), corpus.slice(3, 5), corpus.drop(5))
+      .flatMap(b => nd.dedupeBatch(batch(b)).select("doc_id").as[Long].collect()).toSet
+
+    // ground truth: exact collapse + the batch pipeline's verified
+    // near-dup pairs, replayed greedily in doc_id order (keep unless
+    // near-dup of an already-kept doc) — the same decision rule the
+    // stream applies, computed from the oracle-checked batch op
+    val staticDf = batch(corpus).select("doc_id", "text")
+    val exactKeep = corpus.groupBy(_._3).map { case (_, g) => g.map(_._1).min }.toSet
+    val pairs = graft.operators.Dedup.nearDupPipeline(staticDf, tau = 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = corpus.map(_._1).sorted.foldLeft(Set.empty[Long]) { (kept, id) =>
+      val nearDupOfKept = pairs.exists { case (a, b) => b == id && kept(a) }
+      if (exactKeep(id) && !nearDupOfKept) kept + id else kept
+    }
+    assert(streamingKept == expected,
+      s"streaming=$streamingKept batch-ground-truth=$expected")
+    // and the signature store carries the shingle sets that made the
+    // exact decisions possible
+    val sigCols = UpsertStore.read(spark, s"$dir/sigs").get.columns.toSeq
+    assert(sigCols.contains("shingles"), s"exact mode must persist shingles: $sigCols")
+  }
+
   test("streaming near-dup wiring: foreachBatch query writes only survivors") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-neardup-q").toString
