@@ -87,13 +87,59 @@ object Bench {
   }
 }
 
+/** Streaming scale probe (SCALING.md): B2/B3 at 10× key cardinality
+  * and batch/table size vs the bench baseline — the streaming analogue
+  * of `graft.ScaleProbe`. Reports THROUGHPUT ratios (base rps / 10×
+  * rps, so ≤ 1 means the bigger load runs at least as fast per row;
+  * ≫ 2 flags a fixed-cost or state-size nonlinearity).
+  *
+  * Usage: `sbt "runMain graft.StreamingScaleProbe"`.
+  */
+object StreamingScaleProbe {
+  private def median3(run: => Double): Double = Seq.fill(3)(run).sorted.apply(1)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-streaming-scale-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // B2: 10× rows/batch AND 10× key cardinality (state width × 10).
+    // Fewer batches at 10× keep the probe bounded; steady-state rps is
+    // per-batch so the comparison stays fair.
+    val b2Base = median3(BenchStreaming.run(spark, rowsPerBatch = 200000, batches = 12, keyCard = 100))
+    val b2Big = median3(BenchStreaming.run(spark, rowsPerBatch = 2000000, batches = 6, keyCard = 1000))
+    System.err.println(f"[sscale] B2 base=${b2Base}%.0f rps 10x=${b2Big}%.0f rps ratio=${b2Base / b2Big}%.2f")
+
+    // B3: 10× keyed-table size (1 M fresh keys + 500 k overwrites)
+    val b3Base = median3(BenchStreaming.upsertBench(spark, keys = 100000))
+    val b3Big = median3(BenchStreaming.upsertBench(spark, keys = 1000000))
+    System.err.println(f"[sscale] B3 base=${b3Base}%.0f rps 10x=${b3Big}%.0f rps ratio=${b3Base / b3Big}%.2f")
+
+    println(s"""{"metric":"streaming_scale_probe",""" +
+      s""""b2_base_rps":$b2Base,"b2_10x_rps":$b2Big,"b2_ratio":${b2Base / b2Big},""" +
+      s""""b3_base_rps":$b3Base,"b3_10x_rps":$b3Big,"b3_ratio":${b3Base / b3Big}}""")
+    spark.stop()
+  }
+}
+
 object BenchStreaming {
   import org.apache.spark.sql.functions._
   import graft.streaming.{ParquetUpsertSink, TrafficPipeline}
 
   /** Rows/s through parse → window agg → upsert, rate-micro-batch
-    * source (deterministic batch sizes, no wall-clock pacing). */
-  def run(spark: SparkSession, rowsPerBatch: Int, batches: Int): Double = {
+    * source (deterministic batch sizes, no wall-clock pacing).
+    * `keyCard` is the distinct-key cardinality of the generated stream
+    * (the streaming agg's state width scales with window/slide ×
+    * keyCard). */
+  def run(spark: SparkSession, rowsPerBatch: Int, batches: Int,
+          keyCard: Int = 100): Double = {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
     val sink = new ParquetUpsertSink(spark, s"$dir/sink", Seq("as_of_time"))
     val src = spark.readStream
@@ -104,7 +150,7 @@ object BenchStreaming {
       .load()
       .select(concat(
         (unix_timestamp(col("timestamp")) * 1000).cast("string"),
-        lit(","), pmod(col("value"), lit(100)).cast("string")).as("value"))
+        lit(","), pmod(col("value"), lit(keyCard)).cast("string")).as("value"))
     val warmup = 3
     val deadline = System.nanoTime() + 300L * 1000000000L
     // the streaming agg's state is a handful of window buckets: 32
