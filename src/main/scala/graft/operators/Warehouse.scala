@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -87,5 +88,81 @@ object Warehouse {
       .orderBy("o_orderpriority")
   }
 
-  val all: Seq[QueryDef] = Seq(q76PartitionedDpp, q77PartitionPruneStatic)
+  /** Keyed-upsert round-trip through the DSv2 catalog, oracle-checked:
+    * batch 1 = per-customer order stats for 1992-1995 (CTAS), batch 2 =
+    * the SAME stats for 1996+ upserted over it (append ⇒ upsert,
+    * full-row last-writer-wins). The read-back equals "batch-2 row when
+    * the customer ordered in 1996+, else batch-1 row" — which DuckDB
+    * replays over the raw orders, so the driver gate checks the store's
+    * merge semantics AND the catalog write/read paths end-to-end. */
+  val q78UpsertRoundtrip: QueryDef = sql(
+    "q78_upsert_roundtrip",
+    """WITH b1 AS (
+      |  SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+      |         ROUND(SUM(o_totalprice), 2) AS total
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1),
+      |b2 AS (
+      |  SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+      |         ROUND(SUM(o_totalprice), 2) AS total
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' GROUP BY 1)
+      |SELECT custkey, n_orders, total FROM b2
+      |UNION ALL
+      |SELECT custkey, n_orders, total FROM b1
+      |WHERE custkey NOT IN (SELECT custkey FROM b2)
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    if (!s.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.UpsertCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.path",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+    }
+    def stats(pred: Column) = Tables.orders(s, d)
+      .filter(pred)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+    val cut = lit("1996-01-01").cast("timestamp")
+    s.sql("DROP TABLE IF EXISTS graft.q78_state")
+    stats(col("o_orderdate") < cut)
+      .writeTo("graft.q78_state").tableProperty("keys", "custkey").create()
+    stats(col("o_orderdate") >= cut)
+      .writeTo("graft.q78_state").append()
+    s.table("graft.q78_state").orderBy("custkey")
+  }
+
+  /** Bucketed co-located join, oracle-checked: orders and customer are
+    * written `bucketBy(custkey)` ONCE per source dir, then joined from
+    * the catalog. The no-shuffle plan property is pinned by
+    * BucketingSpec; this query puts the bucketed COPIES' faithfulness
+    * under the driver's hash gate (a mis-bucketed or dropped row would
+    * mismatch the plain-parquet oracle). */
+  val q79BucketedJoin: QueryDef = sql(
+    "q79_bucketed_join",
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |       ROUND(SUM(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val (ordersTbl, custTbl) = Warehouse.bucketedPair(s, d)
+    s.table(ordersTbl)
+      .join(s.table(custTbl), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Bucketed (orders, customer) catalog tables for `sfDir`, written
+    * once per JVM per source dir (the pay-at-write layout contract —
+    * recurring joins then read co-located buckets). */
+  private val bucketedTables = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedPair(s: org.apache.spark.sql.SparkSession, sfDir: String): (String, String) =
+    bucketedTables.computeIfAbsent(sfDir, (_: String) => {
+      val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
+      val o = s"orders_bkt_$suffix"; val c = s"customer_bkt_$suffix"
+      Layout.writeBucketed(Tables.orders(s, sfDir), o, 8, "o_custkey")
+      Layout.writeBucketed(Tables.customer(s, sfDir), c, 8, "c_custkey")
+      (o, c)
+    })
+
+  val all: Seq[QueryDef] = Seq(
+    q76PartitionedDpp, q77PartitionPruneStatic, q78UpsertRoundtrip, q79BucketedJoin)
 }
