@@ -354,8 +354,89 @@ object Pipeline {
     stacked.orderBy("col_name")
   }
 
+  /** The composed end-to-end prep pipeline — normalize → quality
+    * filter → exact dedup → deterministic split → context-window
+    * packing — as ONE oracle-checked query. This is the DAG a training
+    * corpus actually runs; composing it proves the stages agree on
+    * their interfaces (normalized text feeds the filter AND the dedup
+    * hash; survivors feed the split; packing runs per split). Every
+    * stage is per-row or windowed-by-declared-key, so the whole
+    * composition has exactly two shuffles at any scale: the dedup
+    * group-by and the per-split packing window. */
+  val q80PrepPipeline: QueryDef = sql(
+    "q80_prep_pipeline",
+    """WITH clean AS (
+      |  SELECT doc_id,
+      |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                             ' +', ' ', 'g')) AS ctext
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, ctext,
+      |         len(string_split(ctext, ' ')) AS n_tokens,
+      |         CAST(len(list_distinct(string_split(ctext, ' '))) AS DOUBLE)
+      |           / len(string_split(ctext, ' ')) AS distinct_ratio,
+      |         CAST(len(list_filter(string_split(ctext, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+      |           / len(string_split(ctext, ' ')) AS stopword_ratio,
+      |         CAST(LENGTH(replace(ctext, ' ', '')) AS DOUBLE)
+      |           / len(string_split(ctext, ' ')) AS avg_token_len
+      |  FROM clean),
+      |kept AS (
+      |  SELECT doc_id, ctext, n_tokens FROM m
+      |  WHERE n_tokens >= 10 AND distinct_ratio >= 0.3 AND stopword_ratio <= 0.5
+      |    AND avg_token_len >= 2.0 AND avg_token_len <= 12.0),
+      |deduped AS (
+      |  SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+      |  FROM kept GROUP BY ctext),
+      |split_assigned AS (
+      |  SELECT doc_id, n_tokens,
+      |         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+      |              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM deduped)
+      |SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+      |              PARTITION BY split ORDER BY doc_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 400.0)
+      |            AS BIGINT) AS bin
+      |FROM split_assigned
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // one projection materializes the normalized text, a second the
+    // token array, so neither is recomputed per metric (the q70 lesson)
+    val cleaned = Tables.documents(s, d).select(
+      col("doc_id"),
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")).as("ctext"))
+    val toked = cleaned.select(col("doc_id"), col("ctext"), split(col("ctext"), " ").as("toks"))
+    val metrics = toked.select(
+      col("doc_id"), col("ctext"),
+      size(col("toks")).as("n_tokens"),
+      (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+        .as("distinct_ratio"),
+      (size(filter(col("toks"), t => t.isin("the", "a"))).cast("double") / size(col("toks")))
+        .as("stopword_ratio"),
+      (length(regexp_replace(col("ctext"), " ", "")).cast("double") / size(col("toks")))
+        .as("avg_token_len"))
+    val kept = metrics.filter(
+      col("n_tokens") >= 10 && col("distinct_ratio") >= 0.3 &&
+        col("stopword_ratio") <= 0.5 &&
+        col("avg_token_len").between(2.0, 12.0))
+    val deduped = kept.groupBy("ctext")
+      .agg(min("doc_id").as("doc_id"), min("n_tokens").as("n_tokens"))
+    val b = bucket100(col("doc_id"))
+    val assigned = deduped.select(
+      col("doc_id"), col("n_tokens"),
+      when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+    val w = Window.partitionBy("split").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    assigned.select(
+      col("doc_id"), col("split"),
+      col("n_tokens").cast("long").as("n_tokens"),
+      floor(coalesce(sum("n_tokens").over(w), lit(0)) / 400.0).as("bin"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q57TextNormalize, q58PiiRedact, q59DatasetSplit, q60TokenPacking,
     q61ContaminationCheck, q62EmbeddingQuantize, q63TokenCms, q64StratifiedSample,
-    q70QualityFilter, q71TableProfile)
+    q70QualityFilter, q71TableProfile, q80PrepPipeline)
 }
