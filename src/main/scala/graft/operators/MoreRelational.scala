@@ -104,6 +104,34 @@ object MoreRelational {
       .orderBy("user_id")
   }
 
+  /** Salted SKEWED JOIN: the fact side gets a deterministic salt in
+    * 0..S-1, the dim side is replicated S× with every salt value, and
+    * the join key becomes (key, salt) — a hot fact key's rows land on S
+    * reducers instead of one. This is the manual lever for the cases
+    * AQE's skew-join split cannot rewrite (e.g. when the join feeds an
+    * aggregation ON the join key, which pins both to one partitioning —
+    * the shape AqeSkewJoinSpec documents). Dim replication cost is S×
+    * |dim|, paid only for genuinely skewed non-broadcastable joins.
+    * Result is oracle-pinned to the plain join. */
+  val q81SaltedJoin: QueryDef = sql(
+    "q81_salted_join",
+    """SELECT s_nationkey, COUNT(*) AS n_items,
+      |       ROUND(SUM(l_extendedprice), 2) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+    val salts = 8
+    val fact = Tables.lineitem(s, d)
+      .withColumn("__salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+    val dim = Tables.supplier(s, d)
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    fact.join(dim,
+        fact("l_suppkey") === dim("s_suppkey") && fact("__salt") === dim("__salt"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
   /** SQL-text entry point (the reference drove everything through
     * `spark.sql`, KafkaToKuduScala.scala:39-45): tables registered as
     * temp views, the SAME SQL text runs on Spark and as the DuckDB
@@ -471,5 +499,5 @@ object MoreRelational {
     q28CorrelatedSubquery, q29MultisetOps, q33Percentiles, q34Histogram,
     q35Levenshtein, q37PercentilesApprox, q66WindowExtras, q67DecimalMoney,
     q68DateArithmetic, q69GroupingSets, q72NullSemantics, q73OuterJoins,
-    q74ExistsSubqueries)
+    q74ExistsSubqueries, q81SaltedJoin)
 }
