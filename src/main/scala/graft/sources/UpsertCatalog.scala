@@ -93,6 +93,18 @@ class UpsertCatalog extends TableCatalog {
     new UpsertV2Table(ident.toString, path, keys, schema)
   }
 
+  /** `SELECT … FROM graft.t VERSION AS OF n` — a read-only snapshot at
+    * commit n (readable history spans back to the previous compaction
+    * base; see [[UpsertStore.versions]]). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val (keys, _) = readSidecar(ident)
+    val path = dirOf(ident).toString
+    val v = version.trim.toLong
+    val schema = UpsertStore.readVersion(spark, path, v).schema
+    new UpsertV2Table(s"${ident.toString}@v$v", path, keys, schema, versionAsOf = Some(v))
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -146,9 +158,11 @@ class UpsertCatalog extends TableCatalog {
 }
 
 /** The V2 `Table`: batch read via [[V1Scan]] (merged last-writer-wins
-  * snapshot), batch write via [[V1Write]] (append ⇒ upsert; truncate ⇒
-  * atomic replace). */
-class UpsertV2Table(tableName: String, path: String, keys: Seq[String], tableSchema: StructType)
+  * snapshot, or the pinned commit when `versionAsOf` is set), batch
+  * write via [[V1Write]] (append ⇒ upsert; truncate ⇒ atomic replace;
+  * rejected on a version-pinned snapshot). */
+class UpsertV2Table(tableName: String, path: String, keys: Seq[String],
+                    tableSchema: StructType, versionAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
@@ -164,11 +178,13 @@ class UpsertV2Table(tableName: String, path: String, keys: Seq[String], tableSch
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = tableSchema
         override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
-          UpsertRelation(ctx.sparkSession, path, keys, Some(tableSchema)).asInstanceOf[T]
+          UpsertRelation(ctx.sparkSession, path, keys, Some(tableSchema), versionAsOf)
+            .asInstanceOf[T]
       }
     }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty, s"$tableName is a read-only snapshot (VERSION AS OF)")
     new WriteBuilder with SupportsTruncate {
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -182,4 +198,5 @@ class UpsertV2Table(tableName: String, path: String, keys: Seq[String], tableSch
         }
       }
     }
+  }
 }

@@ -41,13 +41,18 @@ class UpsertRelationProvider
     parameters.get("keys").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
 
+  private def versionOf(parameters: Map[String, String]): Option[Long] =
+    parameters.get("versionAsOf").map(_.trim.toLong)
+
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation =
-    UpsertRelation(ctx.sparkSession, pathOf(parameters), keysOf(parameters), None)
+    UpsertRelation(ctx.sparkSession, pathOf(parameters), keysOf(parameters), None,
+      versionOf(parameters))
 
   override def createRelation(
       ctx: SQLContext, parameters: Map[String, String], schema: StructType): BaseRelation =
-    UpsertRelation(ctx.sparkSession, pathOf(parameters), keysOf(parameters), Some(schema))
+    UpsertRelation(ctx.sparkSession, pathOf(parameters), keysOf(parameters), Some(schema),
+      versionOf(parameters))
 
   /** `df.write...save()` — append ⇒ upsert; overwrite ⇒ replace. */
   override def createRelation(
@@ -79,19 +84,22 @@ case class UpsertRelation(
     spark: SparkSession,
     path: String,
     keys: Seq[String],
-    providedSchema: Option[StructType])
+    providedSchema: Option[StructType],
+    versionAsOf: Option[Long] = None)
     extends BaseRelation with TableScan with InsertableRelation {
 
   override def sqlContext: SQLContext = spark.sqlContext
 
-  private def current: DataFrame =
-    UpsertStore.read(spark, path).getOrElse {
+  private def current: DataFrame = versionAsOf match {
+    case Some(v) => UpsertStore.readVersion(spark, path, v)
+    case None => UpsertStore.read(spark, path).getOrElse {
       providedSchema match {
         case Some(s) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
         case None => throw new IllegalStateException(
           s"graft-upsert at $path is empty and no schema was provided")
       }
     }
+  }
 
   override def schema: StructType = providedSchema.getOrElse(current.schema)
 
@@ -99,6 +107,7 @@ case class UpsertRelation(
 
   /** SQL `INSERT INTO <view> SELECT ...` → upsert (reference K3). */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(versionAsOf.isEmpty, "a versionAsOf snapshot is read-only")
     require(keys.nonEmpty, "graft-upsert INSERT requires option 'keys'")
     if (overwrite) UpsertStore.replace(spark, path, data, keys) // one atomic commit
     else UpsertStore.upsert(spark, path, data, keys)

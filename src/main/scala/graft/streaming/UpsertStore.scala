@@ -44,6 +44,7 @@ import org.apache.spark.sql.functions._
   */
 object UpsertStore {
   private val LatestFile = "_LATEST"
+  private val LogDir = "_log"
   /** Compact after this many live deltas (amortizes the full-merge cost
     * over that many micro-batches; read merges at most this many parts
     * on top of the base). */
@@ -55,27 +56,31 @@ object UpsertStore {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def parseManifest(text: String): Manifest = {
+    val fields = text.trim.split(';').map { kv =>
+      val Array(k, v) = kv.split("=", 2); k -> v
+    }.toMap
+    Manifest(
+      fields("seq").toLong,
+      fields("base") match { case "-" => None; case v => Some(v.toLong) },
+      fields("deltas") match { case "-" => Nil; case v => v.split(',').toSeq.map(_.toLong) },
+      fields("keys").split(',').toSeq,
+      fields.getOrElse("txn", "-1").toLong)
+  }
+
+  private def readFileText(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(0, buf)
+      new String(buf, "UTF-8")
+    } finally in.close()
+  }
+
   private def readManifest(spark: SparkSession, path: String): Option[Manifest] = {
     val f = fs(spark, path)
     val p = new Path(path, LatestFile)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val text = try {
-        val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-        in.readFully(0, buf)
-        new String(buf, "UTF-8").trim
-      } finally in.close()
-      val fields = text.split(';').map { kv =>
-        val Array(k, v) = kv.split("=", 2); k -> v
-      }.toMap
-      Some(Manifest(
-        fields("seq").toLong,
-        fields("base") match { case "-" => None; case v => Some(v.toLong) },
-        fields("deltas") match { case "-" => Nil; case v => v.split(',').toSeq.map(_.toLong) },
-        fields("keys").split(',').toSeq,
-        fields.getOrElse("txn", "-1").toLong))
-    }
+    if (!f.exists(p)) None else Some(parseManifest(readFileText(f, p)))
   }
 
   private def writeManifest(spark: SparkSession, path: String, m: Manifest): Unit = {
@@ -86,6 +91,14 @@ object UpsertStore {
       s"deltas=${if (m.deltas.isEmpty) "-" else m.deltas.mkString(",")}",
       s"keys=${m.keys.mkString(",")}",
       s"txn=${m.txn}").mkString(";")
+    // immutable per-commit manifest copy (the Delta-log pattern) BEFORE
+    // the pointer swap: the commit log is what makes snapshots
+    // addressable for time travel; an orphan log entry from a crashed
+    // commit is harmless (its seq never becomes _LATEST)
+    val logEntry = new Path(path, s"$LogDir/${m.seq}")
+    f.mkdirs(new Path(path, LogDir))
+    val lout = f.create(logEntry, true)
+    try lout.write(text.getBytes("UTF-8")) finally lout.close()
     val tmp = new Path(path, s"$LatestFile.tmp")
     val out = f.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
@@ -101,28 +114,73 @@ object UpsertStore {
   def latestVersion(spark: SparkSession, path: String): Option[Long] =
     readManifest(spark, path).map(_.seq)
 
+  private def mergeParts(spark: SparkSession, path: String, m: Manifest): DataFrame = {
+    val parts =
+      m.base.map(v => spark.read.parquet(s"$path/v=$v").withColumn("__seq", lit(v))).toSeq ++
+        m.deltas.map(v => spark.read.parquet(s"$path/d=$v").withColumn("__seq", lit(v)))
+    val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (m.deltas.isEmpty || parts.size == 1) all.drop("__seq")
+    else {
+      val cols = all.columns.filterNot(_ == "__seq")
+      val valueCols = cols.filterNot(m.keys.contains)
+      if (valueCols.isEmpty) all.select(cols.map(c => col(s"`$c`")): _*).distinct()
+      else {
+        val merged = all.groupBy(m.keys.map(k => col(s"`$k`")): _*)
+          .agg(max_by(struct(valueCols.map(c => col(s"`$c`")): _*), col("__seq")).as("__v"))
+        merged.select(cols.toIndexedSeq.map { c =>
+          if (m.keys.contains(c)) merged(s"`$c`") else col("__v").getField(c).as(c)
+        }: _*)
+      }
+    }
+  }
+
   /** Current table contents: base + deltas merged last-writer-wins
     * (highest commit seq per key; each part is already key-unique). */
   def read(spark: SparkSession, path: String): Option[DataFrame] =
-    readManifest(spark, path).map { m =>
-      val parts =
-        m.base.map(v => spark.read.parquet(s"$path/v=$v").withColumn("__seq", lit(v))).toSeq ++
-          m.deltas.map(v => spark.read.parquet(s"$path/d=$v").withColumn("__seq", lit(v)))
-      val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
-      if (m.deltas.isEmpty || parts.size == 1) all.drop("__seq")
-      else {
-        val cols = all.columns.filterNot(_ == "__seq")
-        val valueCols = cols.filterNot(m.keys.contains)
-        if (valueCols.isEmpty) all.select(cols.map(c => col(s"`$c`")): _*).distinct()
-        else {
-          val merged = all.groupBy(m.keys.map(k => col(s"`$k`")): _*)
-            .agg(max_by(struct(valueCols.map(c => col(s"`$c`")): _*), col("__seq")).as("__v"))
-          merged.select(cols.toIndexedSeq.map { c =>
-            if (m.keys.contains(c)) merged(s"`$c`") else col("__v").getField(c).as(c)
-          }: _*)
-        }
+    readManifest(spark, path).map(m => mergeParts(spark, path, m))
+
+  /** Committed snapshot ids, oldest first, with whether each is still
+    * READABLE (every data dir its manifest references still exists).
+    * Compaction GC retires dirs below the previous base, so readable
+    * history spans roughly the last two compaction windows — the same
+    * contract as Delta/Iceberg history after VACUUM. */
+  def versions(spark: SparkSession, path: String): Seq[(Long, Boolean)] = {
+    val f = fs(spark, path)
+    val logDir = new Path(path, LogDir)
+    if (!f.exists(logDir)) Seq.empty
+    else f.listStatus(logDir).toSeq
+      .flatMap(st => st.getPath.getName.toLongOption)
+      .sorted
+      .map { v =>
+        val m = parseManifest(readFileText(f, new Path(logDir, v.toString)))
+        val dirs = m.base.map(b => s"v=$b").toSeq ++ m.deltas.map(d => s"d=$d")
+        v -> dirs.forall(dir => f.exists(new Path(path, dir)))
       }
+  }
+
+  /** Time travel: the table AS OF commit `version` (`VERSION AS OF` /
+    * `option("versionAsOf", v)`). Fails loudly when the version was
+    * never committed or its data dirs have been compacted away. */
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val f = fs(spark, path)
+    val entry = new Path(path, s"$LogDir/$version")
+    if (!f.exists(entry)) {
+      val avail = versions(spark, path).filter(_._2).map(_._1)
+      throw new IllegalArgumentException(
+        s"version $version of $path was never committed; readable versions: " +
+          s"${avail.mkString("[", ",", "]")}")
     }
+    val m = parseManifest(readFileText(f, entry))
+    val missing = (m.base.map(b => s"v=$b").toSeq ++ m.deltas.map(d => s"d=$d"))
+      .filterNot(dir => f.exists(new Path(path, dir)))
+    if (missing.nonEmpty) {
+      val avail = versions(spark, path).filter(_._2).map(_._1)
+      throw new IllegalArgumentException(
+        s"version $version of $path has been compacted away (missing " +
+          s"${missing.mkString(",")}); readable versions: ${avail.mkString("[", ",", "]")}")
+    }
+    mergeParts(spark, path, m)
+  }
 
   /** Full-snapshot commit: write `next` as the new base, clear the
     * delta list, GC dirs older than the previous manifest's live set

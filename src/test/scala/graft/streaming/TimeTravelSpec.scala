@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Snapshot time travel on the upsert store: every commit writes an
+  * immutable manifest under `_log/` (the Delta-log pattern), so any
+  * still-live commit is addressable — via `UpsertStore.readVersion`,
+  * the V1 `option("versionAsOf", v)`, and SQL `VERSION AS OF` through
+  * the DSv2 catalog. Readable history spans back to the previous
+  * compaction base (compaction GC retires older dirs — the VACUUM
+  * contract), and asking for a retired version fails loudly with the
+  * readable set.
+  */
+class TimeTravelSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("readVersion reconstructs every pre-compaction commit; GC'd versions fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-timetravel").toString
+    def df(pairs: (Long, String)*) = pairs.toDF("k", "v")
+    // commits 0..2 (maxDeltas high: no compaction yet)
+    UpsertStore.upsert(spark, dir, df(1L -> "a", 2L -> "b"), Seq("k"))
+    UpsertStore.upsert(spark, dir, df(2L -> "B"), Seq("k"))
+    UpsertStore.upsert(spark, dir, df(3L -> "c"), Seq("k"))
+    def at(v: Long) = UpsertStore.readVersion(spark, dir, v)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at(0) == Map(1L -> "a", 2L -> "b"))
+    assert(at(1) == Map(1L -> "a", 2L -> "B"))
+    assert(at(2) == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // latest read matches the newest version
+    assert(UpsertStore.read(spark, dir).get
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap == at(2))
+    assert(UpsertStore.versions(spark, dir).collect { case (v, true) => v } == Seq(0L, 1L, 2L))
+
+    // force TWO compactions (maxDeltas = 1: every upsert compacts) —
+    // the second one GCs the dirs versions 0..2 referenced
+    UpsertStore.upsert(spark, dir, df(4L -> "d"), Seq("k"), maxDeltas = 1)
+    UpsertStore.upsert(spark, dir, df(5L -> "e"), Seq("k"), maxDeltas = 1)
+    val readable = UpsertStore.versions(spark, dir).collect { case (v, true) => v }
+    assert(!readable.contains(0L), s"pre-compaction versions must be GC'd: $readable")
+    assert(readable.contains(4L))
+    val err = intercept[IllegalArgumentException](UpsertStore.readVersion(spark, dir, 0L))
+    assert(err.getMessage.contains("compacted away") &&
+      err.getMessage.contains("readable versions"), err.getMessage)
+    // never-committed version also fails loudly
+    val err2 = intercept[IllegalArgumentException](UpsertStore.readVersion(spark, dir, 99L))
+    assert(err2.getMessage.contains("never committed"), err2.getMessage)
+  }
+
+  test("versionAsOf through the V1 reader and SQL VERSION AS OF through the catalog") {
+    val s = spark
+    val wh = java.nio.file.Files.createTempDirectory("graft-tt-catalog").toString
+    s.conf.set("spark.sql.catalog.graft_tt", classOf[graft.sources.UpsertCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_tt.path", wh)
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .writeTo("graft_tt.t").tableProperty("keys", "k").create()
+    Seq((2L, 21.0), (3L, 30.0)).toDF("k", "v").writeTo("graft_tt.t").append()
+    // SQL time travel: version 0 = the CTAS state
+    val v0 = s.sql("SELECT k, v FROM graft_tt.t VERSION AS OF 0 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(v0 == Seq((1L, 10.0), (2L, 20.0)), s"got $v0")
+    val now = s.sql("SELECT k, v FROM graft_tt.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(now == Seq((1L, 10.0), (2L, 21.0), (3L, 30.0)), s"got $now")
+    // V1 reader option against the same table path
+    val path = s"$wh/t"
+    val viaOption = s.read.format("graft-upsert")
+      .option("path", path).option("versionAsOf", "0").load()
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    assert(viaOption == Seq((1L, 10.0), (2L, 20.0)), s"got $viaOption")
+  }
+}
