@@ -77,4 +77,38 @@ object Layout {
       .option("parquet.block.size", rowGroupBytes.toString)
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(path)
+
+  /** Write `df` Z-ORDER clustered on TWO integer keys: each key is
+    * min/max-normalized into 16-bit space (one distributed agg pass —
+    * no global sort), the bits are interleaved into a 32-bit Morton
+    * code, and the data is range-partitioned + sorted on that code.
+    * Row groups then own small RECTANGLES of the (a, b) key plane, so
+    * parquet min/max stats prune on predicates over EITHER column or
+    * both — the multi-column analogue of [[writeSorted]] (which prunes
+    * on exactly one). The single-column trade: each dimension's
+    * pruning power is ~√(groups) instead of groups. Same lever
+    * Delta OPTIMIZE ZORDER BY pulls at 100 TB. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions._
+    val b = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    val (loA, hiA, loB, hiB) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    def norm(c: String, lo: Long, hi: Long) =
+      ((col(c).cast("long") - lit(lo)) * lit(65535L) / lit(math.max(1L, hi - lo))).cast("long")
+    val z = df
+      .withColumn("__za", norm(colA, loA, hiA))
+      .withColumn("__zb", norm(colB, loB, hiB))
+      .withColumn("__z", expr(
+        "aggregate(sequence(0, 15), 0L, (acc, i) -> " +
+          "acc | shiftleft((__za >> i) & 1, 2 * i) | shiftleft((__zb >> i) & 1, 2 * i + 1))"))
+    z.repartitionByRange(col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__za", "__zb", "__z")
+      .write
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+  }
 }
