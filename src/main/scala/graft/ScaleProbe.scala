@@ -98,6 +98,17 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // probe-scale scan sizing: the whole replicated corpus is a few
+      // MB; with the default 128 MB partitions + 4 MB per-file open
+      // cost a whole-table scan coalesces to 1-3 input partitions, so
+      // pre-shuffle per-row stages (q80's normalize/metrics) measure
+      // core starvation instead of the operator — q80's 10× ratio read
+      // 8-9 from this alone. 128 KB partitions make scan parallelism
+      // track row counts at BOTH probe sizes (the property a real
+      // cluster gets from file splits at 128 MB); biggest probe table
+      // is ~100 MB ⇒ ~800 scan tasks, still negligible overhead.
+      .config("spark.sql.files.maxPartitionBytes", (128 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (4 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -354,24 +354,48 @@ object Pipeline {
     stacked.orderBy("col_name")
   }
 
-  /** The composed end-to-end prep pipeline — normalize → quality
-    * filter → exact dedup → deterministic split → context-window
-    * packing — as ONE oracle-checked query. This is the DAG a training
-    * corpus actually runs; composing it proves the stages agree on
-    * their interfaces (normalized text feeds the filter AND the dedup
-    * hash; survivors feed the split; packing runs per split). Every
-    * stage is per-row or windowed-by-declared-key, so the whole
-    * composition has exactly two shuffles at any scale: the dedup
-    * group-by and the per-split packing window. */
+  /** The composed end-to-end prep pipeline — normalize → exact dedup →
+    * quality filter → deterministic split → context-window packing —
+    * as ONE oracle-checked query. This is the DAG a training corpus
+    * actually runs; composing it proves the stages agree on their
+    * interfaces (normalized text feeds the dedup hash AND the quality
+    * rules; survivors feed the split; packing runs per stratum).
+    *
+    * Two deliberate scale decisions, both measured by ScaleProbe:
+    *
+    *  - DEDUP-FIRST (the q56 lesson applied to prep): the quality
+    *    metrics are pure functions of the normalized text, so every
+    *    copy of a text passes or fails together — filtering after the
+    *    collapse produces the identical survivor set while computing
+    *    the expensive token metrics once per DISTINCT text, not once
+    *    per copy. The collapse groups on the 256-bit content hash and
+    *    re-emits the text FROM the aggregate (`first(ctext)`): a
+    *    filter whose conjuncts reference only a grouping key is pushed
+    *    BELOW the aggregate by PushDownPredicates — measured 3× the
+    *    whole query at 10×, since each conjunct re-derives the
+    *    tokenize chain on every pre-collapse row — but one that
+    *    references an aggregate-produced column cannot sink, so the
+    *    quality rules stay pinned above the collapse (the q70 lesson,
+    *    reappearing via predicate pushdown instead of projection
+    *    collapse).
+    *  - packing bins are per (split, language) stratum, so the window
+    *    parallelism is splits × languages; at larger scale add a
+    *    coarse doc_id-range key to the partition list the same way.
+    *
+    * Whole composition: two shuffles (dedup group-by, packing window)
+    * at any scale. */
   val q80PrepPipeline: QueryDef = sql(
     "q80_prep_pipeline",
     """WITH clean AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, lang,
       |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
       |                             ' +', ' ', 'g')) AS ctext
       |  FROM documents),
+      |deduped AS (
+      |  SELECT ctext, MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang
+      |  FROM clean GROUP BY ctext),
       |m AS (
-      |  SELECT doc_id, ctext,
+      |  SELECT doc_id, lang,
       |         len(string_split(ctext, ' ')) AS n_tokens,
       |         CAST(len(list_distinct(string_split(ctext, ' '))) AS DOUBLE)
       |           / len(string_split(ctext, ' ')) AS distinct_ratio,
@@ -379,36 +403,40 @@ object Pipeline {
       |           / len(string_split(ctext, ' ')) AS stopword_ratio,
       |         CAST(LENGTH(replace(ctext, ' ', '')) AS DOUBLE)
       |           / len(string_split(ctext, ' ')) AS avg_token_len
-      |  FROM clean),
+      |  FROM deduped),
       |kept AS (
-      |  SELECT doc_id, ctext, n_tokens FROM m
+      |  SELECT doc_id, lang, n_tokens FROM m
       |  WHERE n_tokens >= 10 AND distinct_ratio >= 0.3 AND stopword_ratio <= 0.5
       |    AND avg_token_len >= 2.0 AND avg_token_len <= 12.0),
-      |deduped AS (
-      |  SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
-      |  FROM kept GROUP BY ctext),
       |split_assigned AS (
-      |  SELECT doc_id, n_tokens,
+      |  SELECT doc_id, lang, n_tokens,
       |         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
       |              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
       |              ELSE 'test' END AS split
-      |  FROM deduped)
-      |SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  FROM kept)
+      |SELECT doc_id, split, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
       |       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
-      |              PARTITION BY split ORDER BY doc_id
+      |              PARTITION BY split, lang ORDER BY doc_id
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 400.0)
       |            AS BIGINT) AS bin
       |FROM split_assigned
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    // one projection materializes the normalized text, a second the
-    // token array, so neither is recomputed per metric (the q70 lesson)
     val cleaned = Tables.documents(s, d).select(
-      col("doc_id"),
+      col("doc_id"), col("lang"),
       trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")).as("ctext"))
-    val toked = cleaned.select(col("doc_id"), col("ctext"), split(col("ctext"), " ").as("toks"))
+    val deduped = cleaned
+      .groupBy(sha2(col("ctext"), 256).as("chash"))
+      .agg(min("doc_id").as("doc_id"), min_by(col("lang"), col("doc_id")).as("lang"),
+        first(col("ctext")).as("ctext"))
+      .drop("chash")
+    // one projection materializes the token array so no metric
+    // recomputes it (the q70 lesson); ctext here is aggregate-derived,
+    // so the quality filter below cannot be pushed under the collapse
+    val toked = deduped.select(
+      col("doc_id"), col("lang"), col("ctext"), split(col("ctext"), " ").as("toks"))
     val metrics = toked.select(
-      col("doc_id"), col("ctext"),
+      col("doc_id"), col("lang"),
       size(col("toks")).as("n_tokens"),
       (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
         .as("distinct_ratio"),
@@ -420,16 +448,14 @@ object Pipeline {
       col("n_tokens") >= 10 && col("distinct_ratio") >= 0.3 &&
         col("stopword_ratio") <= 0.5 &&
         col("avg_token_len").between(2.0, 12.0))
-    val deduped = kept.groupBy("ctext")
-      .agg(min("doc_id").as("doc_id"), min("n_tokens").as("n_tokens"))
     val b = bucket100(col("doc_id"))
-    val assigned = deduped.select(
-      col("doc_id"), col("n_tokens"),
+    val assigned = kept.select(
+      col("doc_id"), col("lang"), col("n_tokens"),
       when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
-    val w = Window.partitionBy("split").orderBy("doc_id")
+    val w = Window.partitionBy("split", "lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     assigned.select(
-      col("doc_id"), col("split"),
+      col("doc_id"), col("split"), col("lang"),
       col("n_tokens").cast("long").as("n_tokens"),
       floor(coalesce(sum("n_tokens").over(w), lit(0)) / 400.0).as("bin"))
       .orderBy("doc_id")
