@@ -132,6 +132,34 @@ object MoreRelational {
       .orderBy("s_nationkey")
   }
 
+  /** Grouped top-k via the custom [[graft.functions.TopKByScore]]
+    * heap aggregate, oracle-pinned to the window row_number form. The
+    * aggregate keeps k (id, score) pairs per group with MAP-SIDE
+    * partials (PlanSpec pins `partial_top_k_by_score`), so the shuffle
+    * carries k rows per group per partition — vs the window form which
+    * shuffles and sorts EVERY row of every group. Same answer, driver-
+    * gated; at 100 TB the heap form is the difference between a top-3
+    * leaderboard reading k·partitions rows and a full-table sort. */
+  val q82GroupedTopK: QueryDef = sql(
+    "q82_grouped_topk",
+    """SELECT o_orderpriority, rk, o_orderkey, amount FROM (
+      |  SELECT o_orderpriority,
+      |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk,
+      |         o_orderkey, ROUND(o_totalprice, 2) AS amount
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_orderpriority, rk""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(graft.functions.TopKFunctions
+        .top_k_by_score(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("o_orderkey"), round(col("col.score"), 2).as("amount"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
   /** SQL-text entry point (the reference drove everything through
     * `spark.sql`, KafkaToKuduScala.scala:39-45): tables registered as
     * temp views, the SAME SQL text runs on Spark and as the DuckDB
@@ -499,5 +527,5 @@ object MoreRelational {
     q28CorrelatedSubquery, q29MultisetOps, q33Percentiles, q34Histogram,
     q35Levenshtein, q37PercentilesApprox, q66WindowExtras, q67DecimalMoney,
     q68DateArithmetic, q69GroupingSets, q72NullSemantics, q73OuterJoins,
-    q74ExistsSubqueries, q81SaltedJoin)
+    q74ExistsSubqueries, q81SaltedJoin, q82GroupedTopK)
 }
