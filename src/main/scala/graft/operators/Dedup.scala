@@ -94,7 +94,13 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val sh = shingles(Tables.documents(s, d)).cache()
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
-    val pruned = sh.join(dfreq.filter(col("dfreq") <= 50), "shingle").select("doc_id", "shingle")
+    // stop-shingle REMOVAL, not keep-join: the >50-df shingles are few
+    // (they're the reason for pruning), so broadcasting them as an
+    // anti-join list replaces a full shuffle join of every (doc,
+    // shingle) row against the df table
+    val pruned = sh.join(
+      broadcast(dfreq.filter(col("dfreq") > 50).select("shingle")),
+      Seq("shingle"), "left_anti").select("doc_id", "shingle")
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val a = pruned.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = pruned.select(col("doc_id").as("doc_b"), col("shingle"))

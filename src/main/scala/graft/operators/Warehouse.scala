@@ -158,6 +158,15 @@ object Warehouse {
     bucketedTables.computeIfAbsent(sfDir, (_: String) => {
       val suffix = java.lang.Integer.toHexString(sfDir.hashCode)
       val o = s"orders_bkt_$suffix"; val c = s"customer_bkt_$suffix"
+      Seq(o, c).foreach { t =>
+        // a previous JVM may have left the managed-table LOCATION on
+        // disk without a catalog entry (saveAsTable then refuses even
+        // in Overwrite mode) — drop both the entry and the directory
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.delete(wh, true)
+      }
       Layout.writeBucketed(Tables.orders(s, sfDir), o, 8, "o_custkey")
       Layout.writeBucketed(Tables.customer(s, sfDir), c, 8, "c_custkey")
       (o, c)
