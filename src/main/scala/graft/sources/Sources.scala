@@ -46,6 +46,33 @@ object Sources {
     "kafka.group.id" -> groupId,
     "startingOffsets" -> startingOffsets)
 
+  /** Kafka SINK configuration (the write-back half of the source
+    * above): project (key, value) to the wire, point the writeStream
+    * at a topic. Same environment constraint — no broker here, so the
+    * builder is exercised structurally; any streaming DataFrame with a
+    * `value` column (and optional `key`) is accepted, non-string
+    * columns are cast on the way out. Checkpointed like every sink
+    * (exactly-once to Kafka is at-least-once + idempotent/ transactional
+    * producer downstream — same stance as the upsert sink's ledger). */
+  def kafkaSink(
+      df: DataFrame,
+      bootstrapServers: String,
+      topic: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(bootstrapServers.nonEmpty, "bootstrapServers must be non-empty")
+    require(topic.nonEmpty, "topic must be non-empty")
+    require(df.columns.contains("value"), "kafka sink requires a 'value' column")
+    val projected =
+      if (df.columns.contains("key"))
+        df.selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+      else df.selectExpr("CAST(value AS STRING) AS value")
+    projected.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+  }
+
   /** Rate-source stand-in for the README's 1-record/s shell producer
     * (`"<epoch_ms>,<0-99>"`, README.md:23) — same wire format, usable
     * for streaming benchmarks without a broker. */

@@ -158,6 +158,42 @@ object UpsertStore {
       }
   }
 
+  /** Change feed (Delta CDF analogue): the upserted rows of every
+    * commit STRICTLY AFTER `sinceVersion`, tagged `__commit_version` —
+    * what an incremental consumer reads instead of re-scanning the
+    * table. Works while every newer commit is still a live delta
+    * append; a compaction or replace in the window folds per-commit
+    * granularity away, and the feed fails loudly telling the consumer
+    * to re-snapshot (the same contract Delta CDF has after VACUUM /
+    * rewrite). Rows here are the UPSERTS as written — a consumer
+    * applying them in `__commit_version` order reproduces the table's
+    * last-writer-wins state. */
+  def changesSince(spark: SparkSession, path: String, sinceVersion: Long): DataFrame = {
+    val f = fs(spark, path)
+    val m = readManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no store at $path"))
+    require(sinceVersion <= m.seq,
+      s"sinceVersion $sinceVersion is ahead of the store (latest ${m.seq})")
+    val wanted = (sinceVersion + 1) to m.seq
+    val parts = wanted.map { w =>
+      val entry = new Path(path, s"$LogDir/$w")
+      if (!f.exists(entry))
+        throw new IllegalArgumentException(
+          s"commit $w of $path has no log entry; re-snapshot from read()")
+      val cm = parseManifest(readFileText(f, entry))
+      val isDeltaAppend = cm.deltas.lastOption.contains(w) && f.exists(new Path(path, s"d=$w"))
+      if (!isDeltaAppend)
+        throw new IllegalArgumentException(
+          s"commit $w of $path is a compaction/replace — per-commit changes were " +
+            "folded; re-snapshot from read() and resume the feed from there")
+      spark.read.parquet(s"$path/d=$w").withColumn("__commit_version", lit(w))
+    }
+    if (parts.isEmpty) {
+      val empty = read(spark, path).get.limit(0)
+      empty.withColumn("__commit_version", lit(0L))
+    } else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Time travel: the table AS OF commit `version` (`VERSION AS OF` /
     * `option("versionAsOf", v)`). Fails loudly when the version was
     * never committed or its data dirs have been compacted away. */

@@ -23,6 +23,21 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sources.kafkaStream(spark, "b:9092", Seq.empty))
   }
 
+  test("kafka sink assembly: wire projection + argument validation") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("key", "value")
+    val writer = Sources.kafkaSink(df, "b:9092", "out_topic", "/tmp/ck")
+    assert(writer != null) // options validated at assembly; no broker to start against
+    // key is optional, value is mandatory, and both are cast to STRING
+    val noKey = in.toDF().toDF("k2", "value")
+    assert(Sources.kafkaSink(noKey, "b:9092", "t", "/tmp/ck") != null)
+    intercept[IllegalArgumentException](
+      Sources.kafkaSink(in.toDF().toDF("key", "other"), "b:9092", "t", "/tmp/ck"))
+    intercept[IllegalArgumentException](Sources.kafkaSink(df, "", "t", "/tmp/ck"))
+    intercept[IllegalArgumentException](Sources.kafkaSink(df, "b:9092", "", "/tmp/ck"))
+  }
+
   test("file-format coverage: events roundtrip parquet -> json -> csv -> orc -> text") {
     val dir = Files.createTempDirectory("graft-formats").toString
     val events = graft.Tables.events(spark, SharedSpark.sf0001)

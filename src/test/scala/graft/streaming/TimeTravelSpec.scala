@@ -50,6 +50,34 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("never committed"), err2.getMessage)
   }
 
+  test("change feed: per-commit upserts after a version; folds fail loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    def df(pairs: (Long, String)*) = pairs.toDF("k", "v")
+    UpsertStore.upsert(spark, dir, df(1L -> "a"), Seq("k"))          // commit 0 (base)
+    UpsertStore.upsert(spark, dir, df(2L -> "b"), Seq("k"))          // commit 1 (delta)
+    UpsertStore.upsert(spark, dir, df(2L -> "B", 3L -> "c"), Seq("k")) // commit 2 (delta)
+    val changes = UpsertStore.changesSince(spark, dir, 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(changes == Set((2L, "b", 1L), (2L, "B", 2L), (3L, "c", 2L)), s"got $changes")
+    // replaying the feed over the version-0 snapshot reproduces read()
+    val replayed = UpsertStore.readVersion(spark, dir, 0L)
+      .withColumn("__commit_version", org.apache.spark.sql.functions.lit(0L))
+      .unionByName(UpsertStore.changesSince(spark, dir, 0L))
+      .orderBy("__commit_version")
+      .collect().foldLeft(Map.empty[Long, String]) { (m, r) => m + (r.getLong(0) -> r.getString(1)) }
+    val now = UpsertStore.read(spark, dir).get
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replayed == now, s"replay $replayed != table $now")
+    // empty window is an empty frame, not an error
+    assert(UpsertStore.changesSince(spark, dir, 2L).count() == 0)
+    // a replace folds history: the feed across it must fail loudly
+    UpsertStore.replace(spark, dir, df(9L -> "z"), Seq("k"))         // commit 3 (base)
+    val err = intercept[IllegalArgumentException](
+      UpsertStore.changesSince(spark, dir, 1L).collect())
+    assert(err.getMessage.contains("re-snapshot"), err.getMessage)
+  }
+
   test("versionAsOf through the V1 reader and SQL VERSION AS OF through the catalog") {
     val s = spark
     val wh = java.nio.file.Files.createTempDirectory("graft-tt-catalog").toString
