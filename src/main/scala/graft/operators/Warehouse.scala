@@ -172,6 +172,39 @@ object Warehouse {
       (o, c)
     })
 
+  /** Z-order-clustered scan, oracle-checked: a box predicate over BOTH
+    * clustered keys against the Morton-clustered lineitem copy. The
+    * row-group-pruning property is pinned by ZOrderSpec; this query
+    * puts the clustered COPY's faithfulness under the driver's hash
+    * gate and gives the bench a data-skipping read to time. */
+  val q83ZorderScan: QueryDef = sql(
+    "q83_zorder_scan",
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |       ROUND(SUM(l_extendedprice), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey <= 3000 AND l_partkey <= 500
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    s.read.parquet(Warehouse.zorderedLineitem(s, d))
+      .filter(col("l_orderkey") <= 3000 && col("l_partkey") <= 500)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Morton-clustered lineitem copy for `sfDir`, written once per JVM
+    * per source dir (16 MB row groups: small enough to prune at test
+    * scale, representative granularity). */
+  private val zorderedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderedLineitem(s: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    zorderedDirs.computeIfAbsent(sfDir, (_: String) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-lineitem-z").toString
+      Layout.writeZOrdered(Tables.lineitem(s, sfDir), path,
+        "l_orderkey", "l_partkey", rowGroupBytes = 16L * 1024 * 1024)
+      path
+    })
+
   val all: Seq[QueryDef] = Seq(
-    q76PartitionedDpp, q77PartitionPruneStatic, q78UpsertRoundtrip, q79BucketedJoin)
+    q76PartitionedDpp, q77PartitionPruneStatic, q78UpsertRoundtrip, q79BucketedJoin,
+    q83ZorderScan)
 }
