@@ -66,4 +66,58 @@ class UpsertStoreProps extends AnyFunSuite {
       }
     }
   }
+
+  test("random verb sequences: every readable snapshot and change feed agrees with the history model") {
+    val rnd = new scala.util.Random(20260813L)
+    val dir = Files.createTempDirectory("graft-history-props").toString
+    val keys = Seq("k")
+    var model = Map.empty[Long, String]
+    var history = Map.empty[Long, Map[Long, String]] // commit seq -> state
+
+    def df(rows: Seq[(Long, String)]) = rows.toDF("k", "v")
+    def randRows(): Seq[(Long, String)] = {
+      val n = 1 + rnd.nextInt(4)
+      Seq.fill(n)((rnd.nextInt(10).toLong, s"v${rnd.nextInt(1000)}"))
+        .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).max) }.toSeq
+    }
+
+    for (step <- 1 to 40) {
+      val rows = randRows()
+      rnd.nextInt(3) match {
+        case 0 => UpsertStore.upsert(spark, dir, df(rows), keys); model = model ++ rows
+        case 1 =>
+          UpsertStore.insertIgnore(spark, dir, df(rows), keys)
+          model = rows.filterNot { case (k, _) => model.contains(k) }.toMap ++ model
+        case 2 => UpsertStore.delete(spark, dir, df(rows), keys); model = model -- rows.map(_._1)
+      }
+      UpsertStore.latestVersion(spark, dir).foreach(v => history += v -> model)
+
+      if (step % 8 == 0) {
+        val readable = UpsertStore.versions(spark, dir).toMap
+        history.foreach { case (v, expect) =>
+          if (readable.getOrElse(v, false)) {
+            // every still-readable commit reconstructs its recorded state
+            val got = UpsertStore.readVersion(spark, dir, v).as[(Long, String)].collect().toMap
+            assert(got == expect, s"step $step v$v: $got != $expect")
+            // and when the change feed from v is readable, replaying it
+            // over the snapshot reproduces the CURRENT table
+            try {
+              val feed = UpsertStore.changesSince(spark, dir, v)
+                .select("k", "v", "__commit_version")
+                .as[(Long, String, Long)].collect().sortBy(_._3)
+              val replayed = feed.foldLeft(expect) { case (m, (k, value, _)) => m + (k -> value) }
+              assert(replayed == model, s"step $step feed from v$v: $replayed != $model")
+            } catch {
+              case e: IllegalArgumentException =>
+                assert(e.getMessage.contains("re-snapshot"), e.getMessage) // fold: declared loudly
+            }
+          } else {
+            // GC'd versions must fail loudly, never fabricate data
+            val e = intercept[IllegalArgumentException](UpsertStore.readVersion(spark, dir, v))
+            assert(e.getMessage.contains("compacted away"), e.getMessage)
+          }
+        }
+      }
+    }
+  }
 }
