@@ -23,18 +23,52 @@ object AsOf {
   /** For each left row, attach the latest right row with the same key
     * and rightTime <= leftTime. `payload` columns are carried from the
     * right side (each must exist there); left columns pass through.
-    */
+    * `toleranceSeconds` bounds how stale the match may be — a right
+    * row further back than the tolerance yields null payloads (the
+    * pandas `merge_asof(tolerance=…)` contract). */
   def asOfJoin(
       left: DataFrame,
       right: DataFrame,
       key: String,
       leftTime: String,
       rightTime: String,
-      payload: Seq[(String, String)]): DataFrame = {
+      payload: Seq[(String, String)],
+      toleranceSeconds: Option[Long] = None): DataFrame =
+    asOfCore(left, right, key, leftTime, rightTime, payload, forward = false, toleranceSeconds)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with the
+    * same key and rightTime >= leftTime ("next event after"), same
+    * shuffle/sort cost as the backward form (the scan just runs down
+    * the timeline in reverse). Ties at equal (key, time): the largest
+    * first-payload value wins, deterministically. */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[(String, String)],
+      toleranceSeconds: Option[Long] = None): DataFrame =
+    asOfCore(left, right, key, leftTime, rightTime, payload, forward = true, toleranceSeconds)
+
+  private def asOfCore(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[(String, String)],
+      forward: Boolean,
+      toleranceSeconds: Option[Long]): DataFrame = {
     val leftCols = left.columns
+    // `__rt` carries the matched right row's OWN time through the
+    // window (needed for the tolerance check); it rides along as an
+    // internal payload column.
+    val carryCols = payload :+ (rightTime -> "__rt")
     // Right rows sort BEFORE left rows at equal timestamps (side 0 < 1)
-    // => "at or before" semantics, matching DuckDB's ASOF (>=) join.
-    val taggedLeft = payload.foldLeft(
+    // => "at or before" semantics, matching DuckDB's ASOF (>=) join;
+    // same rule under the forward scan ("at or after").
+    val taggedLeft = carryCols.foldLeft(
       left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))) {
       case (df, (src, dst)) => df.withColumn(dst, lit(null).cast(right.schema(src).dataType))
     }
@@ -42,7 +76,7 @@ object AsOf {
       val base = right
         .withColumn("__t", col(rightTime))
         .withColumn("__side", lit(0))
-      val withPayload = payload.foldLeft(base) { case (df, (src, dst)) =>
+      val withPayload = carryCols.foldLeft(base) { case (df, (src, dst)) =>
         df.withColumn(dst, col(src))
       }
       // null out the left-only columns, keep schema aligned for union
@@ -53,21 +87,34 @@ object AsOf {
       }
     }
     val unioned = taggedLeft.select((leftCols.map(col) ++ Seq(col("__t"), col("__side")) ++
-        payload.map { case (_, dst) => col(dst) }): _*)
+        carryCols.map { case (_, dst) => col(dst) }): _*)
       .unionByName(taggedRight.select((leftCols.map(col) ++ Seq(col("__t"), col("__side")) ++
-        payload.map { case (_, dst) => col(dst) }): _*))
+        carryCols.map { case (_, dst) => col(dst) }): _*))
     // final payload-id tie-break: multiple right rows sharing (key, t)
     // would otherwise carry a partition-order-dependent payload
     val tieBreak = payload.headOption
       .map { case (_, dst) => col(dst).asc_nulls_first }
       .toSeq
+    val timeOrder = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(col(key))
-      .orderBy(Seq(col("__t").asc, col("__side").asc) ++ tieBreak: _*)
+      .orderBy(Seq(timeOrder, col("__side").asc) ++ tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { case (df, (_, dst)) =>
+    val carried = carryCols.foldLeft(unioned) { case (df, (_, dst)) =>
       df.withColumn(dst, last(col(dst), ignoreNulls = true).over(w))
     }
-    carried.filter(col("__side") === 1).drop("__t", "__side")
+    val matched = carried.filter(col("__side") === 1)
+    val bounded = toleranceSeconds match {
+      case None => matched
+      case Some(tol) =>
+        val delta =
+          if (forward) col("__rt").cast("double") - col(leftTime).cast("double")
+          else col(leftTime).cast("double") - col("__rt").cast("double")
+        val ok = col("__rt").isNotNull && delta <= tol
+        payload.foldLeft(matched) { case (df, (_, dst)) =>
+          df.withColumn(dst, when(ok, col(dst)))
+        }
+    }
+    bounded.drop("__t", "__side", "__rt")
   }
 
   /** Declared query: each event joined as-of to the user's most recent
@@ -91,5 +138,53 @@ object AsOf {
       .orderBy("event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q30AsOfJoin)
+  /** Forward as-of: each event joined to the user's NEXT purchase (at
+    * or after its timestamp) — the "time to conversion" primitive.
+    * Oracle replays the semantics as a correlated first-row subquery
+    * (tie at equal ts: larger event_id, matching the engine's
+    * deterministic tie rule). */
+  val q84AsOfForward: QueryDef = QueryDef.sql(
+    "q84_asof_next_purchase",
+    """SELECT e.event_id, e.user_id, e.event_type,
+      |       (SELECT s.event_id FROM events s
+      |        WHERE s.user_id = e.user_id AND s.event_type = 'purchase'
+      |          AND s.ts >= e.ts
+      |        ORDER BY s.ts ASC, s.event_id DESC LIMIT 1) AS next_purchase_event_id
+      |FROM events e
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val events = Tables.events(s, d)
+    val left = events.select("event_id", "user_id", "event_type", "ts")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    asOfJoinForward(left, purchases, key = "user_id", leftTime = "ts", rightTime = "ts",
+      payload = Seq("purchase_id" -> "next_purchase_event_id"))
+      .select("event_id", "user_id", "event_type", "next_purchase_event_id")
+      .orderBy("event_id")
+  }
+
+  /** Tolerance-bounded as-of: last signup within 7 DAYS before the
+    * event; staler matches become null (the pandas merge_asof
+    * `tolerance` contract). Same one-shuffle plan — the bound is a
+    * post-window per-row check on the carried match time. */
+  val q85AsOfTolerance: QueryDef = QueryDef.sql(
+    "q85_asof_tolerance",
+    """SELECT e.event_id, e.user_id,
+      |       (SELECT s.event_id FROM events s
+      |        WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+      |          AND s.ts <= e.ts AND s.ts >= e.ts - INTERVAL 7 DAY
+      |        ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS recent_signup_event_id
+      |FROM events e
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val events = Tables.events(s, d)
+    val left = events.select("event_id", "user_id", "ts")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+    asOfJoin(left, signups, key = "user_id", leftTime = "ts", rightTime = "ts",
+      payload = Seq("signup_id" -> "recent_signup_event_id"),
+      toleranceSeconds = Some(7L * 24 * 3600))
+      .select("event_id", "user_id", "recent_signup_event_id")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30AsOfJoin, q84AsOfForward, q85AsOfTolerance)
 }
