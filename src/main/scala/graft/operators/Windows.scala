@@ -75,5 +75,36 @@ object Windows {
       .orderBy("user_id", "session_start_ms")
   }
 
-  val all: Seq[QueryDef] = Seq(q31SlidingWindow, q32SessionWindow)
+  /** Per-ROW trailing event-time window (RANGE frame over an interval):
+    * each event gets its user's 1-hour-trailing average and count —
+    * the time-series feature shape (EWMA-style trailing stats) that
+    * row-count frames (q66) can't express when event spacing is
+    * irregular. Ordering is epoch MICROSECONDS as a long, so the range
+    * offset is exact integer arithmetic; the window partitions by user,
+    * so each user's timeline streams through its partition sorted once.
+    */
+  val q86TrailingWindow: QueryDef = sql(
+    "q86_trailing_window",
+    """SELECT event_id, user_id,
+      |       ROUND(AVG(value) OVER (
+      |         PARTITION BY user_id ORDER BY ts
+      |         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4) AS avg_1h,
+      |       CAST(COUNT(*) OVER (
+      |         PARTITION BY user_id ORDER BY ts
+      |         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h
+      |FROM events
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val micros = (col("ts").cast("double") * 1e6).cast("long")
+    val w = Window.partitionBy("user_id").orderBy(micros)
+      .rangeBetween(-3600L * 1000000, 0)
+    Tables.events(s, d)
+      .select(
+        col("event_id"), col("user_id"),
+        round(avg("value").over(w), 4).as("avg_1h"),
+        count(lit(1)).over(w).as("n_1h"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q31SlidingWindow, q32SessionWindow, q86TrailingWindow)
 }
