@@ -62,6 +62,24 @@ object Layout {
       path
     })
 
+  /** The COMBINED fact layout: hive date partitions × hash buckets in
+    * one catalog table — `partitionBy` gives scan pruning on the date
+    * axis, `bucketBy` gives shuffle-free joins/aggregations on the key
+    * axis, independently and simultaneously. This is the Spark-native
+    * equivalent of the reference's Kudu partitioned sink DDL
+    * (hash-partitioned primary key, `ddl/create_impala_kudu_table
+    * .sql:14`) extended with the date dimension every 100 TB fact
+    * table partitions on. */
+  def writePartitionedBucketed(df: DataFrame, table: String, partitionCol: String,
+                               buckets: Int, key: String): Unit =
+    df.write
+      .partitionBy(partitionCol)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Write `df` range-clustered on `sortCol`: range-partition so each
     * file owns a contiguous key range, sort within partitions so each
     * parquet ROW GROUP owns a contiguous sub-range. Point/range

@@ -61,6 +61,63 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).filter(col("o_month") === "1995-03").count() == expect)
   }
 
+  test("combined layout: date partitions prune AND bucketed join skips its shuffle, simultaneously") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val withMonth = Tables.orders(spark, sf)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    Layout.writePartitionedBucketed(withMonth, "orders_pb", "o_month", 8, "o_custkey")
+    Layout.writeBucketed(Tables.customer(spark, sf), "customer_pb_dim", 8, "c_custkey")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_pb")
+        .filter(col("o_month").between("1995-01", "1995-12"))
+        .join(spark.table("customer_pb_dim"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plans = deep(joined.queryExecution.executedPlan)
+      // axis 1: the date predicate pruned partition directories
+      val factScan = plans.collectFirst {
+        case s: FileSourceScanExec if s.toString.contains("o_month") => s
+      }.getOrElse(fail("no fact scan"))
+      assert(factScan.partitionFilters.nonEmpty, "fact scan must carry partition filters")
+      // count files of an unpruned scan for comparison
+      val unprunedScan = {
+        val df = spark.table("orders_pb").groupBy("o_custkey").count()
+        df.collect()
+        deep(df.queryExecution.executedPlan)
+          .collectFirst { case s: FileSourceScanExec => s }.get
+      }
+      val prunedFiles = factScan.metrics("numFiles").value
+      val allFiles = unprunedScan.metrics("numFiles").value
+      info(s"files: pruned=$prunedFiles all=$allFiles")
+      assert(prunedFiles < allFiles / 3,
+        s"date filter should prune most partitions: $prunedFiles of $allFiles")
+      // axis 2: the join is a sort-merge over co-located buckets — no
+      // shuffle under either side
+      val smjs = plans.collect {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+      }
+      assert(smjs.nonEmpty, s"expected sort-merge join:\n${plans.head}")
+      val shuffles = smjs.flatMap(deep).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }
+      assert(shuffles.isEmpty, s"bucketed join must not shuffle:\n${plans.head}")
+      // and the answer matches the plain computation
+      val expect = Tables.orders(spark, sf)
+        .filter(date_format(col("o_orderdate"), "yyyy-MM").between("1995-01", "1995-12"))
+        .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_pb")
+      spark.sql("DROP TABLE IF EXISTS customer_pb_dim")
+    }
+  }
+
   test("dynamic partition pruning: dim-join filter reaches the fact scan") {
     val df = Warehouse.q76PartitionedDpp.fn(spark, sf)
     val scan = factScan(df)
