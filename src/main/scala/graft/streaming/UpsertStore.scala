@@ -158,6 +158,38 @@ object UpsertStore {
       }
   }
 
+  /** Explicit retention (Delta VACUUM analogue): delete every data dir
+    * the CURRENT manifest does not reference, plus the commit-log
+    * entries those dirs served — compaction's lazy GC keeps the
+    * previous base chain for in-flight readers; vacuum reclaims it on
+    * demand. Time travel afterwards reaches exactly the commits the
+    * live base+delta chain can reconstruct. Returns (data dirs, log
+    * entries) removed. */
+  def vacuum(spark: SparkSession, path: String): (Int, Int) = {
+    val f = fs(spark, path)
+    val m = readManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no store at $path"))
+    val live: Set[String] =
+      (m.base.map(b => s"v=$b").toSeq ++ m.deltas.map(d => s"d=$d")).toSet
+    val removedDirs = f.listStatus(new Path(path)).count { st =>
+      val name = st.getPath.getName
+      val stale = (name.startsWith("v=") || name.startsWith("d=")) && !live.contains(name)
+      if (stale) f.delete(st.getPath, true)
+      stale
+    }
+    val logDir = new Path(path, LogDir)
+    val removedLogs = if (!f.exists(logDir)) 0 else f.listStatus(logDir).count { st =>
+      val readable = st.getPath.getName.toLongOption.exists { v =>
+        val cm = parseManifest(readFileText(f, st.getPath))
+        (cm.base.map(b => s"v=$b").toSeq ++ cm.deltas.map(d => s"d=$d"))
+          .forall(dir => f.exists(new Path(path, dir)))
+      }
+      if (!readable) f.delete(st.getPath, false)
+      !readable
+    }
+    (removedDirs, removedLogs)
+  }
+
   /** Change feed (Delta CDF analogue): the upserted rows of every
     * commit STRICTLY AFTER `sinceVersion`, tagged `__commit_version` —
     * what an incremental consumer reads instead of re-scanning the

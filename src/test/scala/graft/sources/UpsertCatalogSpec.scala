@@ -74,6 +74,33 @@ class UpsertCatalogSpec extends AnyFunSuite {
     assert(rows == Seq((1L, "x", None), (2L, "y", Some(5L))))
   }
 
+  test("SQL DDL surface: CREATE TABLE, SHOW TABLES, ALTER rejected, RENAME via catalog") {
+    import spark.implicits._
+    spark.sql(
+      "CREATE TABLE graft.ddl_t (k BIGINT, v DOUBLE) TBLPROPERTIES ('keys' = 'k')")
+    spark.sql("INSERT INTO graft.ddl_t VALUES (1, 1.5), (2, 2.5)")
+    assert(spark.sql("SELECT k, v FROM graft.ddl_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.5), (2L, 2.5)))
+    val listed = spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1)).toSet
+    assert(listed.contains("ddl_t"), s"SHOW TABLES must list ddl_t: $listed")
+    // keys property is required and validated
+    val noKeys = intercept[Exception](
+      spark.sql("CREATE TABLE graft.bad_t (k BIGINT) TBLPROPERTIES ('x' = 'y')"))
+    assert(noKeys.getMessage.contains("keys"), noKeys.getMessage)
+    // ALTER is rejected loudly (schema evolves through writes)
+    val alter = intercept[Exception](
+      spark.sql("ALTER TABLE graft.ddl_t ADD COLUMN extra BIGINT"))
+    assert(alter.getMessage.toLowerCase.contains("not supported"), alter.getMessage)
+    // rename moves the store; data survives
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[UpsertCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    cat.renameTable(Identifier.of(Array.empty, "ddl_t"), Identifier.of(Array.empty, "ddl_t2"))
+    assert(spark.table("graft.ddl_t2").count() == 2)
+    assert(!cat.tableExists(Identifier.of(Array.empty, "ddl_t")))
+  }
+
   test("three write paths converge: writeTo.append == V1 df.write == direct store upsert") {
     import spark.implicits._
     def mk(tag: String) = {

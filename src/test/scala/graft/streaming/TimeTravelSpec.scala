@@ -78,6 +78,28 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(err.getMessage.contains("re-snapshot"), err.getMessage)
   }
 
+  test("vacuum: reclaims the post-compaction leftovers, current reads unaffected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vacuum").toString
+    def df(pairs: (Long, String)*) = pairs.toDF("k", "v")
+    UpsertStore.upsert(spark, dir, df(1L -> "a"), Seq("k"))
+    UpsertStore.upsert(spark, dir, df(2L -> "b"), Seq("k"))
+    // nothing to vacuum while everything is referenced by the manifest
+    assert(UpsertStore.vacuum(spark, dir) == (0, 0))
+    assert(UpsertStore.versions(spark, dir).collect { case (v, true) => v } == Seq(0L, 1L))
+    // compaction: lazy GC keeps the previous base chain for in-flight
+    // readers — vacuum reclaims it now
+    UpsertStore.upsert(spark, dir, df(3L -> "c"), Seq("k"), maxDeltas = 1)
+    val (dirs, logs) = UpsertStore.vacuum(spark, dir)
+    assert(dirs > 0, "vacuum should reclaim the pre-compaction dirs")
+    assert(logs > 0, "vacuum should prune unreadable log entries")
+    val readable = UpsertStore.versions(spark, dir).collect { case (v, true) => v }
+    assert(readable == Seq(2L), s"only the live commit remains readable: $readable")
+    assert(UpsertStore.read(spark, dir).get
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("versionAsOf through the V1 reader and SQL VERSION AS OF through the catalog") {
     val s = spark
     val wh = java.nio.file.Files.createTempDirectory("graft-tt-catalog").toString
