@@ -72,7 +72,8 @@ object ScaleProbe {
     "q30_asof_last_signup", "q45_dedup_exact", "q46_dedup_ngram_jaccard",
     "q47_dedup_minhash", "q48_dedup_simhash", "q56_neardup_pipeline",
     "q50_ann_bruteforce", "q55_ann_ivf", "q61_contamination_check",
-    "q76_partitioned_dpp", "q80_prep_pipeline", "q81_salted_join")
+    "q76_partitioned_dpp", "q80_prep_pipeline", "q81_salted_join",
+    "q83_zorder_scan", "q86_trailing_window")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */
