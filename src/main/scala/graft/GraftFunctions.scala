@@ -36,6 +36,7 @@ object GraftFunctions {
     "cosine_similarity" -> (e => CosineSimilarity(e(0), e(1))),
     "dot_product" -> (e => DotProduct(e(0), e(1))),
     "rolling_hash" -> (e => RollingHash(e(0))),
+    "normalize_text" -> (e => NormalizeText(e(0))),
     "simhash64" -> (e => SimHash64(e(0))),
     "minhash_signature" -> (e =>
       MinHashSignature(e(0), intArg(e(1), "k"), longArg(e(2), "seed"))),

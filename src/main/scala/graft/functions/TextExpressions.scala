@@ -149,9 +149,77 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Single-pass text canonicalization, equivalent (for ASCII input) to
+  * `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", ""), " +", " "))`
+  * — lowercase A-Z, keep [a-z0-9 ], drop everything else, collapse
+  * space runs, trim. One byte loop instead of two java.util.regex
+  * passes: this is the ingest-scan normalize (q57/q80), and at 10×
+  * probe scale the regex pair was the pipeline's measured cost floor.
+  * Codegen'd; the deferred-space trick folds collapse AND trim into
+  * the same loop (a space is emitted only when a kept character
+  * follows it and output is non-empty).
+  *
+  * Caveat (documented, corpus is pure ASCII): multi-byte characters
+  * are dropped byte-wise, which matches the regex for every input
+  * except exotic case-foldings that lower() maps INTO [a-z] (e.g.
+  * U+0130 → "i̇") — those keep the base letter under the regex chain
+  * and are dropped here. */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "normalize_text"
+
+  override def nullSafeEval(v: Any): Any = {
+    val in = v.asInstanceOf[UTF8String].getBytes
+    val out = new Array[Byte](in.length)
+    var n = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < in.length) {
+      var c = in(i) & 0xff
+      if (c >= 'A' && c <= 'Z') c += 32
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && n > 0) { out(n) = ' '; n += 1 }
+        pendingSpace = false
+        out(n) = c.toByte; n += 1
+      } else if (c == ' ') pendingSpace = true
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val (in, out, n, sp, i, c) = (ctx.freshName("in"), ctx.freshName("out"),
+        ctx.freshName("n"), ctx.freshName("sp"), ctx.freshName("i"), ctx.freshName("c"))
+      s"""
+         |byte[] $in = $s.getBytes();
+         |byte[] $out = new byte[$in.length];
+         |int $n = 0;
+         |boolean $sp = false;
+         |for (int $i = 0; $i < $in.length; $i++) {
+         |  int $c = $in[$i] & 0xff;
+         |  if ($c >= 'A' && $c <= 'Z') $c += 32;
+         |  if (($c >= 'a' && $c <= 'z') || ($c >= '0' && $c <= '9')) {
+         |    if ($sp && $n > 0) { $out[$n++] = ' '; }
+         |    $sp = false;
+         |    $out[$n++] = (byte) $c;
+         |  } else if ($c == ' ') { $sp = true; }
+         |}
+         |${ev.value} = UTF8String.fromBytes($out, 0, $n);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
   def rolling_hash(c: Column): Column =
     GraftSqlBridge.column(RollingHash(GraftSqlBridge.expression(c)))
+  def normalize_text(c: Column): Column =
+    GraftSqlBridge.column(NormalizeText(GraftSqlBridge.expression(c)))
   def simhash64(tokens: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))
   def minhash_signature(tokens: Column, k: Int, seed: Long): Column =

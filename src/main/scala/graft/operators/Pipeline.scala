@@ -39,13 +39,15 @@ object Pipeline {
       |                                       ' +', ' ', 'g'))) AS BIGINT) AS n_chars_removed
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val clean = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    // single-pass codegen'd canonicalization (== the oracle's regex
+    // chain on this ASCII corpus; equivalence spec-pinned), staged
+    // once so the length diff doesn't recompute it
     Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextFunctions.normalize_text(col("text")).as("clean_text"))
       .select(
-        col("doc_id"),
-        clean.as("clean_text"),
-        (length(col("text")) - length(clean)).cast("long").as("n_chars_removed"))
+        col("doc_id"), col("clean_text"),
+        (length(col("text")) - length(col("clean_text"))).cast("long").as("n_chars_removed"))
       .orderBy("doc_id")
   }
 
@@ -423,8 +425,7 @@ object Pipeline {
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val cleaned = Tables.documents(s, d).select(
       col("doc_id"), col("lang"),
-      trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")).as("ctext"))
+      graft.functions.TextFunctions.normalize_text(col("text")).as("ctext"))
     val deduped = cleaned
       .groupBy(sha2(col("ctext"), 256).as("chash"))
       .agg(min("doc_id").as("doc_id"), min_by(col("lang"), col("doc_id")).as("lang"),

@@ -32,6 +32,30 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(mh == 16)
   }
 
+  test("normalize_text == the regex chain, byte for byte, on corpus + edges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val edges = Seq(
+      "", "   ", "a", "  a  ", "A  B!!C", "x\t\ny", "a1 B2  c3 ", "!!!",
+      "The  quick,  BROWN fox!? 42  ", " leading and trailing ", "a-b_c.d e")
+      .toDF("text")
+    val corpus = Tables.documents(spark, SharedSpark.sf0001).select("text")
+      .unionByName(edges)
+    val regexForm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val mismatches = corpus
+      .select(col("text"),
+        graft.functions.TextFunctions.normalize_text(col("text")).as("fast"),
+        regexForm.as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .collect()
+    assert(mismatches.isEmpty,
+      s"normalize_text diverged on: ${mismatches.take(3).mkString("; ")}")
+    // SQL name registered too
+    assert(spark.sql("SELECT normalize_text('  A!  b2 ') AS n").head().getString(0) == "a b2")
+  }
+
   test("extensions builder set is total (every builder constructs from SQL)") {
     GraftFunctions.register(spark)
     // hyperplane_bucket + simhash64 + dot_product through SQL
