@@ -92,19 +92,27 @@ object Dedup {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE CAST(shared AS DOUBLE) / (sa.nsh + sb.nsh - shared) >= 0.1
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val sh = shingles(Tables.documents(s, d)).cache()
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+    // every downstream step needs only shingle IDENTITY (df counts,
+    // set sizes, pair intersections), so the 3-word shingle strings
+    // collapse to xxhash64 longs before ANY shuffle — the inverted
+    // index and self-join move 8 B/entry instead of ~25 B. A 64-bit
+    // collision over ~10⁵ distinct shingles (P ≈ 1e-11) would surface
+    // as an oracle hash mismatch, so the driver gate guards the trick.
+    val sh = shingles(Tables.documents(s, d))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .cache()
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfreq"))
     // stop-shingle REMOVAL, not keep-join: the >50-df shingles are few
     // (they're the reason for pruning), so broadcasting them as an
     // anti-join list replaces a full shuffle join of every (doc,
     // shingle) row against the df table
     val pruned = sh.join(
-      broadcast(dfreq.filter(col("dfreq") > 50).select("shingle")),
-      Seq("shingle"), "left_anti").select("doc_id", "shingle")
+      broadcast(dfreq.filter(col("dfreq") > 50).select("sh")),
+      Seq("sh"), "left_anti").select("doc_id", "sh")
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val a = pruned.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = pruned.select(col("doc_id").as("doc_b"), col("shingle"))
-    val pairs = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+    val a = pruned.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = pruned.select(col("doc_id").as("doc_b"), col("sh"))
+    val pairs = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     val jac = col("shared").cast("double") /
       (col("na") + col("nb") - col("shared"))

@@ -183,15 +183,21 @@ object Pipeline {
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 8)
       .withColumn("b", bucket100(col("doc_id")))
+    // 8-gram identity is all the overlap test needs — hash each gram
+    // to a long BEFORE the explode leaves the row, so the inverted
+    // index and the cross-split join shuffle 8 B/gram, never the
+    // ~50-byte gram strings (same q46 trick; a 64-bit collision would
+    // fail the exact oracle, so the gate guards it)
     val sh = withToks.select(
       col("doc_id"), col("b"),
       explode(expr(
         "array_distinct(transform(sequence(1, size(toks) - 7), " +
-          "i -> concat_ws(' ', slice(toks, i, 8))))")).as("g"))
+          "i -> xxhash64(concat_ws(' ', slice(toks, i, 8)))))")).as("g"))
     val dfreq = sh.groupBy("g").agg(count(lit(1)).as("dfreq"))
-    // cached: both split branches below re-read it — uncached, the
-    // whole shingle+df pipeline would run twice
-    val pruned = sh.join(dfreq.filter(col("dfreq") <= 50), "g")
+    // stop-gram REMOVAL via broadcast anti-join (few >50-df grams)
+    val pruned = sh.join(
+      broadcast(dfreq.filter(col("dfreq") > 50).select("g")),
+      Seq("g"), "left_anti")
       .select("doc_id", "b", "g")
       .cache()
     val e = pruned.filter(col("b") >= 90).select(col("doc_id").as("test_doc"), col("g"))
