@@ -468,8 +468,52 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Deterministic corpus shuffle: training order = rank over a seeded
+    * multiplicative hash of the doc id — reproducible by ANY engine
+    * (the auditable-ordering property the hash split gives splits),
+    * unlike rand()-based shuffles. One global sort at write time; at
+    * 100 TB the rank is a zorder-style sort key for the output files
+    * and consumers just read in file order. */
+  val q87DeterministicShuffle: QueryDef = sql(
+    "q87_deterministic_shuffle",
+    """SELECT CAST(row_number() OVER (
+      |         ORDER BY (doc_id * 2246822519 + 7) % 4294967296, doc_id) AS BIGINT) AS pos,
+      |       doc_id
+      |FROM documents
+      |ORDER BY pos
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = (col("doc_id") * lit(2246822519L) + 7) % lit(4294967296L)
+    Tables.documents(s, d)
+      .select(row_number().over(Window.orderBy(h, col("doc_id"))).cast("long").as("pos"),
+        col("doc_id"))
+      .orderBy("pos")
+      .limit(100)
+  }
+
+  /** Weighted repetition (training-mix upsampling): each document
+    * appears `1 + quality_bucket` times with an epoch index — the
+    * explode-by-weight op that turns per-source mixing ratios into a
+    * physical training corpus. Pure per-row fan-out (no shuffle); the
+    * weight here is a deterministic function of the doc so the oracle
+    * can replay it. */
+  val q88WeightedRepeat: QueryDef = sql(
+    "q88_weighted_repeat",
+    """WITH w AS (
+      |  SELECT doc_id, 1 + (doc_id % 3) AS n_epochs FROM documents)
+      |SELECT doc_id, CAST(u.e AS BIGINT) AS epoch
+      |FROM w, unnest(range(0, n_epochs)) AS u(e)
+      |ORDER BY doc_id, epoch""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), (lit(1) + col("doc_id") % 3).as("n_epochs"))
+      .select(col("doc_id"), explode(sequence(lit(0L), col("n_epochs") - 1)).as("epoch"))
+      .select(col("doc_id"), col("epoch").cast("long").as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q57TextNormalize, q58PiiRedact, q59DatasetSplit, q60TokenPacking,
     q61ContaminationCheck, q62EmbeddingQuantize, q63TokenCms, q64StratifiedSample,
-    q70QualityFilter, q71TableProfile, q80PrepPipeline)
+    q70QualityFilter, q71TableProfile, q80PrepPipeline, q87DeterministicShuffle,
+    q88WeightedRepeat)
 }
