@@ -468,12 +468,19 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  /** Deterministic corpus shuffle: training order = rank over a seeded
-    * multiplicative hash of the doc id — reproducible by ANY engine
-    * (the auditable-ordering property the hash split gives splits),
-    * unlike rand()-based shuffles. One global sort at write time; at
-    * 100 TB the rank is a zorder-style sort key for the output files
-    * and consumers just read in file order. */
+  /** Deterministic corpus shuffle: training order = global rank over a
+    * seeded multiplicative hash of the doc id — reproducible by ANY
+    * engine (the auditable-ordering property the hash split gives
+    * splits), unlike rand()-based shuffles.
+    *
+    * Global total order WITHOUT a single-partition window (the naive
+    * `row_number() OVER (ORDER BY …)` funnels the corpus through one
+    * task): range-repartition on the sort key, rank within each
+    * partition, and add per-partition prefix-sum offsets — the offset
+    * table is one row per partition (metadata-scale), so its own
+    * window and the broadcast join cost nothing. RangePartitioner
+    * guarantees partition i holds smaller keys than i+1, which makes
+    * local-rank + offset a correct global rank at any scale. */
   val q87DeterministicShuffle: QueryDef = sql(
     "q87_deterministic_shuffle",
     """SELECT CAST(row_number() OVER (
@@ -484,9 +491,19 @@ object Pipeline {
       |LIMIT 100""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val h = (col("doc_id") * lit(2246822519L) + 7) % lit(4294967296L)
-    Tables.documents(s, d)
-      .select(row_number().over(Window.orderBy(h, col("doc_id"))).cast("long").as("pos"),
-        col("doc_id"))
+    val parted = Tables.documents(s, d)
+      .select(h.as("__h"), col("doc_id"))
+      .repartitionByRange(col("__h"), col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__rn",
+      row_number().over(Window.partitionBy("__pid").orderBy("__h", "doc_id")))
+    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum("__n").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), "__pid")
+      .select((col("__rn") + col("__off")).cast("long").as("pos"), col("doc_id"))
       .orderBy("pos")
       .limit(100)
   }
