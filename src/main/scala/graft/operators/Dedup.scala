@@ -187,12 +187,13 @@ object Dedup {
     * Docs with < 3 tokens have empty shingle sets and are excluded up
     * front (an empty set has no Jaccard neighbors; unfiltered, every
     * short-doc pair would band-collide on the empty signature). */
-  val q47DedupMinhash: QueryDef = sql(
-    "q47_dedup_minhash",
-    exactPairsSql(0.6,
-      "SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM jp")) { (s, d) =>
+  /** q47's pair chain, extracted for reuse (q89 clusters over it):
+    * MinHash banding → estimate prefilter → exact-Jaccard verify at
+    * `tau`, emitting (doc_a, doc_b, jaccard) over RAW documents (exact
+    * duplicates included — they verify at J = 1.0). */
+  private[graft] def exactNearDupPairs(documents: DataFrame, tau: Double): DataFrame = {
     val k = 32; val bands = 16; val rows = k / bands
-    val sh = shingleArray(Tables.documents(s, d))
+    val sh = shingleArray(documents)
       .filter(size(col("shingles")) > 0)
       .select("doc_id", "shingles")
       .cache()
@@ -215,7 +216,14 @@ object Dedup {
       .filter(est >= 0.3)
       .select("doc_a", "doc_b")
     verifyExact(prefiltered, sh)
-      .filter(col("jaccard") >= 0.6)
+      .filter(col("jaccard") >= tau)
+  }
+
+  val q47DedupMinhash: QueryDef = sql(
+    "q47_dedup_minhash",
+    exactPairsSql(0.6,
+      "SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM jp")) { (s, d) =>
+    exactNearDupPairs(Tables.documents(s, d), 0.6)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -331,7 +339,72 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over an undirected pair graph by iterative
+    * MIN-label propagation: every node starts labeled with itself;
+    * each round, labels flow across edges and each node keeps the
+    * minimum seen; converges in O(component diameter) rounds.
+    * Duplicate-cluster graphs are near-cliques (diameter 1-2), so 2-3
+    * joins settle even a 100 TB corpus — this is the GLOBAL step that
+    * turns pairwise near-dup verdicts into cluster-aware removal
+    * (greedy pair-dropping can disagree with transitive closure on
+    * chains; components never do). Each round is one shuffle join +
+    * one aggregate; `localCheckpoint` truncates the growing lineage. */
+  def clusterAssignments(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val propagated = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.unionByName(propagated)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "__old"), "doc_id")
+        .filter(col("label") =!= col("__old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup CLUSTERS: connected components over the exact-verified
+    * pair graph (q47's pairs, exact copies included at J = 1.0), each
+    * clustered doc labeled with its component's min doc_id and the
+    * component size. The oracle computes the same closure with a
+    * recursive CTE — an independent transitive-closure algorithm, so
+    * the hash gate checks the component structure itself, not just the
+    * pair list. */
+  val q89DedupClusters: QueryDef = sql(
+    "q89_dedup_clusters",
+    s"""WITH RECURSIVE ${pairsCtes(0.6, "documents")},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jp
+       |  UNION ALL SELECT doc_b, doc_a FROM jp),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT doc_id, cluster_id,
+       |       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+       |FROM comp
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    clusterAssignments(exactNearDupPairs(Tables.documents(s, d), 0.6)
+        .select("doc_a", "doc_b"))
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q45DedupExact, q46DedupNgramJaccard, q47DedupMinhash, q48DedupSimhash,
-    q56NearDupPipeline)
+    q56NearDupPipeline, q89DedupClusters)
 }
