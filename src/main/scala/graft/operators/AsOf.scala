@@ -60,61 +60,77 @@ object AsOf {
       payload: Seq[(String, String)],
       forward: Boolean,
       toleranceSeconds: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
     val leftCols = left.columns
-    // `__rt` carries the matched right row's OWN time through the
-    // window (needed for the tolerance check); it rides along as an
-    // internal payload column.
-    val carryCols = payload :+ (rightTime -> "__rt")
+    // ONE struct carries every payload column plus the matched right
+    // row's own time (`__rt`, needed for the tolerance gate) through
+    // the window TOGETHER. Carrying them as separate last(...,
+    // ignoreNulls) aggregates desyncs them when a right row holds a
+    // NULL payload value: the stale payload of an OLDER row would pair
+    // with the fresher row's time, so the tolerance gate could validate
+    // a stale payload against a fresh match — or null out a valid one.
+    // A right row with null payload fields still yields a NON-null
+    // struct, so last(struct, ignoreNulls) tracks rows, not values.
+    val carryType = StructType(payload.map { case (src, dst) =>
+      StructField(dst, right.schema(src).dataType)
+    } :+ StructField("__rt", right.schema(rightTime).dataType))
     // Right rows sort BEFORE left rows at equal timestamps (side 0 < 1)
     // => "at or before" semantics, matching DuckDB's ASOF (>=) join;
     // same rule under the forward scan ("at or after").
-    val taggedLeft = carryCols.foldLeft(
-      left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))) {
-      case (df, (src, dst)) => df.withColumn(dst, lit(null).cast(right.schema(src).dataType))
-    }
+    val taggedLeft = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__carry", lit(null).cast(carryType))
     val taggedRight = {
       val base = right
         .withColumn("__t", col(rightTime))
         .withColumn("__side", lit(0))
-      val withPayload = carryCols.foldLeft(base) { case (df, (src, dst)) =>
-        df.withColumn(dst, col(src))
-      }
+        .withColumn("__carry", struct(
+          (payload.map { case (src, dst) => col(src).as(dst) } :+
+            col(rightTime).as("__rt")): _*))
       // null out the left-only columns, keep schema aligned for union
-      leftCols.foldLeft(withPayload) { case (df, c) =>
+      leftCols.foldLeft(base) { case (df, c) =>
         if (right.columns.contains(c) && c != key) df.withColumn(c, col(c))
         else if (c == key) df
         else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
     }
-    val unioned = taggedLeft.select((leftCols.map(col) ++ Seq(col("__t"), col("__side")) ++
-        carryCols.map { case (_, dst) => col(dst) }): _*)
-      .unionByName(taggedRight.select((leftCols.map(col) ++ Seq(col("__t"), col("__side")) ++
-        carryCols.map { case (_, dst) => col(dst) }): _*))
-    // final payload-id tie-break: multiple right rows sharing (key, t)
-    // would otherwise carry a partition-order-dependent payload
-    val tieBreak = payload.headOption
-      .map { case (_, dst) => col(dst).asc_nulls_first }
-      .toSeq
+    val projected = leftCols.map(col) ++ Seq(col("__t"), col("__side"), col("__carry"))
+    val unioned = taggedLeft.select(projected: _*)
+      .unionByName(taggedRight.select(projected: _*))
+    // Tie-break on the carried struct itself (lexicographic on fields,
+    // first payload dominating): multiple right rows sharing (key, t)
+    // would otherwise carry a partition-order-dependent payload. Left
+    // rows have a null struct and sort first.
     val timeOrder = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(col(key))
-      .orderBy(Seq(timeOrder, col("__side").asc) ++ tieBreak: _*)
+      .orderBy(timeOrder, col("__side").asc, col("__carry").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carryCols.foldLeft(unioned) { case (df, (_, dst)) =>
-      df.withColumn(dst, last(col(dst), ignoreNulls = true).over(w))
-    }
-    val matched = carried.filter(col("__side") === 1)
+    val matched = unioned
+      .withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
     val bounded = toleranceSeconds match {
-      case None => matched
-      case Some(tol) =>
-        val delta =
-          if (forward) col("__rt").cast("double") - col(leftTime).cast("double")
-          else col(leftTime).cast("double") - col("__rt").cast("double")
-        val ok = col("__rt").isNotNull && delta <= tol
+      case None =>
         payload.foldLeft(matched) { case (df, (_, dst)) =>
-          df.withColumn(dst, when(ok, col(dst)))
+          df.withColumn(dst, col("__carry").getField(dst))
         }
+      case Some(tol) =>
+        // exact INTEGER time arithmetic: a double round-trip loses ~1 ulp
+        // at microsecond magnitudes, so boundary events could disagree
+        // with the oracle's exact INTERVAL check
+        val withRt = matched.withColumn("__rt", col("__carry").getField("__rt"))
+        val (lm, rm, tolUnits) =
+          if (left.schema(leftTime).dataType == TimestampType)
+            (expr(s"unix_micros(`$leftTime`)"), expr("unix_micros(__rt)"),
+              lit(tol * 1000000L))
+          else (col(leftTime).cast("long"), col("__rt").cast("long"), lit(tol))
+        val delta = if (forward) rm - lm else lm - rm
+        val ok = col("__rt").isNotNull && delta <= tolUnits
+        payload.foldLeft(withRt) { case (df, (_, dst)) =>
+          df.withColumn(dst, when(ok, col("__carry").getField(dst)))
+        }.drop("__rt")
     }
-    bounded.drop("__t", "__side", "__rt")
+    bounded.drop("__t", "__side", "__carry")
   }
 
   /** Declared query: each event joined as-of to the user's most recent

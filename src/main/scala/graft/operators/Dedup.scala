@@ -161,16 +161,28 @@ object Dedup {
   private[graft] def bandHashes(bands: Int, rows: Int): Column =
     expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))")
 
-  /** Exact Jaccard between the shingle arrays of candidate pairs:
-    * intersection/union on the (small) surviving pair set only. */
+  /** Exact Jaccard between the HASHED shingle sets (`hsh`, array<long>)
+    * of candidate pairs: intersection/union on the (small) surviving
+    * pair set only. Set identity over xxhash64'd shingles equals set
+    * identity over the strings up to a 64-bit collision (P ≈ 1e-11 at
+    * ~10⁵ distinct shingles) — and the q46/q47 oracles would catch one. */
   private def verifyExact(cand: DataFrame, sh: DataFrame): DataFrame = {
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("hsh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hsh").as("sh_b")), "doc_b")
       .withColumn("jaccard", jac)
   }
+
+  /** Hash each shingle to a long INSIDE the projection that computes
+    * the sketches, so the per-doc cache holds `(doc_id, hsh:
+    * array<long>, <sketch cols>)` — ~8 B/shingle — instead of the
+    * ~25 B/shingle string arrays. The r5 bench showed string-array
+    * caches evicting under memory pressure and the verify stage
+    * recomputing shingling from raw text (q56 8.7× regression). */
+  private def hashedShingleCols: Column =
+    expr("transform(shingles, s -> xxhash64(s))")
 
   /** MinHash + LSH banding over 3-gram shingles: k=32 signature,
     * 16 bands × 2 rows (candidate prob ≈ 1-(1-J²)¹⁶ — >0.999 for
@@ -193,12 +205,15 @@ object Dedup {
     * duplicates included — they verify at J = 1.0). */
   private[graft] def exactNearDupPairs(documents: DataFrame, tau: Double): DataFrame = {
     val k = 32; val bands = 16; val rows = k / bands
+    // one projection derives BOTH downstream forms of the shingle set
+    // (hashed set for the exact verify, MinHash signature for banding),
+    // so only long arrays are cached — never the shingle strings
     val sh = shingleArray(documents)
       .filter(size(col("shingles")) > 0)
-      .select("doc_id", "shingles")
+      .select(col("doc_id"), hashedShingleCols.as("hsh"),
+        TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"))
       .cache()
-    val sigs = sh.select(col("doc_id"),
-      TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"))
+    val sigs = sh.select(col("doc_id"), col("sig"))
     val banded = sigs.select(
       col("doc_id"),
       posexplode(bandHashes(bands, rows)))
@@ -215,7 +230,7 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .filter(est >= 0.3)
       .select("doc_a", "doc_b")
-    verifyExact(prefiltered, sh)
+    verifyExact(prefiltered, sh.select("doc_id", "hsh"))
       .filter(col("jaccard") >= tau)
   }
 
@@ -247,9 +262,10 @@ object Dedup {
     exactPairsSql(0.6, "SELECT doc_a, doc_b FROM jp")) { (s, d) =>
     val sh = shingleArray(Tables.documents(s, d))
       .filter(size(col("shingles")) > 0)
-      .select("doc_id", "shingles")
+      .select(col("doc_id"), hashedShingleCols.as("hsh"),
+        TextFunctions.simhash64(col("shingles")).as("simhash"))
       .cache()
-    val fp = sh.select(col("doc_id"), TextFunctions.simhash64(col("shingles")).as("simhash"))
+    val fp = sh.select(col("doc_id"), col("simhash"))
     val chunks = fp.select(
       col("doc_id"), col("simhash"),
       posexplode(expr(
@@ -265,7 +281,7 @@ object Dedup {
       .filter(expr("bit_count(sh_a ^ sh_b)") <= 16)
       .select("doc_a", "doc_b")
       .distinct()
-    verifyExact(cand, sh)
+    verifyExact(cand, sh.select("doc_id", "hsh"))
       .filter(col("jaccard") >= 0.6)
       .select("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
@@ -316,10 +332,11 @@ object Dedup {
       .drop("content_hash")
     val sh = shingleArray(reps)
       .filter(size(col("shingles")) > 0)
-      .select("doc_id", "shingles", "n_copies")
+      .select(col("doc_id"), hashedShingleCols.as("hsh"),
+        TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"),
+        col("n_copies"))
       .cache()
-    val sigs = sh.select(col("doc_id"),
-      TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"))
+    val sigs = sh.select(col("doc_id"), col("sig"))
     val banded = sigs.select(
       col("doc_id"),
       posexplode(bandHashes(bands, rows)))
@@ -330,7 +347,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    verifyExact(cand, sh.select("doc_id", "shingles"))
+    verifyExact(cand, sh.select("doc_id", "hsh"))
       .filter(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .join(sh.select(col("doc_id").as("doc_a"), col("n_copies").as("n_copies_a")), "doc_a")
@@ -360,12 +377,21 @@ object Dedup {
     while (changed > 0 && iter < maxIters) {
       val propagated = edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("label"))
-      val next = labels.unionByName(propagated)
-        .groupBy("doc_id").agg(min("label").as("label"))
+      // convergence check FOLDED into the propagation pass: each doc's
+      // previous label rides the union (null on propagated rows; every
+      // doc appears exactly once in `labels`, so min(__old) recovers
+      // it), and the min-label aggregate emits a per-doc changed flag.
+      // Reading the flag back is a narrow scan of the just-checkpointed
+      // blocks — not the extra join + shuffle + count per round the
+      // check used to cost.
+      val next = labels.withColumn("__old", col("label"))
+        .unionByName(propagated.withColumn("__old", lit(null).cast("long")))
+        .groupBy("doc_id")
+        .agg(min("label").as("label"), min("__old").as("__old"))
+        .withColumn("__chg", when(col("label") < col("__old"), 1L).otherwise(0L))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "__old"), "doc_id")
-        .filter(col("label") =!= col("__old")).count()
-      labels = next
+      changed = next.agg(sum("__chg")).head().getLong(0)
+      labels = next.select("doc_id", "label")
       iter += 1
     }
     labels

@@ -95,7 +95,11 @@ object Windows {
       |FROM events
       |ORDER BY event_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val micros = (col("ts").cast("double") * 1e6).cast("long")
+    // exact epoch micros as the ordering key: the double round-trip
+    // (cast("double") * 1e6) loses ~1 ulp at microsecond magnitudes,
+    // so a boundary event exactly 1 h back could land on the wrong
+    // side of the frame vs the oracle's exact INTERVAL arithmetic
+    val micros = expr("unix_micros(ts)")
     val w = Window.partitionBy("user_id").orderBy(micros)
       .rangeBetween(-3600L * 1000000, 0)
     Tables.events(s, d)

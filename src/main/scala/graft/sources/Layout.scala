@@ -113,8 +113,20 @@ object Layout {
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
     val (loA, hiA, loB, hiB) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    def norm(c: String, lo: Long, hi: Long) =
-      ((col(c).cast("long") - lit(lo)) * lit(65535L) / lit(math.max(1L, hi - lo))).cast("long")
+    // RATIO-FIRST normalization: the integer form ((c - lo) * 65535)
+    // overflows a long once the key range is wider than ~2^47 (throws
+    // under ANSI mode). Dividing first keeps every intermediate in
+    // [0, 1] × 65535. Double math is not exact above 2^53, but the map
+    // only needs 16-bit resolution and MONOTONICITY — long→double
+    // conversion and positive-constant arithmetic are both monotone —
+    // so min/max row-group pruning stays correct for the FULL signed-
+    // long key range (span computed in double: no hi-lo overflow).
+    def norm(c: String, lo: Long, hi: Long) = {
+      val span = math.max(1.0, hi.toDouble - lo.toDouble)
+      least(lit(65535L),
+        floor((col(c).cast("long").cast("double") - lit(lo.toDouble)) / lit(span) * 65535.0)
+          .cast("long"))
+    }
     val z = df
       .withColumn("__za", norm(colA, loA, hiA))
       .withColumn("__zb", norm(colB, loB, hiB))

@@ -93,8 +93,9 @@ object UpsertStore {
       s"txn=${m.txn}").mkString(";")
     // immutable per-commit manifest copy (the Delta-log pattern) BEFORE
     // the pointer swap: the commit log is what makes snapshots
-    // addressable for time travel; an orphan log entry from a crashed
-    // commit is harmless (its seq never becomes _LATEST)
+    // addressable for time travel; an orphan log entry from a crash in
+    // this window is inert because versions()/readVersion() serve only
+    // entries at or below the committed _LATEST head
     val logEntry = new Path(path, s"$LogDir/${m.seq}")
     f.mkdirs(new Path(path, LogDir))
     val lout = f.create(logEntry, true)
@@ -147,9 +148,15 @@ object UpsertStore {
   def versions(spark: SparkSession, path: String): Seq[(Long, Boolean)] = {
     val f = fs(spark, path)
     val logDir = new Path(path, LogDir)
+    // gate on the committed pointer: a crash between the `_log/<seq>`
+    // write and the `_LATEST` swap leaves an orphan entry whose seq is
+    // ABOVE the committed head — a state that never became the table
+    // must not be servable via time travel
+    val committed = readManifest(spark, path).map(_.seq).getOrElse(-1L)
     if (!f.exists(logDir)) Seq.empty
     else f.listStatus(logDir).toSeq
       .flatMap(st => st.getPath.getName.toLongOption)
+      .filter(_ <= committed)
       .sorted
       .map { v =>
         val m = parseManifest(readFileText(f, new Path(logDir, v.toString)))
@@ -232,7 +239,10 @@ object UpsertStore {
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
     val f = fs(spark, path)
     val entry = new Path(path, s"$LogDir/$version")
-    if (!f.exists(entry)) {
+    // same crash-window gate as versions(): an orphan log entry above
+    // the committed `_LATEST` head was never committed
+    val committed = readManifest(spark, path).map(_.seq).getOrElse(-1L)
+    if (version > committed || !f.exists(entry)) {
       val avail = versions(spark, path).filter(_._2).map(_._1)
       throw new IllegalArgumentException(
         s"version $version of $path was never committed; readable versions: " +

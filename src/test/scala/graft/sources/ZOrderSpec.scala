@@ -32,6 +32,30 @@ class ZOrderSpec extends AnyFunSuite {
       .getOrElse(fail("no FileSourceScan in plan"))
   }
 
+  test("z-order normalization survives a 2^50-wide key range (ratio-first, no long overflow)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder-wide").toString
+    val n = 20000L
+    val step = (1L << 50) / n
+    // a spans ±2^49 (signed), b spans [step, 2^50] — the integer-first
+    // normalization ((c - lo) * 65535) overflows a long here and throws
+    // under ANSI mode; the ratio-first form must write and prune
+    val df = spark.range(n).select(
+      (col("id") * step - (1L << 49)).as("a"),
+      ((org.apache.spark.sql.functions.lit(n) - col("id")) * step).as("b"),
+      col("id").as("v"))
+    Layout.writeZOrdered(df, s"$dir/z", "a", "b", rowGroupBytes = 16 * 1024)
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == n)
+    val pred = s"a <= ${-(1L << 48)} AND b >= ${step * (n * 3 / 4)}"
+    val expected = df.filter(pred).count()
+    val boxed = back.filter(pred)
+    assert(boxed.count() == expected)
+    val read = scanRows(back.filter(pred))
+    info(s"wide-range box predicate: read $read of $n rows")
+    assert(read < n, s"z-order on a 2^50 range must still prune: read $read of $n")
+  }
+
   test("z-ordered layout prunes row groups on both clustered columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_extendedprice")

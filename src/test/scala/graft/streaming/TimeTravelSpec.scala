@@ -50,6 +50,40 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(err2.getMessage.contains("never committed"), err2.getMessage)
   }
 
+  test("crash window: a _log entry without the _LATEST swap is never servable") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    def df(pairs: (Long, String)*) = pairs.toDF("k", "v")
+    UpsertStore.upsert(spark, dir, df(1L -> "a"), Seq("k"))          // commit 0
+    UpsertStore.upsert(spark, dir, df(2L -> "b"), Seq("k"))          // commit 1
+    // simulate a crash BETWEEN the _log write and the _LATEST pointer
+    // swap: a seq-2 log entry exists (pointing at live dirs) but the
+    // committed head is still 1
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = {
+      val p = new Path(dir, "_LATEST")
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(0, buf); new String(buf, "UTF-8")
+      } finally in.close()
+    }
+    val orphan = latest.replaceFirst("seq=1", "seq=2")
+    val out = fs.create(new Path(dir, "_log/2"), true)
+    try out.write(orphan.getBytes("UTF-8")) finally out.close()
+    // the never-committed state must be invisible everywhere
+    val readable = UpsertStore.versions(spark, dir).map(_._1)
+    assert(readable == Seq(0L, 1L), s"orphan seq leaked into versions(): $readable")
+    val err = intercept[IllegalArgumentException](UpsertStore.readVersion(spark, dir, 2L))
+    assert(err.getMessage.contains("never committed"), err.getMessage)
+    assert(UpsertStore.latestVersion(spark, dir).contains(1L))
+    // the next real commit overwrites the orphan seq and proceeds normally
+    UpsertStore.upsert(spark, dir, df(3L -> "c"), Seq("k"))          // commit 2 (real)
+    assert(UpsertStore.readVersion(spark, dir, 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("change feed: per-commit upserts after a version; folds fail loudly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
