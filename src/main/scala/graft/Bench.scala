@@ -37,6 +37,16 @@ object Bench {
     // A failing query is NOT silently folded into the total: it is listed
     // in the "errors" key and the process exits non-zero, so a regression
     // can't hide behind a smaller (fewer-queries) total.
+    // whole-bench warm-up BEFORE any per-query timing: one full scan of
+    // every input table primes the FS page cache and parquet footers, so
+    // the first queries in the loop don't absorb the cold-IO cost into
+    // their (driver-visible) numbers — the r5 bench swung up to 8.7× on
+    // identical code partly from cold-start load order.
+    Tables.all.foreach { t =>
+      try Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $t: ${e.getMessage}") }
+    }
+
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.allQueries.map { q =>
       val r = try {

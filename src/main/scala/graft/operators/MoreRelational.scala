@@ -224,14 +224,14 @@ object MoreRelational {
   /** Exact interpolated + discrete percentiles, computed by a
     * DISTRIBUTED rank selection instead of Spark's builtin `percentile`
     * aggregate: the builtin buffers every group value in executor
-    * memory (OOM at 100 TB); this plan sorts within the group partition
-    * (external, spill-safe), marks the rows at the target ranks with a
-    * window row_number, and aggregates just those — same numbers as
-    * DuckDB `quantile_cont`/`quantile_disc` (linear interpolation at
-    * h = (n-1)q + 1; discrete at rank ⌊(n-1)q⌋ + 1), exact, bounded
-    * memory. Low-cardinality group keys cap sort parallelism (3 flags
-    * ⇒ 3-way); [[q37PercentilesApprox]] is the sketch path when that
-    * matters. */
+    * memory (OOM at 100 TB); this plan ranks each group's values with
+    * [[Distributed.groupedRowNumber]] (range-repartition + local sort
+    * + broadcast prefix offsets — parallelism = partition count, NOT
+    * group count), marks the rows at the target ranks, and aggregates
+    * just those — same numbers as DuckDB `quantile_cont`/
+    * `quantile_disc` (linear interpolation at h = (n-1)q + 1; discrete
+    * at rank ⌊(n-1)q⌋ + 1), exact, bounded memory.
+    * [[q37PercentilesApprox]] remains the one-pass sketch path. */
   val q33Percentiles: QueryDef = sql(
     "q33_percentiles",
     """SELECT l_returnflag,
@@ -241,14 +241,13 @@ object MoreRelational {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val byFlag = Window.partitionBy("l_returnflag")
     // row_number needs a total order; price ties are fine for quantiles
     // (equal values are interchangeable), so order by value alone
-    val rk = Tables.lineitem(s, d)
+    val base = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-      .withColumn("r", row_number().over(byFlag.orderBy("v")))
-      .withColumn("n", count(lit(1)).over(byFlag))
+    val counts = base.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val rk = Distributed.groupedRowNumber(base, Seq("l_returnflag"), Seq("v"), "r")
+      .join(broadcast(counts), "l_returnflag")
     def cont(q: Double): org.apache.spark.sql.Column = {
       val h = (col("n") - 1) * lit(q) + 1
       val vLo = max(when(col("r") === floor(h), col("v")))

