@@ -1,0 +1,131 @@
+package graft.javaapi;
+
+import static org.apache.spark.sql.functions.avg;
+import static org.apache.spark.sql.functions.col;
+import static org.apache.spark.sql.functions.expr;
+import static org.apache.spark.sql.functions.max;
+import static org.apache.spark.sql.functions.min;
+import static org.apache.spark.sql.functions.round;
+import static org.apache.spark.sql.functions.timestamp_millis;
+import static org.apache.spark.sql.functions.unix_timestamp;
+import static org.apache.spark.sql.functions.window;
+
+import java.util.List;
+
+import org.apache.spark.sql.Dataset;
+import org.apache.spark.sql.Row;
+import org.apache.spark.sql.SparkSession;
+import org.apache.spark.sql.streaming.StreamingQuery;
+import org.apache.spark.sql.streaming.Trigger;
+import org.apache.spark.sql.types.DataTypes;
+import org.apache.spark.sql.types.StructField;
+import org.apache.spark.sql.types.StructType;
+
+import graft.streaming.ParquetUpsertSink;
+import graft.streaming.TrafficPipeline;
+import graft.streaming.UpsertSink;
+
+/**
+ * Java-API entry point — multi-language parity with the Scala engine.
+ *
+ * The reference ships the SAME pipeline three times, once per language
+ * (KafkaToKuduScala.scala:12, KafkaToKuduJava.java:48,
+ * kafka_to_kudu.py:7), with the Java copy demonstrating the
+ * explicit-StructType schema idiom (KafkaToKuduJava.java:97-101,
+ * SURVEY §1.3 style 2). This class is the rebuild's Java twin: the
+ * batch transforms are declared with the Java column API (identical
+ * Catalyst plans to the Scala declarations — pinned by
+ * JavaApiParitySpec), and the streaming wiring reuses the Scala
+ * {@link TrafficPipeline} and {@link UpsertSink} directly, so a Java
+ * caller gets the exact same engine, not a re-implementation.
+ */
+public final class GraftJava {
+  private GraftJava() {}
+
+  /**
+   * Explicit programmatic schema of a parsed traffic record — the
+   * reference's Java schema idiom (KafkaToKuduJava.java:97-101):
+   * {@code DataTypes.createStructType(new StructField[]{...})}.
+   */
+  public static StructType parsedSchema() {
+    return DataTypes.createStructType(new StructField[] {
+      DataTypes.createStructField("measurement_time", DataTypes.LongType, false),
+      DataTypes.createStructField("number_of_vehicles", DataTypes.IntegerType, false)
+    });
+  }
+
+  /**
+   * Parse raw {@code "<epoch_ms>,<n_vehicles>"} lines in a string
+   * {@code value} column (reference T1/T3/T4 incl. the
+   * trailing-whitespace trim, KafkaToKuduJava.java:85-95). Same
+   * declarative plan as {@code TrafficPipeline.parse}.
+   */
+  public static Dataset<Row> parse(Dataset<Row> raw) {
+    return raw
+        .withColumn("measurement_time",
+            expr("try_cast(trim(get(split(value, ','), 0)) AS LONG)"))
+        .withColumn("number_of_vehicles",
+            expr("try_cast(trim(get(split(value, ','), 1)) AS INT)"))
+        .filter(col("measurement_time").isNotNull()
+            .and(col("number_of_vehicles").isNotNull()))
+        .select("measurement_time", "number_of_vehicles");
+  }
+
+  /**
+   * The reference's aggregation (SURVEY §2.4 A1-A4, F2) over sliding
+   * event-time windows, declared with the Java column API —
+   * deterministic window-start key, like the Scala twin.
+   */
+  public static Dataset<Row> aggregate(Dataset<Row> parsed, String windowLen, String slide) {
+    return parsed
+        .withColumn("ts", timestamp_millis(col("measurement_time")))
+        .groupBy(window(col("ts"), windowLen, slide))
+        .agg(
+            round(avg("number_of_vehicles"), 2).as("avg_num_veh"),
+            min("number_of_vehicles").as("min_num_veh"),
+            max("number_of_vehicles").as("max_num_veh"),
+            min("measurement_time").as("first_meas_time"),
+            max("measurement_time").as("last_meas_time"))
+        .select(
+            unix_timestamp(col("window.start")).multiply(1000).as("as_of_time"),
+            col("avg_num_veh"), col("min_num_veh"), col("max_num_veh"),
+            col("first_meas_time"), col("last_meas_time"));
+  }
+
+  /**
+   * The same aggregation through the SQL entry point (the reference's
+   * registerTempTable + spark.sql path, KafkaToKuduJava.java:101-110).
+   */
+  public static Dataset<Row> aggregateSql(SparkSession spark, Dataset<Row> parsed) {
+    parsed.createOrReplaceTempView("traffic");
+    return spark.sql(
+        "SELECT unix_timestamp(window.start) * 1000 AS as_of_time, "
+            + "ROUND(AVG(number_of_vehicles), 2) AS avg_num_veh, "
+            + "MIN(number_of_vehicles) AS min_num_veh, "
+            + "MAX(number_of_vehicles) AS max_num_veh, "
+            + "MIN(measurement_time) AS first_meas_time, "
+            + "MAX(measurement_time) AS last_meas_time "
+            + "FROM (SELECT *, timestamp_millis(measurement_time) AS ts FROM traffic) "
+            + "GROUP BY window(ts, '60 seconds', '5 seconds')");
+  }
+
+  /** Local keyed-parquet upsert sink (the KuduContext verb set behind
+   *  one interface), constructed from Java. */
+  public static UpsertSink parquetSink(SparkSession spark, String path, List<String> keys) {
+    return new ParquetUpsertSink(spark, path,
+        scala.jdk.javaapi.CollectionConverters.asScala(keys).toSeq());
+  }
+
+  /**
+   * End-to-end streaming pipeline from Java: source with a string
+   * {@code value} column → parse → windowed aggregate → keyed upsert —
+   * delegates to the Scala {@link TrafficPipeline#run}, so Java callers
+   * run the identical two-level-aggregation engine (checkpointed,
+   * replay-idempotent).
+   */
+  public static StreamingQuery run(Dataset<Row> source, UpsertSink sink,
+      String checkpointDir, Trigger trigger) {
+    return TrafficPipeline.run(source, sink, checkpointDir, trigger,
+        "60 seconds", "5 seconds", "10 seconds");
+  }
+}

@@ -1,0 +1,62 @@
+package graft.javaapi
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.streaming.TrafficPipeline
+
+/** Multi-language parity (the reference's core teaching point — one
+  * pipeline, three APIs): the Java entry point must produce the SAME
+  * results and schemas as the Scala declarations, because both declare
+  * the same Catalyst plan. */
+class JavaApiParitySpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def raw = Seq(
+    "1000,3", "2000,5", "3000,2", "61000,7 \n", "62000, 4", "garbage", "99,"
+  ).toDF("value")
+
+  test("Java parse == Scala parse (incl. trailing-whitespace and malformed rows)") {
+    val s = TrafficPipeline.parse(raw).collect().map(_.toSeq).toSeq
+    val j = GraftJava.parse(raw).collect().map(_.toSeq).toSeq
+    assert(j == s)
+    assert(j.size == 5) // two malformed rows dropped
+  }
+
+  test("Java explicit StructType == Scala parse output schema (SURVEY §1.3 duality)") {
+    val scalaSchema = TrafficPipeline.parse(raw).schema
+    val javaSchema = GraftJava.parsedSchema()
+    assert(javaSchema.fieldNames.toSeq == scalaSchema.fieldNames.toSeq)
+    assert(javaSchema.fields.map(_.dataType).toSeq ==
+      scalaSchema.fields.map(_.dataType).toSeq)
+  }
+
+  test("Java aggregate and SQL aggregate == Scala aggregate (batch)") {
+    val parsed = TrafficPipeline.parse(raw)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("as_of_time").collect().map(_.toSeq).toSeq
+    val s = rows(TrafficPipeline.aggregate(parsed))
+    assert(rows(GraftJava.aggregate(parsed, "60 seconds", "5 seconds")) == s)
+    assert(rows(GraftJava.aggregateSql(spark, parsed)) == s)
+  }
+
+  test("Java streaming wiring runs the Scala engine end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-javaapi").toString
+    val sink = GraftJava.parquetSink(spark, s"$dir/sink",
+      java.util.List.of("as_of_time"))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData("1000,3", "2000,5", "61000,7")
+    val q = GraftJava.run(mem.toDF(), sink, s"$dir/ckpt", Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val out = sink.read(spark)
+    assert(out.count() > 0)
+    // window rows aggregate the parsed records (sanity: totals visible)
+    val maxVeh = out.agg(org.apache.spark.sql.functions.max("max_num_veh"))
+      .head().getInt(0)
+    assert(maxVeh == 7)
+  }
+}
