@@ -73,7 +73,10 @@ object ScaleProbe {
     "q47_dedup_minhash", "q48_dedup_simhash", "q56_neardup_pipeline",
     "q50_ann_bruteforce", "q55_ann_ivf", "q61_contamination_check",
     "q76_partitioned_dpp", "q80_prep_pipeline", "q81_salted_join",
-    "q83_zorder_scan", "q86_trailing_window")
+    "q83_zorder_scan", "q86_trailing_window",
+    // round 6: the de-stratified prefix-aggregate plans (range-
+    // repartition + broadcast offsets) and cluster propagation
+    "q33_percentiles", "q60_token_packing", "q89_dedup_clusters")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

@@ -252,9 +252,10 @@ object Dedup {
     * discipline as q47, different sketch. Oracle-checked against the
     * brute-force exact pairs, so the driver gate doubles as a recall
     * check for the banding. 8-bit chunks trade more raw candidates
-    * (256 values/chunk) for the wider hamming guarantee; the hamming
-    * prefilter runs on the 16-byte (id, fingerprint) stream before any
-    * shingle array is shuffled. Short docs (< 3 tokens, empty shingle
+    * (256 values/chunk) for the wider hamming guarantee — so the chunk
+    * join runs over DISTINCT fingerprints with the hamming prefilter
+    * on fingerprint pairs, and only surviving pairs expand to doc
+    * pairs (see inline note). Short docs (< 3 tokens, empty shingle
     * set) are excluded up front — they'd otherwise all share the
     * all-zero fingerprint. */
   val q48DedupSimhash: QueryDef = sql(
@@ -265,22 +266,40 @@ object Dedup {
       .select(col("doc_id"), hashedShingleCols.as("hsh"),
         TextFunctions.simhash64(col("shingles")).as("simhash"))
       .cache()
-    val fp = sh.select(col("doc_id"), col("simhash"))
-    val chunks = fp.select(
-      col("doc_id"), col("simhash"),
+    val fps = sh.select(col("doc_id"), col("simhash"))
+    // The chunk join runs over DISTINCT fingerprints, never docs: each
+    // 8-bit chunk has only 256 buckets, so doc-level chunk collisions
+    // grow O(n_docs² / 256) — a corpus with duplicate clusters pays the
+    // quadratic term on every copy (measured 10× probe: 39M candidate
+    // rows at 50 k docs). Distinct fingerprints collapse exact copies
+    // before the quadratic step (the q56 lesson at fingerprint level);
+    // the hamming prefilter then runs on fingerprint PAIRS, and only
+    // surviving pairs (output-sized) expand back to doc pairs.
+    val fpd = fps.select("simhash").distinct()
+    val chunks = fpd.select(
+      col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 7), c -> (simhash >> (c * 8)) & 255)")))
-      .select(col("doc_id"), col("simhash"), col("pos").as("chunk"), col("col").as("chunk_val"))
-    val l = chunks.select(col("chunk"), col("chunk_val"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val r = chunks.select(col("chunk"), col("chunk_val"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    val cand = l.join(r, Seq("chunk", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      // hamming prefilter BEFORE the dedup shuffle: duplicate band
-      // collisions of far pairs are dropped map-side, so the distinct
-      // only shuffles (doc_a, doc_b) of plausible pairs
-      .filter(expr("bit_count(sh_a ^ sh_b)") <= 16)
-      .select("doc_a", "doc_b")
+      .select(col("simhash"), col("pos").as("chunk"), col("col").as("chunk_val"))
+    val l = chunks.select(col("chunk"), col("chunk_val"), col("simhash").as("fp_a"))
+    val r = chunks.select(col("chunk"), col("chunk_val"), col("simhash").as("fp_b"))
+    // keep fp_a == fp_b: an identical-fingerprint GROUP still expands
+    // to its C(group, 2) doc pairs below
+    val fpPairs = l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("fp_a") <= col("fp_b"))
+      .filter(expr("bit_count(fp_a ^ fp_b)") <= 16)
+      .select("fp_a", "fp_b")
       .distinct()
+    // expand both orientations so (doc_a < doc_b) pairs whose
+    // fingerprints sort the other way are not dropped
+    val expanded = fpPairs.unionByName(
+      fpPairs.filter(col("fp_a") =!= col("fp_b"))
+        .select(col("fp_b").as("fp_a"), col("fp_a").as("fp_b")))
+    val cand = expanded
+      .join(fps.select(col("simhash").as("fp_a"), col("doc_id").as("doc_a")), "fp_a")
+      .join(fps.select(col("simhash").as("fp_b"), col("doc_id").as("doc_b")), "fp_b")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
     verifyExact(cand, sh.select("doc_id", "hsh"))
       .filter(col("jaccard") >= 0.6)
       .select("doc_a", "doc_b")
