@@ -449,7 +449,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The dedup REMOVAL PLAN — the action a pipeline actually executes
+    * after clustering: every document mapped to keep/drop with its
+    * cluster representative (component min doc_id) attached, so the
+    * drop is auditable and reversible. Composes q47's exact-verified
+    * pairs + q89's connected components + a left join back to the full
+    * corpus (docs in no cluster keep themselves). Cluster-aware removal
+    * (keep one per COMPONENT) is the correct policy where greedy
+    * pair-dropping can over- or under-delete on chains. The oracle
+    * recomputes the same plan over its own recursive-CTE closure. */
+  val q91DedupRemovalPlan: QueryDef = sql(
+    "q91_dedup_removal_plan",
+    s"""WITH RECURSIVE ${pairsCtes(0.6, "documents")},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jp
+       |  UNION ALL SELECT doc_b, doc_a FROM jp),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT d.doc_id,
+       |       CASE WHEN c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+       |            THEN 'keep' ELSE 'drop_near_dup' END AS action,
+       |       COALESCE(c.cluster_id, d.doc_id) AS representative
+       |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id")
+    val labels = clusterAssignments(
+      exactNearDupPairs(Tables.documents(s, d), 0.6).select("doc_a", "doc_b"))
+      .withColumnRenamed("label", "cluster_id")
+    docs.join(labels, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("cluster_id").isNull || col("cluster_id") === col("doc_id"), "keep")
+          .otherwise("drop_near_dup").as("action"),
+        coalesce(col("cluster_id"), col("doc_id")).as("representative"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q45DedupExact, q46DedupNgramJaccard, q47DedupMinhash, q48DedupSimhash,
-    q56NearDupPipeline, q89DedupClusters)
+    q56NearDupPipeline, q89DedupClusters, q91DedupRemovalPlan)
 }

@@ -229,7 +229,48 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Intra-document repetition (the Gopher-style "repetition" quality
+    * rule): fraction of a document's 3-gram OCCURRENCES that are
+    * duplicates of an earlier one — 1 − distinct/total. Boilerplate,
+    * generated spam, and decoding loops score high; docs above 0.2 are
+    * flagged. Pure per-row array math (no shuffle): at 100 TB this is
+    * an ingest-scan column like the q40/q70 rules. Distinct from q46:
+    * q46 measures repetition ACROSS documents; this measures it
+    * WITHIN one. */
+  val q90IntraDocRepetition: QueryDef = sql(
+    "q90_intra_doc_repetition",
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         len(toks) - 2 AS n_grams,
+      |         len(list_distinct(list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS n_distinct
+      |  FROM t WHERE len(toks) >= 3)
+      |SELECT doc_id,
+      |       CAST(n_grams AS BIGINT) AS n_grams,
+      |       ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4) AS dup_ratio,
+      |       (1.0 - CAST(n_distinct AS DOUBLE) / n_grams) > 0.2 AS flagged
+      |FROM g
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val withToks = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+    val grams = withToks.select(
+      col("doc_id"),
+      (size(col("toks")) - 2).cast("long").as("n_grams"),
+      size(array_distinct(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))")))
+        .cast("long").as("n_distinct"))
+    val ratio = lit(1.0) - col("n_distinct").cast("double") / col("n_grams")
+    grams.select(
+      col("doc_id"), col("n_grams"),
+      round(ratio, 4).as("dup_ratio"),
+      (ratio > 0.2).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40TextQuality, q41TokenFrequency, q42DocStatsByLang, q43LangId, q44Fingerprint,
-    q49TokenMetrics, q36DocChunks)
+    q49TokenMetrics, q36DocChunks, q90IntraDocRepetition)
 }
