@@ -50,6 +50,19 @@ class DistributedSpec extends AnyFunSuite {
     }
   }
 
+  test("edge cases: empty input and single-row groups") {
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "k", "v")
+    assert(Distributed.groupedPrefixSum(empty, Seq("g"), Seq("k"), "v", "cum").count() == 0)
+    assert(Distributed.groupedRowNumber(empty, Seq("g"), Seq("k"), "r").count() == 0)
+    val singles = Seq(("a", 1L, 7L), ("b", 2L, 9L)).toDF("g", "k", "v")
+    val cums = Distributed.groupedPrefixSum(singles, Seq("g"), Seq("k"), "v", "cum")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(cums == Map("a" -> 0L, "b" -> 0L)) // exclusive sum: first row = 0
+    val rks = Distributed.groupedRowNumber(singles, Seq("g"), Seq("k"), "r")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rks == Map("a" -> 1L, "b" -> 1L))
+  }
+
   test("a single group spreads across >1 range partition (no one-task funnel)") {
     val one = spark.range(10000).select(lit("en").as("g"), $"id".as("k"), lit(1L).as("v"))
     // AQE rightly coalesces this toy-sized shuffle to one partition by

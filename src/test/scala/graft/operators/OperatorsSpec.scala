@@ -60,6 +60,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(Some(4L)) == Map(25L -> None, 15L -> None))
   }
 
+  test("as-of with an empty right side: all left rows pass through with null payloads") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, ts(10)), (2L, ts(20))).toDF("user_id", "ts")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("user_id", "ts", "p")
+    val out = AsOf.asOfJoin(left, right, "user_id", "ts", "ts", Seq("p" -> "p_out"))
+      .collect()
+    assert(out.length == 2)
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("p_out"))))
+  }
+
   test("as-of tolerance boundary is exact at microsecond timestamps (integer micros, no double ulp)") {
     // left event at micro-precision T, right row EXACTLY tol seconds
     // earlier: inclusive boundary must match for every micro offset —
