@@ -34,17 +34,34 @@ object Distributed {
     df.repartitionByRange((group ++ order).map(col): _*)
       .withColumn("__pid", spark_partition_id())
 
+  private def requireIntegral(df: DataFrame, value: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(value).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"groupedPrefixSum carries the running sum as long; '$value' is $dt — " +
+        "cast or scale fractional values explicitly at the call site")
+  }
+
   private def withOffsets(parted: DataFrame, group: Seq[String], subtotal: Column,
                           local: DataFrame): DataFrame = {
     // per-(partition, group) subtotals; prefix-summed per group in
     // __pid order (range partitions are key-ordered), tiny frame
     val offW = Window.partitionBy(group.map(col): _*).orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = parted.groupBy(("__pid" +: group).map(col): _*)
+    val keyCols = "__pid" +: group
+    val offsets = parted.groupBy(keyCols.map(col): _*)
       .agg(subtotal.as("__n"))
       .withColumn("__off", coalesce(sum("__n").over(offW), lit(0L)))
-      .select((("__pid" +: group).map(col) :+ col("__off")): _*)
-    local.join(broadcast(offsets), "__pid" +: group)
+      // null-SAFE join keys: a null group value is a legitimate group
+      // for window semantics (groupBy/partitionBy both treat it as
+      // one); a plain equi-join would silently drop its rows
+      .select(keyCols.map(c => col(c).as(s"__o_$c")) :+ col("__off"): _*)
+    // renamed offset keys make every name unique, so unqualified col()
+    // resolves unambiguously across the self-derived join
+    val cond = keyCols.map(c => col(c) <=> col(s"__o_$c")).reduce(_ && _)
+    local.join(broadcast(offsets), cond)
+      .drop(keyCols.map(c => s"__o_$c"): _*)
   }
 
   /** Per-group EXCLUSIVE running sum of `value` in `order` order
@@ -56,6 +73,7 @@ object Distributed {
     * within each group for a deterministic result. */
   def groupedPrefixSum(df: DataFrame, group: Seq[String], order: Seq[String],
                        value: String, out: String): DataFrame = {
+    requireIntegral(df, value)
     val p = parted(df, group, order)
     val localW = Window.partitionBy(("__pid" +: group).map(col): _*)
       .orderBy(order.map(col): _*)

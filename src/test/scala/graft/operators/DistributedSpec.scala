@@ -50,6 +50,28 @@ class DistributedSpec extends AnyFunSuite {
     }
   }
 
+  test("null group values form a real group (window semantics, null-safe offset join)") {
+    val df = Seq(
+      (Option("en"), 1L, 5L), (Option.empty[String], 2L, 7L),
+      (Option.empty[String], 3L, 2L), (Option("en"), 4L, 1L)
+    ).toDF("g", "k", "v")
+    val naive = df.withColumn("cum", coalesce(
+        sum("v").over(Window.partitionBy("g").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val got = Distributed.groupedPrefixSum(df, Seq("g"), Seq("k"), "v", "cum")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == naive, s"null-group rows diverged: got $got, want $naive")
+    assert(got.size == 4, "null-group rows must not be dropped by the offset join")
+  }
+
+  test("fractional value columns are rejected loudly (long-carried running sum)") {
+    val df = Seq(("a", 1L, 1.5)).toDF("g", "k", "v")
+    val err = intercept[IllegalArgumentException](
+      Distributed.groupedPrefixSum(df, Seq("g"), Seq("k"), "v", "cum"))
+    assert(err.getMessage.contains("cast or scale"))
+  }
+
   test("edge cases: empty input and single-row groups") {
     val empty = Seq.empty[(String, Long, Long)].toDF("g", "k", "v")
     assert(Distributed.groupedPrefixSum(empty, Seq("g"), Seq("k"), "v", "cum").count() == 0)
