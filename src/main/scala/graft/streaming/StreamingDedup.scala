@@ -99,7 +99,7 @@ final class StreamingNearDup(
     batchCount += 1
     val sh = graft.operators.Dedup.shingleArray(batch)
       .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), (col("ts").cast("double") * 1000).cast("long").as("ts_ms"),
+      .select(col("doc_id"), expr("unix_millis(ts)").as("ts_ms"),
         col("shingles"))
     val sigs = sh.select(
       Seq(col("doc_id"), col("ts_ms"),

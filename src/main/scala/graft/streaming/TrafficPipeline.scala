@@ -176,9 +176,10 @@ object TrafficPipeline {
         max("number_of_vehicles").as("max_veh"),
         min("measurement_time").as("first_t"),
         max("measurement_time").as("last_t"))
-      // millisecond-precise epoch (unix_timestamp would truncate to
-      // whole seconds and merge sub-second buckets)
-      .select((col("window.start").cast("double") * 1000).cast("long").as("bucket_start"),
+      // exact millisecond epoch (unix_timestamp truncates to whole
+      // seconds and would merge sub-second buckets; a double round-trip
+      // can lose a ulp at epoch-ms magnitudes)
+      .select(expr("unix_millis(window.start)").as("bucket_start"),
         col("cnt"), col("sum_veh"), col("min_veh"), col("max_veh"),
         col("first_t"), col("last_t"))
 

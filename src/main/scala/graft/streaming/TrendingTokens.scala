@@ -31,8 +31,9 @@ object TrendingTokens {
       .select(col("ts"), explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
       .groupBy(window(col("ts"), windowLen, slide), col("token"))
       .agg(count(lit(1)).as("n"))
-      // millisecond-precise epoch (unix_timestamp truncates to seconds)
-      .select((col("window.start").cast("double") * 1000).cast("long").as("window_start"),
+      // exact millisecond epoch (unix_timestamp truncates to seconds;
+      // a double round-trip can lose a ulp at epoch-ms magnitudes)
+      .select(expr("unix_millis(window.start)").as("window_start"),
         col("token"), col("n"))
 
   /** Wire to a sink keyed by (window_start, rk). */
@@ -73,7 +74,7 @@ object TrendingTokens {
       .select(col("ts"), explode(graft.operators.TextAnalysis.tokens(col("text"))).as("token"))
       .groupBy(window(col("ts"), windowLen, slide), col("token"))
       .agg(count(lit(1)).as("n"))
-      .select((unix_timestamp(col("window.start")) * 1000).as("window_start"),
+      .select(expr("unix_millis(window.start)").as("window_start"),
         col("token"), col("n"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("window_start").orderBy(col("n").desc, col("token"))
