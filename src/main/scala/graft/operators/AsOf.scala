@@ -133,6 +133,119 @@ object AsOf {
     bounded.drop("__t", "__side", "__carry")
   }
 
+  /** Skew-safe as-of join: a HOT key (bot user, monitoring agent) whose
+    * timeline exceeds one partition's sort capacity breaks the plain
+    * union+window plan (each key's whole timeline sorts in one task).
+    * This variant adds the key's TIME BUCKET to the partitioning, so a
+    * hot timeline splits across ⌈span/bucket⌉ tasks:
+    *
+    *   1. the running-last carry runs per (key, bucket) — local sort,
+    *      parallelism = buckets touched, not keys;
+    *   2. each bucket's FINAL right-row carry is summarized into ONE
+    *      row per (key, bucket) (metadata-scale), and a running last
+    *      over the bucket sequence yields each bucket's carry-IN;
+    *   3. a left row's match = its local carry, else the carry-in.
+    *
+    * Forward mode reuses the same scan by negating the time axis
+    * (forward-asof on t ≡ backward-asof on −t, same tie rule: largest
+    * first-payload wins at equal time). Tolerance is the same exact
+    * integer-micros post-gate as [[asOfJoin]]. Output is row-for-row
+    * identical to the unbucketed forms — spec-pinned and shared with
+    * the q30/q84/q85 oracles via q92. */
+  def asOfJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[(String, String)],
+      bucketSpanSeconds: Long,
+      toleranceSeconds: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+    require(bucketSpanSeconds > 0, "bucketSpanSeconds must be positive")
+    val leftCols = left.columns
+    val leftIsTs = left.schema(leftTime).dataType == TimestampType
+    val rightIsTs = right.schema(rightTime).dataType == TimestampType
+    // signed time axis: negating micros turns the forward scan into the
+    // backward one (and flips bucket order with it); numeric time
+    // columns are treated as epoch seconds, like the tolerance gate
+    def axis(name: String, isTs: Boolean): Column = {
+      val m = if (isTs) expr(s"unix_micros(`$name`)")
+              else col(name).cast("long") * lit(1000000L)
+      if (forward) -m else m
+    }
+    val spanMicros = bucketSpanSeconds * 1000000L
+    val carryType = StructType(payload.map { case (src, dst) =>
+      StructField(dst, right.schema(src).dataType)
+    } :+ StructField("__rt", right.schema(rightTime).dataType))
+    val taggedLeft = left
+      .withColumn("__m", axis(leftTime, leftIsTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__carry", lit(null).cast(carryType))
+    val taggedRight = {
+      val base = right
+        .withColumn("__m", axis(rightTime, rightIsTs))
+        .withColumn("__side", lit(0))
+        .withColumn("__carry", struct(
+          (payload.map { case (src, dst) => col(src).as(dst) } :+
+            col(rightTime).as("__rt")): _*))
+      leftCols.foldLeft(base) { case (df, c) =>
+        if (right.columns.contains(c) && c != key) df.withColumn(c, col(c))
+        else if (c == key) df
+        else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+    }
+    val projected = leftCols.map(col) ++ Seq(col("__m"), col("__side"), col("__carry"))
+    val unioned = taggedLeft.select(projected: _*)
+      .unionByName(taggedRight.select(projected: _*))
+      // floor division keeps bucket order aligned with __m for negative
+      // values too (floor(-1/n) = -1, not 0)
+      .withColumn("__b", floor(col("__m") / spanMicros.toDouble).cast("long"))
+    // 1. bucket-local running carry (hot key spreads over its buckets)
+    val localW = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col("__m").asc, col("__side").asc, col("__carry").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = unioned.withColumn("__local",
+      last(col("__carry"), ignoreNulls = true).over(localW))
+    // 2. per-(key, bucket) final right carry; running last over the
+    //    bucket SEQUENCE (one row per touched bucket — metadata-scale)
+    //    gives each bucket its carry-in from all earlier buckets
+    val summaries = unioned.filter(col("__side") === 0)
+      .groupBy(col(key), col("__b"))
+      .agg(max(struct(col("__m").as("m"), col("__carry").as("c"))).as("__s"))
+      .select(col(key), col("__b"), col("__s").getField("c").as("__bc"))
+    val carryInW = Window.partitionBy(col(key)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = unioned.select(col(key), col("__b")).distinct()
+      .join(summaries, Seq(key, "__b"), "left")
+      .withColumn("__cin", last(col("__bc"), ignoreNulls = true).over(carryInW))
+      .select(col(key), col("__b"), col("__cin"))
+    // 3. resolve: local carry wins (it is never older than the carry-in)
+    val matched = local.filter(col("__side") === 1)
+      .join(carryIn, Seq(key, "__b"))
+      .withColumn("__carry", coalesce(col("__local"), col("__cin")))
+    val bounded = toleranceSeconds match {
+      case None =>
+        payload.foldLeft(matched) { case (df, (_, dst)) =>
+          df.withColumn(dst, col("__carry").getField(dst))
+        }
+      case Some(tol) =>
+        val withRt = matched.withColumn("__rt", col("__carry").getField("__rt"))
+        val (lm, rm, tolUnits) =
+          if (leftIsTs)
+            (expr(s"unix_micros(`$leftTime`)"), expr("unix_micros(__rt)"),
+              lit(tol * 1000000L))
+          else (col(leftTime).cast("long"), col("__rt").cast("long"), lit(tol))
+        val delta = if (forward) rm - lm else lm - rm
+        val ok = col("__rt").isNotNull && delta <= tolUnits
+        payload.foldLeft(withRt) { case (df, (_, dst)) =>
+          df.withColumn(dst, when(ok, col("__carry").getField(dst)))
+        }.drop("__rt")
+    }
+    bounded.drop("__m", "__side", "__b", "__local", "__cin", "__carry")
+  }
+
   /** Declared query: each event joined as-of to the user's most recent
     * signup event (at or before its timestamp). Oracle uses DuckDB's
     * native ASOF LEFT JOIN — same semantics, independent engine. */
@@ -202,5 +315,31 @@ object AsOf {
       .orderBy("event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q30AsOfJoin, q84AsOfForward, q85AsOfTolerance)
+  /** The skew-safe bucketed as-of, declared: q85's tolerance join run
+    * through [[asOfJoinBucketed]] with 6-hour buckets — the tolerance
+    * (7 days) spans ~28 buckets, so the boundary carry-in path is
+    * genuinely exercised, and the result must be row-for-row identical
+    * to q85 (same DuckDB oracle: the correlated first-row subquery). */
+  val q92AsOfBucketed: QueryDef = QueryDef.sql(
+    "q92_asof_bucketed",
+    """SELECT e.event_id, e.user_id,
+      |       (SELECT s.event_id FROM events s
+      |        WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+      |          AND s.ts <= e.ts AND s.ts >= e.ts - INTERVAL 7 DAY
+      |        ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS recent_signup_event_id
+      |FROM events e
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val events = Tables.events(s, d)
+    val left = events.select("event_id", "user_id", "ts")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+    asOfJoinBucketed(left, signups, key = "user_id", leftTime = "ts", rightTime = "ts",
+      payload = Seq("signup_id" -> "recent_signup_event_id"),
+      bucketSpanSeconds = 6L * 3600,
+      toleranceSeconds = Some(7L * 24 * 3600))
+      .select("event_id", "user_id", "recent_signup_event_id")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q30AsOfJoin, q84AsOfForward, q85AsOfTolerance, q92AsOfBucketed)
 }

@@ -60,6 +60,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(run(Some(4L)) == Map(25L -> None, 15L -> None))
   }
 
+  test("bucketed as-of == plain as-of (backward, forward, tolerance; incl. one hot key)") {
+    val events = Tables.events(spark, sf)
+    val left = events.select("event_id", "user_id", "ts")
+    val signups = events.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"event_id".as("signup_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "p").collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("p"))).toMap
+    for (fwd <- Seq(false, true); tol <- Seq(None, Some(3600L))) {
+      val plain =
+        if (fwd) AsOf.asOfJoinForward(left, signups, "user_id", "ts", "ts",
+          Seq("signup_id" -> "p"), tol)
+        else AsOf.asOfJoin(left, signups, "user_id", "ts", "ts",
+          Seq("signup_id" -> "p"), tol)
+      val bucketed = AsOf.asOfJoinBucketed(left, signups, "user_id", "ts", "ts",
+        Seq("signup_id" -> "p"), bucketSpanSeconds = 1800L,
+        toleranceSeconds = tol, forward = fwd)
+      assert(rows(bucketed) == rows(plain), s"diverged at forward=$fwd tol=$tol")
+    }
+    // one HOT key: the entire timeline under a single user_id — the
+    // case the bucketing exists for — must still match the plain plan
+    val hotLeft = left.withColumn("user_id", lit(1L))
+    val hotRight = signups.withColumn("user_id", lit(1L))
+    val plainHot = AsOf.asOfJoin(hotLeft, hotRight, "user_id", "ts", "ts",
+      Seq("signup_id" -> "p"))
+    val bucketedHot = AsOf.asOfJoinBucketed(hotLeft, hotRight, "user_id", "ts", "ts",
+      Seq("signup_id" -> "p"), bucketSpanSeconds = 900L)
+    assert(rows(bucketedHot) == rows(plainHot), "hot-key timeline diverged")
+  }
+
   test("as-of with an empty right side: all left rows pass through with null payloads") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val left = Seq((1L, ts(10)), (2L, ts(20))).toDF("user_id", "ts")
