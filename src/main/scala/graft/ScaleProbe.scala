@@ -75,8 +75,10 @@ object ScaleProbe {
     "q76_partitioned_dpp", "q80_prep_pipeline", "q81_salted_join",
     "q83_zorder_scan", "q86_trailing_window",
     // round 6: the de-stratified prefix-aggregate plans (range-
-    // repartition + broadcast offsets) and cluster propagation
-    "q33_percentiles", "q60_token_packing", "q89_dedup_clusters")
+    // repartition + broadcast offsets), cluster propagation, the
+    // removal-plan composition, and the skew-safe bucketed as-of
+    "q33_percentiles", "q60_token_packing", "q89_dedup_clusters",
+    "q90_intra_doc_repetition", "q91_dedup_removal_plan", "q92_asof_bucketed")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */
