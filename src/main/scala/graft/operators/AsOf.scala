@@ -95,7 +95,7 @@ object AsOf {
         else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
     }
-    val projected = leftCols.map(col) ++ Seq(col("__t"), col("__side"), col("__carry"))
+    val projected = (leftCols.map(col) ++ Seq(col("__t"), col("__side"), col("__carry"))).toSeq
     val unioned = taggedLeft.select(projected: _*)
       .unionByName(taggedRight.select(projected: _*))
     // Tie-break on the carried struct itself (lexicographic on fields,
@@ -196,7 +196,7 @@ object AsOf {
         else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }
     }
-    val projected = leftCols.map(col) ++ Seq(col("__m"), col("__side"), col("__carry"))
+    val projected = (leftCols.map(col) ++ Seq(col("__m"), col("__side"), col("__carry"))).toSeq
     val unioned = taggedLeft.select(projected: _*)
       .unionByName(taggedRight.select(projected: _*))
       // floor division keeps bucket order aligned with __m for negative

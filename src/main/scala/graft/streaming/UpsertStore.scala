@@ -124,10 +124,10 @@ object UpsertStore {
     else {
       val cols = all.columns.filterNot(_ == "__seq")
       val valueCols = cols.filterNot(m.keys.contains)
-      if (valueCols.isEmpty) all.select(cols.map(c => col(s"`$c`")): _*).distinct()
+      if (valueCols.isEmpty) all.select(cols.toIndexedSeq.map(c => col(s"`$c`")): _*).distinct()
       else {
         val merged = all.groupBy(m.keys.map(k => col(s"`$k`")): _*)
-          .agg(max_by(struct(valueCols.map(c => col(s"`$c`")): _*), col("__seq")).as("__v"))
+          .agg(max_by(struct(valueCols.toIndexedSeq.map(c => col(s"`$c`")): _*), col("__seq")).as("__v"))
         merged.select(cols.toIndexedSeq.map { c =>
           if (m.keys.contains(c)) merged(s"`$c`") else col("__v").getField(c).as(c)
         }: _*)
@@ -311,7 +311,7 @@ object UpsertStore {
       df.dropDuplicates(keys)
     } else {
       val merged = df.groupBy(keys.map(k => df(s"`$k`")): _*)
-        .agg(max(struct(valueCols.map(c => df(s"`$c`")): _*)).as("__v"))
+        .agg(max(struct(valueCols.toIndexedSeq.map(c => df(s"`$c`")): _*)).as("__v"))
       merged.select(df.columns.toIndexedSeq.map { c =>
         if (keys.contains(c)) merged(s"`$c`") else col("__v").getField(c).as(c)
       }: _*)
