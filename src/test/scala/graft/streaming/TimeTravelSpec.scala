@@ -112,6 +112,23 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(err.getMessage.contains("re-snapshot"), err.getMessage)
   }
 
+  test("an in-flight reader survives one compaction (lazy-GC horizon contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inflight").toString
+    def df(pairs: (Long, String)*) = pairs.toDF("k", "v")
+    UpsertStore.upsert(spark, dir, df(1L -> "a"), Seq("k"))
+    UpsertStore.upsert(spark, dir, df(2L -> "b"), Seq("k"))
+    // capture a lazy plan over the CURRENT base+delta chain
+    val snapshot = UpsertStore.read(spark, dir).get
+    // a compacting upsert rewrites the base and GCs only BELOW the
+    // previous manifest's live horizon — the captured plan's dirs stay
+    UpsertStore.upsert(spark, dir, df(3L -> "c"), Seq("k"), maxDeltas = 1)
+    val seen = snapshot.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(seen == Map(1L -> "a", 2L -> "b"),
+      s"in-flight reader lost its snapshot across a compaction: $seen")
+    // and the post-compaction state is the merged table
+    assert(UpsertStore.read(spark, dir).get.count() == 3)
+  }
+
   test("vacuum: reclaims the post-compaction leftovers, current reads unaffected") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vacuum").toString
