@@ -29,6 +29,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val mayUseBroadcastNL = Set(
     "q18_price_band_join",   // non-equi band predicate; 3-row broadcast side
     "q50_ann_bruteforce",    // broadcast 5-query set vs corpus (declared exact baseline)
+    "q52_embedding_neardup", // adaptive dense branch: measured candidate rate ≈ 1 ⇒
+                             // banding can't prune, pair verify IS the work (Similarity.scala)
     "q55_ann_ivf")           // broadcast 16-centroid table (index build + probe)
 
   private val mayLackCodegen = Set(

@@ -272,6 +272,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert((lsh -- pairs).isEmpty, s"verify passed sub-threshold pairs: ${(lsh -- pairs).take(5)}")
   }
 
+  test("embedding near-dup adaptive plan: dense corpus picks direct verify, clustered corpus uses LSH — identical pairs") {
+    // the REAL corpus at τ=0.3: per-plane p ≈ 0.60, so the probed family
+    // reaches ~all pairs — the estimate must say so (dense branch)
+    val emb = Tables.embeddings(spark, sf)
+    val denseRate = Similarity.estimatedCandidateRate(emb, "embedding",
+      tables = 16, planesPerTable = 6, probeBits = 2)
+    assert(denseRate > 0.9, s"real corpus should estimate a dense pair graph, got $denseRate")
+
+    // a clustered corpus shaped like a REAL near-dup problem — 250
+    // pseudo-random directions × 4 tightly-jittered members, so true
+    // pairs are ~0.3% of all pairs — with a family that CAN prune
+    // (12 planes ⇒ 4096 buckets, 1 probe bit): estimate stays under
+    // budget, the sparse branch runs, and its exact-verified pairs must
+    // equal brute force — banding changes the plan, never the answer
+    val n = 1000
+    val clustered = spark.range(n.toLong).selectExpr(
+      "id AS vec_id",
+      // cluster direction from hash(cluster, dim) ∈ [-1, 1); member
+      // jitter from hash(id, dim) ∈ [0, 0.04) keeps same-cluster cosine
+      // ≈ 0.998 while cross-cluster directions stay near-orthogonal
+      """transform(sequence(0, 63), d ->
+        |  CAST((pmod(hash(CAST(id / 4 AS INT) * 7 + 1, d), 2000) - 1000) / 1000.0
+        |       + pmod(hash(id, d), 100) / 2500.0 AS FLOAT)) AS embedding""".stripMargin)
+    val sparseRate = Similarity.estimatedCandidateRate(clustered, "embedding",
+      tables = 8, planesPerTable = 12, probeBits = 1)
+    assert(sparseRate < 0.25, s"clustered corpus should stay under budget, got $sparseRate")
+    val viaLsh = Similarity.embedNearDupPairs(clustered, 0.9,
+        tables = 8, planesPerTable = 12, probeBits = 1)
+      .as[(Long, Long)].collect().toSet
+    val brute = clustered.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+      .crossJoin(clustered.select($"vec_id".as("vec_b"), $"embedding".as("eb")))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("cos", VectorFunctions.cosine_similarity($"ea", $"eb"))
+      .filter($"cos" >= 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "clustered corpus must actually contain near-dup pairs")
+    assert((brute -- viaLsh).isEmpty, s"LSH branch missed pairs: ${(brute -- viaLsh).take(5)}")
+    assert((viaLsh -- brute).isEmpty, s"verify passed sub-threshold pairs: ${(viaLsh -- brute).take(5)}")
+  }
+
   test("token packing: bins are consecutive and non-decreasing within a stratum") {
     val rows = Pipeline.q60TokenPacking.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getAs[Long]("doc_id"), r.getAs[Long]("bin_id")))
