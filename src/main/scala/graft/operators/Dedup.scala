@@ -441,7 +441,9 @@ object Dedup {
        |FROM comp
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    clusterAssignments(exactNearDupPairs(Tables.documents(s, d), 0.6)
+    // consumes the materialized pair graph (PairGraph.pairGraph) — the
+    // banding chain runs once per corpus, not once per consumer
+    clusterAssignments(PairGraph.pairGraph(s, Tables.documents(s, d), d, 0.6)
         .select("doc_a", "doc_b"))
       .select(col("doc_id"), col("label").as("cluster_id"))
       .withColumn("n_members",
@@ -479,7 +481,8 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select("doc_id")
     val labels = clusterAssignments(
-      exactNearDupPairs(Tables.documents(s, d), 0.6).select("doc_a", "doc_b"))
+      PairGraph.pairGraph(s, Tables.documents(s, d), d, 0.6)
+        .select("doc_a", "doc_b"))
       .withColumnRenamed("label", "cluster_id")
     docs.join(labels, Seq("doc_id"), "left")
       .select(
@@ -490,7 +493,24 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The materialize-once pair graph itself, as a declared capability:
+    * computes [[exactNearDupPairs]] into an UpsertStore table keyed
+    * (doc_a, doc_b) — or reuses it when the corpus fingerprint matches
+    * — and emits the STORED pairs. Same oracle as q47, so the driver
+    * hash-checks that the persistence roundtrip (atomic replace +
+    * manifest read) is invisible to consumers. q89/q91 consume the same
+    * table; at 100 TB this is the difference between one banding pass
+    * per corpus and one per downstream query. */
+  val q93PairGraphStore: QueryDef = sql(
+    "q93_pair_graph_store",
+    exactPairsSql(0.6,
+      "SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM jp")) { (s, d) =>
+    PairGraph.pairGraph(s, Tables.documents(s, d), d, 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q45DedupExact, q46DedupNgramJaccard, q47DedupMinhash, q48DedupSimhash,
-    q56NearDupPipeline, q89DedupClusters, q91DedupRemovalPlan)
+    q56NearDupPipeline, q89DedupClusters, q91DedupRemovalPlan, q93PairGraphStore)
 }
