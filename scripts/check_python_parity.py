@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Python-entry-point parity gate (VERDICT r6 #3).
+
+Asserts the PySpark twin (src/main/python/graft_pyspark.py) and the JVM
+engine agree:
+
+ 1. python-declared parse+aggregate == GraftJava.parse+aggregate, row
+    for row and schema for schema, on a deterministic batch that
+    includes the reference's edge rows (trailing whitespace, malformed
+    line);
+ 2. the SQL path agrees with both;
+ 3. a declared engine query runs from Python via the bridge;
+ 4. the upsert verb set and the `graft-upsert` DataFrame write path
+    converge to the same table from Python;
+ 5. the streaming traffic pipeline runs end-to-end driven from Python
+    (rate source -> parse -> window agg -> keyed sink).
+
+Run:  sbt -batch package && python3 scripts/check_python_parity.py
+"""
+import glob
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "src", "main", "python"))
+
+jars = [j for j in glob.glob(os.path.join(REPO, "target", "scala-2.13", "*.jar"))
+        if "sources" not in j and "javadoc" not in j]
+if not jars:
+    sys.exit("graft jar not found -- run `sbt -batch package` first")
+JAR = max(jars, key=os.path.getmtime)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+spark = (SparkSession.builder
+         .master("local[4]")
+         .appName("graft-python-parity")
+         .config("spark.driver.extraClassPath", JAR)
+         .config("spark.jars", JAR)
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("WARN")
+
+import graft_pyspark as g  # noqa: E402
+
+failures = []
+
+
+def check(name, ok, detail=""):
+    print(("PASS " if ok else "FAIL ") + name + (f"  {detail}" if detail else ""))
+    if not ok:
+        failures.append(name)
+
+
+# 1+2: batch parity on a deterministic frame with the reference's edge rows
+raw = spark.createDataFrame(
+    [("1000,5",), ("6000,7 ",), (" 12000 , 9",), ("garbage",), ("61000,11",)],
+    "value string")
+py_rows = sorted(g.aggregate(g.parse(raw)).collect())
+jvm = spark._jvm.graft.javaapi.GraftJava
+from pyspark.sql import DataFrame  # noqa: E402
+jvm_df = DataFrame(jvm.aggregate(jvm.parse(raw._jdf), "60 seconds", "5 seconds"), spark)
+jvm_rows = sorted(jvm_df.collect())
+check("python parse+aggregate == GraftJava parse+aggregate",
+      py_rows == jvm_rows and len(py_rows) > 0, f"{len(py_rows)} window rows")
+check("schemas identical",
+      g.aggregate(g.parse(raw)).schema == jvm_df.schema)
+sql_rows = sorted(g.aggregate_sql(spark, g.parse(raw)).collect())
+check("SQL path agrees", sql_rows == py_rows)
+
+# 3: declared query through the bridge
+names = g.query_names(spark)
+check("query inventory visible from Python", len(names) >= 90, f"{len(names)} queries")
+q01 = g.run_query(spark, "q01_pricing_summary", "/root/testdata/sf0.001")
+check("declared query runs from Python", q01.count() > 0,
+      f"q01 rows={q01.count()}")
+
+# 4: upsert write paths converge (the reference's two-methods note,
+# kafka_to_kudu.py:41-52)
+with tempfile.TemporaryDirectory() as td:
+    verb_path, fmt_path = os.path.join(td, "verbs"), os.path.join(td, "fmt")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    sink = g.UpsertSink(spark, verb_path, ["k"])
+    sink.upsert(base)
+    sink.upsert(upd)
+    base.write.format("graft-upsert").option("path", fmt_path) \
+        .option("keys", "k").mode("append").save()
+    upd.write.format("graft-upsert").option("path", fmt_path) \
+        .option("keys", "k").mode("append").save()
+    via_verbs = sorted(sink.read().collect())
+    via_fmt = sorted(spark.read.format("graft-upsert").option("path", fmt_path)
+                     .load().collect())
+    check("verb-set and DataFrame write paths converge",
+          via_verbs == via_fmt == sorted(
+              spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")],
+                                    "k int, v string").collect()))
+
+# 5: streaming end-to-end driven from Python
+with tempfile.TemporaryDirectory() as td:
+    sink = g.UpsertSink(spark, os.path.join(td, "sink"), ["as_of_time"])
+    source = (spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+              .selectExpr("concat(cast(unix_millis(timestamp) as string), ',', "
+                          "cast(value % 50 as string)) as value"))
+    q = g.run_traffic_pipeline(source, sink, os.path.join(td, "ckpt"),
+                               trigger_interval="2 seconds")
+    rows = 0
+    try:
+        for _ in range(30):
+            time.sleep(1)
+            try:
+                rows = sink.read().count()
+            except Exception:
+                rows = 0  # sink has no committed version yet
+            if rows > 0:
+                break
+    finally:
+        q.stop()
+    check("streaming pipeline driven from Python lands keyed upserts",
+          rows > 0, f"sink rows={rows}")
+
+spark.stop()
+if failures:
+    sys.exit(f"{len(failures)} parity check(s) failed: {failures}")
+print("ALL PYTHON PARITY CHECKS PASSED")

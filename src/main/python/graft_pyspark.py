@@ -1,0 +1,140 @@
+"""PySpark entry point -- multi-language parity with the Scala engine.
+
+The reference ships the same pipeline three times, once per language
+(KafkaToKuduScala.scala:12, KafkaToKuduJava.java:48,
+kafka_to_kudu.py:7).  This module is the rebuild's Python twin, closing
+the three-language surface next to ``graft.SparkEntry`` (Scala) and
+``graft.javaapi.GraftJava`` (Java):
+
+ - the batch transforms (``parse`` / ``aggregate`` / ``aggregate_sql``)
+   are declared NATIVELY with the PySpark column API -- same
+   declarative plan, so Catalyst compiles Python callers to the
+   identical physical execution as the Scala/Java twins (checked by
+   ``scripts/check_python_parity.py``);
+ - everything stateful or engine-shaped (declared queries, the keyed
+   upsert sink verb set, the streaming traffic pipeline) is BRIDGED via
+   Py4J to the one JVM engine rather than re-implemented, so Python
+   callers cannot drift from it.
+
+Usage requires the graft jar on the driver classpath::
+
+    spark = (SparkSession.builder
+        .config("spark.driver.extraClassPath", GRAFT_JAR)
+        .config("spark.jars", GRAFT_JAR)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate())
+
+The reference's Python copy used a processing-time ``UNIX_TIMESTAMP()``
+as-of key (kafka_to_kudu.py:32) and upserted through two equivalent
+write paths (kafka_to_kudu.py:44-52); here the deterministic
+event-time window key is the default (parity with the Scala twin) and
+both write paths exist as ``df.write.format("graft-upsert")`` and the
+sink verb set below.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- batch
+
+def parse(raw: DataFrame) -> DataFrame:
+    """Parse raw ``"<epoch_ms>,<n_vehicles>"`` lines in a string
+    ``value`` column (reference T1/T3/T4 incl. the trailing-whitespace
+    trim) -- same declarative plan as ``TrafficPipeline.parse``."""
+    return (raw
+            .withColumn("measurement_time",
+                        F.expr("try_cast(trim(get(split(value, ','), 0)) AS LONG)"))
+            .withColumn("number_of_vehicles",
+                        F.expr("try_cast(trim(get(split(value, ','), 1)) AS INT)"))
+            .filter(F.col("measurement_time").isNotNull()
+                    & F.col("number_of_vehicles").isNotNull())
+            .select("measurement_time", "number_of_vehicles"))
+
+
+def aggregate(parsed: DataFrame, window_len: str = "60 seconds",
+              slide: str = "5 seconds") -> DataFrame:
+    """The reference aggregation (A1-A4, F2) over sliding event-time
+    windows with the deterministic window-start key."""
+    return (parsed
+            .withColumn("ts", F.timestamp_millis(F.col("measurement_time")))
+            .groupBy(F.window(F.col("ts"), window_len, slide))
+            .agg(F.round(F.avg("number_of_vehicles"), 2).alias("avg_num_veh"),
+                 F.min("number_of_vehicles").alias("min_num_veh"),
+                 F.max("number_of_vehicles").alias("max_num_veh"),
+                 F.min("measurement_time").alias("first_meas_time"),
+                 F.max("measurement_time").alias("last_meas_time"))
+            .select((F.unix_timestamp(F.col("window.start")) * 1000).alias("as_of_time"),
+                    "avg_num_veh", "min_num_veh", "max_num_veh",
+                    "first_meas_time", "last_meas_time"))
+
+
+def aggregate_sql(spark: SparkSession, parsed: DataFrame) -> DataFrame:
+    """The same aggregation through the SQL entry point (the reference's
+    registerTempTable + spark.sql path, kafka_to_kudu.py:30-38)."""
+    parsed.createOrReplaceTempView("traffic")
+    return spark.sql(
+        "SELECT unix_timestamp(window.start) * 1000 AS as_of_time, "
+        "ROUND(AVG(number_of_vehicles), 2) AS avg_num_veh, "
+        "MIN(number_of_vehicles) AS min_num_veh, "
+        "MAX(number_of_vehicles) AS max_num_veh, "
+        "MIN(measurement_time) AS first_meas_time, "
+        "MAX(measurement_time) AS last_meas_time "
+        "FROM (SELECT *, timestamp_millis(measurement_time) AS ts FROM traffic) "
+        "GROUP BY window(ts, '60 seconds', '5 seconds')")
+
+
+# ------------------------------------------------- declared query bridge
+
+def query_names(spark: SparkSession):
+    """All declared query names (SURVEY.md section 2 inventory)."""
+    return list(spark._jvm.graft.SparkEntry.queryNames())
+
+
+def run_query(spark: SparkSession, name: str, data_dir: str) -> DataFrame:
+    """Run a declared engine query by name over the parquet tables in
+    ``data_dir`` -- the same QueryDef the driver's correctness gate
+    executes, bridged so Python drives the identical plan."""
+    jdf = spark._jvm.graft.SparkEntry.runQuery(spark._jsparkSession, name, data_dir)
+    return DataFrame(jdf, spark)
+
+
+# ------------------------------------------------------- upsert sink
+
+class UpsertSink:
+    """The KuduContext verb set (insert / insertIgnore / upsert /
+    update / delete) over the engine's keyed store, from Python.  The
+    reference notes PySpark had no KuduContext (kafka_to_kudu.py:54);
+    this bridge closes that gap against the rebuild's sink."""
+
+    def __init__(self, spark: SparkSession, path: str, keys):
+        self._spark = spark
+        self._jsink = spark._jvm.graft.javaapi.GraftJava.parquetSink(
+            spark._jsparkSession, path, list(keys))
+
+    def insert(self, df: DataFrame):        self._jsink.insert(df._jdf)
+    def insert_ignore(self, df: DataFrame): self._jsink.insertIgnore(df._jdf)
+    def upsert(self, df: DataFrame):        self._jsink.upsert(df._jdf)
+    def update(self, df: DataFrame):        self._jsink.update(df._jdf)
+    def delete(self, df: DataFrame):        self._jsink.delete(df._jdf)
+
+    def read(self) -> DataFrame:
+        return DataFrame(self._jsink.read(self._spark._jsparkSession), self._spark)
+
+
+# ------------------------------------------------------- streaming
+
+def run_traffic_pipeline(source: DataFrame, sink: UpsertSink,
+                         checkpoint_dir: str,
+                         trigger_interval: str = "5 seconds"):
+    """End-to-end streaming pipeline from Python: source with a string
+    ``value`` column -> parse -> windowed aggregate -> keyed upsert.
+    Delegates to the Scala ``TrafficPipeline.run`` (two-level
+    aggregation, checkpointed, replay-idempotent), so Python callers
+    run the exact same engine.  Returns a ``StreamingQuery``."""
+    from pyspark.sql.streaming import StreamingQuery
+    jtrigger = source.sparkSession._jvm.org.apache.spark.sql.streaming.Trigger \
+        .ProcessingTime(trigger_interval)
+    jsq = source.sparkSession._jvm.graft.javaapi.GraftJava.run(
+        source._jdf, sink._jsink, checkpoint_dir, jtrigger)
+    return StreamingQuery(jsq)

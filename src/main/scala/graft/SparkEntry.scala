@@ -31,4 +31,16 @@ object SparkEntry {
     * the same parquet tables. Omitted entries → rows-only check. */
   def oracleSql: Map[String, String] =
     allQueries.collect { case QueryDef(n, _, Some(sql)) => n -> sql }.toMap
+
+  /** Py4J-friendly bridge (static forwarders, no Scala collections in
+    * the signature) — the PySpark entry point (`src/main/python/
+    * graft_pyspark.py`) runs declared queries through these, so Python
+    * callers drive the SAME engine, mirroring the reference's
+    * three-language surface (kafka_to_kudu.py:7). */
+  def runQuery(spark: SparkSession, name: String, dataDir: String): DataFrame =
+    queries.getOrElse(name,
+      sys.error(s"unknown query '$name'; see queryNames()")) (spark, dataDir)
+
+  /** All declared query names, Java-array-shaped for Py4J. */
+  def queryNames: Array[String] = allQueries.map(_.name).toArray
 }
