@@ -199,6 +199,24 @@ object Dedup {
     * Docs with < 3 tokens have empty shingle sets and are excluded up
     * front (an empty set has no Jaccard neighbors; unfiltered, every
     * short-doc pair would band-collide on the empty signature). */
+  /** The banded candidate join BEFORE dedup/prefilter/verify — the top
+    * of q47's funnel, exposed so the scale probe (DedupProbe) can
+    * measure candidate volume against true-pair volume directly. */
+  private[graft] def bandedCandidatesPreDistinct(documents: DataFrame): DataFrame = {
+    val k = 32; val bands = 16; val rows = k / bands
+    val sigs = shingleArray(documents)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"), posexplode(bandHashes(bands, rows)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+    banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+  }
+
   /** q47's pair chain, extracted for reuse (q89 clusters over it):
     * MinHash banding → estimate prefilter → exact-Jaccard verify at
     * `tau`, emitting (doc_a, doc_b, jaccard) over RAW documents (exact
