@@ -246,6 +246,69 @@ object AsOf {
     bounded.drop("__m", "__side", "__b", "__local", "__cin", "__carry")
   }
 
+  /** The skew decision behind [[asOfJoinAuto]]: per-key row count and
+    * time span across BOTH sides (the sorted timeline unions them),
+    * from one map-side-combined aggregation + a top-1 read. Returns
+    * None when every key's timeline fits the partition budget (plain
+    * plan), else Some(bucketSpanSeconds) sized so the hottest key
+    * splits into ~count/budget buckets across its own span. A hot key
+    * whose rows share ONE timestamp cannot be split by any time
+    * bucketing (span floor 1 s) — that degenerate case needs payload
+    * pre-aggregation, not a different join plan. */
+  private[graft] def autoDecision(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      partitionBudget: Long): Option[Long] = {
+    import org.apache.spark.sql.types.TimestampType
+    def micros(df: DataFrame, t: String): Column =
+      if (df.schema(t).dataType == TimestampType) expr(s"unix_micros(`$t`)")
+      else col(t).cast("long") * lit(1000000L)
+    val keyed = left.select(col(key).as("__k"), micros(left, leftTime).as("__m"))
+      .unionByName(right.select(col(key).as("__k"), micros(right, rightTime).as("__m")))
+    val hot = keyed.groupBy("__k")
+      .agg(count(lit(1)).as("__n"), min("__m").as("__lo"), max("__m").as("__hi"))
+      .orderBy(col("__n").desc)
+      .limit(1)
+      .head()
+    val (n, lo, hi) = (hot.getLong(1), hot.getLong(2), hot.getLong(3))
+    if (n <= partitionBudget) None
+    else {
+      val buckets = math.max(2L, (n + partitionBudget - 1) / partitionBudget)
+      val spanSeconds = math.max(1L, (hi - lo) / 1000000L / buckets)
+      Some(spanSeconds)
+    }
+  }
+
+  /** As-of join with AUTOMATIC skew protection (VERDICT r6 #6): the
+    * plain union+window plan sorts each key's whole timeline in one
+    * task — right for normal keys, a cliff for a bot-grade hot key.
+    * This entry measures key-frequency stats first (one aggregation —
+    * the same class of stats read AQE does per stage) and picks the
+    * plan: plain when the hottest key fits `partitionBudget` rows per
+    * task, [[asOfJoinBucketed]] with a computed bucket span when it
+    * does not. Results are identical either way (spec-pinned); only
+    * the partitioning changes. Callers with external knowledge (or
+    * cached stats) can still call the specific variants directly. */
+  def asOfJoinAuto(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[(String, String)],
+      toleranceSeconds: Option[Long] = None,
+      forward: Boolean = false,
+      partitionBudget: Long = 4000000L): DataFrame =
+    autoDecision(left, right, key, leftTime, rightTime, partitionBudget) match {
+      case Some(span) =>
+        asOfJoinBucketed(left, right, key, leftTime, rightTime, payload,
+          bucketSpanSeconds = span, toleranceSeconds = toleranceSeconds,
+          forward = forward)
+      case None =>
+        asOfCore(left, right, key, leftTime, rightTime, payload, forward,
+          toleranceSeconds)
+    }
+
   /** Declared query: each event joined as-of to the user's most recent
     * signup event (at or before its timestamp). Oracle uses DuckDB's
     * native ASOF LEFT JOIN — same semantics, independent engine. */
@@ -261,7 +324,7 @@ object AsOf {
     val left = events.select("event_id", "user_id", "event_type", "ts")
     val signups = events.filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
-    asOfJoin(left, signups, key = "user_id", leftTime = "ts", rightTime = "ts",
+    asOfJoinAuto(left, signups, key = "user_id", leftTime = "ts", rightTime = "ts",
       payload = Seq("signup_id" -> "last_signup_event_id"))
       .select("event_id", "user_id", "event_type", "last_signup_event_id")
       .orderBy("event_id")
@@ -285,8 +348,8 @@ object AsOf {
     val left = events.select("event_id", "user_id", "event_type", "ts")
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
-    asOfJoinForward(left, purchases, key = "user_id", leftTime = "ts", rightTime = "ts",
-      payload = Seq("purchase_id" -> "next_purchase_event_id"))
+    asOfJoinAuto(left, purchases, key = "user_id", leftTime = "ts", rightTime = "ts",
+      payload = Seq("purchase_id" -> "next_purchase_event_id"), forward = true)
       .select("event_id", "user_id", "event_type", "next_purchase_event_id")
       .orderBy("event_id")
   }
@@ -308,7 +371,7 @@ object AsOf {
     val left = events.select("event_id", "user_id", "ts")
     val signups = events.filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
-    asOfJoin(left, signups, key = "user_id", leftTime = "ts", rightTime = "ts",
+    asOfJoinAuto(left, signups, key = "user_id", leftTime = "ts", rightTime = "ts",
       payload = Seq("signup_id" -> "recent_signup_event_id"),
       toleranceSeconds = Some(7L * 24 * 3600))
       .select("event_id", "user_id", "recent_signup_event_id")

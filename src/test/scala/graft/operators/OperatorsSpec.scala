@@ -90,6 +90,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows(bucketedHot) == rows(plainHot), "hot-key timeline diverged")
   }
 
+  test("as-of auto plan: uniform keys stay plain, a hot key trips the budget and routes bucketed — identical rows") {
+    val events = Tables.events(spark, sf)
+    val left = events.select("event_id", "user_id", "ts")
+    val signups = events.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"event_id".as("signup_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "p").collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("p"))).toMap
+    // real corpus, generous budget: stats say no key is hot → plain plan
+    assert(AsOf.autoDecision(left, signups, "user_id", "ts", "ts",
+      partitionBudget = 4000000L).isEmpty,
+      "uniform corpus must NOT route to the bucketed plan")
+    // the SAME corpus squeezed under one key (bot-grade) with a small
+    // budget: the decision must flip and compute a positive span that
+    // actually splits the timeline into multiple buckets
+    val hotLeft = left.withColumn("user_id", lit(1L))
+    val hotRight = signups.withColumn("user_id", lit(1L))
+    val n = hotLeft.count() + hotRight.count()
+    val budget = 500L
+    val span = AsOf.autoDecision(hotLeft, hotRight, "user_id", "ts", "ts", budget)
+    assert(span.exists(_ > 0), s"hot key ($n rows under one key) must trip budget=$budget")
+    // auto == plain, through every mode, on the skewed corpus
+    for (fwd <- Seq(false, true); tol <- Seq(None, Some(3600L))) {
+      val auto = AsOf.asOfJoinAuto(hotLeft, hotRight, "user_id", "ts", "ts",
+        Seq("signup_id" -> "p"), toleranceSeconds = tol, forward = fwd,
+        partitionBudget = budget)
+      val plain =
+        if (fwd) AsOf.asOfJoinForward(hotLeft, hotRight, "user_id", "ts", "ts",
+          Seq("signup_id" -> "p"), tol)
+        else AsOf.asOfJoin(hotLeft, hotRight, "user_id", "ts", "ts",
+          Seq("signup_id" -> "p"), tol)
+      assert(rows(auto) == rows(plain), s"auto diverged at forward=$fwd tol=$tol")
+    }
+  }
+
   test("as-of with an empty right side: all left rows pass through with null payloads") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val left = Seq((1L, ts(10)), (2L, ts(20))).toDF("user_id", "ts")
