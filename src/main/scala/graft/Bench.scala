@@ -139,6 +139,68 @@ object StreamingScaleProbe {
   }
 }
 
+/** Streaming NEAR-DUP scale probe (VERDICT r6 #7): throughput of
+  * [[graft.streaming.StreamingNearDup]] in exact-verify mode at base
+  * vs 10× batch size, with per-batch timings so a growing-index
+  * nonlinearity (the r5 string-cache eviction cliff) would show as a
+  * per-batch slope, not hide in an average. Corpus is deterministic:
+  * 50-token docs, every 10th a near-dup of its predecessor (one token
+  * changed), batches advance doc_id/ts so the retention-bounded index
+  * keeps absorbing new entries.
+  *
+  * Usage: `sbt "runMain graft.StreamingNearDupProbe"`.
+  */
+object StreamingNearDupProbe {
+  import graft.streaming.StreamingNearDup
+
+  private def batchDf(spark: SparkSession, batchIdx: Long, n: Long) =
+    spark.range(batchIdx * n, (batchIdx + 1) * n).selectExpr(
+      "id AS doc_id",
+      "timestamp_millis(1600000000000 + id * 10) AS ts",
+      """concat_ws(' ', transform(sequence(0, 49), w ->
+        |  CASE WHEN id % 10 = 0 AND w < 49 THEN concat('tok', pmod(hash(id - 1, w), 50000))
+        |       WHEN id % 10 = 0 THEN concat('alt', id)
+        |       ELSE concat('tok', pmod(hash(id, w), 50000)) END)) AS text""".stripMargin)
+
+  /** Runs `batches` micro-batches of `n` docs through a fresh index;
+    * returns (median rows/s over timed batches, per-batch seconds). */
+  def run(spark: SparkSession, n: Long, batches: Int): (Double, Seq[Double]) = {
+    val dir = java.nio.file.Files.createTempDirectory("neardup-probe").toString
+    val nd = new StreamingNearDup(spark, s"$dir/bands", s"$dir/sigs",
+      tau = 0.6, retentionMs = 3600L * 1000, exactVerify = true)
+    nd.dedupeBatch(batchDf(spark, 0, n)).count() // warm: plans + first commit
+    val times = (1 to batches).map { i =>
+      val t0 = System.nanoTime()
+      nd.dedupeBatch(batchDf(spark, i.toLong, n)).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val medianT = times.sorted.apply(times.size / 2)
+    (n / medianT, times)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-neardup-scale-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (baseRps, baseTimes) = run(spark, n = 2000, batches = 6)
+    System.err.println(f"[ndscale] base  2k/batch  ${baseRps}%.0f rows/s  " +
+      s"per-batch=${baseTimes.map(t => f"$t%.2f").mkString(",")}")
+    val (bigRps, bigTimes) = run(spark, n = 20000, batches = 6)
+    System.err.println(f"[ndscale] 10x  20k/batch  ${bigRps}%.0f rows/s  " +
+      s"per-batch=${bigTimes.map(t => f"$t%.2f").mkString(",")}")
+    println(s"""{"metric":"neardup_scale_probe","base_rps":$baseRps,""" +
+      s""""b10x_rps":$bigRps,"ratio":${baseRps / bigRps}}""")
+    spark.stop()
+  }
+}
+
 object BenchStreaming {
   import org.apache.spark.sql.functions._
   import graft.streaming.{ParquetUpsertSink, TrafficPipeline}

@@ -181,7 +181,7 @@ object Dedup {
     * ~25 B/shingle string arrays. The r5 bench showed string-array
     * caches evicting under memory pressure and the verify stage
     * recomputing shingling from raw text (q56 8.7× regression). */
-  private def hashedShingleCols: Column =
+  private[graft] def hashedShingleCols: Column =
     expr("transform(shingles, s -> xxhash64(s))")
 
   /** MinHash + LSH banding over 3-gram shingles: k=32 signature,

@@ -42,13 +42,17 @@ object StreamingDedup {
   *    (k=32 ⇒ stderr ≈ 0.09 at tau=0.6) — the smallest state
   *    footprint; the batch pipeline remains ground truth for backfills.
   *  - `exactVerify = true`: band candidates are verified by EXACT
-  *    Jaccard over shingle sets, the same discipline as
-  *    [[graft.operators.Dedup.nearDupPipeline]] — streaming decisions
-  *    then EQUAL the batch pipeline's on the same corpus (spec-pinned).
-  *    Costs: shingle arrays ride along in the signature store (state
-  *    per kept doc grows from k longs to k longs + the shingle set) and
-  *    candidate pairs join them at verify time. Choose per table;
-  *    a store written in one mode must be probed in the same mode.
+  *    Jaccard over the HASHED shingle sets (`hsh`, array<long> — the
+  *    q47 cache discipline: ~8 B/shingle persisted and stored, never
+  *    the ~25 B/shingle strings; set identity over xxhash64'd shingles
+  *    equals string-set identity up to a 64-bit collision, the same
+  *    argument as the batch chain) — streaming decisions then EQUAL
+  *    the batch pipeline's on the same corpus (spec-pinned). Costs:
+  *    hashed sets ride along in the signature store (state per kept
+  *    doc grows from k longs to k + |shingles| longs) and candidate
+  *    pairs join them at verify time. Choose per table; a store
+  *    written in one mode (or the pre-r7 string-shingle schema) must
+  *    be rebuilt to be probed in the other.
   *
   * Built on `foreachBatch` + [[UpsertStore]] rather than a second
   * stateful operator so the band index shares the sink's atomic-commit
@@ -82,9 +86,10 @@ final class StreamingNearDup(
     size(array_intersect(col(shA), col(shB))).cast("double") /
       size(array_union(col(shA), col(shB))).cast("double")
 
-  /** Columns persisted per kept doc (exact mode adds the shingle set). */
+  /** Columns persisted per kept doc (exact mode adds the HASHED
+    * shingle set — longs only, the q47 cache discipline). */
   private def sigCols: Seq[String] =
-    if (exactVerify) Seq("doc_id", "sig", "shingles", "ts_ms")
+    if (exactVerify) Seq("doc_id", "sig", "hsh", "ts_ms")
     else Seq("doc_id", "sig", "ts_ms")
 
   private def banded(sigs: DataFrame): DataFrame =
@@ -97,14 +102,16 @@ final class StreamingNearDup(
     * near-dup survivors and folds them into the index. */
   def dedupeBatch(batch: DataFrame): DataFrame = {
     batchCount += 1
-    val sh = graft.operators.Dedup.shingleArray(batch)
+    // ONE projection derives both downstream forms of the shingle set
+    // (hashed set for the exact verify, MinHash signature for banding),
+    // so the persist holds long arrays only — never shingle strings
+    val sigs = graft.operators.Dedup.shingleArray(batch)
       .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), expr("unix_millis(ts)").as("ts_ms"),
-        col("shingles"))
-    val sigs = sh.select(
-      Seq(col("doc_id"), col("ts_ms"),
-        TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig")) ++
-        (if (exactVerify) Seq(col("shingles")) else Nil): _*)
+      .select(
+        Seq(col("doc_id"), expr("unix_millis(ts)").as("ts_ms"),
+          TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig")) ++
+          (if (exactVerify)
+            Seq(graft.operators.Dedup.hashedShingleCols.as("hsh")) else Nil): _*)
       .persist()
     val b = banded(sigs)
 
@@ -117,8 +124,8 @@ final class StreamingNearDup(
     val inBatch = (
       if (exactVerify)
         inBatchCand
-          .join(sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-          .join(sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+          .join(sigs.select(col("doc_id").as("doc_a"), col("hsh").as("sh_a")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("hsh").as("sh_b")), "doc_b")
           .filter(exactJac("sh_a", "sh_b") >= tau)
       else
         inBatchCand
@@ -141,10 +148,10 @@ final class StreamingNearDup(
           .select("doc_id", "rep_id").distinct()
         (if (exactVerify)
           cand
-            .join(sigs.select(col("doc_id"), col("shingles")), "doc_id")
+            .join(sigs.select(col("doc_id"), col("hsh")), "doc_id")
             .join(sigStore.select(col("doc_id").as("rep_id"),
-              col("shingles").as("rep_shingles")), "rep_id")
-            .filter(exactJac("shingles", "rep_shingles") >= tau)
+              col("hsh").as("rep_hsh")), "rep_id")
+            .filter(exactJac("hsh", "rep_hsh") >= tau)
         else
           cand
             .join(sigs.select(col("doc_id"), col("sig")), "doc_id")

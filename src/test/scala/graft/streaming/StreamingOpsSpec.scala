@@ -233,10 +233,17 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
     assert(streamingKept == expected,
       s"streaming=$streamingKept batch-ground-truth=$expected")
-    // and the signature store carries the shingle sets that made the
-    // exact decisions possible
-    val sigCols = UpsertStore.read(spark, s"$dir/sigs").get.columns.toSeq
-    assert(sigCols.contains("shingles"), s"exact mode must persist shingles: $sigCols")
+    // and the signature store carries the HASHED shingle sets that made
+    // the exact decisions possible — longs only, never the shingle
+    // strings (the q47 cache discipline, applied to streaming state)
+    val sigStore = UpsertStore.read(spark, s"$dir/sigs").get
+    assert(sigStore.columns.contains("hsh"),
+      s"exact mode must persist hashed shingle sets: ${sigStore.columns.toSeq}")
+    assert(!sigStore.columns.contains("shingles"),
+      s"string shingles must never reach the store: ${sigStore.columns.toSeq}")
+    assert(sigStore.schema("hsh").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType),
+      "hsh must be array<long> (8 B/shingle)")
   }
 
   test("streaming near-dup wiring: foreachBatch query writes only survivors") {
