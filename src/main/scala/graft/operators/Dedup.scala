@@ -217,31 +217,72 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
   }
 
+  /** The per-doc SKETCH the whole near-dup family shares: one
+    * projection derives BOTH downstream forms of the shingle set
+    * (hashed set `hsh` for the exact verify, MinHash signature `sig`
+    * for banding), so only long arrays are ever cached or persisted —
+    * never the shingle strings. Docs with < 3 tokens (empty shingle
+    * set) are excluded here, once, for every consumer. */
+  private[graft] def shSketch(documents: DataFrame, k: Int = 32): DataFrame =
+    shingleArray(documents)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), hashedShingleCols.as("hsh"),
+        TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"))
+
   /** q47's pair chain, extracted for reuse (q89 clusters over it):
     * MinHash banding → estimate prefilter → exact-Jaccard verify at
     * `tau`, emitting (doc_a, doc_b, jaccard) over RAW documents (exact
     * duplicates included — they verify at J = 1.0). */
-  private[graft] def exactNearDupPairs(documents: DataFrame, tau: Double): DataFrame = {
-    val k = 32; val bands = 16; val rows = k / bands
-    // one projection derives BOTH downstream forms of the shingle set
-    // (hashed set for the exact verify, MinHash signature for banding),
-    // so only long arrays are cached — never the shingle strings
-    val sh = shingleArray(documents)
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), hashedShingleCols.as("hsh"),
-        TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"))
-      .cache()
-    val sigs = sh.select(col("doc_id"), col("sig"))
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(bandHashes(bands, rows)))
+  private[graft] def exactNearDupPairs(documents: DataFrame, tau: Double): DataFrame =
+    exactNearDupPairsFromSketch(shSketch(documents).cache(), tau)
+
+  /** Same chain over an ALREADY-prepared (doc_id, hsh, sig) sketch —
+    * lets [[PairGraph]] compute sketches once for both the pair chain
+    * and the persisted sketch index. */
+  private[graft] def exactNearDupPairsFromSketch(sh: DataFrame, tau: Double): DataFrame = {
+    val bands = 16; val rows = 2
+    val banded = sh.select(
+      col("doc_id"), posexplode(bandHashes(bands, rows)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
-    val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
-    val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
-    val cand = l.join(r, Seq("band", "band_hash"))
+    val cand = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+    prefilterAndVerify(cand, sh, tau)
+  }
+
+  /** Incremental pair discovery: band-join the DELTA docs' sketches
+    * against the full sketch set (old ∪ delta) and verify — the
+    * [[PairGraph.extend]] probe. Probe-side rows carry both
+    * orientations of a pair (a delta doc's id may sort either side of
+    * an old doc's), so candidates are canonicalized to (min, max)
+    * before the distinct. Cost ∝ |delta| × collision rate, never
+    * |corpus|². */
+  private[graft] def deltaPairs(deltaSh: DataFrame, allSh: DataFrame,
+                                tau: Double): DataFrame = {
+    val bands = 16; val rows = 2
+    def banded(s: DataFrame) = s.select(
+      col("doc_id"), posexplode(bandHashes(bands, rows)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+    val cand = banded(deltaSh)
+      .select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+      .join(banded(allSh).select(col("band"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band", "band_hash"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+    prefilterAndVerify(cand, allSh, tau)
+  }
+
+  /** Estimate prefilter + exact-Jaccard verify over candidate pairs,
+    * with sketches supplied as (doc_id, hsh, sig). */
+  private def prefilterAndVerify(cand: DataFrame, sh: DataFrame,
+                                 tau: Double): DataFrame = {
+    val k = 32
+    val sigs = sh.select(col("doc_id"), col("sig"))
     val est = expr(s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / CAST($k AS DOUBLE)")
     val prefiltered = cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")

@@ -59,7 +59,10 @@ object PairGraph {
   /** The pair graph for `docs` at threshold `tau`: read the persisted
     * table when its recorded fingerprint matches the corpus, otherwise
     * compute [[Dedup.exactNearDupPairs]], replace the table (atomic
-    * manifest commit), and serve the stored copy. Emits (doc_a, doc_b,
+    * manifest commit), and serve the stored copy. The per-doc SKETCH
+    * index (doc_id, hsh, sig) is persisted alongside — that is what
+    * makes [[extend]] incremental — and the sketch write happens
+    * BEFORE meta, same crash rule as pairs. Emits (doc_a, doc_b,
     * jaccard) — identical columns to the direct computation, so
     * consumers cannot tell (and the DuckDB oracles verify) which path
     * produced them. */
@@ -74,17 +77,66 @@ object PairGraph {
       if (ok) UpsertStore.read(spark, path) else None
     }
     stored.getOrElse {
-      val pairs = Dedup.exactNearDupPairs(docs, tau)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      UpsertStore.replace(spark, path, pairs, Seq("doc_a", "doc_b"))
-      // meta commits LAST: a crash between the two writes leaves a
-      // fingerprint mismatch (recompute), never a stale-served graph
-      val meta = spark.range(1).select(
-        lit(1L).as("meta_id"), lit(n).as("corpus_n"), lit(h).as("corpus_h"),
-        lit(tau).as("tau"))
-      UpsertStore.replace(spark, metaPath, meta, Seq("meta_id"))
-      UpsertStore.read(spark, path).getOrElse(
-        sys.error(s"pair graph store $path unreadable immediately after commit"))
+      val sh = Dedup.shSketch(docs).cache()
+      try {
+        val pairs = Dedup.exactNearDupPairsFromSketch(sh, tau)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        UpsertStore.replace(spark, path, pairs, Seq("doc_a", "doc_b"))
+        UpsertStore.replace(spark, s"${path}__sigs", sh, Seq("doc_id"))
+        // meta commits LAST: a crash between the writes leaves a
+        // fingerprint mismatch (recompute), never a stale-served graph
+        UpsertStore.replace(spark, metaPath, metaRow(spark, n, h, tau), Seq("meta_id"))
+        UpsertStore.read(spark, path).getOrElse(
+          sys.error(s"pair graph store $path unreadable immediately after commit"))
+      } finally sh.unpersist()
     }
+  }
+
+  private def metaRow(spark: SparkSession, n: Long, h: Long, tau: Double): DataFrame =
+    spark.range(1).select(
+      lit(1L).as("meta_id"), lit(n).as("corpus_n"), lit(h).as("corpus_h"),
+      lit(tau).as("tau"))
+
+  /** INCREMENTAL maintenance — the 100 TB ingest shape: fold a batch of
+    * NEW documents into an existing pair graph without touching the old
+    * corpus. The delta's sketches band-join against the persisted
+    * sketch index (old ∪ delta), new pairs upsert into the pair table,
+    * delta sketches into the index, and the fingerprint advances
+    * incrementally (count adds; bit_xor is associative, so
+    * new_h = old_h XOR delta_h needs no old-corpus scan). Cost is
+    * ∝ |delta| × collision rate — the full chain never re-runs.
+    *
+    * Invariant (spec-pinned): after extend, the store equals the
+    * from-scratch graph over (old ∪ delta) — banding is deterministic,
+    * old-old pairs are already stored, and the delta probe covers
+    * delta-old and delta-delta in canonical orientation.
+    *
+    * Contract: delta doc_ids must be NEW (an id collision would alias
+    * two texts under one sketch row); serving afterwards goes through
+    * [[pairGraph]] with the grown corpus, whose fingerprint now
+    * matches. */
+  def extend(spark: SparkSession, delta: DataFrame, dataDir: String,
+             tau: Double = 0.6, pathOverride: Option[String] = None): Unit = {
+    val path = pathOverride.getOrElse(storePath(dataDir, tau))
+    val metaPath = s"${path}__meta"
+    val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(
+      sys.error(s"no pair graph at $path to extend — run pairGraph first"))
+    val oldSigs = UpsertStore.read(spark, s"${path}__sigs").getOrElse(
+      sys.error(s"pair graph at $path has no sketch index (pre-incremental " +
+        "schema) — recompute with pairGraph before extending"))
+    require(meta.getAs[Double]("tau") == tau,
+      s"store at $path was built at tau=${meta.getAs[Double]("tau")}, asked $tau")
+    val deltaSh = Dedup.shSketch(delta).cache()
+    try {
+      val allSh = oldSigs.unionByName(deltaSh)
+      val fresh = Dedup.deltaPairs(deltaSh, allSh, tau)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      UpsertStore.upsert(spark, path, fresh, Seq("doc_a", "doc_b"))
+      UpsertStore.upsert(spark, s"${path}__sigs", deltaSh, Seq("doc_id"))
+      val (dn, dh) = corpusFingerprint(delta)
+      UpsertStore.replace(spark, metaPath,
+        metaRow(spark, meta.getAs[Long]("corpus_n") + dn,
+          meta.getAs[Long]("corpus_h") ^ dh, tau), Seq("meta_id"))
+    } finally deltaSh.unpersist()
   }
 }

@@ -59,6 +59,46 @@ class PairGraphSpec extends AnyFunSuite {
       "fingerprint mismatch must rewrite the store")
   }
 
+  test("incremental extend equals the from-scratch graph over the grown corpus") {
+    val docs = Tables.documents(spark, sf)
+    val path = freshDir()
+    // split the corpus: first 80% is the "old" corpus, rest arrives later
+    val cut = docs.selectExpr("percentile(doc_id, 0.8)").head().getDouble(0).toLong
+    val old = docs.filter($"doc_id" <= cut)
+    val delta = docs.filter($"doc_id" > cut)
+    assert(delta.count() > 0 && old.count() > 0)
+
+    PairGraph.pairGraph(spark, old, sf, 0.6, Some(path))
+    PairGraph.extend(spark, delta, sf, 0.6, Some(path))
+
+    val viaExtend = PairGraph.pairGraph(spark, docs, sf, 0.6, Some(path))
+    val v1 = UpsertStore.latestVersion(spark, path)
+    val stored = viaExtend
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    // serving the grown corpus hit the advanced fingerprint — no rewrite
+    assert(UpsertStore.latestVersion(spark, path) == v1,
+      "extend must leave the store fingerprint-current for the grown corpus")
+    val scratch = Dedup.exactNearDupPairs(docs, 0.6)
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(stored == scratch,
+      s"extend diverged from scratch: missing=${(scratch -- stored).take(5)} " +
+        s"extra=${(stored -- scratch).take(5)}")
+  }
+
+  test("extend refuses a mismatched tau and a missing store") {
+    val docs = Tables.documents(spark, sf)
+    val path = freshDir()
+    intercept[RuntimeException] {
+      PairGraph.extend(spark, docs, sf, 0.6, Some(path))
+    }
+    PairGraph.pairGraph(spark, docs, sf, 0.6, Some(path))
+    intercept[IllegalArgumentException] {
+      PairGraph.extend(spark, docs.limit(1), sf, 0.7, Some(path))
+    }
+  }
+
   test("fingerprint is order- and partitioning-independent") {
     val docs = Tables.documents(spark, sf)
     val a = PairGraph.corpusFingerprint(docs)

@@ -246,6 +246,25 @@ class StreamingOpsSpec extends AnyFunSuite {
       "hsh must be array<long> (8 B/shingle)")
   }
 
+  test("streaming near-dup bootstrap: a batch-seeded index suppresses near-dups of historical docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-boot").toString
+    val nd = new StreamingNearDup(spark, s"$dir/bands", s"$dir/sigs",
+      tau = 0.6, retentionMs = 3600L * 1000, exactVerify = true)
+    def batch(docs: (Long, Long, String)*) =
+      docs.map { case (id, t, tx) => StreamingOpsSpec.Doc(id, new Timestamp(t), tx) }
+        .toDF("doc_id", "ts", "text")
+    // backfill: the historical (already-deduped) corpus seeds the index
+    nd.bootstrap(batch((1, 1000, textA), (2, 2000, textB)))
+    val indexed = UpsertStore.read(spark, s"$dir/sigs").get
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L), s"bootstrap must index the corpus: $indexed")
+    // stream: a near-dup of a BOOTSTRAPPED doc is dropped, fresh kept
+    val kept = nd.dedupeBatch(batch((10, 5000, textA2), (11, 6000, textC)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L),
+      s"doc 10 (near-dup of bootstrapped doc 1) must be dropped: $kept")
+  }
+
   test("streaming near-dup wiring: foreachBatch query writes only survivors") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-neardup-q").toString
