@@ -83,6 +83,41 @@ class StateStoreProviderSpec extends AnyFunSuite {
     assert(heap == rocks, s"provider changed dedup results:\nheap=$heap\nrocks=$rocks")
   }
 
+  private def runTrending(tag: String): Set[(Long, Long, String, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory(s"ssp-trending-$tag").toString
+    val sink = new ParquetUpsertSink(spark, s"$dir/sink", Seq("window_start", "rk"))
+    val input = MemoryStream[StreamingOpsSpec.Doc]
+    val q = TrendingTokens.run(input.toDF(), sink, s"$dir/ckpt", k = 3,
+      windowLen = "60 seconds", slide = "30 seconds", watermark = "0 seconds",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    def doc(id: Long, t: Long, text: String) =
+      StreamingOpsSpec.Doc(id, new Timestamp(t), text)
+    try {
+      input.addData(
+        doc(1, 5_000, "alpha alpha beta gamma"),
+        doc(2, 20_000, "alpha beta beta delta"),
+        doc(3, 40_000, "epsilon epsilon epsilon zeta"))
+      q.processAllAvailable()
+      input.addData(doc(9, 500_000, "flush flush flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    sink.read(spark)
+      .filter(org.apache.spark.sql.functions.col("window_start") < 400_000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+  }
+
+  test("trending-tokens windowed aggregation is identical under heap and RocksDB state stores") {
+    val heap = StreamingState.withProvider(spark, StreamingState.HeapProvider) {
+      runTrending("heap")
+    }
+    val rocks = StreamingState.withProvider(spark, StreamingState.RocksDBProvider) {
+      runTrending("rocks")
+    }
+    assert(heap.nonEmpty)
+    assert(heap == rocks, s"provider changed trending results:\nheap=$heap\nrocks=$rocks")
+  }
+
   test("withProvider restores the previous binding") {
     val before = StreamingState.currentProvider(spark)
     StreamingState.withProvider(spark, StreamingState.RocksDBProvider) {
