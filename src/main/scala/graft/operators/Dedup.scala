@@ -217,6 +217,17 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
   }
 
+  /** Spread a CPU-heavy per-row projection across the cluster when the
+    * upstream scan under-splits. A few-hundred-KB parquet file scans as
+    * ONE partition, so sketching runs single-core (measured 8.8 s for
+    * 4,000 docs) — a small-input artifact: at warehouse scale the scan
+    * splits by block and this is a no-op (partition count ≥ default
+    * parallelism ⇒ unchanged plan, no shuffle added). */
+  private def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** The per-doc SKETCH the whole near-dup family shares: one
     * projection derives BOTH downstream forms of the shingle set
     * (hashed set `hsh` for the exact verify, MinHash signature `sig`
@@ -224,8 +235,11 @@ object Dedup {
     * never the shingle strings. Docs with < 3 tokens (empty shingle
     * set) are excluded here, once, for every consumer. */
   private[graft] def shSketch(documents: DataFrame, k: Int = 32): DataFrame =
-    shingleArray(documents)
-      .filter(size(col("shingles")) > 0)
+    shingleArray(parallelized(documents))
+      // barrier: unwrapped, this filter pushes BELOW the repartition to
+      // the scan with the whole shingling expression substituted in —
+      // single-core re-derivation on a 1-split input (8.5 s vs 0.7 s)
+      .filter(graft.functions.BarrierFunctions.no_pushdown(size(col("shingles")) > 0))
       .select(col("doc_id"), hashedShingleCols.as("hsh"),
         TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"))
 
@@ -569,7 +583,34 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** INCREMENTAL pair-graph maintenance, declared end-to-end: build
+    * the graph over the first 80% of the corpus (by doc_id), fold the
+    * remaining 20% in with [[PairGraph.extend]] (delta-sized band
+    * probe against the persisted sketch index — the old corpus is
+    * never re-scanned), then serve the grown corpus through the
+    * fingerprint gate. The oracle is the FROM-SCRATCH brute-force pair
+    * set over the full corpus, so the driver's hash compare proves
+    * extend ≡ recompute — the invariant a 100 TB ingest pipeline
+    * relies on every arrival batch. A fresh store per run keeps the
+    * query self-contained (and the bench number honest: it measures
+    * build + extend + serve, not a cache). */
+  val q94PairGraphIncremental: QueryDef = sql(
+    "q94_pair_graph_incremental",
+    exactPairsSql(0.6,
+      "SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM jp")) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val store = java.nio.file.Files.createTempDirectory("graft_pair_inc")
+      .toString + "/store"
+    val cut = docs.selectExpr("percentile(doc_id, 0.8)").head().getDouble(0).toLong
+    PairGraph.pairGraph(s, docs.filter(col("doc_id") <= cut), d, 0.6, Some(store))
+    PairGraph.extend(s, docs.filter(col("doc_id") > cut), d, 0.6, Some(store))
+    PairGraph.pairGraph(s, docs, d, 0.6, Some(store))
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q45DedupExact, q46DedupNgramJaccard, q47DedupMinhash, q48DedupSimhash,
-    q56NearDupPipeline, q89DedupClusters, q91DedupRemovalPlan, q93PairGraphStore)
+    q56NearDupPipeline, q89DedupClusters, q91DedupRemovalPlan, q93PairGraphStore,
+    q94PairGraphIncremental)
 }
