@@ -22,6 +22,7 @@ import graft.functions.TextFunctions
   */
 object Dedup {
   import QueryDef.{rowsOnly, sql}
+  import Distributed.parallelized
 
   /** Word-3-gram shingle ARRAY per document (empty when < 3 tokens).
     * Shingling (not unigrams) is what makes LSH selective: unigram sets
@@ -98,6 +99,10 @@ object Dedup {
     // index and self-join move 8 B/entry instead of ~25 B. A 64-bit
     // collision over ~10⁵ distinct shingles (P ≈ 1e-11) would surface
     // as an oracle hash mismatch, so the driver gate guards the trick.
+    // NOT `parallelized`: the shingle+hash stage here is cheap enough
+    // that the guard repartition's extra text shuffle costs more than
+    // the single-split scan at bench SF (measured +0.5 s), and at
+    // warehouse scale file splits parallelize the scan anyway
     val sh = shingles(Tables.documents(s, d))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .cache()
@@ -215,17 +220,6 @@ object Dedup {
       .join(banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b")),
         Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-  }
-
-  /** Spread a CPU-heavy per-row projection across the cluster when the
-    * upstream scan under-splits. A few-hundred-KB parquet file scans as
-    * ONE partition, so sketching runs single-core (measured 8.8 s for
-    * 4,000 docs) — a small-input artifact: at warehouse scale the scan
-    * splits by block and this is a no-op (partition count ≥ default
-    * parallelism ⇒ unchanged plan, no shuffle added). */
-  private def parallelized(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   /** The per-doc SKETCH the whole near-dup family shares: one

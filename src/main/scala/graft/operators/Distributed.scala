@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object Distributed {
 
+  /** Spread a CPU-heavy per-row stage across the cluster when the
+    * upstream scan under-splits: a few-MB parquet file scans as ONE
+    * partition, so everything until the first exchange runs
+    * single-core (measured 8.5 s vs 0.7 s on the near-dup sketch). At
+    * warehouse scale the scan splits by block and this is a NO-OP
+    * (partition count ≥ default parallelism ⇒ plan unchanged, no
+    * shuffle added) — the guard exists precisely so small inputs don't
+    * serialize compute that big inputs parallelize for free. */
+  def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private def parted(df: DataFrame, group: Seq[String], order: Seq[String]): DataFrame =
     df.repartitionByRange((group ++ order).map(col): _*)
       .withColumn("__pid", spark_partition_id())

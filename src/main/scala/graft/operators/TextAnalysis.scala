@@ -132,7 +132,7 @@ object TextAnalysis {
         size(filter(toks, t => t.isin(words: _*))).as("score"),
         lit(lang).as("lang"))
     }
-    Tables.documents(s, d)
+    Distributed.parallelized(Tables.documents(s, d))
       .select(
         col("doc_id"),
         array_max(array(scored: _*)).as("best"))
@@ -160,6 +160,9 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val byFp = Window.partitionBy("fingerprint", "simhash")
+    // NOT `parallelized`: rolling-hash + simhash here are cheap per
+    // row; the guard repartition's text shuffle measured +0.2 s at
+    // bench SF with no probe-scale benefit (file splits cover it)
     Tables.documents(s, d)
       .select(
         col("doc_id"),
@@ -252,7 +255,10 @@ object TextAnalysis {
       |       (1.0 - CAST(n_distinct AS DOUBLE) / n_grams) > 0.2 AS flagged
       |FROM g
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val withToks = Tables.documents(s, d)
+    // parallelized: the whole query is per-row array math with no
+    // exchange until the final sort — on a 1-split scan it runs
+    // single-core end to end (Distributed doc)
+    val withToks = Distributed.parallelized(Tables.documents(s, d))
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 3)
     val grams = withToks.select(
