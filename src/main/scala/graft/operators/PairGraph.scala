@@ -97,6 +97,156 @@ object PairGraph {
       lit(1L).as("meta_id"), lit(n).as("corpus_n"), lit(h).as("corpus_h"),
       lit(tau).as("tau"))
 
+  /** CLUSTER LABELS for the corpus, maintained NEXT TO the pair graph:
+    * connected components ([[Dedup.clusterAssignments]]) over the
+    * stored pairs, persisted keyed by doc_id and gated on the same
+    * corpus-fingerprint rule as the pairs — so label propagation (the
+    * iterative, many-job step) runs once per corpus, and every
+    * downstream consumer (cluster report, removal plan, audit joins)
+    * reads a table. Rows exist only for docs that appear in SOME pair
+    * (cluster members, including each component's min); singletons are
+    * implicitly label = self, so the table is output-sized, never
+    * corpus-sized. Gate miss recomputes from [[pairGraph]] (which
+    * applies its own gate) and replaces table + cluster meta, meta
+    * last — same crash rule as the pairs. */
+  def clusters(spark: SparkSession, docs: DataFrame, dataDir: String,
+               tau: Double = 0.6, pathOverride: Option[String] = None): DataFrame = {
+    val path = pathOverride.getOrElse(storePath(dataDir, tau))
+    val cPath = s"${path}__clusters"
+    val cMetaPath = s"${path}__cmeta"
+    val (n, h) = corpusFingerprint(docs)
+    val stored = UpsertStore.read(spark, cMetaPath).flatMap { m =>
+      val ok = m.filter(col("corpus_n") === n && col("corpus_h") === h &&
+        col("tau") === tau).count() == 1
+      if (ok) UpsertStore.read(spark, cPath) else None
+    }
+    stored.getOrElse {
+      val labels = Dedup.clusterAssignments(
+        pairGraph(spark, docs, dataDir, tau, pathOverride).select("doc_a", "doc_b"))
+      UpsertStore.replace(spark, cPath, labels, Seq("doc_id"))
+      UpsertStore.replace(spark, cMetaPath, metaRow(spark, n, h, tau), Seq("meta_id"))
+      UpsertStore.read(spark, cPath).getOrElse(
+        sys.error(s"cluster store $cPath unreadable immediately after commit"))
+    }
+  }
+
+  /** INCREMENTAL cluster maintenance — call after [[extend]] with the
+    * SAME delta: fold the delta's pairs into the stored labels without
+    * re-propagating the whole corpus. Only components TOUCHED by a new
+    * pair can change, so the merge problem CONTRACTS: old components
+    * collapse to their root (= stored label) and the graph to solve is
+    * (roots ∪ delta docs) with one edge per delta pair — delta-sized,
+    * independent of corpus size. Under `maxDriverEdges` that graph is
+    * solved exactly by a bounded collect + driver union-find (an
+    * iterative distributed propagation would pay several fixed-cost
+    * jobs per round for a usually-tiny graph — measured 2.5 s → 0.3 s
+    * at sf0.1); past the budget (a pathological all-duplicate batch)
+    * it falls back to distributed min-label propagation over the
+    * affected components' star edges. Relabeling back is change-sized:
+    * only members of components whose root's label moved are upserted;
+    * the cluster fingerprint advances by the same associative rule as
+    * the pairs'.
+    *
+    * Misuse guard: requires cluster-meta + delta ≡ pair-meta (i.e.
+    * [[extend]] ran with exactly this delta since clusters were last
+    * current) — a skipped or doubled batch fails loudly instead of
+    * silently serving labels for the wrong corpus. */
+  def updateClusters(spark: SparkSession, delta: DataFrame, dataDir: String,
+                     tau: Double = 0.6, pathOverride: Option[String] = None,
+                     maxDriverEdges: Int = 4000000): Unit = {
+    val path = pathOverride.getOrElse(storePath(dataDir, tau))
+    val cPath = s"${path}__clusters"
+    val cMetaPath = s"${path}__cmeta"
+    val meta = UpsertStore.read(spark, s"${path}__meta").map(_.head()).getOrElse(
+      sys.error(s"no pair graph at $path — run pairGraph + extend first"))
+    val cMeta = UpsertStore.read(spark, cMetaPath).map(_.head()).getOrElse(
+      sys.error(s"no cluster table at $cPath to update — run clusters first"))
+    val (dn, dh) = corpusFingerprint(delta)
+    require(cMeta.getAs[Long]("corpus_n") + dn == meta.getAs[Long]("corpus_n") &&
+      (cMeta.getAs[Long]("corpus_h") ^ dh) == meta.getAs[Long]("corpus_h"),
+      s"cluster table at $cPath is not one delta behind the pair graph — " +
+        "updateClusters must follow extend with the same delta batch")
+    val pairs = UpsertStore.read(spark, path).getOrElse(
+      sys.error(s"pair graph store $path unreadable"))
+    val ids = delta.select(col("doc_id"))
+    // delta doc_ids are NEW (extend's contract), so any stored pair
+    // touching one is a pair extend just discovered
+    val newEdges = pairs.join(ids.withColumnRenamed("doc_id", "doc_a"),
+        Seq("doc_a"), "left_semi").select("doc_a", "doc_b")
+      .unionByName(pairs.join(ids.withColumnRenamed("doc_id", "doc_b"),
+        Seq("doc_b"), "left_semi").select("doc_a", "doc_b"))
+      .distinct()
+    val storedLabels = UpsertStore.read(spark, cPath).getOrElse(
+      sys.error(s"cluster store $cPath unreadable"))
+    // CONTRACT old components to their root (= stored label): the merge
+    // problem is then a graph over (roots ∪ delta docs) with one edge
+    // per delta pair — delta-sized, independent of corpus size
+    val contracted = newEdges
+      .join(storedLabels.select(col("doc_id").as("doc_a"), col("label").as("root_a")),
+        Seq("doc_a"), "left")
+      .join(storedLabels.select(col("doc_id").as("doc_b"), col("label").as("root_b")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("root_a"), col("doc_a")).as("a"),
+        coalesce(col("root_b"), col("doc_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    // Adaptive solve (the asOfJoinAuto pattern): a per-batch merge
+    // graph is almost always tiny, and an iterative distributed
+    // propagation pays multiple fixed-cost jobs per round for it —
+    // under the budget, one bounded collect + a driver union-find
+    // settles the transitive merge exactly; past it (a pathological
+    // all-duplicate batch), fall back to distributed propagation over
+    // star edges of affected components.
+    val head = contracted.limit(maxDriverEdges + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val merged: DataFrame =
+      if (head.length <= maxDriverEdges) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        head.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+        }
+        val nodes = head.flatMap { case (a, b) => Seq(a, b) }.distinct
+        if (nodes.isEmpty) spark.emptyDataFrame
+        else {
+          import spark.implicits._
+          // component label = min member id; roots here ARE their old
+          // component's min, so min over contracted nodes is the new min
+          val mapping = nodes.map(x => (x, find(x))).toSeq
+            .toDF("node", "new_label")
+          // relabel: members of components whose ROOT changed label, plus
+          // the contracted-graph nodes themselves (delta docs + roots)
+          val relabeledOld = storedLabels
+            .join(broadcast(mapping.filter(col("node") =!= col("new_label"))
+              .withColumnRenamed("node", "label")), Seq("label"))
+            .select(col("doc_id"), col("new_label").as("label"))
+          val nodeLabels = mapping.select(col("node").as("doc_id"),
+            col("new_label").as("label"))
+          relabeledOld.unionByName(nodeLabels)
+            .groupBy("doc_id").agg(min("label").as("label"))
+        }
+      } else {
+        val endpoints = newEdges.select(col("doc_a").as("doc_id"))
+          .unionByName(newEdges.select(col("doc_b").as("doc_id"))).distinct()
+        val roots = endpoints.join(storedLabels, Seq("doc_id"), "left")
+          .select(coalesce(col("label"), col("doc_id")).as("label")).distinct()
+        val starEdges = storedLabels.join(roots, Seq("label"), "left_semi")
+          .select(col("doc_id").as("doc_a"), col("label").as("doc_b"))
+        Dedup.clusterAssignments(newEdges.unionByName(starEdges))
+      }
+    if (merged.columns.nonEmpty && !merged.isEmpty)
+      UpsertStore.upsert(spark, cPath, merged, Seq("doc_id"))
+    UpsertStore.replace(spark, cMetaPath,
+      metaRow(spark, meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"), tau),
+      Seq("meta_id"))
+  }
+
   /** INCREMENTAL maintenance — the 100 TB ingest shape: fold a batch of
     * NEW documents into an existing pair graph without touching the old
     * corpus. The delta's sketches band-join against the persisted

@@ -99,6 +99,102 @@ class PairGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental cluster update equals from-scratch components, and serving hits the gate") {
+    val docs = Tables.documents(spark, sf)
+    val path = freshDir()
+    val cut = docs.selectExpr("percentile(doc_id, 0.8)").head().getDouble(0).toLong
+    val old = docs.filter($"doc_id" <= cut)
+    val delta = docs.filter($"doc_id" > cut)
+
+    PairGraph.clusters(spark, old, sf, 0.6, Some(path))
+    PairGraph.extend(spark, delta, sf, 0.6, Some(path))
+    PairGraph.updateClusters(spark, delta, sf, 0.6, Some(path))
+
+    val cPath = s"${path}__clusters"
+    val v1 = UpsertStore.latestVersion(spark, cPath)
+    val served = PairGraph.clusters(spark, docs, sf, 0.6, Some(path))
+      .as[(Long, Long)].collect().toSet
+    assert(UpsertStore.latestVersion(spark, cPath) == v1,
+      "updateClusters must leave the cluster table fingerprint-current " +
+        "for the grown corpus — serving must NOT re-propagate")
+    val scratch = Dedup.clusterAssignments(
+      Dedup.exactNearDupPairs(docs, 0.6).select("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(served == scratch,
+      s"incremental clusters diverged: missing=${(scratch -- served).take(5)} " +
+        s"extra=${(served -- scratch).take(5)}")
+  }
+
+  test("a delta doc can merge two old components and become the new min label") {
+    // three texts engineered so M ~ A (J≈0.65) and M ~ B (J≈0.56) but
+    // A !~ B (J=0.4) at tau=0.5 — the delta doc BRIDGES two existing
+    // clusters, and its id (5) undercuts both old min labels, so every
+    // member of both components must relabel
+    val t = (1 to 30).map(i => s"t$i")
+    val u = (19 to 30).map(i => s"u$i")
+    val textA = t.mkString(" ")
+    val textB = (t.take(18) ++ u).mkString(" ")
+    val textM = (t.take(24) ++ u.drop(6)).mkString(" ")
+    val textC = (1 to 30).map(i => s"v$i").mkString(" ")
+    val old = Seq(10L -> textA, 11L -> textA, 20L -> textB, 21L -> textB,
+      30L -> textC).toDF("doc_id", "text")
+    val delta = Seq(5L -> textM).toDF("doc_id", "text")
+    val full = old.unionByName(delta)
+    val path = freshDir()
+
+    val before = PairGraph.clusters(spark, old, sf, 0.5, Some(path))
+      .as[(Long, Long)].collect().toSet
+    assert(before == Set((10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)),
+      s"expected two 2-doc components, got $before")
+
+    PairGraph.extend(spark, delta, sf, 0.5, Some(path))
+    PairGraph.updateClusters(spark, delta, sf, 0.5, Some(path))
+    val after = PairGraph.clusters(spark, full, sf, 0.5, Some(path))
+      .as[(Long, Long)].collect().toSet
+    val scratch = Dedup.clusterAssignments(
+      Dedup.exactNearDupPairs(full, 0.5).select("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(after == scratch, s"incremental merge diverged: $after vs $scratch")
+    assert(after == Set((5L, 5L), (10L, 5L), (11L, 5L), (20L, 5L), (21L, 5L)),
+      s"bridge doc must merge both components under the new min label: $after")
+
+    // same merge through the DISTRIBUTED fallback (maxDriverEdges = 0
+    // forces the star-edge propagation path) must agree exactly
+    val path2 = freshDir()
+    PairGraph.clusters(spark, old, sf, 0.5, Some(path2))
+    PairGraph.extend(spark, delta, sf, 0.5, Some(path2))
+    PairGraph.updateClusters(spark, delta, sf, 0.5, Some(path2), maxDriverEdges = 0)
+    val viaFallback = PairGraph.clusters(spark, full, sf, 0.5, Some(path2))
+      .as[(Long, Long)].collect().toSet
+    assert(viaFallback == after,
+      s"union-find and propagation paths diverged: $viaFallback vs $after")
+  }
+
+  test("a delta with no near-dup pairs leaves clusters untouched but advances the gate") {
+    val t = (1 to 30).map(i => s"t$i")
+    val old = Seq(10L -> t.mkString(" "), 11L -> t.mkString(" ")).toDF("doc_id", "text")
+    val delta = Seq(40L -> (1 to 30).map(i => s"w$i").mkString(" ")).toDF("doc_id", "text")
+    val path = freshDir()
+    val before = PairGraph.clusters(spark, old, sf, 0.6, Some(path))
+      .as[(Long, Long)].collect().toSet
+    PairGraph.extend(spark, delta, sf, 0.6, Some(path))
+    PairGraph.updateClusters(spark, delta, sf, 0.6, Some(path))
+    val after = PairGraph.clusters(spark, old.unionByName(delta), sf, 0.6, Some(path))
+      .as[(Long, Long)].collect().toSet
+    assert(after == before, "pairless delta must not change any label")
+  }
+
+  test("updateClusters refuses to run out of step with extend") {
+    val docs = Tables.documents(spark, sf)
+    val path = freshDir()
+    val cut = docs.selectExpr("percentile(doc_id, 0.8)").head().getDouble(0).toLong
+    PairGraph.clusters(spark, docs.filter($"doc_id" <= cut), sf, 0.6, Some(path))
+    // no extend ran — cluster meta is NOT one delta behind the pair meta
+    intercept[IllegalArgumentException] {
+      PairGraph.updateClusters(spark, docs.filter($"doc_id" > cut), sf, 0.6, Some(path))
+    }
+  }
+
   test("fingerprint is order- and partitioning-independent") {
     val docs = Tables.documents(spark, sf)
     val a = PairGraph.corpusFingerprint(docs)
