@@ -79,3 +79,80 @@ object DedupProbe {
     spark.stop()
   }
 }
+
+/** Incremental-cluster scale probe: folds a FIXED-size delta (the
+  * corpus's 500 highest doc_ids) into pair graph + clusters at 1× vs
+  * k× corpus and times `extend` + `updateClusters` against the
+  * from-scratch build at the same scale. The claim under test: the
+  * incremental path's cost tracks the DELTA's pair volume (which
+  * replication legitimately multiplies — each delta doc gains k
+  * near-dup matches) while the from-scratch build tracks the CORPUS,
+  * so the build/update ratio must WIDEN with scale. Reuses DedupProbe's
+  * documents replica (`runMain graft.DedupProbe <src> <k> <work>`
+  * first, then k=0 here, or any k to re-replicate).
+  *
+  * Usage: runMain graft.ClusterProbe <srcDir> <k> <workDir>
+  */
+object ClusterProbe {
+  import graft.operators.PairGraph
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, kStr, workDir) = args
+    val k = kStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-cluster-probe")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", (128 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (4 * 1024).toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (k > 0) {
+      val base = Tables.load(spark, srcDir, "documents")
+      val span = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      (0 until k).map(i => base.withColumn("doc_id", col("doc_id") + lit(i.toLong * span)))
+        .reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$workDir/documents.parquet")
+      System.err.println(s"[cluster-probe] replicated documents x$k -> $workDir")
+    } else System.err.println(s"[cluster-probe] k=0: reusing $workDir")
+
+    def t[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val deltaN = 500
+
+    val rows = Seq(srcDir -> "1x", workDir -> s"${if (k > 0) k else "k"}x").map {
+      case (dir, tag) =>
+        val docs = Tables.documents(spark, dir)
+        val cutId = docs.select(col("doc_id")).orderBy(desc("doc_id")).limit(deltaN)
+          .agg(min("doc_id")).head().getLong(0)
+        val old = docs.filter(col("doc_id") < cutId)
+        val delta = docs.filter(col("doc_id") >= cutId)
+        val store = java.nio.file.Files.createTempDirectory("cluster_probe")
+          .toString + "/store"
+        val (_, tBuild) = t(
+          PairGraph.clusters(spark, old, dir, 0.6, Some(store)).count())
+        val (_, tExtend) = t(PairGraph.extend(spark, delta, dir, 0.6, Some(store)))
+        val (_, tUpdate) = t(PairGraph.updateClusters(spark, delta, dir, 0.6, Some(store)))
+        val (nClustered, tServe) = t(
+          PairGraph.clusters(spark, docs, dir, 0.6, Some(store)).count())
+        // honesty metric: the delta's own pair volume (what `extend` +
+        // `updateClusters` legitimately pay for)
+        val deltaPairs = graft.streaming.UpsertStore.read(spark, store).get
+          .filter(col("doc_a") >= cutId || col("doc_b") >= cutId).count()
+        System.err.println(
+          f"[cluster-probe] $tag%5s delta=$deltaN deltaPairs=$deltaPairs%9d " +
+          f"build=$tBuild%7.1fs extend=$tExtend%6.1fs update=$tUpdate%6.1fs " +
+          f"serve=$tServe%5.1fs clustered=$nClustered%9d build/update=${tBuild / tUpdate}%5.1f")
+        s""""$tag":{"delta_pairs":$deltaPairs,"t_build":$tBuild,"t_extend":$tExtend,""" +
+          s""""t_update":$tUpdate,"t_serve":$tServe,"clustered":$nClustered}"""
+    }
+    println(s"""{"metric":"cluster_probe","k":$k,"scales":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}
