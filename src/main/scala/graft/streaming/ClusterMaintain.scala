@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.PairGraph
+
+/** CONTINUOUS cluster maintenance — the streaming face of the
+  * materialized pair graph + cluster table ([[graft.operators
+  * .PairGraph]]): bootstrap both stores from the historical corpus
+  * once, then fold every arriving micro-batch in with `extend` (delta
+  * band probe) + `updateClusters` (contracted union-find merge), so
+  * downstream consumers (`q89`-shaped cluster reads, removal plans,
+  * near-dup audits) always see clusters that are current to the last
+  * committed batch — without any per-batch corpus-sized work.
+  *
+  * Replay safety: `foreachBatch` is at-least-once, and `extend`'s
+  * fingerprint advance is ASSOCIATIVE, not idempotent — a double-applied
+  * batch would add its count twice and XOR its hash back OUT, leaving
+  * the store permanently mismatched. The streaming path therefore
+  * ledgers the batchId (`__ingest_txn`, committed after the batch's
+  * writes) and skips any batch at or below it; direct callers without
+  * a txnId get a best-effort guard (all ids already in the sketch
+  * index ⇒ replay). Every crash window degrades safely through the
+  * store's meta-commits-last rule: dying before the ledger commit
+  * replays the batch, the fingerprint double-applies and MISMATCHES,
+  * and the next full serve rebuilds from the corpus — degraded cost,
+  * never stale data.
+  *
+  * Batches need (`doc_id`, `text`); doc_ids must be new (the
+  * [[PairGraph.extend]] contract).
+  */
+final class ClusterMaintainer(
+    spark: SparkSession, dataDir: String, storePath: String,
+    tau: Double = 0.6) extends Serializable {
+
+  /** Seed pair graph + cluster table from the historical corpus (runs
+    * the full chain once; subsequent calls with the same corpus hit
+    * the fingerprint gate). */
+  def bootstrap(corpus: DataFrame): Unit =
+    PairGraph.clusters(spark, corpus, dataDir, tau, Some(storePath)).count()
+
+  /** Fold one micro-batch of NEW docs into pairs + clusters. Replay
+    * detection is layered: a `txnId` (the streaming batchId) is
+    * checked against a persisted ledger — the watertight guard, since
+    * ids alone can't identify a replayed batch of sketch-less short
+    * docs — and with no txnId, a batch whose ids all already sit in
+    * the sketch index is skipped as a best-effort fallback. */
+  def ingestBatch(batch: DataFrame, txnId: Option[Long] = None): Unit = {
+    val txnPath = s"${storePath}__ingest_txn"
+    val committed = UpsertStore.read(spark, txnPath)
+      .map(_.head().getAs[Long]("txn")).getOrElse(-1L)
+    if (txnId.exists(_ <= committed)) return
+    val replay = txnId.isEmpty && (UpsertStore.read(spark, s"${storePath}__sigs") match {
+      case Some(sigs) => batch.select("doc_id")
+        .join(sigs.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty
+      case None => sys.error(
+        s"no sketch index at $storePath — bootstrap before streaming ingest")
+    })
+    if (!replay) {
+      PairGraph.extend(spark, batch, dataDir, tau, Some(storePath))
+      PairGraph.updateClusters(spark, batch, dataDir, tau, Some(storePath))
+      // ledger commits LAST: a crash before this line replays the batch,
+      // the fingerprint double-applies and MISMATCHES, and the next full
+      // serve rebuilds from the corpus — degraded, never stale
+      txnId.foreach(t => UpsertStore.replace(spark, txnPath,
+        spark.range(1).select(lit(1L).as("meta_id"), lit(t).as("txn")),
+        Seq("meta_id")))
+    }
+  }
+
+  /** The cluster table as of the last committed batch (doc_id, label);
+    * docs in no cluster are absent (label = self by contract). */
+  def current: DataFrame =
+    UpsertStore.read(spark, s"${storePath}__clusters").getOrElse(
+      sys.error(s"no cluster table at $storePath — bootstrap first"))
+
+  /** Wire into a streaming query: every micro-batch extends the pair
+    * graph and folds its merges into the cluster table. */
+  def run(docs: DataFrame, checkpointDir: String,
+          trigger: org.apache.spark.sql.streaming.Trigger =
+            org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            ingestBatch(batch.select("doc_id", "text"), Some(batchId))
+        } finally batch.unpersist()
+      }
+      .start()
+}

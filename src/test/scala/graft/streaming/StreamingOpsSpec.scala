@@ -265,6 +265,78 @@ class StreamingOpsSpec extends AnyFunSuite {
       s"doc 10 (near-dup of bootstrapped doc 1) must be dropped: $kept")
   }
 
+  test("continuous cluster maintenance: streamed batches converge to the from-scratch components") {
+    import graft.operators.{Dedup, PairGraph}
+    val dir = java.nio.file.Files.createTempDirectory("graft-clmaint").toString
+    val sf = SharedSpark.sf0001
+    val docs = graft.Tables.documents(spark, sf)
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val (cut1, cut2) = (ids(ids.length * 6 / 10), ids(ids.length * 8 / 10))
+    val cm = new ClusterMaintainer(spark, sf, s"$dir/store", 0.6)
+    cm.bootstrap(docs.filter($"doc_id" <= cut1))
+    cm.ingestBatch(docs.filter($"doc_id" > cut1 && $"doc_id" <= cut2).select("doc_id", "text"))
+    cm.ingestBatch(docs.filter($"doc_id" > cut2).select("doc_id", "text"))
+    val streamed = cm.current.as[(Long, Long)].collect().toSet
+    val scratch = Dedup.clusterAssignments(
+      Dedup.exactNearDupPairs(docs, 0.6).select("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == scratch,
+      s"missing=${(scratch -- streamed).take(5)} extra=${(streamed -- scratch).take(5)}")
+    // and the incremental result serves through the fingerprint gate
+    val v = UpsertStore.latestVersion(spark, s"$dir/store__clusters")
+    PairGraph.clusters(spark, docs, sf, 0.6, Some(s"$dir/store")).count()
+    assert(UpsertStore.latestVersion(spark, s"$dir/store__clusters") == v,
+      "full-corpus serve after streamed ingest must hit the gate, not rebuild")
+  }
+
+  test("continuous cluster maintenance: replays are skipped by id guard and txn ledger") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-clmaint-rp").toString
+    def batch(docs: (Long, String)*) = docs.toDF("doc_id", "text")
+    val cm = new ClusterMaintainer(spark, "memtest", s"$dir/store", 0.6)
+    cm.bootstrap(batch(1L -> textA, 2L -> textB))
+    val pairsPath = s"$dir/store"
+
+    // id-guard path (no txnId): same batch twice — second is a no-op
+    cm.ingestBatch(batch(10L -> textA2))
+    val v1 = UpsertStore.latestVersion(spark, pairsPath)
+    cm.ingestBatch(batch(10L -> textA2))
+    assert(UpsertStore.latestVersion(spark, pairsPath) == v1,
+      "replayed batch (all ids indexed) must not touch the pair store")
+
+    // txn-ledger path: same txnId twice — skipped even though the doc
+    // is sketch-less (too short to shingle), which the id guard alone
+    // could not recognize
+    cm.ingestBatch(batch(20L -> "too short"), txnId = Some(7L))
+    val v2 = UpsertStore.latestVersion(spark, pairsPath)
+    cm.ingestBatch(batch(20L -> "too short"), txnId = Some(7L))
+    assert(UpsertStore.latestVersion(spark, pairsPath) == v2,
+      "replayed txnId must be skipped by the ledger")
+    // a NEW txn with a near-dup doc still applies and merges
+    cm.ingestBatch(batch(30L -> textA3), txnId = Some(8L))
+    val labels = cm.current.as[(Long, Long)].collect().toSet
+    assert(labels.contains((30L, 1L)),
+      s"doc 30 (near-dup of 1 and 10) must join component 1: $labels")
+  }
+
+  test("continuous cluster maintenance: foreachBatch wiring keeps clusters current") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-clmaint-q").toString
+    def batch(docs: (Long, String)*) = docs.toDF("doc_id", "text")
+    val cm = new ClusterMaintainer(spark, "memtest2", s"$dir/store", 0.6)
+    cm.bootstrap(batch(1L -> textA, 2L -> textB))
+    val input = MemoryStream[StreamingOpsSpec.Doc]
+    val q = cm.run(input.toDF(), s"$dir/ckpt", trigger = Trigger.ProcessingTime(0))
+    input.addData(StreamingOpsSpec.Doc(10, new Timestamp(1000), textA2))
+    q.processAllAvailable()
+    input.addData(StreamingOpsSpec.Doc(11, new Timestamp(2000), textA4),
+      StreamingOpsSpec.Doc(12, new Timestamp(2500), textC))
+    q.processAllAvailable()
+    q.stop()
+    val labels = cm.current.as[(Long, Long)].collect().toSet
+    assert(labels == Set((1L, 1L), (10L, 1L), (11L, 1L)),
+      s"streamed near-dups of doc 1 must fold into its component: $labels")
+  }
+
   test("streaming near-dup wiring: foreachBatch query writes only survivors") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-neardup-q").toString
