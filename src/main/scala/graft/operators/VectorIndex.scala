@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TopKFunctions, VectorFunctions}
+import graft.streaming.UpsertStore
+
+/** Materialize-once storage for the ANN VECTOR INDEX — the embedding
+  * twin of [[PairGraph]].
+  *
+  * [[Similarity.ivfSearch]] re-derives the coarse quantizer state
+  * (centroid set + per-vector cell assignment) on every call: one
+  * corpus×centroids broadcast pass per query batch. That is the right
+  * shape for a one-off, and the wrong one for the production serve
+  * path, where the corpus is ~stable and query batches arrive
+  * continuously — at 100 TB the assignment pass alone re-reads the
+  * whole embedding table per batch. The production shape is: assign
+  * ONCE, persist (vec_id, cell, embedding) keyed by vec_id next to
+  * the centroid table, and let every query batch join its probed
+  * cells against the stored assignment.
+  *
+  * Storage is an [[graft.streaming.UpsertStore]] table — atomic
+  * replace, time travel, CDC for free — and freshness uses the exact
+  * [[PairGraph]] discipline: a corpus FINGERPRINT (row count + an
+  * order-independent `bit_xor` of per-row hashes) written next to the
+  * cells and recomputed from the corpus on every serve; the meta row
+  * commits LAST, so every crash window degrades to a recompute, never
+  * a stale serve. [[extend]] folds a batch of NEW vectors in with one
+  * delta×centroids broadcast pass — the old corpus is never re-read —
+  * and advances the fingerprint associatively (count adds, XOR
+  * composes).
+  *
+  * Centroids are the first `centroids` vectors by `vec_id` — the same
+  * deterministic seed rule as [[Similarity.ivfSearch]], so the stored
+  * index and the from-scratch computation agree bit-for-bit (the
+  * extend ≡ scratch spec and the shared q50 brute-force oracle both
+  * rely on this). Seeds-as-centroids is intentionally NOT k-means:
+  * centroid drift would invalidate stored assignments and break the
+  * incremental contract; a production re-train is a new index build
+  * (gate miss), not a mutation.
+  */
+object VectorIndex {
+
+  /** Order-independent corpus fingerprint over (vec_id, embedding);
+    * same rule as [[PairGraph.corpusFingerprint]] (xxhash64 hashes the
+    * float array elementwise; bit_xor is ANSI-overflow-safe). */
+  private[graft] def corpusFingerprint(emb: DataFrame): (Long, Long) = {
+    val row = emb.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(vec_id, embedding))"), lit(0L)).as("h"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  private def root: String =
+    sys.env.getOrElse("GRAFT_VECTOR_INDEX_DIR", "/tmp/graft_vector_index")
+
+  /** Store location for one (corpus dir, centroid count) — freshness
+    * is the fingerprint gate's job, not the path's. */
+  private[graft] def storePath(dataDir: String, centroids: Int): String = {
+    val dirKey = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dataDir).toLong & 0xffffffffL)
+    s"$root/vindex_${dirKey}_c$centroids"
+  }
+
+  private def metaRow(spark: SparkSession, n: Long, h: Long, centroids: Int): DataFrame =
+    spark.range(1).select(
+      lit(1L).as("meta_id"), lit(n).as("corpus_n"), lit(h).as("corpus_h"),
+      lit(centroids).as("centroids"))
+
+  /** Deterministic nearest-centroid assignment: one broadcast pass,
+    * cosine tie broken to the higher centroid id via the struct
+    * ordering (float ties are vanishingly rare, but extend ≡ scratch
+    * must not depend on rarity). */
+  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("csim", nanvl(
+        VectorFunctions.cosine_similarity(col("embedding"), col("cemb")), lit(-1.0)))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("centroid_id"), struct(col("csim"), col("centroid_id"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+
+  /** The stored assignment table (vec_id, cell, embedding) for `emb`:
+    * served when the recorded fingerprint matches the corpus,
+    * otherwise built from scratch (seed centroids → one assignment
+    * pass), committed cells → centroids → meta (meta LAST — the
+    * [[PairGraph]] crash rule), and then served from the store. */
+  def index(spark: SparkSession, emb: DataFrame, dataDir: String,
+            centroids: Int = 16, pathOverride: Option[String] = None): DataFrame = {
+    val path = pathOverride.getOrElse(storePath(dataDir, centroids))
+    val metaPath = s"${path}__meta"
+    val (n, h) = corpusFingerprint(emb)
+    val stored = UpsertStore.read(spark, metaPath).flatMap { m =>
+      val ok = m.filter(col("corpus_n") === n && col("corpus_h") === h &&
+        col("centroids") === centroids).count() == 1
+      if (ok) UpsertStore.read(spark, path) else None
+    }
+    stored.getOrElse {
+      val cents = emb.orderBy("vec_id").limit(centroids)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb"))
+      val cells = assignCells(emb, cents)
+      UpsertStore.replace(spark, path, cells, Seq("vec_id"))
+      UpsertStore.replace(spark, s"${path}__centroids", cents, Seq("centroid_id"))
+      UpsertStore.replace(spark, metaPath, metaRow(spark, n, h, centroids), Seq("meta_id"))
+      UpsertStore.read(spark, path).getOrElse(
+        sys.error(s"vector index store $path unreadable immediately after commit"))
+    }
+  }
+
+  /** INCREMENTAL maintenance — the continuous-ingest shape: assign a
+    * batch of NEW vectors against the STORED centroids (one
+    * delta-sized broadcast pass; the old corpus is never re-read),
+    * upsert the cells, advance the fingerprint associatively
+    * (new_h = old_h XOR delta_h — no old-corpus scan). Serving
+    * afterwards goes through [[index]] with the grown corpus, whose
+    * fingerprint now matches.
+    *
+    * Contract: delta vec_ids must be NEW (an id collision would alias
+    * two vectors under one cell row). Centroids never move on extend —
+    * that is what keeps stored assignments valid (see class doc). */
+  def extend(spark: SparkSession, delta: DataFrame, dataDir: String,
+             centroids: Int = 16, pathOverride: Option[String] = None): Unit = {
+    val path = pathOverride.getOrElse(storePath(dataDir, centroids))
+    val metaPath = s"${path}__meta"
+    val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(
+      sys.error(s"no vector index at $path to extend — run index first"))
+    require(meta.getAs[Int]("centroids") == centroids,
+      s"index at $path was built with ${meta.getAs[Int]("centroids")} centroids, " +
+        s"asked $centroids")
+    val cents = UpsertStore.read(spark, s"${path}__centroids").getOrElse(
+      sys.error(s"vector index at $path has no centroid table"))
+    UpsertStore.upsert(spark, path, assignCells(delta, cents), Seq("vec_id"))
+    val (dn, dh) = corpusFingerprint(delta)
+    UpsertStore.replace(spark, metaPath,
+      metaRow(spark, meta.getAs[Long]("corpus_n") + dn,
+        meta.getAs[Long]("corpus_h") ^ dh, centroids), Seq("meta_id"))
+  }
+
+  /** IVF top-k over the STORED index: probe the query batch against
+    * the centroid table (queries × centroids — query-sized), explode
+    * to the `nProbe` best cells, equi-join the stored assignment on
+    * the cell id, exact-cosine verify, top-k. Identical output
+    * contract to [[Similarity.ivfSearch]] — (query_id, rk,
+    * neighbor_id), rank ties broken by neighbor id inside the top-k
+    * aggregate — so the two paths share one oracle. The corpus scan
+    * this saves vs `ivfSearch` is the assignment pass; the candidate
+    * join itself reads only the probed cells' rows. */
+  def searchStored(spark: SparkSession, emb: DataFrame, dataDir: String,
+                   queryPred: Column, centroids: Int = 16, nProbe: Int = 10,
+                   k: Int = 3, pathOverride: Option[String] = None): DataFrame = {
+    val path = pathOverride.getOrElse(storePath(dataDir, centroids))
+    val cells = index(spark, emb, dataDir, centroids, pathOverride)
+    val cents = UpsertStore.read(spark, s"${path}__centroids").getOrElse(
+      sys.error(s"vector index at $path has no centroid table"))
+    val probes = cells.filter(queryPred)
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", nanvl(
+        VectorFunctions.cosine_similarity(col("embedding"), col("cemb")), lit(-1.0)))
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(
+        TopKFunctions.top_k_by_score(col("csim"), col("centroid_id"), nProbe).as("cells"),
+        first(col("embedding")).as("qe"))
+      .select(col("query_id"), col("qe"), explode(col("cells.id")).as("cell"))
+    probes.join(cells.select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        nanvl(VectorFunctions.cosine_similarity(col("qe"), col("ce")), lit(-1.0)))
+      .groupBy("query_id")
+      .agg(TopKFunctions.top_k_by_score(col("sim"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("neighbor_id"))
+      .orderBy("query_id", "rk")
+  }
+}

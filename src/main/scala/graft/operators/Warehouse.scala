@@ -204,7 +204,58 @@ object Warehouse {
       path
     })
 
+  /** Change-data-feed roundtrip, oracle-checked: snapshot the
+    * pre-1996 per-customer stats (base commit), upsert 1996-H1 stats
+    * and then 1996-H2+ stats as two delta commits, and read
+    * `changesSince(snapshot)` — exactly the two deltas' rows, tagged
+    * with their commit version. The query then does what a real
+    * incremental consumer does: folds the feed in commit order
+    * (last writer per key wins) and emits the materialized view,
+    * which DuckDB replays directly over raw orders — so the driver
+    * gate checks that the feed carries exactly the upserted rows AND
+    * that applying them in `__commit_version` order reproduces the
+    * table's merge semantics. At 100 TB this is the difference
+    * between an incremental consumer reading two delta files and
+    * re-scanning the whole sink table per sync. */
+  val q98UpsertChangefeed: QueryDef = sql(
+    "q98_upsert_changefeed",
+    """WITH b2 AS (
+      |  SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+      |         ROUND(SUM(o_totalprice), 2) AS total
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate <  TIMESTAMP '1996-07-01' GROUP BY 1),
+      |b3 AS (
+      |  SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+      |         ROUND(SUM(o_totalprice), 2) AS total
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01' GROUP BY 1)
+      |SELECT custkey, n_orders, total FROM b3
+      |UNION ALL
+      |SELECT custkey, n_orders, total FROM b2
+      |WHERE custkey NOT IN (SELECT custkey FROM b3)
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.UpsertStore
+    def stats(pred: Column) = Tables.orders(s, d)
+      .filter(pred)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+    val store = java.nio.file.Files.createTempDirectory("graft-cdf").toString + "/t"
+    val (y96, h2) = (lit("1996-01-01").cast("timestamp"), lit("1996-07-01").cast("timestamp"))
+    UpsertStore.replace(s, store, stats(col("o_orderdate") < y96), Seq("custkey"))
+    val snapshot = UpsertStore.latestVersion(s, store).get
+    UpsertStore.upsert(s, store,
+      stats(col("o_orderdate") >= y96 && col("o_orderdate") < h2), Seq("custkey"))
+    UpsertStore.upsert(s, store, stats(col("o_orderdate") >= h2), Seq("custkey"))
+    UpsertStore.changesSince(s, store, snapshot)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("custkey").orderBy(col("__commit_version").desc)))
+      .filter(col("rn") === 1)
+      .select("custkey", "n_orders", "total")
+      .orderBy("custkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q76PartitionedDpp, q77PartitionPruneStatic, q78UpsertRoundtrip, q79BucketedJoin,
-    q83ZorderScan)
+    q83ZorderScan, q98UpsertChangefeed)
 }
