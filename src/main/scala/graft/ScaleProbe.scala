@@ -78,7 +78,11 @@ object ScaleProbe {
     // repartition + broadcast offsets), cluster propagation, the
     // removal-plan composition, and the skew-safe bucketed as-of
     "q33_percentiles", "q60_token_packing", "q89_dedup_clusters",
-    "q90_intra_doc_repetition", "q91_dedup_removal_plan", "q92_asof_bucketed")
+    "q90_intra_doc_repetition", "q91_dedup_removal_plan", "q92_asof_bucketed",
+    // round 7: the materialized-index serve paths (warm-up builds the
+    // store; timed runs measure the gated serve) and the change-feed
+    // consumer fold
+    "q96_ann_index_store", "q97_ann_index_incremental", "q98_upsert_changefeed")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

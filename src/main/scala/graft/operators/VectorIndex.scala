@@ -138,6 +138,46 @@ object VectorIndex {
         meta.getAs[Long]("corpus_h") ^ dh, centroids), Seq("meta_id"))
   }
 
+  /** IVF top-k for an EXTERNAL query batch — the production serve
+    * shape, where query vectors arrive from outside the corpus
+    * (a retrieval request, a dedup-against-index check) rather than
+    * being corpus members selected by predicate. Reads cells +
+    * centroids straight from the store with NO fingerprint gate: the
+    * caller owns freshness (a [[graft.streaming.VectorIndexMaintainer]]
+    * ledger, or a preceding [[index]]/[[extend]] call in the same
+    * job). `queries` must carry (query_id, qe); output contract is the
+    * same (query_id, rk, neighbor_id) as [[searchStored]], except
+    * external queries are never filtered out of their own neighbor
+    * lists (an external id never collides with a corpus vec_id by
+    * contract). Cost: |queries| × centroids probe + the probed cells'
+    * rows — corpus-sized work never happens at query time. */
+  def searchIndexed(spark: SparkSession, path: String, queries: DataFrame,
+                    nProbe: Int = 10, k: Int = 3): DataFrame = {
+    val cells = UpsertStore.read(spark, path).getOrElse(
+      sys.error(s"no vector index at $path — run index first"))
+    val cents = UpsertStore.read(spark, s"${path}__centroids").getOrElse(
+      sys.error(s"vector index at $path has no centroid table"))
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", nanvl(
+        VectorFunctions.cosine_similarity(col("qe"), col("cemb")), lit(-1.0)))
+      .groupBy("query_id")
+      .agg(
+        TopKFunctions.top_k_by_score(col("csim"), col("centroid_id"), nProbe).as("cells"),
+        first(col("qe")).as("qe"))
+      .select(col("query_id"), col("qe"), explode(col("cells.id")).as("cell"))
+    probes.join(cells.select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), Seq("cell"))
+      .withColumn("sim",
+        nanvl(VectorFunctions.cosine_similarity(col("qe"), col("ce")), lit(-1.0)))
+      .groupBy("query_id")
+      .agg(TopKFunctions.top_k_by_score(col("sim"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("neighbor_id"))
+      .orderBy("query_id", "rk")
+  }
+
   /** IVF top-k over the STORED index: probe the query batch against
     * the centroid table (queries × centroids — query-sized), explode
     * to the `nProbe` best cells, equi-join the stored assignment on

@@ -31,7 +31,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q50_ann_bruteforce",    // broadcast 5-query set vs corpus (declared exact baseline)
     "q52_embedding_neardup", // adaptive dense branch: measured candidate rate ≈ 1 ⇒
                              // banding can't prune, pair verify IS the work (Similarity.scala)
-    "q55_ann_ivf")           // broadcast 16-centroid table (index build + probe)
+    "q55_ann_ivf",           // broadcast 16-centroid table (index build + probe)
+    "q96_ann_index_store",   // broadcast 16-centroid table (probe side; cells are stored)
+    "q97_ann_index_incremental") // same centroid broadcast via the serve path
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation
