@@ -47,8 +47,19 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmup $t: ${e.getMessage}") }
     }
 
+    // targeted re-measure (SCALING.md noise protocol): a comma list in
+    // SPARK_GRAFT_BENCH_ONLY restricts B1 to those queries and skips
+    // B2/B3 — the clean-load median-of-3 for drift adjudication without
+    // paying (or perturbing) the whole bench
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queryList = only match {
+      case Some(names) => SparkEntry.allQueries.filter(q => names(q.name))
+      case None => SparkEntry.allQueries
+    }
+
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.allQueries.map { q =>
+    val results = queryList.map { q =>
       val r = try {
         force(q.fn(spark, sfDir))
         val runs = Seq.fill(3) {
@@ -72,7 +83,8 @@ object Bench {
     // B2: streaming throughput (median of 3 — page-cache state moves
     // single runs by ±50%)
     val streamingRps =
-      try {
+      if (only.isDefined) -1.0
+      else try {
         val runs = Seq.fill(3)(
           BenchStreaming.run(spark, rowsPerBatch = 200000, batches = 12)).sorted
         runs(1)
@@ -81,7 +93,8 @@ object Bench {
     // B3: upsert throughput at 100k keys (median of 5 — FS-cache noise
     // moved the median-of-3 by ±20% across whole-bench runs)
     val upsertRps =
-      try {
+      if (only.isDefined) -1.0
+      else try {
         val runs = Seq.fill(5)(BenchStreaming.upsertBench(spark, keys = 100000)).sorted
         runs(2)
       } catch { case _: Throwable => -1.0 }

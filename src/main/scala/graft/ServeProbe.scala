@@ -1,0 +1,93 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.ClusterMaintainer
+
+/** Serve-side latency of the materialized cluster table UNDER
+  * MAINTENANCE LOAD (VERDICT r7 #7): round 7's StreamingNearDupProbe
+  * pinned ingest-side state discipline; this probe pins the other half
+  * of the production contract — q89-shaped cluster reads issued
+  * concurrently with a running extend+updateClusters ingest, at the
+  * base and 10× batch protocol. The store makes this cheap by design
+  * (readers see the last committed manifest; an in-flight ingest's
+  * delta dirs are invisible until its atomic swap), so read latency
+  * under load should sit near the idle latency — a big ratio would
+  * mean ingest commits are blocking or bloating the read path.
+  *
+  * Usage: `sbt "runMain graft.ClusterServeProbe"`.
+  */
+object ClusterServeProbe {
+
+  /** Deterministic doc batches: 50-token docs, every 10th a near-dup
+    * of its predecessor — same corpus shape as StreamingNearDupProbe. */
+  private def batchDf(spark: SparkSession, batchIdx: Long, n: Long) =
+    spark.range(batchIdx * n, (batchIdx + 1) * n).selectExpr(
+      "id AS doc_id",
+      """concat_ws(' ', transform(sequence(0, 49), w ->
+        |  CASE WHEN id % 10 = 0 AND w < 49 THEN concat('tok', pmod(hash(id - 1, w), 50000))
+        |       WHEN id % 10 = 0 THEN concat('alt', id)
+        |       ELSE concat('tok', pmod(hash(id, w), 50000)) END)) AS text""".stripMargin)
+
+  /** One q89-shaped serve: cluster labels + per-cluster sizes. */
+  private def serveOnce(cm: ClusterMaintainer): Double = {
+    val t0 = System.nanoTime()
+    cm.current.groupBy("label").count().count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Bootstrap a maintainer on `n` docs, then run `batches` ingests on
+    * one thread while a reader thread hammers serve reads; returns
+    * (idle read sec, median under-load read sec, max under-load read
+    * sec, reads completed during ingest). */
+  def run(spark: SparkSession, n: Long, batches: Int): (Double, Double, Double, Int) = {
+    val dir = java.nio.file.Files.createTempDirectory("serve-probe").toString
+    val cm = new ClusterMaintainer(spark, s"serve-probe-$n", s"$dir/store", 0.6)
+    cm.bootstrap(batchDf(spark, 0, n))
+    val idle = {
+      serveOnce(cm) // warm plans
+      val runs = Seq.fill(3)(serveOnce(cm)).sorted
+      runs(1)
+    }
+    val ingesting = new AtomicBoolean(true)
+    val reads = scala.collection.mutable.ListBuffer.empty[Double]
+    val reader = new Thread(() => {
+      while (ingesting.get()) reads += serveOnce(cm)
+    })
+    reader.start()
+    try (1 to batches).foreach { i =>
+      cm.ingestBatch(batchDf(spark, i.toLong, n), txnId = Some(i.toLong))
+    } finally {
+      ingesting.set(false)
+      reader.join()
+    }
+    val sorted = reads.toSeq.sorted
+    (idle, sorted(sorted.size / 2), sorted.last, sorted.size)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-cluster-serve-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (idleB, medB, maxB, nB) = run(spark, n = 500, batches = 5)
+    System.err.println(f"[serve] base 500/batch  idle=${idleB}%.3fs " +
+      f"median=${medB}%.3fs max=${maxB}%.3fs reads=$nB")
+    val (idleX, medX, maxX, nX) = run(spark, n = 5000, batches = 5)
+    System.err.println(f"[serve] 10x 5000/batch  idle=${idleX}%.3fs " +
+      f"median=${medX}%.3fs max=${maxX}%.3fs reads=$nX")
+    println(s"""{"metric":"cluster_serve_probe","idle_base":$idleB,""" +
+      s""""underload_median_base":$medB,"underload_max_base":$maxB,""" +
+      s""""idle_10x":$idleX,"underload_median_10x":$medX,""" +
+      s""""underload_max_10x":$maxX,"reads_base":$nB,"reads_10x":$nX}""")
+    spark.stop()
+  }
+}

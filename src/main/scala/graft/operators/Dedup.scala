@@ -597,8 +597,7 @@ object Dedup {
     exactPairsSql(0.6,
       "SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM jp")) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val store = java.nio.file.Files.createTempDirectory("graft_pair_inc")
-      .toString + "/store"
+    val store = graft.Scratch.dir("graft_pair_inc") + "/store"
     val cut = docs.selectExpr("percentile(doc_id, 0.8)").head().getDouble(0).toLong
     PairGraph.pairGraph(s, docs.filter(col("doc_id") <= cut), d, 0.6, Some(store))
     PairGraph.extend(s, docs.filter(col("doc_id") > cut), d, 0.6, Some(store))
@@ -637,8 +636,7 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val store = java.nio.file.Files.createTempDirectory("graft_clust_inc")
-      .toString + "/store"
+    val store = graft.Scratch.dir("graft_clust_inc") + "/store"
     val cut = docs.selectExpr("percentile(doc_id, 0.8)").head().getDouble(0).toLong
     PairGraph.clusters(s, docs.filter(col("doc_id") <= cut), d, 0.6, Some(store))
     PairGraph.extend(s, docs.filter(col("doc_id") > cut), d, 0.6, Some(store))

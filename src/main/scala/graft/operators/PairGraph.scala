@@ -30,8 +30,42 @@ import graft.streaming.UpsertStore
   * one cheap scan buys the guarantee that the cached graph describes
   * exactly this corpus. (Were the corpus itself an UpsertStore table,
   * its manifest version would replace the scan — noted seam.)
+  *
+  * CRASH DISCIPLINE (two-sided): every mutation brackets its data
+  * writes with meta writes — a DIRTY meta first (fails the gate for
+  * EVERY corpus, old and new), then the data, then the clean meta.
+  * "Meta commits last" alone only protects the grown corpus: a crash
+  * after the data writes but before the meta swap would leave the OLD
+  * meta matching the OLD corpus while the tables already hold the new
+  * rows — a gated serve for the old corpus would return foreign pairs.
+  * The dirty marker closes that window: any partial mutation forces a
+  * recompute for every corpus, never a stale serve. The dirty row for
+  * an [[extend]] keeps the PRE-extend fingerprint, so a replayed
+  * extend (same delta — the streaming at-least-once contract) resumes
+  * from the recorded base and converges (the pair/sig upserts are
+  * last-writer-wins, so re-applying the same delta is a no-op on
+  * contents). Extends also record the caller's `txnId` in meta, making
+  * them transactionally idempotent: a replay of an already-committed
+  * batch is skipped outright instead of double-applying the
+  * associative fingerprint advance.
   */
 object PairGraph {
+
+  /** `true` when the meta row carries a dirty marker (older stores
+    * predate the column and are clean by construction). */
+  private def isDirty(m: org.apache.spark.sql.Row): Boolean =
+    m.schema.fieldNames.contains("dirty") && m.getAs[Boolean]("dirty")
+
+  private def metaTxn(m: org.apache.spark.sql.Row): Long =
+    if (m.schema.fieldNames.contains("txn")) m.getAs[Long]("txn") else -1L
+
+  /** The fingerprint gate: exactly one meta row, matching (n, h, tau),
+    * and NOT dirty. */
+  private def gateOk(m: DataFrame, n: Long, h: Long, tau: Double): Boolean = {
+    val dirtyCol = if (m.columns.contains("dirty")) col("dirty") else lit(false)
+    m.filter(col("corpus_n") === n && col("corpus_h") === h &&
+      col("tau") === tau && !dirtyCol).count() == 1
+  }
 
   /** Order-independent corpus fingerprint: (row count, XOR of
     * xxhash64(doc_id, text)). XOR never overflows (ANSI-safe) and
@@ -45,16 +79,28 @@ object PairGraph {
     (row.getLong(0), row.getLong(1))
   }
 
+  /** Default store root: per-user under the JVM tmpdir (a shared
+    * world-writable /tmp root would let concurrent users thrash each
+    * other's stores into perpetual rebuilds — correctness rests on the
+    * fingerprint gate either way, but the cache would be useless). A
+    * real deployment overrides via env or [[pairGraphTableRoot]]. */
   private def root: String =
-    sys.env.getOrElse("GRAFT_PAIR_GRAPH_DIR", "/tmp/graft_pair_graph")
+    sys.env.getOrElse("GRAFT_PAIR_GRAPH_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft-${System.getProperty("user.name", "anon")}/pair_graph")
+
+  /** 64 bits of path identity from two independently-seeded 32-bit
+    * murmurs — a 32-bit key collides at ~2^16 distinct corpus dirs
+    * (birthday), which a long-lived multi-tenant store root can reach. */
+  private[graft] def dirKey64(s: String): String = {
+    val hi = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong & 0xffffffffL
+    val lo = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL
+    java.lang.Long.toHexString((hi << 32) | lo)
+  }
 
   /** Store location for one (corpus dir, τ) — the fingerprint gate, not
     * the path, is what guarantees freshness. */
-  private[graft] def storePath(dataDir: String, tau: Double): String = {
-    val dirKey = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dataDir).toLong & 0xffffffffL)
-    s"$root/pairs_${dirKey}_tau${(tau * 100).round}"
-  }
+  private[graft] def storePath(dataDir: String, tau: Double): String =
+    s"$root/pairs_${dirKey64(dataDir)}_tau${(tau * 100).round}"
 
   /** The pair graph for `docs` at threshold `tau`: read the persisted
     * table when its recorded fingerprint matches the corpus, otherwise
@@ -72,30 +118,35 @@ object PairGraph {
     val metaPath = s"${path}__meta"
     val (n, h) = corpusFingerprint(docs)
     val stored = UpsertStore.read(spark, metaPath).flatMap { m =>
-      val ok = m.filter(col("corpus_n") === n && col("corpus_h") === h &&
-        col("tau") === tau).count() == 1
-      if (ok) UpsertStore.read(spark, path) else None
+      if (gateOk(m, n, h, tau)) UpsertStore.read(spark, path) else None
     }
     stored.getOrElse {
+      val prevTxn = UpsertStore.read(spark, metaPath).map(m => metaTxn(m.head())).getOrElse(-1L)
       val sh = Dedup.shSketch(docs).cache()
       try {
+        // dirty FIRST: a crash mid-rebuild must not leave an old meta
+        // that still gate-matches the old corpus over the new data
+        UpsertStore.replace(spark, metaPath,
+          metaRow(spark, -1L, 0L, tau, dirty = true, prevTxn), Seq("meta_id"))
         val pairs = Dedup.exactNearDupPairsFromSketch(sh, tau)
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
         UpsertStore.replace(spark, path, pairs, Seq("doc_a", "doc_b"))
         UpsertStore.replace(spark, s"${path}__sigs", sh, Seq("doc_id"))
-        // meta commits LAST: a crash between the writes leaves a
-        // fingerprint mismatch (recompute), never a stale-served graph
-        UpsertStore.replace(spark, metaPath, metaRow(spark, n, h, tau), Seq("meta_id"))
+        // clean meta commits LAST: any crash above leaves the dirty
+        // marker → recompute for every corpus, never a stale serve
+        UpsertStore.replace(spark, metaPath, metaRow(spark, n, h, tau, dirty = false, prevTxn),
+          Seq("meta_id"))
         UpsertStore.read(spark, path).getOrElse(
           sys.error(s"pair graph store $path unreadable immediately after commit"))
       } finally sh.unpersist()
     }
   }
 
-  private def metaRow(spark: SparkSession, n: Long, h: Long, tau: Double): DataFrame =
+  private def metaRow(spark: SparkSession, n: Long, h: Long, tau: Double,
+                      dirty: Boolean = false, txn: Long = -1L): DataFrame =
     spark.range(1).select(
       lit(1L).as("meta_id"), lit(n).as("corpus_n"), lit(h).as("corpus_h"),
-      lit(tau).as("tau"))
+      lit(tau).as("tau"), lit(dirty).as("dirty"), lit(txn).as("txn"))
 
   /** CLUSTER LABELS for the corpus, maintained NEXT TO the pair graph:
     * connected components ([[Dedup.clusterAssignments]]) over the
@@ -116,15 +167,19 @@ object PairGraph {
     val cMetaPath = s"${path}__cmeta"
     val (n, h) = corpusFingerprint(docs)
     val stored = UpsertStore.read(spark, cMetaPath).flatMap { m =>
-      val ok = m.filter(col("corpus_n") === n && col("corpus_h") === h &&
-        col("tau") === tau).count() == 1
-      if (ok) UpsertStore.read(spark, cPath) else None
+      if (gateOk(m, n, h, tau)) UpsertStore.read(spark, cPath) else None
     }
     stored.getOrElse {
+      val prevTxn = UpsertStore.read(spark, cMetaPath).map(m => metaTxn(m.head())).getOrElse(-1L)
       val labels = Dedup.clusterAssignments(
         pairGraph(spark, docs, dataDir, tau, pathOverride).select("doc_a", "doc_b"))
+      // dirty → data → clean meta (see class doc): the cluster table
+      // must never be servable through a meta that predates its rows
+      UpsertStore.replace(spark, cMetaPath,
+        metaRow(spark, -1L, 0L, tau, dirty = true, prevTxn), Seq("meta_id"))
       UpsertStore.replace(spark, cPath, labels, Seq("doc_id"))
-      UpsertStore.replace(spark, cMetaPath, metaRow(spark, n, h, tau), Seq("meta_id"))
+      UpsertStore.replace(spark, cMetaPath, metaRow(spark, n, h, tau, dirty = false, prevTxn),
+        Seq("meta_id"))
       UpsertStore.read(spark, cPath).getOrElse(
         sys.error(s"cluster store $cPath unreadable immediately after commit"))
     }
@@ -150,17 +205,38 @@ object PairGraph {
     * Misuse guard: requires cluster-meta + delta ≡ pair-meta (i.e.
     * [[extend]] ran with exactly this delta since clusters were last
     * current) — a skipped or doubled batch fails loudly instead of
-    * silently serving labels for the wrong corpus. */
+    * silently serving labels for the wrong corpus.
+    *
+    * Replay safety: `txnId` (the streaming batchId) is recorded in the
+    * clean cluster meta; a replay at or below the committed id returns
+    * without touching anything. A retry AFTER a crash mid-update (dirty
+    * cluster meta, which keeps the pre-update fingerprint) re-derives
+    * the merge from the current labels and converges: the label upsert
+    * is atomic at the manifest swap, so the stored labels are either
+    * pre-merge (recompute finds the same merges) or fully merged
+    * (recompute finds an empty contracted graph and just commits the
+    * clean meta). The driver union-find budget defaults LOW (≈24 MB of
+    * collected rows) — the distributed star-edge fallback covers
+    * anything bigger at a marginal cost, and a generous default was a
+    * driver-OOM trap on small drivers. */
   def updateClusters(spark: SparkSession, delta: DataFrame, dataDir: String,
                      tau: Double = 0.6, pathOverride: Option[String] = None,
-                     maxDriverEdges: Int = 4000000): Unit = {
+                     maxDriverEdges: Int = 500000, txnId: Option[Long] = None): Unit = {
     val path = pathOverride.getOrElse(storePath(dataDir, tau))
     val cPath = s"${path}__clusters"
     val cMetaPath = s"${path}__cmeta"
     val meta = UpsertStore.read(spark, s"${path}__meta").map(_.head()).getOrElse(
       sys.error(s"no pair graph at $path — run pairGraph + extend first"))
+    require(!isDirty(meta),
+      s"pair graph at $path was left dirty by an interrupted mutation — " +
+        "serve it once via pairGraph (rebuild) before updating clusters")
     val cMeta = UpsertStore.read(spark, cMetaPath).map(_.head()).getOrElse(
       sys.error(s"no cluster table at $cPath to update — run clusters first"))
+    val cTxn = metaTxn(cMeta)
+    if (txnId.exists(_ <= cTxn)) return // replay of a committed update
+    require(!(isDirty(cMeta) && cMeta.getAs[Long]("corpus_n") < 0),
+      s"cluster table at $cPath was left dirty by an interrupted rebuild — " +
+        "serve it once via clusters (rebuild) before updating")
     val (dn, dh) = corpusFingerprint(delta)
     require(cMeta.getAs[Long]("corpus_n") + dn == meta.getAs[Long]("corpus_n") &&
       (cMeta.getAs[Long]("corpus_h") ^ dh) == meta.getAs[Long]("corpus_h"),
@@ -240,11 +316,62 @@ object PairGraph {
           .select(col("doc_id").as("doc_a"), col("label").as("doc_b"))
         Dedup.clusterAssignments(newEdges.unionByName(starEdges))
       }
-    if (merged.columns.nonEmpty && !merged.isEmpty)
+    val hasMerges = merged.columns.nonEmpty && !merged.isEmpty
+    if (hasMerges) {
+      // dirty (pre-update fingerprint preserved for the retry path) →
+      // labels → clean meta; a merge-less update has no data mutation
+      // window, so it advances the meta directly
+      UpsertStore.replace(spark, cMetaPath,
+        metaRow(spark, cMeta.getAs[Long]("corpus_n"), cMeta.getAs[Long]("corpus_h"),
+          tau, dirty = true, cTxn), Seq("meta_id"))
       UpsertStore.upsert(spark, cPath, merged, Seq("doc_id"))
+    }
     UpsertStore.replace(spark, cMetaPath,
-      metaRow(spark, meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"), tau),
+      metaRow(spark, meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"), tau,
+        dirty = false, txnId.getOrElse(cTxn)),
       Seq("meta_id"))
+  }
+
+  /** Register the pair graph + cluster table for `docs` under the
+    * `graft` catalog (VERDICT r7 #5): builds (or gate-serves) both
+    * stores AT the catalog's warehouse path — so the store's location
+    * is part of the TABLE IDENTITY, not an env var — and creates the
+    * catalog entries, after which `SELECT … FROM <catalog>.<name>` and
+    * `<catalog>.<name>__clusters` read the live last-writer-wins state
+    * (and `VERSION AS OF` time travel works, via [[graft.sources
+    * .UpsertCatalog]]). The fingerprint gates are unchanged: re-calling
+    * with the same corpus serves, with a changed corpus rebuilds, and
+    * [[extend]]/[[updateClusters]] against the returned path keep the
+    * SQL-visible tables current. Returns the store path to use as
+    * `pathOverride` in those calls. */
+  def registerCatalog(spark: SparkSession, name: String, docs: DataFrame,
+                      dataDir: String, tau: Double = 0.6,
+                      catalog: String = "graft"): String = {
+    val warehouse = spark.conf.getOption(s"spark.sql.catalog.$catalog.path").getOrElse(
+      sys.error(s"catalog '$catalog' is not configured — set spark.sql.catalog.$catalog " +
+        s"and spark.sql.catalog.$catalog.path first"))
+    val path = s"$warehouse/$name"
+    pairGraph(spark, docs, dataDir, tau, Some(path)).count()
+    clusters(spark, docs, dataDir, tau, Some(path)).count()
+    ensureTable(spark, catalog, name, path, Seq("doc_a", "doc_b"))
+    ensureTable(spark, catalog, s"${name}__clusters", s"${path}__clusters", Seq("doc_id"))
+    path
+  }
+
+  /** Create the catalog entry over an existing store dir (idempotent).
+    * Goes through SQL DDL — the catalog's public surface — so the
+    * sidecar format stays [[graft.sources.UpsertCatalog]]'s concern. */
+  private[operators] def ensureTable(spark: SparkSession, catalog: String,
+                                     table: String, path: String,
+                                     keys: Seq[String]): Unit = {
+    val schema = UpsertStore.read(spark, path).getOrElse(
+      sys.error(s"no store at $path to register")).schema
+    try spark.sql(
+      s"CREATE TABLE $catalog.`$table` (${schema.toDDL}) " +
+        s"TBLPROPERTIES ('keys'='${keys.mkString(",")}')")
+    catch {
+      case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException => ()
+    }
   }
 
   /** INCREMENTAL maintenance — the 100 TB ingest shape: fold a batch of
@@ -264,29 +391,51 @@ object PairGraph {
     * Contract: delta doc_ids must be NEW (an id collision would alias
     * two texts under one sketch row); serving afterwards goes through
     * [[pairGraph]] with the grown corpus, whose fingerprint now
-    * matches. */
+    * matches.
+    *
+    * Replay safety (class doc): `txnId` is recorded in the clean meta —
+    * an already-committed batch is skipped; a retry after a crash
+    * mid-extend resumes from the dirty meta's recorded pre-extend
+    * fingerprint (the pair/sig upserts are last-writer-wins, so
+    * re-applying the same delta converges on contents). A retry with a
+    * DIFFERENT delta than the interrupted one produces a fingerprint
+    * matching no real corpus — a degraded rebuild at next serve, never
+    * a stale one. */
   def extend(spark: SparkSession, delta: DataFrame, dataDir: String,
-             tau: Double = 0.6, pathOverride: Option[String] = None): Unit = {
+             tau: Double = 0.6, pathOverride: Option[String] = None,
+             txnId: Option[Long] = None): Unit = {
     val path = pathOverride.getOrElse(storePath(dataDir, tau))
     val metaPath = s"${path}__meta"
     val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(
       sys.error(s"no pair graph at $path to extend — run pairGraph first"))
+    val mTxn = metaTxn(meta)
+    if (txnId.exists(_ <= mTxn)) return // replay of a committed extend
+    require(!(isDirty(meta) && meta.getAs[Long]("corpus_n") < 0),
+      s"pair graph at $path was left dirty by an interrupted REBUILD — " +
+        "there is no base fingerprint to extend from; rerun pairGraph")
     val oldSigs = UpsertStore.read(spark, s"${path}__sigs").getOrElse(
       sys.error(s"pair graph at $path has no sketch index (pre-incremental " +
         "schema) — recompute with pairGraph before extending"))
     require(meta.getAs[Double]("tau") == tau,
       s"store at $path was built at tau=${meta.getAs[Double]("tau")}, asked $tau")
+    // base = pre-extend fingerprint: the clean value, or (retry) the
+    // dirty row's preserved copy of it
+    val (baseN, baseH) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
     val deltaSh = Dedup.shSketch(delta).cache()
     try {
       val allSh = oldSigs.unionByName(deltaSh)
       val fresh = Dedup.deltaPairs(deltaSh, allSh, tau)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // dirty FIRST (pre-extend fingerprint preserved): a crash below
+      // must fail the gate for the old corpus too, not just the grown one
+      UpsertStore.replace(spark, metaPath,
+        metaRow(spark, baseN, baseH, tau, dirty = true, mTxn), Seq("meta_id"))
       UpsertStore.upsert(spark, path, fresh, Seq("doc_a", "doc_b"))
       UpsertStore.upsert(spark, s"${path}__sigs", deltaSh, Seq("doc_id"))
       val (dn, dh) = corpusFingerprint(delta)
       UpsertStore.replace(spark, metaPath,
-        metaRow(spark, meta.getAs[Long]("corpus_n") + dn,
-          meta.getAs[Long]("corpus_h") ^ dh, tau), Seq("meta_id"))
+        metaRow(spark, baseN + dn, baseH ^ dh, tau, dirty = false,
+          txnId.getOrElse(mTxn)), Seq("meta_id"))
     } finally deltaSh.unpersist()
   }
 }

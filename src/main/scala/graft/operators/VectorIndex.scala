@@ -42,6 +42,22 @@ import graft.streaming.UpsertStore
   */
 object VectorIndex {
 
+  /** Dirty-meta + per-store txn crash discipline — the exact
+    * [[PairGraph]] rules (see its class doc): dirty meta fails the gate
+    * for EVERY corpus before any data mutation; clean meta (committed
+    * last) records the caller's txn so replayed extends self-skip. */
+  private def isDirty(m: org.apache.spark.sql.Row): Boolean =
+    m.schema.fieldNames.contains("dirty") && m.getAs[Boolean]("dirty")
+
+  private def metaTxn(m: org.apache.spark.sql.Row): Long =
+    if (m.schema.fieldNames.contains("txn")) m.getAs[Long]("txn") else -1L
+
+  private def gateOk(m: DataFrame, n: Long, h: Long, centroids: Int): Boolean = {
+    val dirtyCol = if (m.columns.contains("dirty")) col("dirty") else lit(false)
+    m.filter(col("corpus_n") === n && col("corpus_h") === h &&
+      col("centroids") === centroids && !dirtyCol).count() == 1
+  }
+
   /** Order-independent corpus fingerprint over (vec_id, embedding);
     * same rule as [[PairGraph.corpusFingerprint]] (xxhash64 hashes the
     * float array elementwise; bit_xor is ANSI-overflow-safe). */
@@ -53,21 +69,24 @@ object VectorIndex {
     (row.getLong(0), row.getLong(1))
   }
 
+  /** Default store root: per-user under the JVM tmpdir (shared /tmp
+    * would let concurrent users thrash each other's caches into
+    * perpetual rebuilds); env override for a real deployment. */
   private def root: String =
-    sys.env.getOrElse("GRAFT_VECTOR_INDEX_DIR", "/tmp/graft_vector_index")
+    sys.env.getOrElse("GRAFT_VECTOR_INDEX_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft-${System.getProperty("user.name", "anon")}/vector_index")
 
   /** Store location for one (corpus dir, centroid count) — freshness
-    * is the fingerprint gate's job, not the path's. */
-  private[graft] def storePath(dataDir: String, centroids: Int): String = {
-    val dirKey = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dataDir).toLong & 0xffffffffL)
-    s"$root/vindex_${dirKey}_c$centroids"
-  }
+    * is the fingerprint gate's job, not the path's. 64-bit key: a
+    * 32-bit one collides at ~2^16 corpus dirs. */
+  private[graft] def storePath(dataDir: String, centroids: Int): String =
+    s"$root/vindex_${PairGraph.dirKey64(dataDir)}_c$centroids"
 
-  private def metaRow(spark: SparkSession, n: Long, h: Long, centroids: Int): DataFrame =
+  private def metaRow(spark: SparkSession, n: Long, h: Long, centroids: Int,
+                      dirty: Boolean = false, txn: Long = -1L): DataFrame =
     spark.range(1).select(
       lit(1L).as("meta_id"), lit(n).as("corpus_n"), lit(h).as("corpus_h"),
-      lit(centroids).as("centroids"))
+      lit(centroids).as("centroids"), lit(dirty).as("dirty"), lit(txn).as("txn"))
 
   /** Deterministic nearest-centroid assignment: one broadcast pass,
     * cosine tie broken to the higher centroid id via the struct
@@ -93,20 +112,45 @@ object VectorIndex {
     val metaPath = s"${path}__meta"
     val (n, h) = corpusFingerprint(emb)
     val stored = UpsertStore.read(spark, metaPath).flatMap { m =>
-      val ok = m.filter(col("corpus_n") === n && col("corpus_h") === h &&
-        col("centroids") === centroids).count() == 1
-      if (ok) UpsertStore.read(spark, path) else None
+      if (gateOk(m, n, h, centroids)) UpsertStore.read(spark, path) else None
     }
     stored.getOrElse {
+      val prevTxn = UpsertStore.read(spark, metaPath).map(m => metaTxn(m.head())).getOrElse(-1L)
       val cents = emb.orderBy("vec_id").limit(centroids)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb"))
       val cells = assignCells(emb, cents)
+      // dirty → data → clean meta (the PairGraph crash rule): a partial
+      // rebuild must fail the gate for the old corpus too
+      UpsertStore.replace(spark, metaPath,
+        metaRow(spark, -1L, 0L, centroids, dirty = true, prevTxn), Seq("meta_id"))
       UpsertStore.replace(spark, path, cells, Seq("vec_id"))
       UpsertStore.replace(spark, s"${path}__centroids", cents, Seq("centroid_id"))
-      UpsertStore.replace(spark, metaPath, metaRow(spark, n, h, centroids), Seq("meta_id"))
+      UpsertStore.replace(spark, metaPath,
+        metaRow(spark, n, h, centroids, dirty = false, prevTxn), Seq("meta_id"))
       UpsertStore.read(spark, path).getOrElse(
         sys.error(s"vector index store $path unreadable immediately after commit"))
     }
+  }
+
+  /** Register the vector index for `emb` under the `graft` catalog
+    * (VERDICT r7 #5) — the [[PairGraph.registerCatalog]] twin: builds
+    * (or gate-serves) the cell + centroid stores at the catalog
+    * warehouse so the location is table identity, then creates
+    * `<catalog>.<name>` (cells) and `<catalog>.<name>__centroids`.
+    * Fingerprint gates unchanged; returns the `pathOverride` for
+    * [[extend]]/[[searchIndexed]]. */
+  def registerCatalog(spark: SparkSession, name: String, emb: DataFrame,
+                      dataDir: String, centroids: Int = 16,
+                      catalog: String = "graft"): String = {
+    val warehouse = spark.conf.getOption(s"spark.sql.catalog.$catalog.path").getOrElse(
+      sys.error(s"catalog '$catalog' is not configured — set spark.sql.catalog.$catalog " +
+        s"and spark.sql.catalog.$catalog.path first"))
+    val path = s"$warehouse/$name"
+    index(spark, emb, dataDir, centroids, Some(path)).count()
+    PairGraph.ensureTable(spark, catalog, name, path, Seq("vec_id"))
+    PairGraph.ensureTable(spark, catalog, s"${name}__centroids",
+      s"${path}__centroids", Seq("centroid_id"))
+    path
   }
 
   /** INCREMENTAL maintenance — the continuous-ingest shape: assign a
@@ -119,23 +163,38 @@ object VectorIndex {
     *
     * Contract: delta vec_ids must be NEW (an id collision would alias
     * two vectors under one cell row). Centroids never move on extend —
-    * that is what keeps stored assignments valid (see class doc). */
+    * that is what keeps stored assignments valid (see class doc).
+    *
+    * Replay safety: `txnId` recorded in the clean meta skips an
+    * already-committed batch; a retry after a crash mid-extend resumes
+    * from the dirty meta's preserved pre-extend fingerprint (the cell
+    * upsert is last-writer-wins — same delta converges on contents). */
   def extend(spark: SparkSession, delta: DataFrame, dataDir: String,
-             centroids: Int = 16, pathOverride: Option[String] = None): Unit = {
+             centroids: Int = 16, pathOverride: Option[String] = None,
+             txnId: Option[Long] = None): Unit = {
     val path = pathOverride.getOrElse(storePath(dataDir, centroids))
     val metaPath = s"${path}__meta"
     val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(
       sys.error(s"no vector index at $path to extend — run index first"))
+    val mTxn = metaTxn(meta)
+    if (txnId.exists(_ <= mTxn)) return // replay of a committed extend
+    require(!(isDirty(meta) && meta.getAs[Long]("corpus_n") < 0),
+      s"vector index at $path was left dirty by an interrupted REBUILD — " +
+        "there is no base fingerprint to extend from; rerun index")
     require(meta.getAs[Int]("centroids") == centroids,
       s"index at $path was built with ${meta.getAs[Int]("centroids")} centroids, " +
         s"asked $centroids")
     val cents = UpsertStore.read(spark, s"${path}__centroids").getOrElse(
       sys.error(s"vector index at $path has no centroid table"))
+    val (baseN, baseH) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
+    // dirty FIRST (pre-extend fingerprint preserved for the retry path)
+    UpsertStore.replace(spark, metaPath,
+      metaRow(spark, baseN, baseH, centroids, dirty = true, mTxn), Seq("meta_id"))
     UpsertStore.upsert(spark, path, assignCells(delta, cents), Seq("vec_id"))
     val (dn, dh) = corpusFingerprint(delta)
     UpsertStore.replace(spark, metaPath,
-      metaRow(spark, meta.getAs[Long]("corpus_n") + dn,
-        meta.getAs[Long]("corpus_h") ^ dh, centroids), Seq("meta_id"))
+      metaRow(spark, baseN + dn, baseH ^ dh, centroids, dirty = false,
+        txnId.getOrElse(mTxn)), Seq("meta_id"))
   }
 
   /** IVF top-k for an EXTERNAL query batch — the production serve

@@ -113,7 +113,7 @@ object Warehouse {
     if (!s.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
       s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.UpsertCatalog].getName)
       s.conf.set("spark.sql.catalog.graft.path",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+        graft.Scratch.dir("graft-wh"))
     }
     def stats(pred: Column) = Tables.orders(s, d)
       .filter(pred)
@@ -198,7 +198,7 @@ object Warehouse {
   private val zorderedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def zorderedLineitem(s: org.apache.spark.sql.SparkSession, sfDir: String): String =
     zorderedDirs.computeIfAbsent(sfDir, (_: String) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-lineitem-z").toString
+      val path = graft.Scratch.dir("graft-lineitem-z")
       Layout.writeZOrdered(Tables.lineitem(s, sfDir), path,
         "l_orderkey", "l_partkey", rowGroupBytes = 16L * 1024 * 1024)
       path
@@ -240,7 +240,7 @@ object Warehouse {
       .filter(pred)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
-    val store = java.nio.file.Files.createTempDirectory("graft-cdf").toString + "/t"
+    val store = graft.Scratch.dir("graft-cdf") + "/t"
     val (y96, h2) = (lit("1996-01-01").cast("timestamp"), lit("1996-07-01").cast("timestamp"))
     UpsertStore.replace(s, store, stats(col("o_orderdate") < y96), Seq("custkey"))
     val snapshot = UpsertStore.latestVersion(s, store).get

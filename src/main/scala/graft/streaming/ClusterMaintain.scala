@@ -17,15 +17,18 @@ import graft.operators.PairGraph
   * Replay safety: `foreachBatch` is at-least-once, and `extend`'s
   * fingerprint advance is ASSOCIATIVE, not idempotent — a double-applied
   * batch would add its count twice and XOR its hash back OUT, leaving
-  * the store permanently mismatched. The streaming path therefore
-  * ledgers the batchId (`__ingest_txn`, committed after the batch's
-  * writes) and skips any batch at or below it; direct callers without
-  * a txnId get a best-effort guard (all ids already in the sketch
-  * index ⇒ replay). Every crash window degrades safely through the
-  * store's meta-commits-last rule: dying before the ledger commit
-  * replays the batch, the fingerprint double-applies and MISMATCHES,
-  * and the next full serve rebuilds from the corpus — degraded cost,
-  * never stale data.
+  * the store permanently mismatched. Guards are LAYERED, innermost
+  * first: [[PairGraph.extend]] and [[PairGraph.updateClusters]] each
+  * record the batchId in their own meta and skip an already-committed
+  * txn — so a crash BETWEEN the two calls replays the batch, the
+  * extend self-skips, and the cluster update completes instead of
+  * tripping the out-of-step guard forever (the round-7 wedge). The
+  * `__ingest_txn` ledger here (committed after both writes) remains
+  * the cheap outermost skip; direct callers without a txnId get a
+  * best-effort guard (all ids already in the sketch index ⇒ replay).
+  * Crash windows INSIDE a store mutation degrade through the store's
+  * dirty-meta discipline: the gate fails for every corpus and the next
+  * full serve rebuilds — degraded cost, never stale data.
   *
   * Batches need (`doc_id`, `text`); doc_ids must be new (the
   * [[PairGraph.extend]] contract).
@@ -58,11 +61,12 @@ final class ClusterMaintainer(
         s"no sketch index at $storePath — bootstrap before streaming ingest")
     })
     if (!replay) {
-      PairGraph.extend(spark, batch, dataDir, tau, Some(storePath))
-      PairGraph.updateClusters(spark, batch, dataDir, tau, Some(storePath))
+      PairGraph.extend(spark, batch, dataDir, tau, Some(storePath), txnId)
+      PairGraph.updateClusters(spark, batch, dataDir, tau, Some(storePath),
+        txnId = txnId)
       // ledger commits LAST: a crash before this line replays the batch,
-      // the fingerprint double-applies and MISMATCHES, and the next full
-      // serve rebuilds from the corpus — degraded, never stale
+      // and each store's own recorded txn skips its already-applied half
+      // — the replay completes whatever the crash interrupted
       txnId.foreach(t => UpsertStore.replace(spark, txnPath,
         spark.range(1).select(lit(1L).as("meta_id"), lit(t).as("txn")),
         Seq("meta_id")))

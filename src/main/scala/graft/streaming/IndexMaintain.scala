@@ -18,12 +18,13 @@ import graft.operators.VectorIndex
   * ledgers the batchId (committed AFTER the batch's writes) and skips
   * anything at or below it. For vectors the id guard used by direct
   * callers is actually COMPLETE (every vector gets a cell row — there
-  * is no sketch-less-doc analogue), but the ledger stays the primary
-  * streaming guard: one metadata read beats an anti-join against a
-  * 100 TB cell table. Crash windows degrade through the store's
-  * meta-commits-last rule: a replayed half-applied batch double-XORs
-  * the fingerprint, the next gated serve MISMATCHES and rebuilds —
-  * degraded cost, never stale results.
+  * is no sketch-less-doc analogue), but the ledger stays the cheap
+  * outermost streaming guard: one metadata read beats an anti-join
+  * against a 100 TB cell table. Beneath it, [[VectorIndex.extend]]
+  * records the batchId in its own meta and self-skips a replayed
+  * committed batch; a crash INSIDE the extend degrades through the
+  * store's dirty-meta rule (gate fails for every corpus, next serve
+  * rebuilds) — degraded cost, never stale results.
   *
   * Batches need (`vec_id`, `embedding`); vec_ids must be new (the
   * [[VectorIndex.extend]] contract).
@@ -55,7 +56,7 @@ final class VectorIndexMaintainer(
         s"no vector index at $storePath — bootstrap before streaming ingest")
     })
     if (!replay) {
-      VectorIndex.extend(spark, batch, dataDir, centroids, Some(storePath))
+      VectorIndex.extend(spark, batch, dataDir, centroids, Some(storePath), txnId)
       // ledger commits LAST (see class doc for the crash-window story)
       txnId.foreach(t => UpsertStore.replace(spark, txnPath,
         spark.range(1).select(lit(1L).as("meta_id"), lit(t).as("txn")),

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.streaming.UpsertStore
+
+/** Catalog addressability of the derived stores (VERDICT r7 #5): the
+  * pair graph / cluster table / vector index registered as `graft.`
+  * catalog tables — store path becomes table identity instead of an
+  * env var — with the fingerprint gates unchanged and SQL reads
+  * staying current through incremental maintenance. */
+class DerivedCatalogSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SharedSpark.spark
+    if (!s.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.UpsertCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.path",
+        java.nio.file.Files.createTempDirectory("graft-dcat").toString)
+    }
+    s
+  }
+  import spark.implicits._
+
+  private val tA = (1 to 30).map(i => s"a$i")
+  private val textA = tA.mkString(" ")
+  private val textA2 = (tA.take(26) ++ (27 to 30).map(i => s"x$i")).mkString(" ")
+  private val textA3 = (tA.take(24) ++ (25 to 30).map(i => s"y$i")).mkString(" ")
+  private val textC = (1 to 30).map(i => s"c$i").mkString(" ")
+
+  test("pair graph + clusters are SQL-addressable, gate-served, and current after extend") {
+    val docs = Seq(1L -> textA, 2L -> textC, 10L -> textA2).toDF("doc_id", "text")
+    val path = PairGraph.registerCatalog(spark, "pg_demo", docs, "dcat-pairs", 0.6)
+
+    val viaSql = spark.sql("SELECT doc_a, doc_b FROM graft.pg_demo")
+      .as[(Long, Long)].collect().toSet
+    assert(viaSql == Set((1L, 10L)), s"SQL read of the pair table: $viaSql")
+    val clustersSql = spark.sql("SELECT doc_id, label FROM graft.pg_demo__clusters")
+      .as[(Long, Long)].collect().toSet
+    assert(clustersSql == Set((1L, 1L), (10L, 1L)), s"SQL cluster read: $clustersSql")
+
+    // re-register with the same corpus: the gate serves, nothing rebuilds
+    val v = UpsertStore.latestVersion(spark, path)
+    assert(PairGraph.registerCatalog(spark, "pg_demo", docs, "dcat-pairs", 0.6) == path)
+    assert(UpsertStore.latestVersion(spark, path) == v,
+      "same-corpus re-register must hit the fingerprint gate")
+
+    // incremental maintenance against the returned path keeps SQL current
+    val delta = Seq(11L -> textA3).toDF("doc_id", "text")
+    PairGraph.extend(spark, delta, "dcat-pairs", 0.6, Some(path))
+    PairGraph.updateClusters(spark, delta, "dcat-pairs", 0.6, Some(path))
+    val after = spark.sql("SELECT doc_id, label FROM graft.pg_demo__clusters")
+      .as[(Long, Long)].collect().toSet
+    assert(after == Set((1L, 1L), (10L, 1L), (11L, 1L)),
+      s"SQL read must see the extended cluster state: $after")
+  }
+
+  test("vector index cells + centroids are SQL-addressable and gate-served") {
+    val e = (i: Int) => Seq.tabulate(4)(j => if (j == i % 4) 1f else 0.05f * (i % 3))
+    val emb = (0L to 9L).map(i => i -> e(i.toInt)).toDF("vec_id", "embedding")
+    val path = VectorIndex.registerCatalog(spark, "vx_demo", emb, "dcat-vecs", 4)
+
+    val cells = spark.sql("SELECT vec_id, cell FROM graft.vx_demo")
+      .as[(Long, Long)].collect().toMap
+    assert(cells.size == 10, s"one cell row per vector: $cells")
+    val cents = spark.sql("SELECT centroid_id FROM graft.vx_demo__centroids")
+      .as[Long].collect().toSet
+    assert(cents == Set(0L, 1L, 2L, 3L), s"seed centroids: $cents")
+
+    val v = UpsertStore.latestVersion(spark, path)
+    VectorIndex.registerCatalog(spark, "vx_demo", emb, "dcat-vecs", 4)
+    assert(UpsertStore.latestVersion(spark, path) == v,
+      "same-corpus re-register must hit the fingerprint gate")
+
+    VectorIndex.extend(spark, Seq(20L -> e(1)).toDF("vec_id", "embedding"),
+      "dcat-vecs", 4, Some(path))
+    val n = spark.sql("SELECT COUNT(*) AS n FROM graft.vx_demo").as[Long].head()
+    assert(n == 11L, s"SQL read must see the extended cell table: $n")
+  }
+}

@@ -125,6 +125,40 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of auto on EMPTY input returns an empty frame instead of throwing (ADVICE r7)") {
+    // round 7's autoDecision .head()'d the hot-key aggregate — empty
+    // events wedged every declared query routed through the auto path
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("user_id", "ts", "p")
+    val out = AsOf.asOfJoinAuto(empty.select("user_id", "ts"), empty,
+      "user_id", "ts", "ts", Seq("p" -> "p_out"),
+      partitionBudget = -1L) // negative budget defeats the stats pre-gate
+    assert(out.collect().isEmpty)
+    // all-null time columns: no timeline to bucket — plain plan, no NPE
+    val nullTs = Seq((1L, null.asInstanceOf[java.sql.Timestamp], 7L),
+      (1L, null.asInstanceOf[java.sql.Timestamp], 8L)).toDF("user_id", "ts", "p")
+    assert(AsOf.autoDecision(nullTs, nullTs, "user_id", "ts", "ts", -1L).isEmpty)
+    val left = Seq((1L, ts(10))).toDF("user_id", "ts")
+    AsOf.asOfJoinAuto(left, nullTs, "user_id", "ts", "ts", Seq("p" -> "p_out"),
+      partitionBudget = -1L).collect()
+  }
+
+  test("as-of auto skips the key-stats job when optimizer stats already fit the budget (VERDICT r7)") {
+    // a column whose evaluation THROWS proves no job ran: range(10)'s
+    // optimizer stats bound 20 rows under the 4M budget, so autoDecision
+    // must return None without ever executing the plan
+    val boom = udf((l: Long) => {
+      sys.error("autoDecision ran a job despite the stats bound"); l
+    })
+    val left = spark.range(10).select($"id".as("user_id"), boom($"id").as("ts"))
+    val right = spark.range(10).select($"id".as("user_id"), boom($"id").as("ts"))
+    assert(AsOf.autoDecision(left, right, "user_id", "ts", "ts", 4000000L).isEmpty)
+    // and with a budget below the bound, the stats job DOES run (and throws)
+    intercept[Exception] {
+      AsOf.autoDecision(left, right, "user_id", "ts", "ts", 1L)
+    }
+  }
+
   test("as-of with an empty right side: all left rows pass through with null payloads") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val left = Seq((1L, ts(10)), (2L, ts(20))).toDF("user_id", "ts")
