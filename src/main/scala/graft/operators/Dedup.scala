@@ -648,8 +648,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The CATALOG serve path, declared end-to-end (round 8): the pair
+    * graph registered as a `graft.` catalog table
+    * ([[PairGraph.registerCatalog]] — store path becomes table
+    * identity) and read back through plain SQL, with the same
+    * from-scratch oracle as q47/q93 — so the driver's hash compare
+    * proves the DSv2 read path (catalog → V1Scan → last-writer-wins
+    * merge) serves exactly the graph the engine computed. Warehouse
+    * lives in per-JVM scratch (self-cleaning); the table name is keyed
+    * by the corpus dir so scale factors never collide. */
+  val q99CatalogPairGraph: QueryDef = sql(
+    "q99_catalog_pair_graph",
+    exactPairsSql(0.6,
+      "SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM jp")) { (s, d) =>
+    if (!s.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.UpsertCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.path", graft.Scratch.dir("graft-catalog-wh"))
+    }
+    val table = s"pg_${PairGraph.dirKey64(d)}"
+    PairGraph.registerCatalog(s, table, Tables.documents(s, d), d, 0.6)
+    s.sql(s"SELECT doc_a, doc_b, ROUND(jaccard, 4) AS jaccard FROM graft.`$table` " +
+      "ORDER BY doc_a, doc_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q45DedupExact, q46DedupNgramJaccard, q47DedupMinhash, q48DedupSimhash,
     q56NearDupPipeline, q89DedupClusters, q91DedupRemovalPlan, q93PairGraphStore,
-    q94PairGraphIncremental, q95ClusterIncremental)
+    q94PairGraphIncremental, q95ClusterIncremental, q99CatalogPairGraph)
 }
