@@ -131,6 +131,51 @@ class CrashDisciplineSpec extends AnyFunSuite {
     assert(served == scratch, s"retry diverged: $served vs $scratch")
   }
 
+  test("retry of an interrupted updateClusters converges (labels already merged or not)") {
+    val path = freshDir("crash_cl_retry")
+    val old = docs(1L -> textA, 2L -> textA2, 30L -> textC)
+    val delta = docs(10L -> textA3)
+    val full = old.unionByName(delta)
+    PairGraph.clusters(spark, old, "crash_cl_retry", 0.6, Some(path))
+    val (cn, ch) = PairGraph.corpusFingerprint(old)
+    PairGraph.extend(spark, delta, "crash_cl_retry", 0.6, Some(path))
+    // run the cluster update to completion, then rewind cMeta to the
+    // DIRTY state — a crash after the (atomic) label upsert but before
+    // the clean cMeta commit. The retry recomputes the merge from the
+    // ALREADY-merged labels: the contracted graph collapses to nothing
+    // and the clean meta lands — same final state, no drift
+    PairGraph.updateClusters(spark, delta, "crash_cl_retry", 0.6, Some(path))
+    UpsertStore.replace(spark, s"${path}__cmeta",
+      spark.range(1).select(lit(1L).as("meta_id"), lit(cn).as("corpus_n"),
+        lit(ch).as("corpus_h"), lit(0.6).as("tau"), lit(true).as("dirty"),
+        lit(-1L).as("txn")), Seq("meta_id"))
+    PairGraph.updateClusters(spark, delta, "crash_cl_retry", 0.6, Some(path))
+    val vServe = UpsertStore.latestVersion(spark, s"${path}__clusters")
+    val served = PairGraph.clusters(spark, full, "crash_cl_retry", 0.6, Some(path))
+      .as[(Long, Long)].collect().toSet
+    assert(UpsertStore.latestVersion(spark, s"${path}__clusters") == vServe,
+      "converged retry must serve through the gate, not re-propagate")
+    val scratch = Dedup.clusterAssignments(
+      Dedup.exactNearDupPairs(full, 0.6).select("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(served == scratch, s"retry diverged: $served vs $scratch")
+
+    // and the OTHER half of the window: dirty cMeta with the labels
+    // upsert NOT yet applied (atomicity means nothing landed) — retry
+    // finds the merges and applies them once
+    val path2 = freshDir("crash_cl_retry2")
+    PairGraph.clusters(spark, old, "crash_cl_retry2", 0.6, Some(path2))
+    PairGraph.extend(spark, delta, "crash_cl_retry2", 0.6, Some(path2))
+    UpsertStore.replace(spark, s"${path2}__cmeta",
+      spark.range(1).select(lit(1L).as("meta_id"), lit(cn).as("corpus_n"),
+        lit(ch).as("corpus_h"), lit(0.6).as("tau"), lit(true).as("dirty"),
+        lit(-1L).as("txn")), Seq("meta_id"))
+    PairGraph.updateClusters(spark, delta, "crash_cl_retry2", 0.6, Some(path2))
+    val served2 = PairGraph.clusters(spark, full, "crash_cl_retry2", 0.6, Some(path2))
+      .as[(Long, Long)].collect().toSet
+    assert(served2 == scratch, s"pre-upsert retry diverged: $served2 vs $scratch")
+  }
+
   test("extend refuses a store left dirty by an interrupted REBUILD (no base to extend from)") {
     val path = freshDir("crash_rebuild")
     val old = docs(1L -> textA, 2L -> textC)
