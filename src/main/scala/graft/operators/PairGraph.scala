@@ -121,12 +121,14 @@ object PairGraph {
       if (gateOk(m, n, h, tau)) UpsertStore.read(spark, path) else None
     }
     stored.getOrElse {
-      val prevTxn = UpsertStore.read(spark, metaPath).map(m => metaTxn(m.head())).getOrElse(-1L)
+      val prevMeta = UpsertStore.read(spark, metaPath)
+      val prevTxn = prevMeta.map(m => metaTxn(m.head())).getOrElse(-1L)
       val sh = Dedup.shSketch(docs).cache()
       try {
         // dirty FIRST: a crash mid-rebuild must not leave an old meta
-        // that still gate-matches the old corpus over the new data
-        UpsertStore.replace(spark, metaPath,
+        // that still gate-matches the old corpus over the new data.
+        // A FIRST build has no meta to mismatch — skip the commit
+        if (prevMeta.isDefined) UpsertStore.replace(spark, metaPath,
           metaRow(spark, -1L, 0L, tau, dirty = true, prevTxn), Seq("meta_id"))
         val pairs = Dedup.exactNearDupPairsFromSketch(sh, tau)
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -170,12 +172,14 @@ object PairGraph {
       if (gateOk(m, n, h, tau)) UpsertStore.read(spark, cPath) else None
     }
     stored.getOrElse {
-      val prevTxn = UpsertStore.read(spark, cMetaPath).map(m => metaTxn(m.head())).getOrElse(-1L)
+      val prevMeta = UpsertStore.read(spark, cMetaPath)
+      val prevTxn = prevMeta.map(m => metaTxn(m.head())).getOrElse(-1L)
       val labels = Dedup.clusterAssignments(
         pairGraph(spark, docs, dataDir, tau, pathOverride).select("doc_a", "doc_b"))
       // dirty → data → clean meta (see class doc): the cluster table
-      // must never be servable through a meta that predates its rows
-      UpsertStore.replace(spark, cMetaPath,
+      // must never be servable through a meta that predates its rows.
+      // A first build has no meta to mismatch — skip the commit
+      if (prevMeta.isDefined) UpsertStore.replace(spark, cMetaPath,
         metaRow(spark, -1L, 0L, tau, dirty = true, prevTxn), Seq("meta_id"))
       UpsertStore.replace(spark, cPath, labels, Seq("doc_id"))
       UpsertStore.replace(spark, cMetaPath, metaRow(spark, n, h, tau, dirty = false, prevTxn),

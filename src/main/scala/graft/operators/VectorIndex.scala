@@ -115,13 +115,15 @@ object VectorIndex {
       if (gateOk(m, n, h, centroids)) UpsertStore.read(spark, path) else None
     }
     stored.getOrElse {
-      val prevTxn = UpsertStore.read(spark, metaPath).map(m => metaTxn(m.head())).getOrElse(-1L)
+      val prevMeta = UpsertStore.read(spark, metaPath)
+      val prevTxn = prevMeta.map(m => metaTxn(m.head())).getOrElse(-1L)
       val cents = emb.orderBy("vec_id").limit(centroids)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb"))
       val cells = assignCells(emb, cents)
       // dirty → data → clean meta (the PairGraph crash rule): a partial
-      // rebuild must fail the gate for the old corpus too
-      UpsertStore.replace(spark, metaPath,
+      // rebuild must fail the gate for the old corpus too; a first
+      // build has no meta to mismatch — skip the commit
+      if (prevMeta.isDefined) UpsertStore.replace(spark, metaPath,
         metaRow(spark, -1L, 0L, centroids, dirty = true, prevTxn), Seq("meta_id"))
       UpsertStore.replace(spark, path, cells, Seq("vec_id"))
       UpsertStore.replace(spark, s"${path}__centroids", cents, Seq("centroid_id"))
