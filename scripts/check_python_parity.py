@@ -124,6 +124,26 @@ with tempfile.TemporaryDirectory() as td:
     check("streaming pipeline driven from Python lands keyed upserts",
           rows > 0, f"sink rows={rows}")
 
+# 6: round-8 catalog serve path from Python — register the pair graph
+# over a deterministic corpus and read it back through plain SQL
+with tempfile.TemporaryDirectory() as td:
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.UpsertCatalog")
+    spark.conf.set("spark.sql.catalog.graft.path", td)
+    t_a = " ".join(f"a{i}" for i in range(1, 31))
+    t_a2 = " ".join([f"a{i}" for i in range(1, 27)] + [f"x{i}" for i in range(27, 31)])
+    t_c = " ".join(f"c{i}" for i in range(1, 31))
+    docs = spark.createDataFrame([(1, t_a), (2, t_c), (10, t_a2)],
+                                 "doc_id long, text string")
+    g.register_pair_graph(spark, "py_pg", docs, "py-parity", 0.6)
+    pairs = sorted((r.doc_a, r.doc_b) for r in
+                   spark.sql("SELECT doc_a, doc_b FROM graft.py_pg").collect())
+    labels = sorted((r.doc_id, r.label) for r in
+                    spark.sql("SELECT doc_id, label FROM graft.py_pg__clusters")
+                    .collect())
+    check("catalog-registered pair graph readable via SQL from Python",
+          pairs == [(1, 10)] and labels == [(1, 1), (10, 1)],
+          f"pairs={pairs} labels={labels}")
+
 spark.stop()
 if failures:
     sys.exit(f"{len(failures)} parity check(s) failed: {failures}")

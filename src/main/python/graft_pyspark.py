@@ -99,6 +99,32 @@ def run_query(spark: SparkSession, name: str, data_dir: str) -> DataFrame:
     return DataFrame(jdf, spark)
 
 
+# ------------------------------------------- derived-store catalog (round 8)
+
+def register_pair_graph(spark: SparkSession, name: str, docs: DataFrame,
+                        data_dir: str, tau: float = 0.6,
+                        catalog: str = "graft") -> str:
+    """Build (or gate-serve) the near-dup pair graph + cluster table for
+    ``docs`` at the ``catalog`` warehouse and register them as
+    ``<catalog>.<name>`` / ``<catalog>.<name>__clusters`` -- after this,
+    plain ``spark.sql`` reads the live tables (the q99 serve path).
+    Requires ``spark.sql.catalog.<catalog>`` to be configured.  Returns
+    the store path to pass to the incremental maintenance entry points.
+    """
+    return spark._jvm.graft.operators.PairGraph.registerCatalog(
+        spark._jsparkSession, name, docs._jdf, data_dir, float(tau), catalog)
+
+
+def register_vector_index(spark: SparkSession, name: str, emb: DataFrame,
+                          data_dir: str, centroids: int = 16,
+                          catalog: str = "graft") -> str:
+    """The embedding twin: IVF cells + centroids registered as
+    ``<catalog>.<name>`` / ``<catalog>.<name>__centroids`` (the q100
+    pure-SQL ANN serve path reads these)."""
+    return spark._jvm.graft.operators.VectorIndex.registerCatalog(
+        spark._jsparkSession, name, emb._jdf, data_dir, int(centroids), catalog)
+
+
 # ------------------------------------------------------- upsert sink
 
 class UpsertSink:
