@@ -33,7 +33,10 @@ class PlanAuditSpec extends AnyFunSuite {
                              // banding can't prune, pair verify IS the work (Similarity.scala)
     "q55_ann_ivf",           // broadcast 16-centroid table (index build + probe)
     "q96_ann_index_store",   // broadcast 16-centroid table (probe side; cells are stored)
-    "q97_ann_index_incremental") // same centroid broadcast via the serve path
+    "q97_ann_index_incremental", // same centroid broadcast via the serve path
+    "q100_catalog_ann_sql")  // same 16-centroid broadcast, hinted in SQL (catalog
+                             // tables carry no stats, so the hint replaces the
+                             // size-estimate that picks BNLJ in the q96 twin
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation
