@@ -109,6 +109,30 @@ public final class GraftJava {
             + "GROUP BY window(ts, '60 seconds', '5 seconds')");
   }
 
+  /**
+   * Catalog registration of the near-dup pair graph + cluster table
+   * from Java (the q99 serve path): build-or-gate-serve over
+   * {@code docs} and register {@code graft.<name>} /
+   * {@code graft.<name>__clusters}; after this, plain
+   * {@code spark.sql} reads the live tables. Returns the store path to
+   * hand to the incremental maintenance entry points. Requires
+   * {@code spark.sql.catalog.graft} to be configured.
+   */
+  public static String registerPairGraph(SparkSession spark, String name,
+      Dataset<Row> docs, String dataDir, double tau) {
+    return graft.operators.PairGraph.registerCatalog(
+        spark, name, docs, dataDir, tau, "graft");
+  }
+
+  /** The embedding twin (the q100 pure-SQL ANN serve path): IVF cells
+   *  + centroids registered as {@code graft.<name>} /
+   *  {@code graft.<name>__centroids}. */
+  public static String registerVectorIndex(SparkSession spark, String name,
+      Dataset<Row> emb, String dataDir, int centroids) {
+    return graft.operators.VectorIndex.registerCatalog(
+        spark, name, emb, dataDir, centroids, "graft");
+  }
+
   /** Local keyed-parquet upsert sink (the KuduContext verb set behind
    *  one interface), constructed from Java. */
   public static UpsertSink parquetSink(SparkSession spark, String path, List<String> keys) {

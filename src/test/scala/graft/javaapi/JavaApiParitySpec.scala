@@ -59,4 +59,30 @@ class JavaApiParitySpec extends AnyFunSuite {
       .head().getInt(0)
     assert(maxVeh == 7)
   }
+
+  test("Java catalog registration serves the derived stores via SQL (q99/q100 path)") {
+    if (!spark.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.path",
+        java.nio.file.Files.createTempDirectory("graft-jcat").toString)
+    }
+    val tA = (1 to 30).map(i => s"a$i")
+    val docs = Seq(
+      1L -> tA.mkString(" "),
+      2L -> (1 to 30).map(i => s"c$i").mkString(" "),
+      10L -> (tA.take(26) ++ (27 to 30).map(i => s"x$i")).mkString(" ")
+    ).toDF("doc_id", "text")
+    GraftJava.registerPairGraph(spark, "j_pg", docs, "java-parity", 0.6)
+    val pairs = spark.sql("SELECT doc_a, doc_b FROM graft.j_pg")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L)), s"Java-registered pair table via SQL: $pairs")
+
+    val e = (i: Int) => Array.tabulate(4)(j => if (j == i % 4) 1f else 0f)
+    val emb = (0 until 12).map(i => (i.toLong, e(i))).toDF("vec_id", "embedding")
+    GraftJava.registerVectorIndex(spark, "j_vx", emb, "java-parity", 4)
+    assert(spark.sql("SELECT count(*) FROM graft.j_vx").head().getLong(0) == 12L)
+    assert(spark.sql("SELECT count(*) FROM graft.j_vx__centroids")
+      .head().getLong(0) == 4L)
+  }
 }
