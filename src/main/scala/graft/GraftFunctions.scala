@@ -43,7 +43,9 @@ object GraftFunctions {
     "hyperplane_bucket" -> (e =>
       HyperplaneBucket(e(0), intArg(e(1), "planes"), intArg(e(2), "dim"),
         longArg(e(3), "seed"))),
-    "top_k_by_score" -> (e => TopKByScore(e(0), e(1), intArg(e(2), "k"))))
+    "top_k_by_score" -> (e => TopKByScore(e(0), e(1), intArg(e(2), "k"))),
+    // Generator: `SELECT ... FROM t LATERAL VIEW shingles(tokens, 3) AS shingle`
+    "shingles" -> (e => ShingleGenerator(e(0), intArg(e(1), "n"))))
 
   /** Register all functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -82,6 +82,38 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("shingles generator from SQL: LATERAL VIEW near-dup pipeline == Column API") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, SharedSpark.sf0001).createOrReplaceTempView("gf_docs")
+    // the whole exact near-dup op, typed as warehouse SQL: tokenize →
+    // shingle fan-out (custom generator) → inverted-index self-join →
+    // exact Jaccard ≥ τ — the semantics the q46/q47 family pins
+    val viaSql = spark.sql(
+      """WITH sh AS (
+        |  SELECT doc_id, shingle
+        |  FROM (SELECT doc_id, split(lower(text), '\\s+') AS toks FROM gf_docs)
+        |  LATERAL VIEW shingles(toks, 3) AS shingle),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b
+        |FROM inter
+        |JOIN sizes sa ON inter.doc_a = sa.doc_id
+        |JOIN sizes sb ON inter.doc_b = sb.doc_id
+        |WHERE i / (sa.sz + sb.sz - i) >= 0.6""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaApi = graft.operators.Dedup
+      .exactNearDupPairs(Tables.documents(spark, SharedSpark.sf0001), 0.6)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSql == viaApi,
+      s"SQL-only pipeline diverged: only-sql=${(viaSql -- viaApi).take(3)} " +
+        s"only-api=${(viaApi -- viaSql).take(3)}")
+    assert(viaApi.nonEmpty, "corpus should contain near-dup pairs")
+  }
+
   test("non-literal k in top_k_by_score fails with a clear message") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
