@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.{TopKFunctions, VectorFunctions}
+
+/** Sparse lexical retrieval (BM25 over a term-postings index) and
+  * hybrid sparse+dense fusion (reciprocal-rank fusion with the
+  * embedding ANN side) — the retrieval layer a training-data pipeline
+  * uses for contamination adjudication, near-dup triage, and targeted
+  * corpus slicing ("every document that looks like this eval prompt").
+  *
+  * Scale shape: the postings index is `(term, doc_id, tf)` — one
+  * tokenize + two aggregations over the corpus, all partial+final, no
+  * corpus-sized collect anywhere. The query set (here: the terms of a
+  * few probe documents; in production whatever term sets the caller
+  * supplies) is broadcast, so scoring shuffles ONLY the postings whose
+  * term appears in some query — posting-list pruning falls out of the
+  * broadcast hash join rather than a hand-built index. The document-
+  * frequency table is vocabulary-sized (≪ corpus) and broadcast
+  * likewise; per-query top-k goes through the bounded-heap
+  * [[graft.functions.TopKAggregate]] so the final shuffle carries
+  * ≤ k rows per partition, never the scored candidate set.
+  *
+  * Float discipline (same as q50): scores stay double on both engines,
+  * the BM25 sum is rounded to 6 dp before ranking (absorbs last-ulp
+  * libm/summation-order differences between JVM `Math.log` and
+  * DuckDB `ln`), and only (query_id, rank, doc_id) is emitted with
+  * ties broken by ascending doc_id — the hash compare is float-free.
+  */
+object Retrieval {
+  import QueryDef.sql
+
+  /** Okapi BM25 (Lucene's non-negative idf variant:
+    * `ln(1 + (N - df + 0.5) / (df + 0.5))`), k1 = 1.2, b = 0.75.
+    * Returns (query_id, doc_id, score) for every (query, doc) pair
+    * sharing at least one term; `score` is rounded to 6 dp.
+    *
+    * `queries` must be (query_id, term) — already distinct. The
+    * literal expression tree mirrors the DuckDB oracle token-for-token
+    * so both engines evaluate the identical double-precision formula.
+    */
+  def bm25Scores(docs: DataFrame, queries: DataFrame): DataFrame = {
+    val terms = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // single-row corpus stats: N and avgdl (exact — integer sums fit
+    // a double exactly, so partial-agg order cannot perturb the value)
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = broadcast(queries)
+      .join(tf, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(dft), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * col("tf") * lit(2.2)
+          / (col("tf") + lit(1.2) * (lit(1) - lit(0.75)
+              + lit(0.75) * col("dl") / col("avgdl"))))
+    contrib.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("c")), 6).as("score"))
+  }
+
+  private val bm25OracleCtes: String =
+    """WITH toks AS (SELECT doc_id, t AS term
+      |              FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(t)),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |q AS (SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id < 3),
+      |contrib AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |         ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+      |           * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+      |  FROM q JOIN tf USING (term)
+      |         JOIN dl ON tf.doc_id = dl.doc_id
+      |         JOIN dft ON tf.term = dft.term
+      |         CROSS JOIN stats s),
+      |scores AS (SELECT query_id, doc_id, ROUND(SUM(c), 6) AS score
+      |           FROM contrib GROUP BY 1, 2),
+      |sparse AS (SELECT query_id, doc_id,
+      |                  ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                     ORDER BY score DESC, doc_id) AS rk
+      |           FROM scores WHERE query_id <> doc_id)""".stripMargin
+
+  /** The probe-document query set: the distinct terms of the three
+    * lowest doc_ids — the "retrieve everything that looks like this
+    * document" shape (contamination adjudication). */
+  private def probeQueries(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .distinct()
+
+  /** BM25 top-10 per probe document, self excluded. */
+  val q101Bm25TopK: QueryDef = sql(
+    "q101_bm25_topk",
+    s"""$bm25OracleCtes
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id FROM sparse
+       |WHERE rk <= 10
+       |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    bm25Scores(docs, probeQueries(docs))
+      .filter(col("query_id") =!= col("doc_id"))
+      .groupBy("query_id")
+      .agg(TopKFunctions.top_k_by_score(col("score"), col("doc_id"), 10).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Hybrid retrieval: BM25 top-20 and exact-cosine top-20 for the same
+    * three probe ids (documents and embeddings share the id space),
+    * fused by reciprocal-rank fusion `Σ 1/(60 + rank)` (Cormack et al.,
+    * SIGIR'09) — rank-only fusion, so the fused score is a sum of
+    * exactly-representable rationals and both engines order
+    * identically with no rounding step at all.
+    *
+    * Scale: each side is its own top-k (bounded-heap shuffle); the
+    * fusion joins two ≤ 20-row-per-query rank lists — output-sized.
+    * The dense side is the brute-force baseline here for the oracle's
+    * sake; production swaps in [[VectorIndex.searchIndexed]] (q96's
+    * store) without touching the fusion.
+    */
+  val q102HybridRrf: QueryDef = sql(
+    "q102_hybrid_rrf",
+    s"""$bm25OracleCtes,
+       |qe AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |       FROM embeddings WHERE vec_id < 3),
+       |ce AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS ce
+       |       FROM embeddings),
+       |dsim AS (SELECT query_id, doc_id, list_cosine_similarity(qe, ce) AS sim
+       |         FROM qe CROSS JOIN ce WHERE query_id <> doc_id),
+       |dense AS (SELECT query_id, doc_id,
+       |                 ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                    ORDER BY sim DESC, doc_id) AS rk
+       |          FROM dsim),
+       |fused AS (
+       |  SELECT COALESCE(s.query_id, de.query_id) AS query_id,
+       |         COALESCE(s.doc_id, de.doc_id) AS doc_id,
+       |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + s.rk), 0)
+       |           + COALESCE(CAST(1.0 AS DOUBLE) / (60 + de.rk), 0) AS rrf
+       |  FROM (SELECT * FROM sparse WHERE rk <= 20) s
+       |  FULL OUTER JOIN (SELECT * FROM dense WHERE rk <= 20) de
+       |    ON s.query_id = de.query_id AND s.doc_id = de.doc_id),
+       |r AS (SELECT query_id, doc_id,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                ORDER BY rrf DESC, doc_id) AS rk
+       |      FROM fused)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id FROM r
+       |WHERE rk <= 10
+       |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sparse = bm25Scores(docs, probeQueries(docs))
+      .filter(col("query_id") =!= col("doc_id"))
+      .groupBy("query_id")
+      .agg(TopKFunctions.top_k_by_score(col("score"), col("doc_id"), 20).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).as("srk"))
+
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val dense = emb.select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("doc_id"))
+      .withColumn("sim",
+        nanvl(VectorFunctions.cosine_similarity(col("qe"), col("ce")), lit(-1.0)))
+      .groupBy("query_id")
+      .agg(TopKFunctions.top_k_by_score(col("sim"), col("doc_id"), 20).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).as("drk"))
+
+    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("srk")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("drk")), lit(0.0)))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("query_id", "rk", "doc_id")
+      .orderBy("query_id", "rk")
+  }
+
+  val all: Seq[QueryDef] = Seq(q101Bm25TopK, q102HybridRrf)
+}

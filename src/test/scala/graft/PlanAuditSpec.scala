@@ -34,9 +34,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q55_ann_ivf",           // broadcast 16-centroid table (index build + probe)
     "q96_ann_index_store",   // broadcast 16-centroid table (probe side; cells are stored)
     "q97_ann_index_incremental", // same centroid broadcast via the serve path
-    "q100_catalog_ann_sql")  // same 16-centroid broadcast, hinted in SQL (catalog
+    "q100_catalog_ann_sql",  // same 16-centroid broadcast, hinted in SQL (catalog
                              // tables carry no stats, so the hint replaces the
                              // size-estimate that picks BNLJ in the q96 twin
+    "q101_bm25_topk",        // broadcast single-row corpus-stats (N, avgdl) join —
+                             // the scalar fan-out every scorer needs
+    "q102_hybrid_rrf")       // same stats row + q50's broadcast 3-query dense side
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation
