@@ -82,7 +82,11 @@ object ScaleProbe {
     // round 7: the materialized-index serve paths (warm-up builds the
     // store; timed runs measure the gated serve) and the change-feed
     // consumer fold
-    "q96_ann_index_store", "q97_ann_index_incremental", "q98_upsert_changefeed")
+    "q96_ann_index_store", "q97_ann_index_incremental", "q98_upsert_changefeed",
+    // round 8: the retrieval layer — BM25's posting-pruned scoring and
+    // the rank-join RRF fusion must both grow with matched postings,
+    // never with corpus × queries
+    "q101_bm25_topk", "q102_hybrid_rrf", "q103_semantic_dedup")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */
@@ -127,7 +131,13 @@ object ScaleProbe {
       replicate(spark, srcDir, k, workDir)
     } else System.err.println(s"[scale] k=0: reusing existing $workDir")
 
-    val rows = headline.map { q =>
+    // targeted probe (SCALING.md noise protocol, same shape as Bench's
+    // SPARK_GRAFT_BENCH_ONLY): comma list restricts the timed set
+    val probeSet = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .fold(headline)(names => headline.filter(names))
+
+    val rows = probeSet.map { q =>
       val t1 = time(spark, q, srcDir)
       val tk = time(spark, q, workDir)
       val ratio = tk / t1

@@ -39,7 +39,8 @@ class PlanAuditSpec extends AnyFunSuite {
                              // size-estimate that picks BNLJ in the q96 twin
     "q101_bm25_topk",        // broadcast single-row corpus-stats (N, avgdl) join —
                              // the scalar fan-out every scorer needs
-    "q102_hybrid_rrf")       // same stats row + q50's broadcast 3-query dense side
+    "q102_hybrid_rrf",       // same stats row + q50's broadcast 3-query dense side
+    "q103_semantic_dedup")   // q55's broadcast 16-centroid assignment pass
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation

@@ -108,6 +108,37 @@ class RetrievalSpec extends AnyFunSuite {
     assert(gotTop3 == expected, s"got $gotTop3\nwant $expected")
   }
 
+  test("q103 semantic dedup: kept set is within-cell pairwise <= tau; every drop has a valid witness") {
+    val sf = SharedSpark.sf0001
+    val out = Similarity.q103SemanticDedup.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2)))
+    val emb = graft.Tables.embeddings(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // recompute the cell assignment independently (same seed rule)
+    val centIds = emb.keys.toSeq.sorted.take(16)
+    val cell = emb.map { case (id, v) =>
+      id -> centIds.map(c => (cos(v, emb(c)), c)).max._2
+    }
+    val kept = out.filter(_._3).map(_._1).toSet
+    val keptPairs = for {
+      a <- kept.toSeq; b <- kept.toSeq
+      if a < b && cell(a) == cell(b) && cos(emb(a), emb(b)) > 0.4
+    } yield (a, b)
+    assert(keptPairs.isEmpty, s"kept near-dup pairs survived: ${keptPairs.take(3)}")
+    out.filter(!_._3).foreach { case (id, wit, _) =>
+      assert(wit.isDefined && wit.get < id, s"drop $id lacks a lower-id witness")
+      assert(cell(wit.get) == cell(id), s"witness for $id is in another cell")
+      assert(cos(emb(wit.get), emb(id)) > 0.4, s"witness for $id is below tau")
+    }
+    assert(out.exists(!_._3), "corpus has near-dups; the plan must drop some")
+  }
+
   test("plan shape: query and vocabulary sides broadcast; corpus side never does") {
     val sf = SharedSpark.sf0001
     val plan = Retrieval.q101Bm25TopK.fn(spark, sf)
