@@ -34,15 +34,34 @@ import graft.functions.{TopKFunctions, VectorFunctions}
 object Retrieval {
   import QueryDef.sql
 
-  /** Okapi BM25 (Lucene's non-negative idf variant:
-    * `ln(1 + (N - df + 0.5) / (df + 0.5))`), k1 = 1.2, b = 0.75.
-    * Returns (query_id, doc_id, score) for every (query, doc) pair
-    * sharing at least one term; `score` is rounded to 6 dp.
-    *
-    * `queries` must be (query_id, term) — already distinct. The
-    * literal expression tree mirrors the DuckDB oracle token-for-token
-    * so both engines evaluate the identical double-precision formula.
-    */
+  /** The BM25 term contribution, k1 = 1.2, b = 0.75, Lucene's
+    * non-negative idf `ln(1 + (N - df + 0.5) / (df + 0.5))`. ONE
+    * expression tree shared by the from-scratch path ([[bm25Scores]])
+    * and the stored-index serve path ([[PostingsIndex.search]]) — the
+    * two must stay bit-identical so the index queries can share q101's
+    * oracle (serve ≡ recompute, hash-proven). It also mirrors the
+    * DuckDB oracle SQL token-for-token. */
+  private[operators] def bm25Contrib(tf: Column, df: Column, dl: Column,
+                                     n: Column, avgdl: Column): Column =
+    log(lit(1) + (n - df + lit(0.5)) / (df + lit(0.5))) * tf * lit(2.2) /
+      (tf + lit(1.2) * (lit(1) - lit(0.75) + lit(0.75) * dl / avgdl))
+
+  /** Score → per-query top-k emission, shared by q101/q102/the stored
+    * index: bounded-heap aggregate (ties → ascending doc id), ranks
+    * dense from 1, `(query_id, rk, doc_id)` out. */
+  private[operators] def topKRanks(scored: DataFrame, k: Int,
+                                   scoreCol: String = "score"): DataFrame =
+    scored.groupBy("query_id")
+      .agg(TopKFunctions.top_k_by_score(col(scoreCol), col("doc_id"), k).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"))
+      .orderBy("query_id", "rk")
+
+  /** Okapi BM25 from scratch. Returns (query_id, doc_id, score) for
+    * every (query, doc) pair sharing at least one term; `score` is
+    * rounded to 6 dp (absorbs last-ulp libm/summation-order skew).
+    * `queries` must be (query_id, term) — already distinct. */
   def bm25Scores(docs: DataFrame, queries: DataFrame): DataFrame = {
     val terms = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("term"))
@@ -57,11 +76,8 @@ object Retrieval {
       .join(dl, Seq("doc_id"))
       .join(broadcast(dft), Seq("term"))
       .crossJoin(broadcast(stats))
-      .withColumn("c",
-        log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-          * col("tf") * lit(2.2)
-          / (col("tf") + lit(1.2) * (lit(1) - lit(0.75)
-              + lit(0.75) * col("dl") / col("avgdl"))))
+      .withColumn("c", bm25Contrib(col("tf"), col("df"), col("dl"),
+        col("n"), col("avgdl")))
     contrib.groupBy("query_id", "doc_id")
       .agg(round(sum(col("c")), 6).as("score"))
   }
@@ -98,22 +114,17 @@ object Retrieval {
         explode(TextAnalysis.tokens(col("text"))).as("term"))
       .distinct()
 
-  /** BM25 top-10 per probe document, self excluded. */
-  val q101Bm25TopK: QueryDef = sql(
-    "q101_bm25_topk",
+  private val q101Sql: String =
     s"""$bm25OracleCtes
        |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id FROM sparse
        |WHERE rk <= 10
-       |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+       |ORDER BY query_id, rk""".stripMargin
+
+  /** BM25 top-10 per probe document, self excluded. */
+  val q101Bm25TopK: QueryDef = sql("q101_bm25_topk", q101Sql) { (s, d) =>
     val docs = Tables.documents(s, d)
-    bm25Scores(docs, probeQueries(docs))
-      .filter(col("query_id") =!= col("doc_id"))
-      .groupBy("query_id")
-      .agg(TopKFunctions.top_k_by_score(col("score"), col("doc_id"), 10).as("hits"))
-      .select(col("query_id"), posexplode(col("hits")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
-        col("col.id").as("doc_id"))
-      .orderBy("query_id", "rk")
+    topKRanks(bm25Scores(docs, probeQueries(docs))
+      .filter(col("query_id") =!= col("doc_id")), 10)
   }
 
   /** Hybrid retrieval: BM25 top-20 and exact-cosine top-20 for the same
@@ -158,13 +169,9 @@ object Retrieval {
        |WHERE rk <= 10
        |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val sparse = bm25Scores(docs, probeQueries(docs))
-      .filter(col("query_id") =!= col("doc_id"))
-      .groupBy("query_id")
-      .agg(TopKFunctions.top_k_by_score(col("score"), col("doc_id"), 20).as("hits"))
-      .select(col("query_id"), posexplode(col("hits")))
-      .select(col("query_id"), col("col.id").as("doc_id"),
-        (col("pos") + 1).as("srk"))
+    val sparse = topKRanks(bm25Scores(docs, probeQueries(docs))
+        .filter(col("query_id") =!= col("doc_id")), 20)
+      .select(col("query_id"), col("doc_id"), col("rk").as("srk"))
 
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 3)
