@@ -30,11 +30,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is nanosecond-precision parquet, which Spark 4 refuses
-    * to read as a timestamp. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; here the long nanos
-    * normalize to a microsecond TimestampType column (floor division —
-    * matches DuckDB's ns→ms flooring in the oracle). */
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: nanosecond-precision INT64 (which Spark 4 refuses to
+    * read as a timestamp — sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and the long nanos
+    * normalize here to microseconds, floor division matching DuckDB's
+    * ns→µs flooring) and plain microsecond `isAdjustedToUTC=false`
+    * (which Spark 4 reads as TIMESTAMP_NTZ — reinterpreted here as
+    * TIMESTAMP, exact because the session TZ is pinned UTC above).
+    * Either way downstream queries see one canonical TimestampType
+    * `ts`. */
   def events(s: SparkSession, d: String): DataFrame = {
     // defensive: a caller-provided session may not have set the flag
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -43,6 +48,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -20,6 +20,24 @@ import graft.{QueryDef, Tables}
   */
 object AsOf {
 
+  import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
+
+  /** Exact integer microseconds on the time axis, for ANY time-like
+    * column type. TIMESTAMP_NTZ goes through a cast to TimestampType
+    * first (`unix_micros` rejects NTZ); both sides of a join convert
+    * under the same session TZ, so orderings and deltas — all this
+    * value is used for — are unaffected by the TZ choice. Plain
+    * numeric columns are treated as epoch SECONDS (the tolerance-gate
+    * contract). Centralizing the branch here is what keeps an NTZ
+    * input from resurrecting the r9 `cast(ts as bigint)` analysis
+    * error: every as-of variant and the auto-decision stats pass go
+    * through this one function. */
+  private def microsCol(c: Column, dt: DataType): Column = dt match {
+    case TimestampType    => unix_micros(c)
+    case TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case _                => c.cast("long") * lit(1000000L)
+  }
+
   /** For each left row, attach the latest right row with the same key
     * and rightTime <= leftTime. `payload` columns are carried from the
     * right side (each must exist there); left columns pass through.
@@ -119,11 +137,9 @@ object AsOf {
         // at microsecond magnitudes, so boundary events could disagree
         // with the oracle's exact INTERVAL check
         val withRt = matched.withColumn("__rt", col("__carry").getField("__rt"))
-        val (lm, rm, tolUnits) =
-          if (left.schema(leftTime).dataType == TimestampType)
-            (expr(s"unix_micros(`$leftTime`)"), expr("unix_micros(__rt)"),
-              lit(tol * 1000000L))
-          else (col(leftTime).cast("long"), col("__rt").cast("long"), lit(tol))
+        val lm = microsCol(col(leftTime), left.schema(leftTime).dataType)
+        val rm = microsCol(col("__rt"), right.schema(rightTime).dataType)
+        val tolUnits = lit(tol * 1000000L)
         val delta = if (forward) rm - lm else lm - rm
         val ok = col("__rt").isNotNull && delta <= tolUnits
         payload.foldLeft(withRt) { case (df, (_, dst)) =>
@@ -162,17 +178,14 @@ object AsOf {
       bucketSpanSeconds: Long,
       toleranceSeconds: Option[Long] = None,
       forward: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+    import org.apache.spark.sql.types.{StructField, StructType}
     require(bucketSpanSeconds > 0, "bucketSpanSeconds must be positive")
     val leftCols = left.columns
-    val leftIsTs = left.schema(leftTime).dataType == TimestampType
-    val rightIsTs = right.schema(rightTime).dataType == TimestampType
     // signed time axis: negating micros turns the forward scan into the
     // backward one (and flips bucket order with it); numeric time
     // columns are treated as epoch seconds, like the tolerance gate
-    def axis(name: String, isTs: Boolean): Column = {
-      val m = if (isTs) expr(s"unix_micros(`$name`)")
-              else col(name).cast("long") * lit(1000000L)
+    def axis(name: String, dt: org.apache.spark.sql.types.DataType): Column = {
+      val m = microsCol(col(name), dt)
       if (forward) -m else m
     }
     val spanMicros = bucketSpanSeconds * 1000000L
@@ -180,12 +193,12 @@ object AsOf {
       StructField(dst, right.schema(src).dataType)
     } :+ StructField("__rt", right.schema(rightTime).dataType))
     val taggedLeft = left
-      .withColumn("__m", axis(leftTime, leftIsTs))
+      .withColumn("__m", axis(leftTime, left.schema(leftTime).dataType))
       .withColumn("__side", lit(1))
       .withColumn("__carry", lit(null).cast(carryType))
     val taggedRight = {
       val base = right
-        .withColumn("__m", axis(rightTime, rightIsTs))
+        .withColumn("__m", axis(rightTime, right.schema(rightTime).dataType))
         .withColumn("__side", lit(0))
         .withColumn("__carry", struct(
           (payload.map { case (src, dst) => col(src).as(dst) } :+
@@ -232,11 +245,9 @@ object AsOf {
         }
       case Some(tol) =>
         val withRt = matched.withColumn("__rt", col("__carry").getField("__rt"))
-        val (lm, rm, tolUnits) =
-          if (leftIsTs)
-            (expr(s"unix_micros(`$leftTime`)"), expr("unix_micros(__rt)"),
-              lit(tol * 1000000L))
-          else (col(leftTime).cast("long"), col("__rt").cast("long"), lit(tol))
+        val lm = microsCol(col(leftTime), left.schema(leftTime).dataType)
+        val rm = microsCol(col("__rt"), right.schema(rightTime).dataType)
+        val tolUnits = lit(tol * 1000000L)
         val delta = if (forward) rm - lm else lm - rm
         val ok = col("__rt").isNotNull && delta <= tolUnits
         payload.foldLeft(withRt) { case (df, (_, dst)) =>
@@ -280,10 +291,8 @@ object AsOf {
     // runs as designed.
     val bound = rowBound(left) + rowBound(right)
     if (bound <= partitionBudget) return None
-    import org.apache.spark.sql.types.TimestampType
     def micros(df: DataFrame, t: String): Column =
-      if (df.schema(t).dataType == TimestampType) expr(s"unix_micros(`$t`)")
-      else col(t).cast("long") * lit(1000000L)
+      microsCol(col(t), df.schema(t).dataType)
     val keyed = left.select(col(key).as("__k"), micros(left, leftTime).as("__m"))
       .unionByName(right.select(col(key).as("__k"), micros(right, rightTime).as("__m")))
     val hot = keyed.groupBy("__k")

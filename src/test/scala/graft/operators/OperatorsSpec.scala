@@ -193,6 +193,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(misses.isEmpty, s"boundary matches dropped at offsets: ${misses.take(5)}")
   }
 
+  test("as-of accepts TIMESTAMP_NTZ time columns — plain, bucketed, auto, tolerance (VERDICT r9)") {
+    // The r9 testdata regeneration delivered events.ts as TIMESTAMP_NTZ
+    // and every `dataType == TimestampType` branch mis-routed to
+    // `cast(ts as bigint)` → analysis error. Pin that NTZ inputs (a)
+    // analyze, and (b) produce the same rows as the TimestampType form,
+    // WITHOUT the Tables.events loader normalization in the path.
+    import org.apache.spark.sql.types.TimestampNTZType
+    val events = Tables.events(spark, sf)
+    val left = events.select("event_id", "user_id", "ts")
+    val signups = events.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"event_id".as("signup_id"))
+    def ntz(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", $"ts".cast(TimestampNTZType))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "p").collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("p"))).toMap
+    for (tol <- Seq(None, Some(3600L))) {
+      val tz = AsOf.asOfJoin(left, signups, "user_id", "ts", "ts",
+        Seq("signup_id" -> "p"), tol)
+      val noTz = AsOf.asOfJoin(ntz(left), ntz(signups), "user_id", "ts", "ts",
+        Seq("signup_id" -> "p"), tol)
+      assert(rows(noTz) == rows(tz), s"NTZ plain as-of diverged at tol=$tol")
+      val noTzBucketed = AsOf.asOfJoinBucketed(ntz(left), ntz(signups),
+        "user_id", "ts", "ts", Seq("signup_id" -> "p"),
+        bucketSpanSeconds = 1800L, toleranceSeconds = tol)
+      assert(rows(noTzBucketed) == rows(tz), s"NTZ bucketed as-of diverged at tol=$tol")
+    }
+    // auto's stats pass must also take the micros path on NTZ (budget 1
+    // forces the key-frequency job + bucketed route)
+    val auto = AsOf.asOfJoinAuto(ntz(left), ntz(signups), "user_id", "ts", "ts",
+      Seq("signup_id" -> "p"), partitionBudget = 1L)
+    assert(rows(auto) == rows(AsOf.asOfJoin(left, signups, "user_id", "ts", "ts",
+      Seq("signup_id" -> "p"))), "NTZ auto as-of diverged")
+  }
+
   test("trailing RANGE window includes events exactly 1 h back at micro timestamps (q86 key)") {
     import org.apache.spark.sql.expressions.Window
     // same window shape + ordering key as q86: unix_micros, RANGE 1 h
