@@ -139,6 +139,41 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.exists(!_._3), "corpus has near-dups; the plan must drop some")
   }
 
+  test("q103 zero-magnitude embedding: cosine pinned to -1.0 (oracle convention), never a dup witness") {
+    // ADVICE r8/r9: unpinned, cosine(zero, x) is NaN, which Spark sorts
+    // ABOVE every real value — the cell argmax and the dup filter would
+    // both diverge from DuckDB. Pin the q103 expression sites to -1.0.
+    import graft.functions.VectorFunctions
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cents = emb.orderBy("vec_id").limit(2)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb"))
+    // site 1: cell assignment — the zero vector's cs is exactly -1.0
+    // against EVERY centroid (not NaN), so max_by ties break on
+    // centroid_id deterministically, same as the oracle's MAX(cid) rule
+    val asg = emb.crossJoin(broadcast(cents))
+      .withColumn("cs",
+        nanvl(VectorFunctions.cosine_similarity(col("embedding"), col("cemb")),
+          lit(-1.0)))
+    val zeroCs = asg.filter(col("vec_id") === 2L)
+      .select("cs").collect().map(_.getDouble(0)).toSeq
+    assert(zeroCs.nonEmpty && zeroCs.forall(_ == -1.0), s"zero-vec cs: $zeroCs")
+    val zeroCell = asg.groupBy("vec_id")
+      .agg(max_by(col("centroid_id"), struct(col("cs"), col("centroid_id"))).as("cell"))
+      .filter(col("vec_id") === 2L).collect().head.getLong(1)
+    assert(zeroCell == 1L, s"tie must break to max centroid id, got $zeroCell")
+    // site 2: dup filter — a zero vector can never pass `> tau`
+    val pairs = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")))
+      .filter(col("va") < col("vb"))
+      .filter(nanvl(VectorFunctions.cosine_similarity(col("ea"), col("eb")),
+        lit(-1.0)) > lit(0.4))
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)), s"only the real near-dup pair may fire: $pairs")
+  }
+
   test("plan shape: query and vocabulary sides broadcast; corpus side never does") {
     val sf = SharedSpark.sf0001
     val plan = Retrieval.q101Bm25TopK.fn(spark, sf)
