@@ -20,9 +20,15 @@ object Q95Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    })
     def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      System.err.println(f"[q95] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      val t0 = System.nanoTime(); val j0 = jobs.get(); val r = f
+      System.err.println(f"[q95] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s" +
+        f"  ${jobs.get() - j0}%3d jobs")
       r
     }
     // warm the table scans

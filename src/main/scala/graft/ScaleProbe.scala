@@ -135,7 +135,14 @@ object ScaleProbe {
     // SPARK_GRAFT_BENCH_ONLY): comma list restricts the timed set
     val probeSet = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .fold(headline)(names => headline.filter(names))
+      .fold(headline) { names =>
+        // a typo'd name must not silently shrink the probe to nothing
+        val unknown = names -- headline.toSet
+        if (unknown.nonEmpty) System.err.println(
+          s"[scale] WARNING: SPARK_GRAFT_PROBE_ONLY names not in the headline set " +
+            s"(ignored): ${unknown.toSeq.sorted.mkString(", ")}")
+        headline.filter(names)
+      }
 
     val rows = probeSet.map { q =>
       val t1 = time(spark, q, srcDir)

@@ -452,7 +452,38 @@ object Dedup {
     * (greedy pair-dropping can disagree with transitive closure on
     * chains; components never do). Each round is one shuffle join +
     * one aggregate; `localCheckpoint` truncates the growing lineage. */
-  def clusterAssignments(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def clusterAssignments(pairs: DataFrame, maxIters: Int = 20,
+                         maxDriverEdges: Int = 500000): DataFrame = {
+    // Adaptive solve (the PairGraph.updateClusters pattern): a
+    // near-dup pair graph is output-sized — orders of magnitude
+    // smaller than the corpus that produced it — and the iterative
+    // propagation below pays ~2 fixed-cost jobs per round plus
+    // checkpoints. Under the edge budget (≈24 MB of collected rows) a
+    // bounded collect + driver union-find settles the components
+    // exactly, in one job; past it, the distributed propagation takes
+    // over unchanged. Both paths label each component by its min
+    // member, so the choice is invisible to consumers (and the
+    // PairGraphSpec bridge test pins their agreement).
+    val spark = pairs.sparkSession
+    val head = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .limit(maxDriverEdges + 1).collect()
+    if (head.length <= maxDriverEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      head.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) parent(if (ra < rb) rb else ra) = math.min(ra, rb)
+      }
+      import spark.implicits._
+      val nodes = head.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      return nodes.map(x => (x, find(x))).toSeq.toDF("doc_id", "label")
+    }
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -592,16 +623,35 @@ object Dedup {
     * relies on every arrival batch. A fresh store per run keeps the
     * query self-contained (and the bench number honest: it measures
     * build + extend + serve, not a cache). */
+  /** One scan computes the 80% cut AND the full-corpus fingerprint;
+    * one more fingerprints the delta; the base fingerprint follows by
+    * XOR associativity (full = base ⊕ delta) — the lifecycle then
+    * passes all three down instead of paying a corpus scan per stage
+    * (5 scans → 2, VERDICT r10 #1b). */
+  private def lifecycleSplit(docs: DataFrame)
+      : (Long, (Long, Long), (Long, Long), (Long, Long)) = {
+    val row = docs.agg(
+      expr("percentile(doc_id, 0.8)").as("cut"),
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L)).as("h")).head()
+    val cut = row.getDouble(0).toLong
+    val full = (row.getLong(1), row.getLong(2))
+    val delta = PairGraph.corpusFingerprint(docs.filter(col("doc_id") > cut))
+    (cut, (full._1 - delta._1, full._2 ^ delta._2), delta, full)
+  }
+
   val q94PairGraphIncremental: QueryDef = sql(
     "q94_pair_graph_incremental",
     exactPairsSql(0.6,
       "SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM jp")) { (s, d) =>
     val docs = Tables.documents(s, d)
     val store = graft.Scratch.dir("graft_pair_inc") + "/store"
-    val cut = docs.selectExpr("percentile(doc_id, 0.8)").head().getDouble(0).toLong
-    PairGraph.pairGraph(s, docs.filter(col("doc_id") <= cut), d, 0.6, Some(store))
-    PairGraph.extend(s, docs.filter(col("doc_id") > cut), d, 0.6, Some(store))
-    PairGraph.pairGraph(s, docs, d, 0.6, Some(store))
+    val (cut, fpBase, fpDelta, fpFull) = lifecycleSplit(docs)
+    PairGraph.pairGraph(s, docs.filter(col("doc_id") <= cut), d, 0.6, Some(store),
+      Some(fpBase))
+    PairGraph.extend(s, docs.filter(col("doc_id") > cut), d, 0.6, Some(store),
+      deltaFp = Some(fpDelta))
+    PairGraph.pairGraph(s, docs, d, 0.6, Some(store), Some(fpFull))
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -637,11 +687,14 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val store = graft.Scratch.dir("graft_clust_inc") + "/store"
-    val cut = docs.selectExpr("percentile(doc_id, 0.8)").head().getDouble(0).toLong
-    PairGraph.clusters(s, docs.filter(col("doc_id") <= cut), d, 0.6, Some(store))
-    PairGraph.extend(s, docs.filter(col("doc_id") > cut), d, 0.6, Some(store))
-    PairGraph.updateClusters(s, docs.filter(col("doc_id") > cut), d, 0.6, Some(store))
-    PairGraph.clusters(s, docs, d, 0.6, Some(store))
+    val (cut, fpBase, fpDelta, fpFull) = lifecycleSplit(docs)
+    PairGraph.clusters(s, docs.filter(col("doc_id") <= cut), d, 0.6, Some(store),
+      Some(fpBase))
+    PairGraph.extend(s, docs.filter(col("doc_id") > cut), d, 0.6, Some(store),
+      deltaFp = Some(fpDelta))
+    PairGraph.updateClusters(s, docs.filter(col("doc_id") > cut), d, 0.6, Some(store),
+      deltaFp = Some(fpDelta))
+    PairGraph.clusters(s, docs, d, 0.6, Some(store), Some(fpFull))
       .select(col("doc_id"), col("label").as("cluster_id"))
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))

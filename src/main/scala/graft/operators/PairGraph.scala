@@ -28,8 +28,9 @@ import graft.streaming.UpsertStore
   * order-independent bit_xor of per-row hashes) stored next to the
   * pairs at write time and recomputed from the corpus on every read:
   * one cheap scan buys the guarantee that the cached graph describes
-  * exactly this corpus. (Were the corpus itself an UpsertStore table,
-  * its manifest version would replace the scan — noted seam.)
+  * exactly this corpus. When the corpus itself IS an UpsertStore
+  * table, [[pairGraphFromStore]] replaces the scan with the corpus
+  * store's manifest version — a metadata read, free at any scale.
   *
   * CRASH DISCIPLINE (two-sided): every mutation brackets its data
   * writes with meta writes — a DIRTY meta first (fails the gate for
@@ -65,6 +66,19 @@ object PairGraph {
     val dirtyCol = if (m.columns.contains("dirty")) col("dirty") else lit(false)
     m.filter(col("corpus_n") === n && col("corpus_h") === h &&
       col("tau") === tau && !dirtyCol).count() == 1
+  }
+
+  /** The MANIFEST-VERSION gate for a store-resident corpus: the meta
+    * row recorded the corpus store's commit seq at build time, so
+    * freshness is one manifest read on each side — no corpus scan.
+    * Meta rows written by [[extend]] or a fingerprint-path build carry
+    * `corpus_v = -1` (the pair store then no longer corresponds to any
+    * single corpus commit), which never matches a real seq — such
+    * stores fall back to the fingerprint path. */
+  private def gateOkVersion(m: DataFrame, ver: Long, tau: Double): Boolean = {
+    if (!m.columns.contains("corpus_v")) return false
+    val dirtyCol = if (m.columns.contains("dirty")) col("dirty") else lit(false)
+    m.filter(col("corpus_v") === ver && col("tau") === tau && !dirtyCol).count() == 1
   }
 
   /** Order-independent corpus fingerprint: (row count, XOR of
@@ -113,42 +127,84 @@ object PairGraph {
     * consumers cannot tell (and the DuckDB oracles verify) which path
     * produced them. */
   def pairGraph(spark: SparkSession, docs: DataFrame, dataDir: String,
-                tau: Double = 0.6, pathOverride: Option[String] = None): DataFrame = {
+                tau: Double = 0.6, pathOverride: Option[String] = None,
+                fp: Option[(Long, Long)] = None): DataFrame = {
     val path = pathOverride.getOrElse(storePath(dataDir, tau))
-    val metaPath = s"${path}__meta"
-    val (n, h) = corpusFingerprint(docs)
-    val stored = UpsertStore.read(spark, metaPath).flatMap { m =>
+    val (n, h) = fp.getOrElse(corpusFingerprint(docs))
+    val stored = UpsertStore.read(spark, s"${path}__meta").flatMap { m =>
       if (gateOk(m, n, h, tau)) UpsertStore.read(spark, path) else None
     }
+    stored.getOrElse(buildPairGraph(spark, docs, path, tau, n, h, corpusV = -1L))
+  }
+
+  /** Pair graph whose corpus IS an [[UpsertStore]] table: the
+    * staleness gate consumes the corpus store's MANIFEST VERSION —
+    * one metadata read instead of the fingerprint path's full corpus
+    * scan (the seam the class doc names; at 100 TB the scan is the
+    * only data-proportional cost of a gated serve, and a store-backed
+    * corpus makes it free). Any corpus mutation commits a new
+    * manifest seq, so version match ⇒ byte-identical corpus. The
+    * build still records the fingerprint alongside, so [[extend]] /
+    * [[updateClusters]] interoperate (they advance the fingerprint
+    * and reset `corpus_v`, falling back to the scan gate). */
+  def pairGraphFromStore(spark: SparkSession, corpusPath: String,
+                         tau: Double = 0.6,
+                         pathOverride: Option[String] = None): DataFrame = {
+    val ver = UpsertStore.latestVersion(spark, corpusPath).getOrElse(
+      sys.error(s"no corpus store at $corpusPath"))
+    val path = pathOverride.getOrElse(storePath(s"store:$corpusPath", tau))
+    val stored = UpsertStore.read(spark, s"${path}__meta").flatMap { m =>
+      if (gateOkVersion(m, ver, tau)) UpsertStore.read(spark, path) else None
+    }
     stored.getOrElse {
-      val prevMeta = UpsertStore.read(spark, metaPath)
-      val prevTxn = prevMeta.map(m => metaTxn(m.head())).getOrElse(-1L)
-      val sh = Dedup.shSketch(docs).cache()
-      try {
-        // dirty FIRST: a crash mid-rebuild must not leave an old meta
-        // that still gate-matches the old corpus over the new data.
-        // A FIRST build has no meta to mismatch — skip the commit
-        if (prevMeta.isDefined) UpsertStore.replace(spark, metaPath,
-          metaRow(spark, -1L, 0L, tau, dirty = true, prevTxn), Seq("meta_id"))
-        val pairs = Dedup.exactNearDupPairsFromSketch(sh, tau)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        UpsertStore.replace(spark, path, pairs, Seq("doc_a", "doc_b"))
-        UpsertStore.replace(spark, s"${path}__sigs", sh, Seq("doc_id"))
-        // clean meta commits LAST: any crash above leaves the dirty
-        // marker → recompute for every corpus, never a stale serve
-        UpsertStore.replace(spark, metaPath, metaRow(spark, n, h, tau, dirty = false, prevTxn),
-          Seq("meta_id"))
-        UpsertStore.read(spark, path).getOrElse(
-          sys.error(s"pair graph store $path unreadable immediately after commit"))
-      } finally sh.unpersist()
+      val docs = UpsertStore.read(spark, corpusPath).getOrElse(
+        sys.error(s"corpus store at $corpusPath unreadable"))
+      val (n, h) = corpusFingerprint(docs)
+      buildPairGraph(spark, docs, path, tau, n, h, corpusV = ver)
     }
   }
 
+  /** Shared rebuild path: dirty meta (when one exists) → pairs + sigs
+    * → clean meta, then serve the stored copy. All writes are
+    * key-unique by construction (banding emits distinct pairs, the
+    * sketch is one row per doc, meta is one row), so the store-side
+    * dedup shuffle is skipped. */
+  private def buildPairGraph(spark: SparkSession, docs: DataFrame, path: String,
+                             tau: Double, n: Long, h: Long, corpusV: Long): DataFrame = {
+    val metaPath = s"${path}__meta"
+    val prevMeta = UpsertStore.read(spark, metaPath)
+    val prevTxn = prevMeta.map(m => metaTxn(m.head())).getOrElse(-1L)
+    val sh = Dedup.shSketch(docs).cache()
+    try {
+      // dirty FIRST: a crash mid-rebuild must not leave an old meta
+      // that still gate-matches the old corpus over the new data.
+      // A FIRST build has no meta to mismatch — skip the commit
+      if (prevMeta.isDefined) UpsertStore.replace(spark, metaPath,
+        metaRow(spark, -1L, 0L, tau, dirty = true, prevTxn), Seq("meta_id"),
+        assumeKeyUnique = true)
+      val pairs = Dedup.exactNearDupPairsFromSketch(sh, tau)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      UpsertStore.replace(spark, path, pairs, Seq("doc_a", "doc_b"),
+        assumeKeyUnique = true)
+      UpsertStore.replace(spark, s"${path}__sigs", sh, Seq("doc_id"),
+        assumeKeyUnique = true)
+      // clean meta commits LAST: any crash above leaves the dirty
+      // marker → recompute for every corpus, never a stale serve
+      UpsertStore.replace(spark, metaPath,
+        metaRow(spark, n, h, tau, dirty = false, prevTxn, corpusV),
+        Seq("meta_id"), assumeKeyUnique = true)
+      UpsertStore.read(spark, path).getOrElse(
+        sys.error(s"pair graph store $path unreadable immediately after commit"))
+    } finally sh.unpersist()
+  }
+
   private def metaRow(spark: SparkSession, n: Long, h: Long, tau: Double,
-                      dirty: Boolean = false, txn: Long = -1L): DataFrame =
+                      dirty: Boolean = false, txn: Long = -1L,
+                      corpusV: Long = -1L): DataFrame =
     spark.range(1).select(
       lit(1L).as("meta_id"), lit(n).as("corpus_n"), lit(h).as("corpus_h"),
-      lit(tau).as("tau"), lit(dirty).as("dirty"), lit(txn).as("txn"))
+      lit(tau).as("tau"), lit(dirty).as("dirty"), lit(txn).as("txn"),
+      lit(corpusV).as("corpus_v"))
 
   /** CLUSTER LABELS for the corpus, maintained NEXT TO the pair graph:
     * connected components ([[Dedup.clusterAssignments]]) over the
@@ -163,11 +219,12 @@ object PairGraph {
     * applies its own gate) and replaces table + cluster meta, meta
     * last — same crash rule as the pairs. */
   def clusters(spark: SparkSession, docs: DataFrame, dataDir: String,
-               tau: Double = 0.6, pathOverride: Option[String] = None): DataFrame = {
+               tau: Double = 0.6, pathOverride: Option[String] = None,
+               fp: Option[(Long, Long)] = None): DataFrame = {
     val path = pathOverride.getOrElse(storePath(dataDir, tau))
     val cPath = s"${path}__clusters"
     val cMetaPath = s"${path}__cmeta"
-    val (n, h) = corpusFingerprint(docs)
+    val (n, h) = fp.getOrElse(corpusFingerprint(docs))
     val stored = UpsertStore.read(spark, cMetaPath).flatMap { m =>
       if (gateOk(m, n, h, tau)) UpsertStore.read(spark, cPath) else None
     }
@@ -175,15 +232,17 @@ object PairGraph {
       val prevMeta = UpsertStore.read(spark, cMetaPath)
       val prevTxn = prevMeta.map(m => metaTxn(m.head())).getOrElse(-1L)
       val labels = Dedup.clusterAssignments(
-        pairGraph(spark, docs, dataDir, tau, pathOverride).select("doc_a", "doc_b"))
+        pairGraph(spark, docs, dataDir, tau, pathOverride, Some((n, h)))
+          .select("doc_a", "doc_b"))
       // dirty → data → clean meta (see class doc): the cluster table
       // must never be servable through a meta that predates its rows.
       // A first build has no meta to mismatch — skip the commit
       if (prevMeta.isDefined) UpsertStore.replace(spark, cMetaPath,
-        metaRow(spark, -1L, 0L, tau, dirty = true, prevTxn), Seq("meta_id"))
-      UpsertStore.replace(spark, cPath, labels, Seq("doc_id"))
+        metaRow(spark, -1L, 0L, tau, dirty = true, prevTxn), Seq("meta_id"),
+        assumeKeyUnique = true)
+      UpsertStore.replace(spark, cPath, labels, Seq("doc_id"), assumeKeyUnique = true)
       UpsertStore.replace(spark, cMetaPath, metaRow(spark, n, h, tau, dirty = false, prevTxn),
-        Seq("meta_id"))
+        Seq("meta_id"), assumeKeyUnique = true)
       UpsertStore.read(spark, cPath).getOrElse(
         sys.error(s"cluster store $cPath unreadable immediately after commit"))
     }
@@ -225,7 +284,8 @@ object PairGraph {
     * driver-OOM trap on small drivers. */
   def updateClusters(spark: SparkSession, delta: DataFrame, dataDir: String,
                      tau: Double = 0.6, pathOverride: Option[String] = None,
-                     maxDriverEdges: Int = 500000, txnId: Option[Long] = None): Unit = {
+                     maxDriverEdges: Int = 500000, txnId: Option[Long] = None,
+                     deltaFp: Option[(Long, Long)] = None): Unit = {
     val path = pathOverride.getOrElse(storePath(dataDir, tau))
     val cPath = s"${path}__clusters"
     val cMetaPath = s"${path}__cmeta"
@@ -241,7 +301,7 @@ object PairGraph {
     require(!(isDirty(cMeta) && cMeta.getAs[Long]("corpus_n") < 0),
       s"cluster table at $cPath was left dirty by an interrupted rebuild — " +
         "serve it once via clusters (rebuild) before updating")
-    val (dn, dh) = corpusFingerprint(delta)
+    val (dn, dh) = deltaFp.getOrElse(corpusFingerprint(delta))
     require(cMeta.getAs[Long]("corpus_n") + dn == meta.getAs[Long]("corpus_n") &&
       (cMeta.getAs[Long]("corpus_h") ^ dh) == meta.getAs[Long]("corpus_h"),
       s"cluster table at $cPath is not one delta behind the pair graph — " +
@@ -327,13 +387,13 @@ object PairGraph {
       // window, so it advances the meta directly
       UpsertStore.replace(spark, cMetaPath,
         metaRow(spark, cMeta.getAs[Long]("corpus_n"), cMeta.getAs[Long]("corpus_h"),
-          tau, dirty = true, cTxn), Seq("meta_id"))
-      UpsertStore.upsert(spark, cPath, merged, Seq("doc_id"))
+          tau, dirty = true, cTxn), Seq("meta_id"), assumeKeyUnique = true)
+      UpsertStore.upsert(spark, cPath, merged, Seq("doc_id"), assumeKeyUnique = true)
     }
     UpsertStore.replace(spark, cMetaPath,
       metaRow(spark, meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"), tau,
         dirty = false, txnId.getOrElse(cTxn)),
-      Seq("meta_id"))
+      Seq("meta_id"), assumeKeyUnique = true)
   }
 
   /** Register the pair graph + cluster table for `docs` under the
@@ -407,7 +467,8 @@ object PairGraph {
     * a stale one. */
   def extend(spark: SparkSession, delta: DataFrame, dataDir: String,
              tau: Double = 0.6, pathOverride: Option[String] = None,
-             txnId: Option[Long] = None): Unit = {
+             txnId: Option[Long] = None,
+             deltaFp: Option[(Long, Long)] = None): Unit = {
     val path = pathOverride.getOrElse(storePath(dataDir, tau))
     val metaPath = s"${path}__meta"
     val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(
@@ -433,13 +494,14 @@ object PairGraph {
       // dirty FIRST (pre-extend fingerprint preserved): a crash below
       // must fail the gate for the old corpus too, not just the grown one
       UpsertStore.replace(spark, metaPath,
-        metaRow(spark, baseN, baseH, tau, dirty = true, mTxn), Seq("meta_id"))
-      UpsertStore.upsert(spark, path, fresh, Seq("doc_a", "doc_b"))
-      UpsertStore.upsert(spark, s"${path}__sigs", deltaSh, Seq("doc_id"))
-      val (dn, dh) = corpusFingerprint(delta)
+        metaRow(spark, baseN, baseH, tau, dirty = true, mTxn), Seq("meta_id"),
+        assumeKeyUnique = true)
+      UpsertStore.upsert(spark, path, fresh, Seq("doc_a", "doc_b"), assumeKeyUnique = true)
+      UpsertStore.upsert(spark, s"${path}__sigs", deltaSh, Seq("doc_id"), assumeKeyUnique = true)
+      val (dn, dh) = deltaFp.getOrElse(corpusFingerprint(delta))
       UpsertStore.replace(spark, metaPath,
         metaRow(spark, baseN + dn, baseH ^ dh, tau, dirty = false,
-          txnId.getOrElse(mTxn)), Seq("meta_id"))
+          txnId.getOrElse(mTxn)), Seq("meta_id"), assumeKeyUnique = true)
     } finally deltaSh.unpersist()
   }
 }

@@ -58,22 +58,40 @@ object Retrieval {
         col("col.id").as("doc_id"))
       .orderBy("query_id", "rk")
 
+  /** The postings relation (doc_id, term, tf, dl). Document length is
+    * `size(tokens)` computed IN THE SCAN, before the explode, and rides
+    * the tf aggregation as a per-group constant — so the corpus-sized
+    * per-doc length table of the naive formulation never exists, and
+    * scoring never joins it (VERDICT r10 #2: that join was an O(corpus)
+    * exchange per query batch). One corpus-sized shuffle total: the
+    * (doc_id, term) groupBy that IS the postings build. */
+  private[operators] def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+
+  /** Corpus stats (N docs with ≥1 token, average token count) — scan
+    * only, no shuffle past the single-row aggregate. Matches the naive
+    * per-doc-length aggregation exactly: a doc appears in it iff the
+    * explode emitted ≥1 row, i.e. iff `size(tokens) > 0`. */
+  private[operators] def corpusStats(docs: DataFrame): DataFrame =
+    docs.select(size(TextAnalysis.tokens(col("text"))).as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+
   /** Okapi BM25 from scratch. Returns (query_id, doc_id, score) for
     * every (query, doc) pair sharing at least one term; `score` is
     * rounded to 6 dp (absorbs last-ulp libm/summation-order skew).
     * `queries` must be (query_id, term) — already distinct. */
   def bm25Scores(docs: DataFrame, queries: DataFrame): DataFrame = {
-    val terms = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = postings(docs)
     // single-row corpus stats: N and avgdl (exact — integer sums fit
     // a double exactly, so partial-agg order cannot perturb the value)
-    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val stats = corpusStats(docs)
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val contrib = broadcast(queries)
       .join(tf, Seq("term"))
-      .join(dl, Seq("doc_id"))
       .join(broadcast(dft), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("c", bm25Contrib(col("tf"), col("df"), col("dl"),
@@ -198,5 +216,22 @@ object Retrieval {
       .orderBy("query_id", "rk")
   }
 
-  val all: Seq[QueryDef] = Seq(q101Bm25TopK, q102HybridRrf)
+  /** The STORED-INDEX serve path, declared end-to-end (VERDICT r10
+    * #3): build (or fingerprint-gate-serve) the [[PostingsIndex]]
+    * store over the corpus, then answer the same probe queries FROM
+    * the stored postings — q101's oracle, so the driver's hash compare
+    * proves serve ≡ recompute through the persistence roundtrip, the
+    * same discipline as q93 (pair graph) and q96 (vector index). The
+    * store path is keyed by the corpus dir, so a second batch against
+    * the same corpus skips the build entirely — the production shape
+    * for repeated contamination probes. */
+  val q104Bm25IndexServe: QueryDef = sql("q104_bm25_index_serve", q101Sql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val store = PostingsIndex.storePath(d)
+    PostingsIndex.ensure(s, docs, store)
+    topKRanks(PostingsIndex.search(s, store, probeQueries(docs))
+      .filter(col("query_id") =!= col("doc_id")), 10)
+  }
+
+  val all: Seq[QueryDef] = Seq(q101Bm25TopK, q102HybridRrf, q104Bm25IndexServe)
 }

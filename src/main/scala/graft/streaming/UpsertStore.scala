@@ -320,9 +320,14 @@ object UpsertStore {
 
   /** Replace the entire store contents in ONE commit (atomic at the
     * pointer swap — readers see old-complete or new-complete, never
-    * an empty intermediate). */
-  def replace(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String]): Unit =
-    commitBase(spark, path, dedupByKey(df, keys), keys)
+    * an empty intermediate). `assumeKeyUnique` skips the within-batch
+    * dedup shuffle when the caller guarantees one row per key (e.g.
+    * the output of a keyed aggregation, or a single meta row) — the
+    * same contract as [[upsert]]'s flag; wrongly asserting it makes
+    * the kept row partitioning-dependent, nothing worse. */
+  def replace(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String],
+              assumeKeyUnique: Boolean = false): Unit =
+    commitBase(spark, path, if (assumeKeyUnique) df else dedupByKey(df, keys), keys)
 
   /** Hot-path upsert: append the deduped batch as a delta (O(|batch|)
     * I/O); compact to a fresh base once the delta list reaches

@@ -195,6 +195,54 @@ class PairGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("store-resident corpus: manifest-version gate serves without rescan, rebuilds on corpus commit") {
+    val docs = Tables.documents(spark, sf)
+    val corpusPath = freshDir()
+    val path = freshDir()
+    UpsertStore.replace(spark, corpusPath, docs, Seq("doc_id"))
+
+    val direct = Dedup.exactNearDupPairs(docs, 0.6)
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    val first = PairGraph.pairGraphFromStore(spark, corpusPath, 0.6, Some(path))
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(first == direct)
+    val v1 = UpsertStore.latestVersion(spark, path)
+    PairGraph.pairGraphFromStore(spark, corpusPath, 0.6, Some(path)).count()
+    assert(UpsertStore.latestVersion(spark, path) == v1,
+      "unchanged corpus version must serve the stored graph, not rebuild")
+
+    // any corpus commit bumps the manifest seq → gate miss → rebuild
+    val minId = docs.agg(min("doc_id")).head().getLong(0)
+    val mutated = docs.filter($"doc_id" === minId)
+      .withColumn("text", concat($"text", lit(" MUTATED VIA STORE COMMIT")))
+    UpsertStore.upsert(spark, corpusPath, mutated, Seq("doc_id"))
+    val grown = UpsertStore.read(spark, corpusPath).get
+    val expected = Dedup.exactNearDupPairs(grown, 0.6)
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    val served = PairGraph.pairGraphFromStore(spark, corpusPath, 0.6, Some(path))
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(UpsertStore.latestVersion(spark, path).get > v1.get,
+      "corpus version bump must force a rebuild")
+    assert(served == expected)
+  }
+
+  test("clusterAssignments: driver union-find and distributed propagation agree") {
+    val pairs = Dedup.exactNearDupPairs(Tables.documents(spark, sf), 0.6)
+      .select("doc_a", "doc_b")
+    val viaDriver = Dedup.clusterAssignments(pairs)
+      .as[(Long, Long)].collect().toSet
+    val viaPropagation = Dedup.clusterAssignments(pairs, maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(viaDriver == viaPropagation,
+      s"paths diverged: onlyDriver=${(viaDriver -- viaPropagation).take(5)} " +
+        s"onlyProp=${(viaPropagation -- viaDriver).take(5)}")
+    assert(viaDriver.nonEmpty)
+  }
+
   test("fingerprint is order- and partitioning-independent") {
     val docs = Tables.documents(spark, sf)
     val a = PairGraph.corpusFingerprint(docs)

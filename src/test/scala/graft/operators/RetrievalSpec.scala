@@ -180,5 +180,55 @@ class RetrievalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "postings join must broadcast the tiny sides")
     assert(!plan.contains("CartesianProduct"), "no cartesian anywhere")
+    // VERDICT r10 #2: dl rides the tf aggregation, so scoring has NO
+    // corpus-sized shuffle join left — every join must be broadcast
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"scoring must not shuffle-join the corpus side:\n$plan")
+  }
+
+  test("postings index: serve ≡ recompute; gate skips rebuild; corpus change rebuilds; dirty refuses") {
+    val sf = SharedSpark.sf0001
+    val docs = graft.Tables.documents(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("postings_spec").toString + "/idx"
+    val q = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+      .distinct()
+
+    PostingsIndex.ensure(spark, docs, path)
+    val v1 = graft.streaming.UpsertStore.latestVersion(spark, path)
+    val served = PostingsIndex.search(spark, path, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val scratch = Retrieval.bm25Scores(docs, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(served == scratch, "stored-index serve must equal from-scratch scores exactly")
+
+    PostingsIndex.ensure(spark, docs, path)
+    assert(graft.streaming.UpsertStore.latestVersion(spark, path) == v1,
+      "matching fingerprint must not rebuild the index")
+
+    // corpus mutation → fingerprint miss → rebuild
+    val minId = docs.agg(min("doc_id")).head().getLong(0)
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === minId, concat(col("text"), lit(" xqzzy"))).otherwise(col("text")))
+    PostingsIndex.ensure(spark, mutated, path)
+    assert(graft.streaming.UpsertStore.latestVersion(spark, path).get > v1.get,
+      "corpus change must rebuild")
+    val df2 = PostingsIndex.search(spark, path,
+      Seq((99L, "xqzzy")).toDF("query_id", "term")).collect()
+    assert(df2.length == 1 && df2.head.getLong(1) == minId,
+      "rebuilt index must see the new token")
+
+    // a dirty stats row (simulated crash) must refuse to serve
+    graft.streaming.UpsertStore.replace(spark, s"${path}__stats",
+      spark.range(1).select(lit(1L).as("meta_id"), lit(-1L).as("n"),
+        lit(-1.0).as("avgdl"), lit(-1L).as("corpus_n"), lit(0L).as("corpus_h"),
+        lit(true).as("dirty")), Seq("meta_id"))
+    intercept[IllegalArgumentException] {
+      PostingsIndex.search(spark, path, q).count()
+    }
+    // and the next ensure recovers it
+    PostingsIndex.ensure(spark, mutated, path)
+    assert(PostingsIndex.search(spark, path, q).count() > 0)
   }
 }
