@@ -415,8 +415,12 @@ object PairGraph {
       sys.error(s"catalog '$catalog' is not configured — set spark.sql.catalog.$catalog " +
         s"and spark.sql.catalog.$catalog.path first"))
     val path = s"$warehouse/$name"
-    pairGraph(spark, docs, dataDir, tau, Some(path)).count()
-    clusters(spark, docs, dataDir, tau, Some(path)).count()
+    // builds are eager on a gate miss and no-op reads on a hit —
+    // forcing the returned frames would re-scan both tables per call.
+    // One fingerprint scan serves both gates.
+    val fp = Some(corpusFingerprint(docs))
+    pairGraph(spark, docs, dataDir, tau, Some(path), fp)
+    clusters(spark, docs, dataDir, tau, Some(path), fp)
     ensureTable(spark, catalog, name, path, Seq("doc_a", "doc_b"))
     ensureTable(spark, catalog, s"${name}__clusters", s"${path}__clusters", Seq("doc_id"))
     path

@@ -107,10 +107,11 @@ object VectorIndex {
     * pass), committed cells → centroids → meta (meta LAST — the
     * [[PairGraph]] crash rule), and then served from the store. */
   def index(spark: SparkSession, emb: DataFrame, dataDir: String,
-            centroids: Int = 16, pathOverride: Option[String] = None): DataFrame = {
+            centroids: Int = 16, pathOverride: Option[String] = None,
+            fp: Option[(Long, Long)] = None): DataFrame = {
     val path = pathOverride.getOrElse(storePath(dataDir, centroids))
     val metaPath = s"${path}__meta"
-    val (n, h) = corpusFingerprint(emb)
+    val (n, h) = fp.getOrElse(corpusFingerprint(emb))
     val stored = UpsertStore.read(spark, metaPath).flatMap { m =>
       if (gateOk(m, n, h, centroids)) UpsertStore.read(spark, path) else None
     }
@@ -122,13 +123,18 @@ object VectorIndex {
       val cells = assignCells(emb, cents)
       // dirty → data → clean meta (the PairGraph crash rule): a partial
       // rebuild must fail the gate for the old corpus too; a first
-      // build has no meta to mismatch — skip the commit
+      // build has no meta to mismatch — skip the commit. All writes
+      // are key-unique by construction (groupBy/limit outputs, one
+      // meta row) — the store-side dedup shuffle is skipped.
       if (prevMeta.isDefined) UpsertStore.replace(spark, metaPath,
-        metaRow(spark, -1L, 0L, centroids, dirty = true, prevTxn), Seq("meta_id"))
-      UpsertStore.replace(spark, path, cells, Seq("vec_id"))
-      UpsertStore.replace(spark, s"${path}__centroids", cents, Seq("centroid_id"))
+        metaRow(spark, -1L, 0L, centroids, dirty = true, prevTxn), Seq("meta_id"),
+        assumeKeyUnique = true)
+      UpsertStore.replace(spark, path, cells, Seq("vec_id"), assumeKeyUnique = true)
+      UpsertStore.replace(spark, s"${path}__centroids", cents, Seq("centroid_id"),
+        assumeKeyUnique = true)
       UpsertStore.replace(spark, metaPath,
-        metaRow(spark, n, h, centroids, dirty = false, prevTxn), Seq("meta_id"))
+        metaRow(spark, n, h, centroids, dirty = false, prevTxn), Seq("meta_id"),
+        assumeKeyUnique = true)
       UpsertStore.read(spark, path).getOrElse(
         sys.error(s"vector index store $path unreadable immediately after commit"))
     }
@@ -148,7 +154,9 @@ object VectorIndex {
       sys.error(s"catalog '$catalog' is not configured — set spark.sql.catalog.$catalog " +
         s"and spark.sql.catalog.$catalog.path first"))
     val path = s"$warehouse/$name"
-    index(spark, emb, dataDir, centroids, Some(path)).count()
+    // index() builds eagerly on a gate miss and is a no-op read on a
+    // hit — forcing the returned frame would re-scan the whole table
+    index(spark, emb, dataDir, centroids, Some(path))
     PairGraph.ensureTable(spark, catalog, name, path, Seq("vec_id"))
     PairGraph.ensureTable(spark, catalog, s"${name}__centroids",
       s"${path}__centroids", Seq("centroid_id"))
@@ -173,7 +181,8 @@ object VectorIndex {
     * upsert is last-writer-wins — same delta converges on contents). */
   def extend(spark: SparkSession, delta: DataFrame, dataDir: String,
              centroids: Int = 16, pathOverride: Option[String] = None,
-             txnId: Option[Long] = None): Unit = {
+             txnId: Option[Long] = None,
+             deltaFp: Option[(Long, Long)] = None): Unit = {
     val path = pathOverride.getOrElse(storePath(dataDir, centroids))
     val metaPath = s"${path}__meta"
     val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(
@@ -191,12 +200,14 @@ object VectorIndex {
     val (baseN, baseH) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
     // dirty FIRST (pre-extend fingerprint preserved for the retry path)
     UpsertStore.replace(spark, metaPath,
-      metaRow(spark, baseN, baseH, centroids, dirty = true, mTxn), Seq("meta_id"))
-    UpsertStore.upsert(spark, path, assignCells(delta, cents), Seq("vec_id"))
-    val (dn, dh) = corpusFingerprint(delta)
+      metaRow(spark, baseN, baseH, centroids, dirty = true, mTxn), Seq("meta_id"),
+      assumeKeyUnique = true)
+    UpsertStore.upsert(spark, path, assignCells(delta, cents), Seq("vec_id"),
+      assumeKeyUnique = true)
+    val (dn, dh) = deltaFp.getOrElse(corpusFingerprint(delta))
     UpsertStore.replace(spark, metaPath,
       metaRow(spark, baseN + dn, baseH ^ dh, centroids, dirty = false,
-        txnId.getOrElse(mTxn)), Seq("meta_id"))
+        txnId.getOrElse(mTxn)), Seq("meta_id"), assumeKeyUnique = true)
   }
 
   /** IVF top-k for an EXTERNAL query batch — the production serve
@@ -250,9 +261,10 @@ object VectorIndex {
     * join itself reads only the probed cells' rows. */
   def searchStored(spark: SparkSession, emb: DataFrame, dataDir: String,
                    queryPred: Column, centroids: Int = 16, nProbe: Int = 10,
-                   k: Int = 3, pathOverride: Option[String] = None): DataFrame = {
+                   k: Int = 3, pathOverride: Option[String] = None,
+                   fp: Option[(Long, Long)] = None): DataFrame = {
     val path = pathOverride.getOrElse(storePath(dataDir, centroids))
-    val cells = index(spark, emb, dataDir, centroids, pathOverride)
+    val cells = index(spark, emb, dataDir, centroids, pathOverride, fp)
     val cents = UpsertStore.read(spark, s"${path}__centroids").getOrElse(
       sys.error(s"vector index at $path has no centroid table"))
     val probes = cells.filter(queryPred)
