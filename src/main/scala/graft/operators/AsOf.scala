@@ -23,18 +23,27 @@ object AsOf {
   import org.apache.spark.sql.types.{DataType, TimestampNTZType, TimestampType}
 
   /** Exact integer microseconds on the time axis, for ANY time-like
-    * column type. TIMESTAMP_NTZ goes through a cast to TimestampType
-    * first (`unix_micros` rejects NTZ); both sides of a join convert
-    * under the same session TZ, so orderings and deltas — all this
-    * value is used for — are unaffected by the TZ choice. Plain
-    * numeric columns are treated as epoch SECONDS (the tolerance-gate
+    * column type. TIMESTAMP_NTZ converts by FIELD arithmetic — days
+    * since epoch (wall-clock date) plus time-of-day — NOT via a
+    * session-TZ cast: in a DST zone the wall-clock→instant mapping is
+    * non-monotonic (fall-back folds an hour, spring-forward skips
+    * one), so a cast-based axis could disorder the join or skew
+    * tolerance deltas by an hour (ADVICE r10). The field form is
+    * TZ-independent — equivalent to interpreting the wall clock as
+    * UTC — and every piece (date cast, hour/minute, fractional
+    * SECOND extract) reads the NTZ fields directly. Plain numeric
+    * columns are treated as epoch SECONDS (the tolerance-gate
     * contract). Centralizing the branch here is what keeps an NTZ
     * input from resurrecting the r9 `cast(ts as bigint)` analysis
     * error: every as-of variant and the auto-decision stats pass go
     * through this one function. */
   private def microsCol(c: Column, dt: DataType): Column = dt match {
     case TimestampType    => unix_micros(c)
-    case TimestampNTZType => unix_micros(c.cast(TimestampType))
+    case TimestampNTZType =>
+      unix_date(c.cast(org.apache.spark.sql.types.DateType)).cast("long") * lit(86400000000L) +
+        hour(c).cast("long") * lit(3600000000L) +
+        minute(c).cast("long") * lit(60000000L) +
+        (date_part(lit("SECOND"), c) * lit(1000000L)).cast("long")
     case _                => c.cast("long") * lit(1000000L)
   }
 
@@ -95,13 +104,18 @@ object AsOf {
     // Right rows sort BEFORE left rows at equal timestamps (side 0 < 1)
     // => "at or before" semantics, matching DuckDB's ASOF (>=) join;
     // same rule under the forward scan ("at or after").
+    // `__t` is the microsecond axis, normalized PER SIDE via
+    // [[microsCol]] before the union — so mixed time encodings
+    // (TIMESTAMP one side, TIMESTAMP_NTZ the other) never rely on
+    // implicit union coercion: both sides meet as plain longs on the
+    // same UTC-interpreted axis (ADVICE r10).
     val taggedLeft = left
-      .withColumn("__t", col(leftTime))
+      .withColumn("__t", microsCol(col(leftTime), left.schema(leftTime).dataType))
       .withColumn("__side", lit(1))
       .withColumn("__carry", lit(null).cast(carryType))
     val taggedRight = {
       val base = right
-        .withColumn("__t", col(rightTime))
+        .withColumn("__t", microsCol(col(rightTime), right.schema(rightTime).dataType))
         .withColumn("__side", lit(0))
         .withColumn("__carry", struct(
           (payload.map { case (src, dst) => col(src).as(dst) } :+

@@ -228,6 +228,51 @@ class OperatorsSpec extends AnyFunSuite {
       Seq("signup_id" -> "p"))), "NTZ auto as-of diverged")
   }
 
+  test("as-of accepts MIXED time encodings (TIMESTAMP one side, NTZ the other) — ADVICE r10") {
+    // the time axis normalizes to micros per side BEFORE the union, so
+    // mixed inputs never rely on implicit union coercion; under the UTC
+    // session both orientations must reproduce the all-TIMESTAMP rows
+    import org.apache.spark.sql.types.TimestampNTZType
+    val events = Tables.events(spark, sf)
+    val left = events.select("event_id", "user_id", "ts")
+    val signups = events.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"event_id".as("signup_id"))
+    def ntz(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", $"ts".cast(TimestampNTZType))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "p").collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("p"))).toMap
+    for (tol <- Seq(None, Some(3600L))) {
+      val want = rows(AsOf.asOfJoin(left, signups, "user_id", "ts", "ts",
+        Seq("signup_id" -> "p"), tol))
+      assert(rows(AsOf.asOfJoin(ntz(left), signups, "user_id", "ts", "ts",
+        Seq("signup_id" -> "p"), tol)) == want, s"NTZ-left/TS-right diverged at tol=$tol")
+      assert(rows(AsOf.asOfJoin(left, ntz(signups), "user_id", "ts", "ts",
+        Seq("signup_id" -> "p"), tol)) == want, s"TS-left/NTZ-right diverged at tol=$tol")
+    }
+  }
+
+  test("NTZ time axis is session-TZ-independent across a DST fold — ADVICE r10") {
+    // America/New_York, 2026-11-01: wall clocks 01:00-02:00 happen twice
+    // (EDT→EST fall-back). A session-TZ cast maps wall 01:45→EDT and
+    // 02:15→EST — an instant delta of 90 min for a 30-min wall delta —
+    // so a 60-min tolerance would wrongly drop the match. The field-
+    // arithmetic axis reads the wall clock itself: delta 30 min, kept.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val left = Seq((1L, "2026-11-01 02:15:00")).toDF("k", "s")
+        .select($"k", expr("to_timestamp_ntz(s)").as("ts"))
+      val right = Seq((1L, "2026-11-01 01:45:00", 7L)).toDF("k", "s", "p")
+        .select($"k", expr("to_timestamp_ntz(s)").as("ts"), $"p")
+      val got = AsOf.asOfJoin(left, right, "k", "ts", "ts",
+        Seq("p" -> "p_out"), toleranceSeconds = Some(3600L))
+        .select("p_out").collect().map(r => Option(r.getAs[java.lang.Long]("p_out")))
+      assert(got.toSeq == Seq(Some(7L)),
+        s"wall-clock delta is 30 min; the DST fold must not inflate it past tolerance: $got")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("trailing RANGE window includes events exactly 1 h back at micro timestamps (q86 key)") {
     import org.apache.spark.sql.expressions.Window
     // same window shape + ordering key as q86: unix_micros, RANGE 1 h
