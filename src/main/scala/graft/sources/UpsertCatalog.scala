@@ -173,12 +173,40 @@ class UpsertV2Table(tableName: String, path: String, keys: Seq[String],
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
+  /** Scan builder WITH filter + column pushdown (VERDICT r10 #8): the
+    * V1Scan bridge casts its relation to plain TableScan, so pushdown
+    * must happen HERE, at the V2 layer — accepted filters and the
+    * pruned schema ride into the relation, whose TableScan serves the
+    * already-cut frame. Without this every catalog SQL read
+    * materialized the full merged store through the Row-conversion
+    * boundary (q100's probe side read the whole cell table for 5
+    * rows). Untranslatable filters are returned as residual and Spark
+    * re-applies them above the scan. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      private var pruned: Option[StructType] = None
+
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        val (ok, residual) = filters.partition(f => UpsertRelation.translate(f).isDefined)
+        pushed = ok
+        residual
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        // empty projection (e.g. COUNT(*)) keeps the full schema — the
+        // relation must still produce rows
+        if (requiredSchema.nonEmpty) pruned = Some(requiredSchema)
+
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = tableSchema
+        override def readSchema(): StructType = pruned.getOrElse(tableSchema)
         override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
-          UpsertRelation(ctx.sparkSession, path, keys, Some(tableSchema), versionAsOf)
+          UpsertRelation(ctx.sparkSession, path, keys, Some(tableSchema), versionAsOf,
+            pushed.toIndexedSeq, pruned)
             .asInstanceOf[T]
       }
     }

@@ -122,4 +122,35 @@ class UpsertCatalogSpec extends AnyFunSuite {
     assert(a == b && b == c, s"write paths diverged: $a / $b / $c")
     assert(a == Seq((1L, 1.0), (2L, 9.0), (3L, 3.0)))
   }
+
+  test("catalog reads push filters and prune columns into the scan (VERDICT r10 #8)") {
+    import spark.implicits._
+    (0L until 100L).map(i => (i, s"tag$i", i.toDouble)).toDF("k", "tag", "v")
+      .writeTo("graft.pushdown_t").tableProperty("keys", "k").create()
+
+    // filter pushdown: the scan node must carry the predicate (V1Scan
+    // bridge renders accepted filters in PushedFilters), and results
+    // must match the unpushed semantics
+    val q = spark.sql("SELECT k, v FROM graft.pushdown_t WHERE k < 5")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(k,5)"),
+      s"filter must reach the scan:\n$plan")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (0L until 5L),
+      "pushed filter must not change results")
+
+    // column pruning: the scan's output must not include `tag`
+    val pr = spark.sql("SELECT v FROM graft.pushdown_t WHERE k >= 98")
+    val scanOut = pr.queryExecution.executedPlan.collectLeaves().map(_.output.map(_.name))
+    assert(scanOut.exists(cols => cols.contains("v") && !cols.contains("tag")),
+      s"scan must prune to the required columns, got $scanOut")
+    assert(pr.collect().map(_.getDouble(0)).sorted.toSeq == Seq(98.0, 99.0))
+
+    // a filter the translator rejects must be re-applied above the
+    // scan, not lost (string contains → unsupported → residual)
+    val resid = spark.sql(
+      "SELECT k FROM graft.pushdown_t WHERE tag LIKE '%9' AND k < 20")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(resid == Seq(9L, 19L), s"residual filter semantics broke: $resid")
+    spark.sql("DROP TABLE graft.pushdown_t")
+  }
 }
