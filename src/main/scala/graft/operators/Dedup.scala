@@ -628,7 +628,7 @@ object Dedup {
     * XOR associativity (full = base ⊕ delta) — the lifecycle then
     * passes all three down instead of paying a corpus scan per stage
     * (5 scans → 2, VERDICT r10 #1b). */
-  private def lifecycleSplit(docs: DataFrame)
+  private[operators] def lifecycleSplit(docs: DataFrame)
       : (Long, (Long, Long), (Long, Long), (Long, Long)) = {
     val row = docs.agg(
       expr("percentile(doc_id, 0.8)").as("cut"),

@@ -49,11 +49,31 @@ object PostingsIndex {
     m.filter(col("corpus_n") === n && col("corpus_h") === h && !dirtyCol).count() == 1
   }
 
-  private def statsRow(spark: SparkSession, nDocs: Long, avgdl: Double,
-                       n: Long, h: Long, dirty: Boolean): DataFrame =
+  /** `total_dl` is carried as an EXACT long so [[extend]] can advance
+    * `avgdl` bit-identically to a from-scratch rebuild: Spark's
+    * `avg(long)` is an exact-integer sum (order-independent below
+    * 2^53) divided by the count, and `(base_total + delta_total)
+    * .toDouble / n'` reproduces that division exactly — a stored
+    * rounded average multiplied back would drift an ulp and break the
+    * serve ≡ recompute hash. */
+  private def statsRow(spark: SparkSession, nDocs: Long, totalDl: Long,
+                       n: Long, h: Long, dirty: Boolean, txn: Long = -1L): DataFrame =
     spark.range(1).select(
-      lit(1L).as("meta_id"), lit(nDocs).as("n"), lit(avgdl).as("avgdl"),
-      lit(n).as("corpus_n"), lit(h).as("corpus_h"), lit(dirty).as("dirty"))
+      lit(1L).as("meta_id"), lit(nDocs).as("n"), lit(totalDl).as("total_dl"),
+      lit(if (nDocs > 0) totalDl.toDouble / nDocs else -1.0).as("avgdl"),
+      lit(n).as("corpus_n"), lit(h).as("corpus_h"), lit(dirty).as("dirty"),
+      lit(txn).as("txn"))
+
+  private def statsTxn(m: org.apache.spark.sql.Row): Long =
+    if (m.schema.fieldNames.contains("txn")) m.getAs[Long]("txn") else -1L
+
+  /** (docs with ≥1 token, exact total token count) — scan only. */
+  private def rawStats(docs: DataFrame): (Long, Long) = {
+    val r = docs.select(size(graft.operators.TextAnalysis.tokens(col("text"))).as("dl"))
+      .filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("t")).head()
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** Build (or gate-serve) the index for `docs` at `path`: when the
     * recorded corpus fingerprint matches, the stored index is already
@@ -65,18 +85,80 @@ object PostingsIndex {
     val (n, h) = fp.getOrElse(PairGraph.corpusFingerprint(docs))
     val prev = UpsertStore.read(spark, statsPath)
     if (prev.exists(m => gateOk(m, n, h))) return
+    val prevTxn = prev.map(m => statsTxn(m.head())).getOrElse(-1L)
     if (prev.isDefined) UpsertStore.replace(spark, statsPath,
-      statsRow(spark, -1L, -1.0, -1L, 0L, dirty = true), Seq("meta_id"),
+      statsRow(spark, -1L, -1L, -1L, 0L, dirty = true, prevTxn), Seq("meta_id"),
       assumeKeyUnique = true)
     val tf = Retrieval.postings(docs)
     UpsertStore.replace(spark, path, tf, Seq("term", "doc_id"), assumeKeyUnique = true)
     UpsertStore.replace(spark, s"${path}__df",
       tf.groupBy("term").agg(count(lit(1)).as("df")), Seq("term"),
       assumeKeyUnique = true)
-    val st = Retrieval.corpusStats(docs).head()
+    val (nDocs, totalDl) = rawStats(docs)
     UpsertStore.replace(spark, statsPath,
-      statsRow(spark, st.getLong(0), st.getDouble(1), n, h, dirty = false),
+      statsRow(spark, nDocs, totalDl, n, h, dirty = false, prevTxn),
       Seq("meta_id"), assumeKeyUnique = true)
+  }
+
+  /** INCREMENTAL maintenance — the continuous-ingest shape shared with
+    * [[PairGraph.extend]] and [[VectorIndex.extend]]: fold a batch of
+    * NEW documents in without touching the old corpus. Delta postings
+    * upsert as new keys (delta doc_ids are new by contract, so
+    * last-writer-wins merge is pure append); document frequency for
+    * the delta's terms is RECOMPUTED from the postings store rather
+    * than incremented — `df(term) = count(postings where term)` is
+    * exact against any partially-applied prior state, which is what
+    * makes a crash-retry converge where a read-modify-write increment
+    * would double-count. Corpus stats advance by exact integer
+    * arithmetic (see [[statsRow]]); the fingerprint advances
+    * associatively (count adds, XOR composes) — no old-corpus scan
+    * anywhere. Cost ∝ |delta| + (delta-term posting lists).
+    *
+    * Crash discipline (the PairGraph rules): dirty stats — preserving
+    * the PRE-extend fingerprint and totals — before any data write;
+    * clean stats commit last. `txnId` recorded in the clean stats row
+    * makes replays of a committed batch self-skip. */
+  def extend(spark: SparkSession, delta: DataFrame, path: String,
+             txnId: Option[Long] = None,
+             deltaFp: Option[(Long, Long)] = None): Unit = {
+    val statsPath = s"${path}__stats"
+    val stats = UpsertStore.read(spark, statsPath).map(_.head()).getOrElse(
+      sys.error(s"no postings index at $path to extend — run ensure first"))
+    val sTxn = statsTxn(stats)
+    if (txnId.exists(_ <= sTxn)) return // replay of a committed extend
+    val dirty = stats.schema.fieldNames.contains("dirty") && stats.getAs[Boolean]("dirty")
+    require(!(dirty && stats.getAs[Long]("corpus_n") < 0),
+      s"postings index at $path was left dirty by an interrupted REBUILD — " +
+        "there is no base state to extend from; rerun ensure")
+    require(stats.schema.fieldNames.contains("total_dl"),
+      s"postings index at $path predates incremental stats (no total_dl) — " +
+        "rebuild with ensure before extending")
+    val (baseN, baseH) = (stats.getAs[Long]("corpus_n"), stats.getAs[Long]("corpus_h"))
+    val (baseDocs, baseTotal) = (stats.getAs[Long]("n"), stats.getAs[Long]("total_dl"))
+    val deltaTf = Retrieval.postings(delta).cache()
+    try {
+      // dirty FIRST (pre-extend state preserved for the retry path)
+      UpsertStore.replace(spark, statsPath,
+        statsRow(spark, baseDocs, baseTotal, baseN, baseH, dirty = true, sTxn),
+        Seq("meta_id"), assumeKeyUnique = true)
+      UpsertStore.upsert(spark, path, deltaTf, Seq("term", "doc_id"),
+        assumeKeyUnique = true)
+      // df for EXACTLY the delta's terms, recounted from the store —
+      // delta-term-sized work, replay-exact (see scaladoc)
+      val deltaTerms = deltaTf.select("term").distinct()
+      val postings = UpsertStore.read(spark, path).getOrElse(
+        sys.error(s"postings table at $path unreadable"))
+      val refreshed = postings.join(broadcast(deltaTerms), Seq("term"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      UpsertStore.upsert(spark, s"${path}__df", refreshed, Seq("term"),
+        assumeKeyUnique = true)
+      val (dDocs, dTotal) = rawStats(delta)
+      val (dn, dh) = deltaFp.getOrElse(PairGraph.corpusFingerprint(delta))
+      UpsertStore.replace(spark, statsPath,
+        statsRow(spark, baseDocs + dDocs, baseTotal + dTotal, baseN + dn, baseH ^ dh,
+          dirty = false, txnId.getOrElse(sTxn)),
+        Seq("meta_id"), assumeKeyUnique = true)
+    } finally deltaTf.unpersist()
   }
 
   /** BM25 scores served FROM the stored index: broadcast the query

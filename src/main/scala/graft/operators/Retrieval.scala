@@ -233,5 +233,28 @@ object Retrieval {
       .filter(col("query_id") =!= col("doc_id")), 10)
   }
 
-  val all: Seq[QueryDef] = Seq(q101Bm25TopK, q102HybridRrf, q104Bm25IndexServe)
+  /** INCREMENTAL index maintenance, declared end-to-end (the q94/q97
+    * lifecycle shape for the sparse side): build the postings index
+    * over the first 80% of the corpus, fold the remaining 20% in with
+    * [[PostingsIndex.extend]] (append-only postings, delta-term df
+    * recount, exact-integer stats advance — the old corpus is never
+    * re-tokenized), then serve the probe queries from the grown
+    * index. q101's from-scratch oracle over the FULL corpus proves
+    * extend ≡ rebuild, hash-proven — document frequencies, corpus
+    * stats, and scores all have to come out bit-identical. Fresh
+    * store per run (honest bench: build + extend + serve). */
+  val q105Bm25IndexIncremental: QueryDef = sql(
+    "q105_bm25_index_incremental", q101Sql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val store = graft.Scratch.dir("graft_postings_inc") + "/index"
+    val (cut, fpBase, fpDelta, _) = Dedup.lifecycleSplit(docs)
+    PostingsIndex.ensure(s, docs.filter(col("doc_id") <= cut), store, Some(fpBase))
+    PostingsIndex.extend(s, docs.filter(col("doc_id") > cut), store,
+      deltaFp = Some(fpDelta))
+    topKRanks(PostingsIndex.search(s, store, probeQueries(docs))
+      .filter(col("query_id") =!= col("doc_id")), 10)
+  }
+
+  val all: Seq[QueryDef] = Seq(q101Bm25TopK, q102HybridRrf, q104Bm25IndexServe,
+    q105Bm25IndexIncremental)
 }

@@ -186,6 +186,59 @@ class RetrievalSpec extends AnyFunSuite {
       s"scoring must not shuffle-join the corpus side:\n$plan")
   }
 
+  test("postings extend ≡ rebuild; committed-txn replay skips; crash-retry converges") {
+    val sf = SharedSpark.sf0001
+    val docs = graft.Tables.documents(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("postings_ext").toString
+    val q = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+      .distinct()
+    val cut = docs.selectExpr("percentile(doc_id, 0.8)").head().getDouble(0).toLong
+    val old = docs.filter(col("doc_id") <= cut)
+    val delta = docs.filter(col("doc_id") > cut)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val scratch = scores(Retrieval.bm25Scores(docs, q))
+
+    // extend ≡ rebuild, bit-for-bit (df counts, stats, scores)
+    val p1 = s"$base/idx1"
+    PostingsIndex.ensure(spark, old, p1)
+    PostingsIndex.extend(spark, delta, p1)
+    assert(scores(PostingsIndex.search(spark, p1, q)) == scratch,
+      "extended index must score identically to a from-scratch build")
+
+    // a replay of an already-committed txn must not double-apply
+    val p2 = s"$base/idx2"
+    PostingsIndex.ensure(spark, old, p2)
+    PostingsIndex.extend(spark, delta, p2, txnId = Some(7L))
+    PostingsIndex.extend(spark, delta, p2, txnId = Some(7L)) // replay
+    assert(scores(PostingsIndex.search(spark, p2, q)) == scratch,
+      "replayed extend must self-skip, not double-count df/stats")
+
+    // crash mid-extend: dirty stats (pre-extend state preserved) + only
+    // HALF the delta postings applied; the retry must converge exactly
+    val p3 = s"$base/idx3"
+    PostingsIndex.ensure(spark, old, p3)
+    val halfTf = Retrieval.postings(delta.limit((delta.count() / 2).toInt))
+    val preStats = graft.streaming.UpsertStore.read(spark, s"${p3}__stats").get.head()
+    graft.streaming.UpsertStore.replace(spark, s"${p3}__stats",
+      spark.range(1).select(lit(1L).as("meta_id"),
+        lit(preStats.getAs[Long]("n")).as("n"),
+        lit(preStats.getAs[Long]("total_dl")).as("total_dl"),
+        lit(preStats.getAs[Double]("avgdl")).as("avgdl"),
+        lit(preStats.getAs[Long]("corpus_n")).as("corpus_n"),
+        lit(preStats.getAs[Long]("corpus_h")).as("corpus_h"),
+        lit(true).as("dirty"), lit(-1L).as("txn")), Seq("meta_id"))
+    graft.streaming.UpsertStore.upsert(spark, p3, halfTf, Seq("term", "doc_id"))
+    intercept[IllegalArgumentException] { // partial state must refuse to serve
+      PostingsIndex.search(spark, p3, q).count()
+    }
+    PostingsIndex.extend(spark, delta, p3) // the retry
+    assert(scores(PostingsIndex.search(spark, p3, q)) == scratch,
+      "crash-retry must converge to the from-scratch scores")
+  }
+
   test("postings index: serve ≡ recompute; gate skips rebuild; corpus change rebuilds; dirty refuses") {
     val sf = SharedSpark.sf0001
     val docs = graft.Tables.documents(spark, sf)
