@@ -86,7 +86,12 @@ object ScaleProbe {
     // round 8: the retrieval layer — BM25's posting-pruned scoring and
     // the rank-join RRF fusion must both grow with matched postings,
     // never with corpus × queries
-    "q101_bm25_topk", "q102_hybrid_rrf", "q103_semantic_dedup")
+    "q101_bm25_topk", "q102_hybrid_rrf", "q103_semantic_dedup",
+    // round 11: the stored postings index — gated serve (q104, store
+    // warm from the warm-up run) and the build+extend+serve lifecycle
+    // (q105, fresh store per run); both must grow with postings and
+    // delta size, never corpus × queries
+    "q104_bm25_index_serve", "q105_bm25_index_incremental")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */
