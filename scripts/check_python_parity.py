@@ -144,6 +144,24 @@ with tempfile.TemporaryDirectory() as td:
           pairs == [(1, 10)] and labels == [(1, 1), (10, 1)],
           f"pairs={pairs} labels={labels}")
 
+    # 7: round-11 sparse-retrieval serve path — register the BM25
+    # postings index and read postings + stats back through plain SQL.
+    # Same catalog instance as #6: the UpsertCatalog caches its
+    # warehouse path at instantiation, so a second conf.set would be
+    # silently ignored (table reads would point at the old tempdir).
+    bm_docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha gamma"), (3, "delta")],
+        "doc_id long, text string")
+    g.register_postings_index(spark, "py_bm", bm_docs)
+    tf = sorted((r.term, r.doc_id, r.tf) for r in
+                spark.sql("SELECT term, doc_id, tf FROM graft.py_bm "
+                          "WHERE term = 'alpha'").collect())
+    stats = spark.sql("SELECT n, avgdl FROM graft.py_bm__stats").collect()[0]
+    check("catalog-registered postings index readable via SQL from Python",
+          tf == [("alpha", 1, 1), ("alpha", 2, 2)]
+          and stats.n == 3 and abs(stats.avgdl - 2.0) < 1e-12,
+          f"tf={tf} stats={stats}")
+
 spark.stop()
 if failures:
     sys.exit(f"{len(failures)} parity check(s) failed: {failures}")

@@ -133,6 +133,16 @@ public final class GraftJava {
         spark, name, emb, dataDir, centroids, "graft");
   }
 
+  /** The sparse-retrieval twin (the q106 pure-SQL BM25 serve path):
+   *  postings / vocabulary / corpus stats registered as
+   *  {@code graft.<name>} / {@code graft.<name>__df} /
+   *  {@code graft.<name>__stats}. */
+  public static String registerPostingsIndex(SparkSession spark, String name,
+      Dataset<Row> docs) {
+    return graft.operators.PostingsIndex.registerCatalog(
+        spark, name, docs, "graft");
+  }
+
   /** Local keyed-parquet upsert sink (the KuduContext verb set behind
    *  one interface), constructed from Java. */
   public static UpsertSink parquetSink(SparkSession spark, String path, List<String> keys) {

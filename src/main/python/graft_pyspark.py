@@ -125,6 +125,16 @@ def register_vector_index(spark: SparkSession, name: str, emb: DataFrame,
         spark._jsparkSession, name, emb._jdf, data_dir, int(centroids), catalog)
 
 
+def register_postings_index(spark: SparkSession, name: str, docs: DataFrame,
+                            catalog: str = "graft") -> str:
+    """The sparse-retrieval twin: BM25 postings / vocabulary / corpus
+    stats registered as ``<catalog>.<name>`` / ``<catalog>.<name>__df``
+    / ``<catalog>.<name>__stats`` (the q106 pure-SQL BM25 serve path
+    reads these)."""
+    return spark._jvm.graft.operators.PostingsIndex.registerCatalog(
+        spark._jsparkSession, name, docs._jdf, catalog)
+
+
 # ------------------------------------------------------- upsert sink
 
 class UpsertSink:

@@ -191,8 +191,10 @@ object PostingsIndex {
   /** Register the index under the `graft` catalog (the q99/q100
     * idiom): builds or gate-serves AT the warehouse path — store
     * location is table identity — then `SELECT … FROM
-    * <catalog>.<name>` reads the live postings and
-    * `<catalog>.<name>__df` the vocabulary. Returns the store path. */
+    * <catalog>.<name>` reads the live postings,
+    * `<catalog>.<name>__df` the vocabulary, and
+    * `<catalog>.<name>__stats` the single corpus-stats row (N, avgdl)
+    * a SQL scorer cross-joins. Returns the store path. */
   def registerCatalog(spark: SparkSession, name: String, docs: DataFrame,
                       catalog: String = "graft"): String = {
     val warehouse = spark.conf.getOption(s"spark.sql.catalog.$catalog.path").getOrElse(
@@ -202,6 +204,7 @@ object PostingsIndex {
     ensure(spark, docs, path)
     PairGraph.ensureTable(spark, catalog, name, path, Seq("term", "doc_id"))
     PairGraph.ensureTable(spark, catalog, s"${name}__df", s"${path}__df", Seq("term"))
+    PairGraph.ensureTable(spark, catalog, s"${name}__stats", s"${path}__stats", Seq("meta_id"))
     path
   }
 }

@@ -255,6 +255,60 @@ object Retrieval {
       .filter(col("query_id") =!= col("doc_id")), 10)
   }
 
+  /** BM25 retrieval in PURE SQL over the catalog-registered postings
+    * index — the sparse twin of q100: the scoring that
+    * [[PostingsIndex.search]] declares through the Column API,
+    * re-expressed as one SQL query a warehouse user could type against
+    * the `graft.`-catalog postings / vocabulary / stats tables plus the
+    * SQL-registered `top_k_by_score` ([[graft.GraftFunctions]]).
+    *
+    * The probe-query term sets come from the postings table ITSELF
+    * (`doc_id < 3` rows are exactly the probe documents' distinct
+    * terms) — the whole query touches nothing but catalog tables. The
+    * scoring expression mirrors [[bm25Contrib]] token-for-token (same
+    * `ln`, same k1/b constants, same 6-dp round), so q106 shares
+    * q101's oracle: the driver's hash compare proves catalog read +
+    * SQL function surface + stored-index scoring end-to-end,
+    * serve ≡ recompute.
+    *
+    * Scale shape: the probe side is a ≤ |probe terms| row set and hash-
+    * joins the postings table on `term` — with table stats absent (the
+    * catalog serves raw parquet) the join is broadcast-hinted, so only
+    * matched postings shuffle, the q104 plan re-derived by the SQL
+    * planner. */
+  val q106CatalogBm25: QueryDef = sql("q106_catalog_bm25_sql", q101Sql) { (s, d) =>
+    if (!s.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.UpsertCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.path", graft.Scratch.dir("graft-catalog-wh"))
+    }
+    graft.GraftFunctions.register(s)
+    val t = s"bm_${PairGraph.dirKey64(d)}"
+    PostingsIndex.registerCatalog(s, t, Tables.documents(s, d))
+    s.sql(
+      s"""WITH q AS (
+         |  SELECT DISTINCT doc_id AS query_id, term
+         |  FROM graft.`$t` WHERE doc_id < 3),
+         |contrib AS (
+         |  SELECT /*+ BROADCAST(q, d, s) */
+         |         q.query_id, p.doc_id,
+         |         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         |           * p.tf * 2.2
+         |           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)) AS c
+         |  FROM q JOIN graft.`$t` p ON q.term = p.term
+         |         JOIN graft.`${t}__df` d ON p.term = d.term
+         |         CROSS JOIN graft.`${t}__stats` s
+         |  WHERE q.query_id != p.doc_id),
+         |scores AS (
+         |  SELECT query_id, doc_id, ROUND(SUM(c), 6) AS score
+         |  FROM contrib GROUP BY 1, 2),
+         |topk AS (
+         |  SELECT query_id, top_k_by_score(score, doc_id, 10) AS tk
+         |  FROM scores GROUP BY query_id)
+         |SELECT query_id, CAST(pos + 1 AS BIGINT) AS rk, col.id AS doc_id
+         |FROM topk LATERAL VIEW posexplode(tk) AS pos, col
+         |ORDER BY query_id, rk""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(q101Bm25TopK, q102HybridRrf, q104Bm25IndexServe,
-    q105Bm25IndexIncremental)
+    q105Bm25IndexIncremental, q106CatalogBm25)
 }

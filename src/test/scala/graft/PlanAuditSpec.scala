@@ -40,7 +40,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q101_bm25_topk",        // broadcast single-row corpus-stats (N, avgdl) join —
                              // the scalar fan-out every scorer needs
     "q102_hybrid_rrf",       // same stats row + q50's broadcast 3-query dense side
-    "q103_semantic_dedup")   // q55's broadcast 16-centroid assignment pass
+    "q103_semantic_dedup",   // q55's broadcast 16-centroid assignment pass
+    "q106_catalog_bm25_sql") // q101's single-row stats cross join, written in SQL
+                             // over the catalog stats table (hinted broadcast)
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation

@@ -84,5 +84,16 @@ class JavaApiParitySpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft.j_vx").head().getLong(0) == 12L)
     assert(spark.sql("SELECT count(*) FROM graft.j_vx__centroids")
       .head().getLong(0) == 4L)
+
+    // the sparse-retrieval twin (round 11: the q106 serve path)
+    GraftJava.registerPostingsIndex(spark, "j_bm", docs)
+    val alphaTf = spark.sql(
+      "SELECT doc_id, tf FROM graft.j_bm WHERE term = 'a1'")
+      .as[(Long, Long)].collect().toSet
+    assert(alphaTf == Set((1L, 1L), (10L, 1L)),
+      s"Java-registered postings table via SQL: $alphaTf")
+    val stats = spark.sql("SELECT n, avgdl FROM graft.j_bm__stats").head()
+    assert(stats.getLong(0) == 3L && stats.getDouble(1) == 30.0,
+      s"stats row: $stats")
   }
 }

@@ -284,4 +284,15 @@ class RetrievalSpec extends AnyFunSuite {
     PostingsIndex.ensure(spark, mutated, path)
     assert(PostingsIndex.search(spark, path, q).count() > 0)
   }
+
+  test("q106 catalog SQL BM25 ≡ q101 from-scratch, row for row") {
+    val sf = SharedSpark.sf0001
+    val viaSql = Retrieval.q106CatalogBm25.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val scratch = Retrieval.q101Bm25TopK.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql == scratch,
+      s"catalog SQL serve must match the from-scratch ranking; " +
+        s"sql=${viaSql.take(5)} scratch=${scratch.take(5)}")
+  }
 }
