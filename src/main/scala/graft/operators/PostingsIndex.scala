@@ -67,11 +67,16 @@ object PostingsIndex {
   private def statsTxn(m: org.apache.spark.sql.Row): Long =
     if (m.schema.fieldNames.contains("txn")) m.getAs[Long]("txn") else -1L
 
-  /** (docs with ≥1 token, exact total token count) — scan only. */
-  private def rawStats(docs: DataFrame): (Long, Long) = {
-    val r = docs.select(size(graft.operators.TextAnalysis.tokens(col("text"))).as("dl"))
-      .filter(col("dl") > 0)
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("t")).head()
+  /** (docs with ≥1 token, exact total token count), derived from the
+    * POSTINGS relation rather than a second tokenize pass: a doc has
+    * ≥1 token iff it has ≥1 posting, and the total token count is
+    * exactly `Σ tf` (every exploded token lands in one (doc, term)
+    * group). Both are exact longs, so `avgdl` reproduces the naive
+    * per-doc aggregation bit-for-bit — and the corpus is tokenized
+    * ONCE per build instead of three times. */
+  private def statsFromTf(tf: DataFrame): (Long, Long) = {
+    val r = tf.agg(count_distinct(col("doc_id")).as("n"),
+      coalesce(sum(col("tf")), lit(0L)).as("t")).head()
     (r.getLong(0), r.getLong(1))
   }
 
@@ -89,12 +94,19 @@ object PostingsIndex {
     if (prev.isDefined) UpsertStore.replace(spark, statsPath,
       statsRow(spark, -1L, -1L, -1L, 0L, dirty = true, prevTxn), Seq("meta_id"),
       assumeKeyUnique = true)
-    val tf = Retrieval.postings(docs)
-    UpsertStore.replace(spark, path, tf, Seq("term", "doc_id"), assumeKeyUnique = true)
+    // ONE tokenize pass: the postings write is the only job that
+    // touches the (heavy) text column; vocabulary and stats then
+    // derive from the just-written store — a column-pruned parquet
+    // re-read (term / doc_id+tf), far cheaper than re-tokenizing the
+    // corpus per derived table (was: three corpus scans per build)
+    UpsertStore.replace(spark, path, Retrieval.postings(docs),
+      Seq("term", "doc_id"), assumeKeyUnique = true)
+    val stored = UpsertStore.read(spark, path).getOrElse(
+      sys.error(s"postings table at $path unreadable after build"))
     UpsertStore.replace(spark, s"${path}__df",
-      tf.groupBy("term").agg(count(lit(1)).as("df")), Seq("term"),
+      stored.groupBy("term").agg(count(lit(1)).as("df")), Seq("term"),
       assumeKeyUnique = true)
-    val (nDocs, totalDl) = rawStats(docs)
+    val (nDocs, totalDl) = statsFromTf(stored)
     UpsertStore.replace(spark, statsPath,
       statsRow(spark, nDocs, totalDl, n, h, dirty = false, prevTxn),
       Seq("meta_id"), assumeKeyUnique = true)
@@ -152,7 +164,7 @@ object PostingsIndex {
         .groupBy("term").agg(count(lit(1)).as("df"))
       UpsertStore.upsert(spark, s"${path}__df", refreshed, Seq("term"),
         assumeKeyUnique = true)
-      val (dDocs, dTotal) = rawStats(delta)
+      val (dDocs, dTotal) = statsFromTf(deltaTf)
       val (dn, dh) = deltaFp.getOrElse(PairGraph.corpusFingerprint(delta))
       UpsertStore.replace(spark, statsPath,
         statsRow(spark, baseDocs + dDocs, baseTotal + dTotal, baseN + dn, baseH ^ dh,
