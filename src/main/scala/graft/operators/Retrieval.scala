@@ -145,21 +145,27 @@ object Retrieval {
       .filter(col("query_id") =!= col("doc_id")), 10)
   }
 
-  /** Hybrid retrieval: BM25 top-20 and exact-cosine top-20 for the same
-    * three probe ids (documents and embeddings share the id space),
-    * fused by reciprocal-rank fusion `Σ 1/(60 + rank)` (Cormack et al.,
-    * SIGIR'09) — rank-only fusion, so the fused score is a sum of
-    * exactly-representable rationals and both engines order
-    * identically with no rounding step at all.
-    *
-    * Scale: each side is its own top-k (bounded-heap shuffle); the
-    * fusion joins two ≤ 20-row-per-query rank lists — output-sized.
-    * The dense side is the brute-force baseline here for the oracle's
-    * sake; production swaps in [[VectorIndex.searchIndexed]] (q96's
-    * store) without touching the fusion.
-    */
-  val q102HybridRrf: QueryDef = sql(
-    "q102_hybrid_rrf",
+  /** Reciprocal-rank fusion `Σ 1/(60 + rank)` (Cormack et al.,
+    * SIGIR'09) of a sparse and a dense rank list — rank-only, so the
+    * fused score is a sum of exactly-representable rationals and both
+    * engines order identically with no rounding step at all. ONE
+    * fusion tree shared by q102 (from-scratch sides) and q107 (both
+    * sides served from their materialized stores), so the two can
+    * share one oracle. Inputs: (query_id, doc_id, srk) / (query_id,
+    * doc_id, drk); output (query_id, rk, doc_id), top-10. */
+  private def rrfFuse(sparse: DataFrame, dense: DataFrame): DataFrame = {
+    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("srk")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("drk")), lit(0.0)))
+    val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("query_id", "rk", "doc_id")
+      .orderBy("query_id", "rk")
+  }
+
+  private val hybridOracleSql: String =
     s"""$bm25OracleCtes,
        |qe AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
        |       FROM embeddings WHERE vec_id < 3),
@@ -185,7 +191,19 @@ object Retrieval {
        |      FROM fused)
        |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id FROM r
        |WHERE rk <= 10
-       |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+       |ORDER BY query_id, rk""".stripMargin
+
+  /** Hybrid retrieval: BM25 top-20 and exact-cosine top-20 for the same
+    * three probe ids (documents and embeddings share the id space),
+    * fused by [[rrfFuse]].
+    *
+    * Scale: each side is its own top-k (bounded-heap shuffle); the
+    * fusion joins two ≤ 20-row-per-query rank lists — output-sized.
+    * The dense side is the brute-force baseline here for the oracle's
+    * sake; q107 is the production twin serving both sides from their
+    * materialized stores.
+    */
+  val q102HybridRrf: QueryDef = sql("q102_hybrid_rrf", hybridOracleSql) { (s, d) =>
     val docs = Tables.documents(s, d)
     val sparse = topKRanks(bm25Scores(docs, probeQueries(docs))
         .filter(col("query_id") =!= col("doc_id")), 20)
@@ -205,15 +223,7 @@ object Retrieval {
       .select(col("query_id"), col("col.id").as("doc_id"),
         (col("pos") + 1).as("drk"))
 
-    val fused = sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf",
-        coalesce(lit(1.0) / (lit(60) + col("srk")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(60) + col("drk")), lit(0.0)))
-    val w = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
-    fused.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 10)
-      .select("query_id", "rk", "doc_id")
-      .orderBy("query_id", "rk")
+    rrfFuse(sparse, dense)
   }
 
   /** The STORED-INDEX serve path, declared end-to-end (VERDICT r10
@@ -309,6 +319,40 @@ object Retrieval {
          |ORDER BY query_id, rk""".stripMargin)
   }
 
+  /** Hybrid retrieval served ENTIRELY from the materialized stores —
+    * the production shape q102's scaladoc promises: the sparse top-20
+    * from the stored postings index ([[PostingsIndex.search]], q104's
+    * store) and the dense top-20 from the stored IVF index
+    * ([[VectorIndex.searchStored]], q96's store), fused by the SAME
+    * [[rrfFuse]] tree as q102. Shares q102's from-scratch oracle, so
+    * the driver's hash compare proves the composed stored-serve path
+    * end-to-end: postings roundtrip ≡ tokenize-from-scratch AND cell
+    * roundtrip ≡ brute force AND fusion unchanged.
+    *
+    * The dense side probes all 16 cells (`nProbe = centroids`) — the
+    * search is exact through the store's cell organization, which is
+    * what sharing the exact-cosine oracle requires; production dials
+    * `nProbe` down for the recall/cost trade the IVF layout exists
+    * for (q96 pins recall 1.0 at nProbe 10 on this corpus). Repeat
+    * runs hit both stores' fingerprint gates — per-batch cost is the
+    * two probe joins, nothing corpus-sized. */
+  val q107HybridStored: QueryDef = sql(
+    "q107_hybrid_stored_rrf", hybridOracleSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pStore = PostingsIndex.storePath(d)
+    PostingsIndex.ensure(s, docs, pStore)
+    val sparse = topKRanks(PostingsIndex.search(s, pStore, probeQueries(docs))
+        .filter(col("query_id") =!= col("doc_id")), 20)
+      .select(col("query_id"), col("doc_id"), col("rk").as("srk"))
+
+    val dense = VectorIndex.searchStored(s, Tables.embeddings(s, d), d,
+        col("vec_id") < 3, nProbe = 16, k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rk").as("drk"))
+
+    rrfFuse(sparse, dense)
+  }
+
   val all: Seq[QueryDef] = Seq(q101Bm25TopK, q102HybridRrf, q104Bm25IndexServe,
-    q105Bm25IndexIncremental, q106CatalogBm25)
+    q105Bm25IndexIncremental, q106CatalogBm25, q107HybridStored)
 }

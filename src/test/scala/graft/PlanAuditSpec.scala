@@ -41,8 +41,9 @@ class PlanAuditSpec extends AnyFunSuite {
                              // the scalar fan-out every scorer needs
     "q102_hybrid_rrf",       // same stats row + q50's broadcast 3-query dense side
     "q103_semantic_dedup",   // q55's broadcast 16-centroid assignment pass
-    "q106_catalog_bm25_sql") // q101's single-row stats cross join, written in SQL
+    "q106_catalog_bm25_sql", // q101's single-row stats cross join, written in SQL
                              // over the catalog stats table (hinted broadcast)
+    "q107_hybrid_stored_rrf") // q96's broadcast 16-centroid probe on the dense side
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation

@@ -285,6 +285,17 @@ class RetrievalSpec extends AnyFunSuite {
     assert(PostingsIndex.search(spark, path, q).count() > 0)
   }
 
+  test("q107 hybrid-from-stores ≡ q102 from-scratch, row for row") {
+    val sf = SharedSpark.sf0001
+    val stored = Retrieval.q107HybridStored.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val scratch = Retrieval.q102HybridRrf.fn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stored == scratch,
+      s"stored-serve hybrid must match the from-scratch fusion; " +
+        s"stored=${stored.take(5)} scratch=${scratch.take(5)}")
+  }
+
   test("q106 catalog SQL BM25 ≡ q101 from-scratch, row for row") {
     val sf = SharedSpark.sf0001
     val viaSql = Retrieval.q106CatalogBm25.fn(spark, sf)
