@@ -91,7 +91,10 @@ object ScaleProbe {
     // warm from the warm-up run) and the build+extend+serve lifecycle
     // (q105, fresh store per run); both must grow with postings and
     // delta size, never corpus × queries
-    "q104_bm25_index_serve", "q105_bm25_index_incremental")
+    "q104_bm25_index_serve", "q105_bm25_index_incremental",
+    // the stored-hybrid fusion: both stores warm after the warm-up
+    // run, so the timed runs measure the pure two-sided gated serve
+    "q107_hybrid_stored_rrf")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

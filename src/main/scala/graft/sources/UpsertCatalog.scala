@@ -52,6 +52,12 @@ import graft.streaming.UpsertStore
   * created schema). `loadTable` prefers the LIVE store schema once data
   * exists, so additive schema evolution through any write path is
   * immediately visible to catalog readers.
+  *
+  * Caveat (Spark catalog lifecycle, not ours): the session instantiates
+  * each catalog ONCE, caching the warehouse path from the conf at first
+  * use — a later `spark.conf.set("spark.sql.catalog.<name>.path", …)`
+  * is silently ignored for that session. To point at a second
+  * warehouse, register a second catalog name.
   */
 class UpsertCatalog extends TableCatalog {
   private var catalogName: String = _
