@@ -548,9 +548,78 @@ object Pipeline {
       .orderBy("doc_id", "epoch")
   }
 
+  /** Oracle for the INDEX-SERVED contamination scans (q108/q109):
+    * same 8-gram overlap as q61, but the stop-gram rule is train-side
+    * df ≤ 50 — the semantics a materialized TRAIN index naturally
+    * carries ("boilerplate = common in the train corpus"), and the one
+    * that stays stable as eval sets change. The whole computation is
+    * SQL-expressible, so the driver's hash compare proves the stored
+    * index roundtrip end-to-end against this from-scratch recompute. */
+  private val contaminationIndexSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks,
+       |         $bucket100Sql AS b
+       |  FROM documents
+       |  WHERE len(string_split_regex(lower(text), '\\s+')) >= 8),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, b,
+       |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+       |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS g
+       |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)),
+       |train AS (SELECT doc_id, g FROM sh WHERE b < 80),
+       |tdf AS (SELECT g, COUNT(*) AS dfreq FROM train GROUP BY g),
+       |pruned AS (SELECT tr.doc_id, tr.g FROM train tr JOIN tdf ON tr.g = tdf.g
+       |           WHERE tdf.dfreq <= 50),
+       |ev AS (SELECT doc_id, g FROM sh WHERE b >= 90),
+       |pairs AS (
+       |  SELECT ev.doc_id AS test_doc, pruned.doc_id AS train_doc, COUNT(*) AS shared
+       |  FROM ev JOIN pruned ON ev.g = pruned.g
+       |  GROUP BY 1, 2)
+       |SELECT test_doc, COUNT(*) AS n_train_docs, CAST(MAX(shared) AS BIGINT) AS max_shared
+       |FROM pairs
+       |GROUP BY test_doc
+       |ORDER BY test_doc""".stripMargin
+
+  /** Contamination adjudication FROM the materialized train-gram index
+    * ([[ShingleIndex]]) — the production shape of q61: the train side
+    * is shingled ONCE into the fingerprint-gated store (repeat probes
+    * against the same corpus skip the build entirely), and each eval
+    * scan shingles only the eval batch and joins the stored postings.
+    * Shares [[contaminationIndexSql]], so serve ≡ recompute is
+    * hash-proven — the q104 discipline applied to decontamination. */
+  val q108ContaminationIndexed: QueryDef = sql(
+    "q108_contamination_indexed", contaminationIndexSql) { (s, d) =>
+    val b = bucket100(col("doc_id"))
+    val docs = Tables.documents(s, d)
+    val store = ShingleIndex.storePath(d)
+    ShingleIndex.ensure(s, docs.filter(b < 80), store)
+    ShingleIndex.probe(s, store, docs.filter(b >= 90))
+  }
+
+  /** INCREMENTAL index maintenance for the contamination scan (the
+    * q105 lifecycle shape): build the gram index over the first 80%
+    * of the train split, fold the rest in with [[ShingleIndex
+    * .extend]] (delta-gram df recount, associative fingerprint
+    * advance — the old train corpus is never re-shingled), then probe
+    * the eval split against the grown index. The from-scratch oracle
+    * over the FULL train split proves extend ≡ rebuild, hash-proven.
+    * Fresh store per run (honest bench: build + extend + probe). */
+  val q109ContaminationIndexIncremental: QueryDef = sql(
+    "q109_contamination_index_incremental", contaminationIndexSql) { (s, d) =>
+    val b = bucket100(col("doc_id"))
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(b < 80)
+    val store = graft.Scratch.dir("graft_shingle_inc") + "/index"
+    val (cut, fpBase, fpDelta, _) = Dedup.lifecycleSplit(train)
+    ShingleIndex.ensure(s, train.filter(col("doc_id") <= cut), store, fp = Some(fpBase))
+    ShingleIndex.extend(s, train.filter(col("doc_id") > cut), store,
+      deltaFp = Some(fpDelta))
+    ShingleIndex.probe(s, store, docs.filter(b >= 90))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q57TextNormalize, q58PiiRedact, q59DatasetSplit, q60TokenPacking,
     q61ContaminationCheck, q62EmbeddingQuantize, q63TokenCms, q64StratifiedSample,
     q70QualityFilter, q71TableProfile, q80PrepPipeline, q87DeterministicShuffle,
-    q88WeightedRepeat)
+    q88WeightedRepeat, q108ContaminationIndexed, q109ContaminationIndexIncremental)
 }
