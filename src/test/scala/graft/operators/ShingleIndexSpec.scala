@@ -84,6 +84,23 @@ class ShingleIndexSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq == Seq((100L, 1L, 3L)))
   }
 
+  test("catalog registration serves the gram postings via SQL") {
+    if (!spark.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.path",
+        java.nio.file.Files.createTempDirectory("graft-shcat").toString)
+    }
+    val train = docsDf(1L -> leaked, 2L -> uniqueText(2L))
+    ShingleIndex.registerCatalog(spark, "sh_idx", train)
+    // doc 1 and doc 2 contribute 3 distinct 8-grams each
+    val counts = spark.sql(
+      "SELECT doc_id, count(*) AS n FROM graft.sh_idx GROUP BY doc_id ORDER BY doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(counts == Seq((1L, 3L), (2L, 3L)), s"got $counts")
+    assert(spark.sql("SELECT max(dfreq) FROM graft.sh_idx__df").head().getLong(0) == 1L)
+  }
+
   test("q108 index-served ≡ a from-scratch recompute of the same scan") {
     val sf = SharedSpark.sf0001
     val out = Pipeline.q108ContaminationIndexed.fn(spark, sf)
