@@ -411,10 +411,7 @@ object PairGraph {
   def registerCatalog(spark: SparkSession, name: String, docs: DataFrame,
                       dataDir: String, tau: Double = 0.6,
                       catalog: String = "graft"): String = {
-    val warehouse = spark.conf.getOption(s"spark.sql.catalog.$catalog.path").getOrElse(
-      sys.error(s"catalog '$catalog' is not configured — set spark.sql.catalog.$catalog " +
-        s"and spark.sql.catalog.$catalog.path first"))
-    val path = s"$warehouse/$name"
+    val path = s"${catalogWarehouse(spark, catalog)}/$name"
     // builds are eager on a gate miss and no-op reads on a hit —
     // forcing the returned frames would re-scan both tables per call.
     // One fingerprint scan serves both gates.
@@ -425,6 +422,27 @@ object PairGraph {
     ensureTable(spark, catalog, s"${name}__clusters", s"${path}__clusters", Seq("doc_id"))
     path
   }
+
+  /** Warehouse resolution for every `registerCatalog` in the engine:
+    * ask the session's LIVE catalog instance for its path instead of
+    * re-reading the conf. Catalog instances are cached per session
+    * (see the [[graft.sources.UpsertCatalog]] class-doc caveat), so a
+    * conf re-set after first use would make a conf-reading writer put
+    * data where catalog READS never look — a silently empty table.
+    * Resolving through the instance makes write path ≡ read path by
+    * construction, whatever the conf has since drifted to. */
+  private[operators] def catalogWarehouse(spark: SparkSession, catalog: String): String =
+    (try org.apache.spark.sql.GraftSqlBridge.catalogPlugin(spark, catalog)
+     catch {
+       case _: org.apache.spark.sql.connector.catalog.CatalogNotFoundException =>
+         sys.error(s"catalog '$catalog' is not configured — set " +
+           s"spark.sql.catalog.$catalog and spark.sql.catalog.$catalog.path first")
+     }) match {
+      case u: graft.sources.UpsertCatalog => u.warehousePath
+      case other => sys.error(
+        s"catalog '$catalog' is ${other.getClass.getName}, not an UpsertCatalog — " +
+          "derived stores can only register into the graft catalog implementation")
+    }
 
   /** Create the catalog entry over an existing store dir (idempotent).
     * Goes through SQL DDL — the catalog's public surface — so the

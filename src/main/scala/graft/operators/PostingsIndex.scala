@@ -209,10 +209,7 @@ object PostingsIndex {
     * a SQL scorer cross-joins. Returns the store path. */
   def registerCatalog(spark: SparkSession, name: String, docs: DataFrame,
                       catalog: String = "graft"): String = {
-    val warehouse = spark.conf.getOption(s"spark.sql.catalog.$catalog.path").getOrElse(
-      sys.error(s"catalog '$catalog' is not configured — set spark.sql.catalog.$catalog " +
-        s"and spark.sql.catalog.$catalog.path first"))
-    val path = s"$warehouse/$name"
+    val path = s"${PairGraph.catalogWarehouse(spark, catalog)}/$name"
     ensure(spark, docs, path)
     PairGraph.ensureTable(spark, catalog, name, path, Seq("term", "doc_id"))
     PairGraph.ensureTable(spark, catalog, s"${name}__df", s"${path}__df", Seq("term"))

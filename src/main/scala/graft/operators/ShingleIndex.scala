@@ -135,10 +135,7 @@ object ShingleIndex {
     * store path. */
   def registerCatalog(spark: SparkSession, name: String, trainDocs: DataFrame,
                       catalog: String = "graft"): String = {
-    val warehouse = spark.conf.getOption(s"spark.sql.catalog.$catalog.path").getOrElse(
-      sys.error(s"catalog '$catalog' is not configured — set spark.sql.catalog.$catalog " +
-        s"and spark.sql.catalog.$catalog.path first"))
-    val path = s"$warehouse/$name"
+    val path = s"${PairGraph.catalogWarehouse(spark, catalog)}/$name"
     ensure(spark, trainDocs, path)
     PairGraph.ensureTable(spark, catalog, name, path, Seq("g", "doc_id"))
     PairGraph.ensureTable(spark, catalog, s"${name}__df", s"${path}__df", Seq("g"))

@@ -150,10 +150,7 @@ object VectorIndex {
   def registerCatalog(spark: SparkSession, name: String, emb: DataFrame,
                       dataDir: String, centroids: Int = 16,
                       catalog: String = "graft"): String = {
-    val warehouse = spark.conf.getOption(s"spark.sql.catalog.$catalog.path").getOrElse(
-      sys.error(s"catalog '$catalog' is not configured — set spark.sql.catalog.$catalog " +
-        s"and spark.sql.catalog.$catalog.path first"))
-    val path = s"$warehouse/$name"
+    val path = s"${PairGraph.catalogWarehouse(spark, catalog)}/$name"
     // index() builds eagerly on a gate miss and is a no-op read on a
     // hit — forcing the returned frame would re-scan the whole table
     index(spark, emb, dataDir, centroids, Some(path))

@@ -63,6 +63,11 @@ class UpsertCatalog extends TableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
+  /** The warehouse this INSTANCE serves (see the class-doc caveat:
+    * the conf may have drifted since instantiation; writers must
+    * target this path, not the conf's). */
+  private[graft] def warehousePath: String = warehouse
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = Option(options.get("path")).getOrElse(

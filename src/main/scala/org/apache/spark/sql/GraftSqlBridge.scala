@@ -19,4 +19,14 @@ object GraftSqlBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** The session's LIVE instance of a registered V2 catalog,
+    * instantiating it from the current conf on first access
+    * (`catalogManager` is `private[sql]`). Catalog instances are
+    * cached per session, so asking the instance — rather than
+    * re-reading the conf — is the only way to agree with what reads
+    * through `<catalog>.<table>` will actually resolve. */
+  def catalogPlugin(spark: SparkSession, name: String)
+      : org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.sessionState.catalogManager.catalog(name)
 }

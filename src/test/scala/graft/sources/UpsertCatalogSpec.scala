@@ -15,9 +15,14 @@ import graft.SharedSpark
 class UpsertCatalogSpec extends AnyFunSuite {
   lazy val spark = {
     val s = SharedSpark.spark
-    val wh = java.nio.file.Files.createTempDirectory("graft-v2-catalog").toString
-    s.conf.set("spark.sql.catalog.graft", classOf[UpsertCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft.path", wh)
+    // set-if-absent: suites share one session, so an unconditional
+    // re-set here would leave the conf pointing away from the already-
+    // instantiated catalog and race concurrently-running suites
+    if (!s.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.graft", classOf[UpsertCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.path",
+        java.nio.file.Files.createTempDirectory("graft-v2-catalog").toString)
+    }
     s
   }
 
