@@ -201,5 +201,61 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q54Multimodal, q65MultimodalFrames, q75MultimodalResize)
+  case class FrameHash(doc_id: Long, frame_idx: Int, frame_sha: String)
+
+  /** Frame content hashes for exact frame-level dedup: the same
+    * per-partition batch loop as [[extractFrames]], but emitting a
+    * SHA-256 of the raw frame bytes instead of decoded features — one
+    * digest instance per partition, frames never leave the row as
+    * anything wider than the 64-hex digest. */
+  def frameHashes(ds: Dataset[Asset], frameBytes: Int = 64): Dataset[FrameHash] = {
+    import ds.sparkSession.implicits._
+    ds.repartition(col("doc_id"))
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.flatMap { a =>
+          a.content.grouped(frameBytes).zipWithIndex.map { case (frame, i) =>
+            md.reset()
+            FrameHash(a.doc_id, i, md.digest(frame).map("%02x".format(_)).mkString)
+          }
+        }
+      }
+  }
+
+  /** Frame-level exact dedup — the video-corpus shape of q45: explode
+    * every asset into frames, group frames BY CONTENT HASH corpus-wide,
+    * and report per asset how many of its frames also occur elsewhere
+    * (intros, credits, repeated stock footage — the segments a training
+    * pipeline drops before sampling clips). The oracle groups frames by
+    * their literal content (the corpus is ASCII, so `substr` slices
+    * bytes), so the driver's hash compare proves the mapPartitions
+    * framing + SHA grouping end-to-end; a SHA-256 collision would fail
+    * it.
+    *
+    * Scale: the only corpus-sized shuffle carries (doc_id, 32 B digest)
+    * — frame bytes never enter an exchange; the count join is
+    * group-cardinality sized. */
+  val q110FrameDedup: QueryDef = QueryDef.sql(
+    "q110_frame_dedup",
+    """WITH f AS (
+      |  SELECT doc_id, substr(text, CAST(i * 64 + 1 AS BIGINT), 64) AS frame
+      |  FROM documents,
+      |       unnest(range(0, CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT))) AS u(i)),
+      |c AS (SELECT frame, COUNT(*) AS n FROM f GROUP BY frame)
+      |SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |       CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_frames
+      |FROM f JOIN c ON f.frame = c.frame
+      |GROUP BY f.doc_id
+      |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+    val fr = frameHashes(assets(s, d)).toDF()
+    val counts = fr.groupBy("frame_sha").agg(count(lit(1)).as("n"))
+    fr.join(counts, "frame_sha")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_frames"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q54Multimodal, q65MultimodalFrames,
+    q75MultimodalResize, q110FrameDedup)
 }

@@ -389,6 +389,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.forall(r => math.abs(r.getAs[Double]("feature_l1") - 1.0) < 0.01))
   }
 
+  test("frame dedup: repeated 64-byte blocks across assets are counted; unique frames are not") {
+    import Multimodal.Asset
+    val block = "x" * 64
+    val assets = Seq(
+      Asset(1L, (block + block + "tail-one").getBytes("UTF-8"), "text/plain"),
+      Asset(2L, (block + "unique-middle-content").getBytes("UTF-8"), "text/plain"),
+      Asset(3L, "entirely fresh".getBytes("UTF-8"), "text/plain")).toDS()
+    val fr = Multimodal.frameHashes(assets).toDF()
+    val counts = fr.groupBy("frame_sha").agg(count(lit(1)).as("n"))
+    // doc 1: frames [block, block, tail] — the two block copies AND
+    // doc 2's block all share content → 2 dup frames of 3.
+    assert(fr.as[(Long, Int, String)].collect().count(_._1 == 1L) == 3)
+    val byDoc = fr.join(counts, "frame_sha")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nf"), sum(when(col("n") > 1, 1L).otherwise(0L)).as("nd"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byDoc(1L) == ((3L, 2L)), s"doc1: ${byDoc(1L)}")
+    assert(byDoc(2L) == ((2L, 1L)), s"doc2: ${byDoc(2L)}")
+    assert(byDoc(3L) == ((1L, 0L)), s"doc3: ${byDoc(3L)}")
+  }
+
   test("count-min sketch: within-bound flag holds and the exact column recounts independently") {
     val out = Pipeline.q63TokenCms.fn(spark, sf).collect()
     assert(out.length == 20)
