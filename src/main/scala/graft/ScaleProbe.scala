@@ -94,7 +94,11 @@ object ScaleProbe {
     "q104_bm25_index_serve", "q105_bm25_index_incremental",
     // the stored-hybrid fusion: both stores warm after the warm-up
     // run, so the timed runs measure the pure two-sided gated serve
-    "q107_hybrid_stored_rrf")
+    "q107_hybrid_stored_rrf",
+    // round-11 late adds: contamination probe from the stored gram
+    // index (train side warm via the gate) and frame-level dedup
+    // (the one corpus-sized digest shuffle must scale linearly)
+    "q108_contamination_indexed", "q110_frame_dedup")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */
