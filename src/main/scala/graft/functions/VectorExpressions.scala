@@ -135,6 +135,60 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Euclidean (L2) distance over float/double arrays — sqrt of the sum
+  * of squared element differences, accumulated in element order with
+  * double precision so the value reproduces DuckDB's `list_distance`
+  * (same loop order ⇒ same rounding) for the k-means oracle. */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression with GraftVectorArgs {
+
+  override def vectorArity: Int = 2
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  // null on dimension mismatch — see CosineSimilarity
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_distance"
+
+  private lazy val lDouble = VectorTypeCheck.isDoubleVec(left.dataType)
+  private lazy val rDouble = VectorTypeCheck.isDoubleVec(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = VectorTypeCheck.get(x, i, lDouble) - VectorTypeCheck.get(y, i, rDouble)
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (s, d, n, i) = (ctx.freshName("s"), ctx.freshName("d"),
+        ctx.freshName("n"), ctx.freshName("i"))
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ${VectorTypeCheck.getter(a, i, lDouble)} - ${VectorTypeCheck.getter(b, i, rDouble)};
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = java.lang.Math.sqrt($s);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   /** cosine_similarity(a, b) over array<float|double> columns → double. */
   def cosine_similarity(a: Column, b: Column): Column =
@@ -144,6 +198,11 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** l2_distance(a, b) over array<float|double> columns → double. */
+  def l2_distance(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      L2Distance(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** Fused LSH bucket id over an array<float|double> embedding column. */
   def hyperplane_bucket(emb: Column, planes: Int, dim: Int, seed: Long): Column =

@@ -548,6 +548,82 @@ object Pipeline {
       .orderBy("doc_id", "epoch")
   }
 
+  /** Corpus snapshot diff (dataset versioning): given two corpus
+    * versions keyed by doc_id, emit what changed — `added` / `removed`
+    * / `changed` — the audit step between two training-data releases.
+    * The versions here are deterministic derivations of `documents`
+    * (old drops doc_id % 7 = 3, new drops % 7 = 5 and rewrites % 11 =
+    * 0) so DuckDB can replay both sides. Scale shape: each side
+    * reduces to (doc_id, sha256(content)) IN THE SCAN — the diff join
+    * moves 32-byte digests, never document bodies — then one
+    * co-partitioned full-outer join on the key; unchanged rows (the
+    * overwhelming majority between adjacent releases) are filtered
+    * before the final sort. This is the batch twin of the upsert
+    * store's change feed (q98): the feed diffs versions the store
+    * wrote, this diffs any two keyed corpora. */
+  val q113SnapshotDiff: QueryDef = sql(
+    "q113_snapshot_diff",
+    """WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+      |new AS (SELECT doc_id,
+      |               CASE WHEN doc_id % 11 = 0 THEN reverse(text) ELSE text END AS text
+      |        FROM documents WHERE doc_id % 7 <> 5),
+      |j AS (SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+      |             old.text AS ot, new.text AS nt
+      |      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+      |SELECT doc_id,
+      |       CASE WHEN ot IS NULL THEN 'added'
+      |            WHEN nt IS NULL THEN 'removed'
+      |            ELSE 'changed' END AS status
+      |FROM j WHERE ot IS NULL OR nt IS NULL OR ot <> nt
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val old = docs.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), sha2(col("text"), 256).as("oh"))
+    val nw = docs.filter(col("doc_id") % 7 =!= 5)
+      .select(col("doc_id"),
+        sha2(when(col("doc_id") % 11 === 0, reverse(col("text")))
+          .otherwise(col("text")), 256).as("nh"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .filter(col("oh").isNull || col("nh").isNull || col("oh") =!= col("nh"))
+      .select(col("doc_id"),
+        when(col("oh").isNull, "added")
+          .when(col("nh").isNull, "removed")
+          .otherwise("changed").as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget mixture sampling: per-language token budgets (en
+    * 4000, others 1500 — the "mixture spec" of a training run), filled
+    * greedily in doc_id order; a document is kept iff it fits entirely
+    * within its language's remaining budget. The running token count
+    * uses [[Distributed.groupedPrefixSum]] (range repartition + local
+    * sums + broadcast prefix offsets), NOT a language-partitioned
+    * window — on a mostly-one-language corpus a per-language window
+    * sort serializes into a single task (the q60 scale argument). */
+  val q114TokenBudgetMix: QueryDef = sql(
+    "q114_token_budget_mix",
+    """WITH t AS (SELECT lang, doc_id,
+      |                  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT lang, doc_id, n_tokens,
+      |             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |      FROM t)
+      |SELECT lang, doc_id, n_tokens, cum_tokens
+      |FROM c
+      |WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 4000 ELSE 1500 END
+      |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    Distributed.groupedPrefixSum(toks, Seq("lang"), Seq("doc_id"), "n_tokens", "__pre")
+      .withColumn("cum_tokens", col("__pre") + col("n_tokens"))
+      .filter(col("cum_tokens") <=
+        when(col("lang") === "en", lit(4000L)).otherwise(lit(1500L)))
+      .select("lang", "doc_id", "n_tokens", "cum_tokens")
+      .orderBy("lang", "doc_id")
+  }
+
   /** Oracle for the INDEX-SERVED contamination scans (q108/q109):
     * same 8-gram overlap as q61, but the stop-gram rule is train-side
     * df ≤ 50 — the semantics a materialized TRAIN index naturally
@@ -621,5 +697,6 @@ object Pipeline {
     q57TextNormalize, q58PiiRedact, q59DatasetSplit, q60TokenPacking,
     q61ContaminationCheck, q62EmbeddingQuantize, q63TokenCms, q64StratifiedSample,
     q70QualityFilter, q71TableProfile, q80PrepPipeline, q87DeterministicShuffle,
-    q88WeightedRepeat, q108ContaminationIndexed, q109ContaminationIndexIncremental)
+    q88WeightedRepeat, q108ContaminationIndexed, q109ContaminationIndexIncremental,
+    q113SnapshotDiff, q114TokenBudgetMix)
 }

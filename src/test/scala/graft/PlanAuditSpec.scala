@@ -43,7 +43,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q103_semantic_dedup",   // q55's broadcast 16-centroid assignment pass
     "q106_catalog_bm25_sql", // q101's single-row stats cross join, written in SQL
                              // over the catalog stats table (hinted broadcast)
-    "q107_hybrid_stored_rrf") // q96's broadcast 16-centroid probe on the dense side
+    "q107_hybrid_stored_rrf", // q96's broadcast 16-centroid probe on the dense side
+    "q111_kmeans_step",      // broadcast 8-row centroid table vs corpus (Lloyd assignment)
+    "q112_cluster_balanced_sample") // same centroid broadcast via the shared assignment
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation

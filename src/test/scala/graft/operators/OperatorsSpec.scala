@@ -536,6 +536,95 @@ class OperatorsSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(bogus.isEmpty)
   }
+
+  test("k-means step (q111): assignment is the argmin over independently-recomputed centroids") {
+    val embs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val k = 8
+    val dim = embs.values.head.length
+    // driver-side recompute with a DIFFERENT accumulation order than
+    // the engine's partial aggregation (sorted by vec_id here)
+    val centroids = (0 until k).map { c =>
+      val members = embs.toSeq.filter(_._1 % k == c).sortBy(_._1).map(_._2)
+      val sums = new Array[Double](dim)
+      members.foreach(v => (0 until dim).foreach(i => sums(i) += v(i)))
+      c -> sums.map(_ / members.size)
+    }
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum)
+    val expected = embs.map { case (id, v) =>
+      id -> centroids.minBy { case (c, ce) =>
+        (BigDecimal(l2(v, ce)).setScale(6, BigDecimal.RoundingMode.HALF_UP), c)
+      }._1.toLong
+    }
+    val got = Similarity.q111KmeansStep.fn(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == expected.size)
+    val diffs = expected.collect { case (id, c) if got(id) != c => (id, c, got(id)) }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(3).toSeq}")
+  }
+
+  test("cluster-balanced sample (q112): <=16 per cluster, exactly the smallest ids, subset of the assignment") {
+    val assign = Similarity.q111KmeansStep.fn(spark, sf)
+      .as[(Long, Long)].collect().groupBy(_._2).view
+      .mapValues(_.map(_._1).sorted.take(16).toSeq).toMap
+    val got = Similarity.q112ClusterBalancedSample.fn(spark, sf)
+      .select($"cluster", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got.keySet == assign.keySet.filter(assign(_).nonEmpty))
+    got.foreach { case (c, ids) =>
+      assert(ids.size <= 16, s"cluster $c over cap: ${ids.size}")
+      assert(ids == assign(c), s"cluster $c picks differ: $ids vs ${assign(c)}")
+    }
+  }
+
+  test("snapshot diff (q113): statuses match a text-equality recompute, unchanged rows absent") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val old = docs.filter(_._1 % 7 != 3)
+    val nw = docs.filter(_._1 % 7 != 5)
+      .map { case (id, t) => id -> (if (id % 11 == 0) t.reverse else t) }
+    val expected = ((old.keySet ++ nw.keySet).flatMap { id =>
+      (old.get(id), nw.get(id)) match {
+        case (None, Some(_))              => Some(id -> "added")
+        case (Some(_), None)              => Some(id -> "removed")
+        case (Some(a), Some(b)) if a != b => Some(id -> "changed")
+        case _                            => None
+      }
+    }).toMap
+    val got = Pipeline.q113SnapshotDiff.fn(spark, sf)
+      .as[(Long, String)].collect().toMap
+    assert(got == expected,
+      s"diff sets differ: got ${got.size} expected ${expected.size}; " +
+        s"sample ${(expected.toSet -- got.toSet).take(3)} / ${(got.toSet -- expected.toSet).take(3)}")
+  }
+
+  test("token budget mix (q114): per-lang budget is respected and the kept set is the greedy prefix") {
+    val toks = Tables.documents(spark, sf)
+      .select($"lang", $"doc_id",
+        size(split(lower($"text"), "\\s+")).cast("long").as("n"))
+      .as[(String, Long, Long)].collect()
+    def budget(lang: String): Long = if (lang == "en") 4000L else 1500L
+    val expected = toks.groupBy(_._1).flatMap { case (lang, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).toSeq.flatMap { case (_, id, n) =>
+        cum += n
+        if (cum <= budget(lang)) Some((lang, id, n, cum)) else None
+      }
+      // NOTE: greedy prefix stops contributing rows once the budget is
+      // crossed, but the cumsum keeps advancing — a later small doc can
+      // NOT re-enter (contract: contiguous prefix in doc_id order)
+    }.toSet
+    val got = Pipeline.q114TokenBudgetMix.fn(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"sets differ; missing ${(expected -- got).take(3)}, extra ${(got -- expected).take(3)}")
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum <= budget(lang), s"$lang over budget")
+    }
+  }
 }
 
 object OperatorsSpec {
