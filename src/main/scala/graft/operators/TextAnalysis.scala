@@ -276,7 +276,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Unigram negative-log-likelihood quality score — the "perplexity
+    * filter" of an LLM curation pipeline, with the unigram model
+    * trained on the corpus itself (so there is no OOV mass and the
+    * whole computation is SQL-replayable). Scale shape: the model is a
+    * VOCAB-sized (term, count) table — the token→model join is the
+    * classic corpus×vocab equi-join (broadcastable whenever the vocab
+    * fits, AQE decides); the corpus total rides in as a single-row
+    * cross join; per-doc regroup is partial+final. Nothing
+    * corpus-sized is ever collected or broadcast. Score rounded to
+    * 4 dp (double `ln` + summation-order skew is ~1e-14 relative —
+    * far inside the rounding guard). */
+  val q116UnigramNll: QueryDef = sql(
+    "q116_unigram_nll",
+    """WITH toks AS (SELECT doc_id, t AS term
+      |              FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(t)),
+      |m AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+      |tot AS (SELECT SUM(c) AS n FROM m),
+      |scored AS (SELECT toks.doc_id, -ln(m.c / tot.n) AS nll
+      |           FROM toks JOIN m USING (term) CROSS JOIN tot)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, ROUND(AVG(nll), 4) AS avg_nll
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val model = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = model.agg(sum(col("c")).as("n"))
+    toks.join(model, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("nll", -log(col("c").cast("double") / col("n")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("nll")), 4).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40TextQuality, q41TokenFrequency, q42DocStatsByLang, q43LangId, q44Fingerprint,
-    q49TokenMetrics, q36DocChunks, q90IntraDocRepetition)
+    q49TokenMetrics, q36DocChunks, q90IntraDocRepetition, q116UnigramNll)
 }

@@ -45,7 +45,9 @@ class PlanAuditSpec extends AnyFunSuite {
                              // over the catalog stats table (hinted broadcast)
     "q107_hybrid_stored_rrf", // q96's broadcast 16-centroid probe on the dense side
     "q111_kmeans_step",      // broadcast 8-row centroid table vs corpus (Lloyd assignment)
-    "q112_cluster_balanced_sample") // same centroid broadcast via the shared assignment
+    "q112_cluster_balanced_sample", // same centroid broadcast via the shared assignment
+    "q115_kmeans_iterate",   // per-iteration 8-row centroid broadcast (Lloyd loop)
+    "q116_unigram_nll")      // q101's single-row corpus-total cross join
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation

@@ -580,6 +580,63 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means iterate (q115): matches a driver-side 3-iteration Lloyd recompute; inertia non-increasing") {
+    val embs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val k = 8
+    val dim = embs.values.head.length
+    def centroids(assign: Map[Long, Int]): Map[Int, Array[Double]] =
+      assign.groupBy(_._2).view.mapValues { m =>
+        val members = m.keys.toSeq.sorted.map(embs)
+        val sums = new Array[Double](dim)
+        members.foreach(v => (0 until dim).foreach(i => sums(i) += v(i)))
+        sums.map(_ / members.size)
+      }.toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum)
+    def assign(cent: Map[Int, Array[Double]]): Map[Long, Int] =
+      embs.map { case (id, v) =>
+        id -> cent.toSeq.minBy { case (c, ce) =>
+          (BigDecimal(l2(v, ce)).setScale(6, BigDecimal.RoundingMode.HALF_UP), c)
+        }._1
+      }
+    var a: Map[Long, Int] = embs.keys.map(id => id -> (id % k).toInt).toMap
+    val inertias = (1 to 3).map { _ =>
+      val c = centroids(a)
+      a = assign(c)
+      a.map { case (id, cl) => math.pow(l2(embs(id), c(cl)), 2) }.sum
+    }
+    // Lloyd: each (centroid update, reassignment) pair cannot increase
+    // the objective (up to the 6-dp argmin rounding)
+    inertias.sliding(2).foreach { case Seq(x, y) =>
+      assert(y <= x + 1e-6, s"inertia increased: $inertias")
+    }
+    val got = Similarity.q115KmeansIterate.fn(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val diffs = a.collect { case (id, c) if got(id) != c.toLong => (id, c, got(id)) }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(3).toSeq}")
+  }
+
+  test("unigram NLL (q116): matches a driver-side model recompute; model probabilities sum to 1") {
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = texts.map { case (id, t) => id -> t.toLowerCase.split("\\s+").toSeq }
+    val counts = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum.toDouble
+    assert(math.abs(counts.values.map(_ / total).sum - 1.0) < 1e-9)
+    val expected = toks.map { case (id, ts) =>
+      val nll = ts.map(t => -math.log(counts(t) / total)).sum / ts.size
+      (id, ts.size.toLong,
+        BigDecimal(nll).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val gotRows = TextAnalysis.q116UnigramNll.fn(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotRows == expected,
+      s"missing ${(expected -- gotRows).take(3)}, extra ${(gotRows -- expected).take(3)}")
+  }
+
   test("snapshot diff (q113): statuses match a text-equality recompute, unchanged rows absent") {
     val docs = Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect().toMap
