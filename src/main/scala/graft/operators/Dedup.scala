@@ -724,8 +724,90 @@ object Dedup {
       "ORDER BY doc_a, doc_b")
   }
 
+  /** Exact duplicate-SPAN detection (the token-level complement of
+    * whole-document dedup — the "exact substring deduplication" of
+    * Lee et al. 2022, at word granularity): any 20-token window whose
+    * text occurs at ≥ 2 positions anywhere in the corpus (other docs
+    * OR a repeat inside the same doc) is a duplicated span; per doc,
+    * overlapping/adjacent duplicated windows are merged into maximal
+    * intervals and the output reports how much of the doc is covered
+    * by them — the removal-candidate map a span-level deduper feeds on.
+    *
+    * Scale shape: windows leave the row as 8-byte xxhash64 values
+    * (never the ~120-byte window text); the global duplicate test is
+    * one groupBy on those longs, and the position join shuffles only
+    * hashes+positions. Both sides of the join come out of the same
+    * hash partitioning on `g`, so AQE reuses the exchange. The
+    * interval merge is a per-doc window function — bounded by a
+    * single document's token count (the q36 chunking bound), never a
+    * corpus-wide sort. A 64-bit collision would make two distinct
+    * spans "duplicates"; the exact oracle (which compares the window
+    * STRINGS) is the gate that would catch it. */
+  val q117DuplicateSpans: QueryDef = sql(
+    "q117_duplicate_spans",
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents
+      |  WHERE len(string_split_regex(lower(text), '\s+')) >= 20),
+      |sp AS (
+      |  SELECT doc_id, len(toks) AS n, i,
+      |         array_to_string(list_slice(toks, i, i + 19), ' ') AS g
+      |  FROM t, unnest(range(1, len(toks) - 18)) AS u(i)),
+      |dups AS (SELECT g FROM sp GROUP BY g HAVING COUNT(*) >= 2),
+      |hits AS (SELECT sp.doc_id, sp.n, sp.i FROM sp JOIN dups USING (g)),
+      |isl AS (
+      |  SELECT doc_id, n, i,
+      |         CASE WHEN i > COALESCE(MAX(i + 19) OVER (
+      |                PARTITION BY doc_id ORDER BY i
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -100) + 1
+      |              THEN 1 ELSE 0 END AS new_isl
+      |  FROM hits),
+      |isl2 AS (SELECT doc_id, n, i,
+      |                SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY i) AS island
+      |         FROM isl),
+      |merged AS (SELECT doc_id, island, MAX(n) AS n, MIN(i) AS s, MAX(i) + 19 AS e
+      |           FROM isl2 GROUP BY 1, 2)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+      |       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+      |       ROUND(SUM(e - s + 1) * 1.0 / MAX(n), 4) AS dup_frac
+      |FROM merged GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val W = 20
+    val docs = Tables.documents(s, d)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= W)
+    // hash each window BEFORE it leaves the row (q61's trick): the
+    // duplicate groupBy and the position join carry 8 B per window
+    val spans = docs.select(
+      col("doc_id"), size(col("toks")).as("n"),
+      explode(expr(
+        s"transform(sequence(1, size(toks) - ${W - 1}), " +
+          s"i -> struct(i AS i, xxhash64(concat_ws(' ', slice(toks, i, $W))) AS g))")).as("sp"))
+      .select(col("doc_id"), col("n"), col("sp.i").as("i"), col("sp.g").as("g"))
+    val dup = spans.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("g")
+    val hits = spans.join(dup, Seq("g"))
+    val covered = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val islands = hits
+      .withColumn("prev_end", max(col("i") + lit(W - 1)).over(covered))
+      .withColumn("new_isl",
+        when(col("i") > coalesce(col("prev_end"), lit(-100)) + 1, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("new_isl")).over(Window.partitionBy("doc_id").orderBy("i")))
+    val merged = islands.groupBy(col("doc_id"), col("island"))
+      .agg(max(col("n")).as("n"), min(col("i")).as("s"),
+        (max(col("i")) + lit(W - 1)).as("e"))
+    merged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"),
+        round(sum(col("e") - col("s") + 1) / max(col("n")), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q45DedupExact, q46DedupNgramJaccard, q47DedupMinhash, q48DedupSimhash,
     q56NearDupPipeline, q89DedupClusters, q91DedupRemovalPlan, q93PairGraphStore,
-    q94PairGraphIncremental, q95ClusterIncremental, q99CatalogPairGraph)
+    q94PairGraphIncremental, q95ClusterIncremental, q99CatalogPairGraph,
+    q117DuplicateSpans)
 }

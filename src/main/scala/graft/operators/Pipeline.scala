@@ -693,10 +693,60 @@ object Pipeline {
     ShingleIndex.probe(s, store, docs.filter(b >= 90))
   }
 
+  /** Contamination scan with a BLOOM-FILTER prefilter on the train
+    * side — the map-side-prune shape of q108, using Spark's own
+    * runtime-filter expressions ([[graft.functions.BloomFunctions]]).
+    * The eval split's 8-gram hashes (the SMALL set) aggregate into a
+    * plan-resident bloom; every train gram is probed map-side BEFORE
+    * any shuffle, so the train-side df-count and the cross-split join
+    * exchange only grams that (probably) occur in the eval set —
+    * O(|eval grams| + ε·|train grams|) shuffled rows instead of the
+    * full train gram set.
+    *
+    * Result-identity argument (why this shares q108's oracle): the
+    * bloom has no false negatives, and it keeps or drops an entire
+    * gram CLASS (same 64-bit key ⇒ same probe result), so for every
+    * surviving gram the post-filter df-count equals the full-corpus
+    * train df — the `dfreq ≤ 50` rule is decided on identical counts.
+    * Grams the bloom drops can never reach the output (they have no
+    * eval-side join partner), and bloom false positives die in the
+    * exact equi-join. The driver's hash compare against the
+    * from-scratch recompute proves the equivalence end-to-end. */
+  val q118ContaminationBloom: QueryDef = sql(
+    "q118_contamination_bloom", contaminationIndexSql) { (s, d) =>
+    val withToks = Tables.documents(s, d)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .filter(size(col("toks")) >= 8)
+      .withColumn("b", bucket100(col("doc_id")))
+    val sh = withToks.select(
+      col("doc_id"), col("b"),
+      explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 7), " +
+          "i -> xxhash64(concat_ws(' ', slice(toks, i, 8)))))")).as("g"))
+    val ev = sh.filter(col("b") >= 90).select(col("doc_id").as("test_doc"), col("g"))
+    val train = sh.filter(col("b") < 80).select(col("doc_id").as("train_doc"), col("g"))
+    // 1 M expected eval grams / 8 Mbit ≈ 1% fpp at that load; at 100 TB
+    // size from the eval split's gram-count stats instead
+    val bloom = ev.agg(
+      graft.functions.BloomFunctions.bloom_agg(col("g"), 1L << 20, 1L << 23).as("bf"))
+    val candidates = train.filter(
+      graft.functions.BloomFunctions.might_contain(bloom, col("g")))
+    // train-side df on SURVIVORS only — equal to the full-corpus df for
+    // every gram that can reach the output (see result-identity note)
+    val tdf = candidates.groupBy("g").agg(count(lit(1)).as("dfreq"))
+    val pruned = candidates.join(
+      broadcast(tdf.filter(col("dfreq") > 50).select("g")), Seq("g"), "left_anti")
+    ev.join(pruned, "g")
+      .groupBy("test_doc", "train_doc").agg(count(lit(1)).as("shared"))
+      .groupBy("test_doc")
+      .agg(count(lit(1)).as("n_train_docs"), max("shared").cast("long").as("max_shared"))
+      .orderBy("test_doc")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q57TextNormalize, q58PiiRedact, q59DatasetSplit, q60TokenPacking,
     q61ContaminationCheck, q62EmbeddingQuantize, q63TokenCms, q64StratifiedSample,
     q70QualityFilter, q71TableProfile, q80PrepPipeline, q87DeterministicShuffle,
     q88WeightedRepeat, q108ContaminationIndexed, q109ContaminationIndexIncremental,
-    q113SnapshotDiff, q114TokenBudgetMix)
+    q113SnapshotDiff, q114TokenBudgetMix, q118ContaminationBloom)
 }

@@ -12,6 +12,13 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The ANALYZED logical plan of a Dataset — the shape subquery
+    * expressions (e.g. a plan-resident bloom filter) embed. Classic
+    * `Dataset.queryExecution` is public but the api-facing type isn't
+    * classic, hence the bridge cast. */
+  def analyzedPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
   /** Register a function on an EXISTING session (`sessionState` is
     * `private[sql]`; extensions only apply at session build time). */
   def registerFunction(

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SharedSpark, Tables}
+
+/** Round-11 additions: duplicate-span detection (q117), bloom-prefiltered
+  * contamination (q118), product-quantization ANN (q119). The driver's
+  * oracle gate proves cross-engine equality; these pin the semantics the
+  * oracle can't see — interval-merge correctness against a naive
+  * recheck, the bloom probe's presence in the plan (the map-side-prune
+  * claim), and the PQ pool's recall MARGIN (not just the reranked
+  * output). */
+class SpanBloomPqSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+  val sf = SharedSpark.sf0001
+
+  test("q117: duplicate-span output matches a naive driver-side recheck") {
+    val W = 20
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val toks = texts.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").toSeq
+    }.filter(_._2.size >= W)
+    // every W-token window, globally counted (intra-doc repeats included)
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, ts) <- toks; i <- 0 to ts.size - W)
+      occ.updateWith(ts.slice(i, i + W).mkString(" "))(c => Some(c.getOrElse(0) + 1))
+    val expected = toks.flatMap { case (id, ts) =>
+      val hitStarts = (0 to ts.size - W)
+        .filter(i => occ(ts.slice(i, i + W).mkString(" ")) >= 2)
+      if (hitStarts.isEmpty) None
+      else {
+        // merge overlapping/adjacent [i, i+W-1] intervals
+        val merged = hitStarts.foldLeft(List.empty[(Int, Int)]) {
+          case (acc, i) =>
+            val (s0, e0) = (i, i + W - 1)
+            acc match {
+              case (ps, pe) :: rest if s0 <= pe + 1 => (ps, math.max(pe, e0)) :: rest
+              case _ => (s0, e0) :: acc
+            }
+        }
+        val dupTokens = merged.map { case (a, b) => b - a + 1 }.sum
+        Some(id -> ((merged.size.toLong, dupTokens.toLong,
+          BigDecimal(dupTokens.toDouble / ts.size)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      }
+    }
+    val got = Dedup.q117DuplicateSpans.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dup_spans"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(got.keySet == expected.keySet,
+      s"doc sets differ: only-got=${(got.keySet -- expected.keySet).take(3)} " +
+        s"only-want=${(expected.keySet -- got.keySet).take(3)}")
+    val diffs = expected.collect { case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(3).toSeq}")
+    assert(got.nonEmpty, "corpus should contain duplicated spans")
+  }
+
+  test("q118: bloom prefilter ≡ q108 index scan, and the probe is map-side in the plan") {
+    val want = Pipeline.q108ContaminationIndexed.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val df = Pipeline.q118ContaminationBloom.fn(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "bloom-prefiltered scan diverged from the index scan")
+    // the bloom probe must sit in the plan as a filter over a scalar
+    // subquery (Spark's runtime-filter expression) — the shape that
+    // prunes the train side BEFORE any exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom probe missing from physical plan")
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      "bloom should be plan-resident (scalar subquery), not a driver constant")
+  }
+
+  test("q119: PQ rerank equals brute force, with ADC pool margin ≥ 2×") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(key(Similarity.q119AnnPq.fn(spark, sf)) ==
+      key(Similarity.q50AnnBruteForce.fn(spark, sf)),
+      "PQ output diverged from brute force — recall gate broken")
+    // margin: the true top-3 must sit in the FIRST HALF of the ADC
+    // pool (C=256), so recall survives corpus drift well before the
+    // driver's oracle would catch it
+    val pool = Similarity.pqAdcPool(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("pool_rank")).toMap
+    val truth = Similarity.q50AnnBruteForce.fn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val worst = truth.map(t => pool.getOrElse(t, Int.MaxValue)).max
+    assert(worst <= 128, s"ADC pool margin eroded: worst true-neighbor rank $worst > 128")
+  }
+}
