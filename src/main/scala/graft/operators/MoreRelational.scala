@@ -521,10 +521,91 @@ object MoreRelational {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Per-group quantiles via the custom DETERMINISTIC mergeable
+    * KLL-style sketch ([[graft.functions.QuantileSketchAgg]]) — the
+    * oracle-checkable counterpart of q37: where `percentile_approx`'s
+    * estimates can't be replayed cross-engine, q120's declared output
+    * is the EXACT quantile (the q33 rank-selection machinery) plus an
+    * in-query flag asserting the sketch estimate's true rank lies
+    * within ε=5% of target — the q63 CMS idiom applied to quantiles.
+    * The flag is computed EXACTLY (one conditional-sum pass counting
+    * values ≤/ < each estimate), so the driver's hash compare proves
+    * the sketch honors its bound on real data, for every group, under
+    * whatever partitioning the run happened to use.
+    *
+    * Scale: the sketch pass is one map-side-combining aggregate with
+    * cap·log(n) doubles per group; the exact readout and the rank
+    * check are the parts a 100 TB run would drop (documented
+    * droppable, as in q63 — they exist to make the bound observable). */
+  val q120QuantileSketch: QueryDef = sql(
+    "q120_quantile_sketch",
+    """WITH agg AS (
+      |  SELECT l_returnflag,
+      |         quantile_cont(l_extendedprice, 0.5) AS q50,
+      |         quantile_cont(l_extendedprice, 0.9) AS q90,
+      |         quantile_cont(l_extendedprice, 0.99) AS q99
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, p,
+      |       ROUND(CASE p WHEN 0.5 THEN q50 WHEN 0.9 THEN q90 ELSE q99 END, 4) AS exact_q,
+      |       TRUE AS within_bound
+      |FROM agg CROSS JOIN (VALUES (0.5), (0.9), (0.99)) v(p)
+      |ORDER BY l_returnflag, p""".stripMargin) { (s, d) =>
+    val psArr = Seq(0.5, 0.9, 0.99)
+    val eps = 0.05
+    val base = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+    val counts = base.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    // exact quantile_cont per group (q33's bounded-memory rank selection)
+    val rk = Distributed.groupedRowNumber(base, Seq("l_returnflag"), Seq("v"), "r")
+      .join(broadcast(counts), "l_returnflag")
+    def cont(q: Double): org.apache.spark.sql.Column = {
+      val h = (col("n") - 1) * lit(q) + 1
+      val vLo = max(when(col("r") === floor(h), col("v")))
+      val vHi = max(when(col("r") === ceil(h), col("v")))
+      vLo + (first(h) - floor(first(h))) * (vHi - vLo)
+    }
+    val exact = rk.groupBy("l_returnflag")
+      .agg(cont(0.5).as("e50"), cont(0.9).as("e90"), cont(0.99).as("e99"))
+    // one-pass sketch per group
+    val sk = base.groupBy("l_returnflag")
+      .agg(graft.functions.QuantileFunctions.quantile_sketch(col("v"), psArr).as("est"))
+    // EXACT rank check of each estimate: two-sided so duplicate-heavy
+    // value distributions can't fail spuriously — est's occupied rank
+    // interval [count(<est)+1, count(≤est)] must intersect h ± εn
+    val checked = base.join(broadcast(sk), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg((Seq(count(lit(1)).as("n")) ++ psArr.indices.flatMap { i =>
+        Seq(
+          sum(when(col("v") < element_at(col("est"), i + 1), 1L).otherwise(0L)).as(s"rlo$i"),
+          sum(when(col("v") <= element_at(col("est"), i + 1), 1L).otherwise(0L)).as(s"rhi$i"))
+      }).head, (Seq(count(lit(1)).as("n")) ++ psArr.indices.flatMap { i =>
+        Seq(
+          sum(when(col("v") < element_at(col("est"), i + 1), 1L).otherwise(0L)).as(s"rlo$i"),
+          sum(when(col("v") <= element_at(col("est"), i + 1), 1L).otherwise(0L)).as(s"rhi$i"))
+      }).tail: _*)
+    val flags = checked.select(
+      col("l_returnflag"),
+      array(psArr.indices.map { i =>
+        val p = psArr(i)
+        val h = (col("n") - 1) * lit(p) + 1
+        val slack = lit(eps) * col("n") + 1
+        struct(lit(p).as("p"),
+          ((col(s"rlo$i") <= h + slack) && (col(s"rhi$i") >= h - slack)).as("wb"))
+      }: _*).as("pw"))
+    flags.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), explode(col("pw")).as("x"),
+        col("e50"), col("e90"), col("e99"))
+      .select(col("l_returnflag"), col("x.p").as("p"),
+        round(when(col("x.p") === 0.5, col("e50"))
+          .when(col("x.p") === 0.9, col("e90")).otherwise(col("e99")), 4).as("exact_q"),
+        col("x.wb").as("within_bound"))
+      .orderBy("l_returnflag", "p")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q23Cube, q24MinBy, q25ArrayFuncs, q26SaltedAgg, q27SqlEntry,
     q28CorrelatedSubquery, q29MultisetOps, q33Percentiles, q34Histogram,
     q35Levenshtein, q37PercentilesApprox, q66WindowExtras, q67DecimalMoney,
     q68DateArithmetic, q69GroupingSets, q72NullSemantics, q73OuterJoins,
-    q74ExistsSubqueries, q81SaltedJoin, q82GroupedTopK)
+    q74ExistsSubqueries, q81SaltedJoin, q82GroupedTopK, q120QuantileSketch)
 }

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+/** Properties of the deterministic KLL-style quantile sketch that the
+  * q120 oracle can't see: the rank-error bound across hostile value
+  * distributions and partitionings, weight conservation, and
+  * serialization roundtrip. */
+class QuantileSketchSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val ps = Seq(0.5, 0.9, 0.99)
+
+  /** max |rank(est_p) − p·n| / n over the requested quantiles,
+    * with rank measured two-sidedly (duplicate-safe). */
+  private def worstRankError(values: Seq[Double], partitions: Int): Double = {
+    val est = values.toDF("v").repartition(partitions)
+      .agg(QuantileFunctions.quantile_sketch(col("v"), ps).as("e"))
+      .head().getSeq[Double](0)
+    val sorted = values.sorted
+    val n = values.size
+    ps.zip(est).map { case (p, e) =>
+      val target = math.max(1L, math.ceil(p * n).toLong)
+      val lo = sorted.count(_ < e) + 1 // first occupied rank
+      val hi = sorted.count(_ <= e)    // last occupied rank
+      val dist =
+        if (target < lo) lo - target
+        else if (target > hi) target - hi
+        else 0L
+      dist.toDouble / n
+    }.max
+  }
+
+  test("rank error ≤ 5% across distributions and partitionings") {
+    val rnd = new scala.util.Random(7)
+    val cases: Seq[(String, Seq[Double])] = Seq(
+      "uniform" -> Seq.fill(20000)(rnd.nextDouble() * 1e6),
+      "zipf-ish heavy duplicates" -> Seq.fill(20000)(math.pow(2.0, rnd.nextInt(12)).toDouble),
+      "all equal" -> Seq.fill(5000)(42.0),
+      "sorted ascending" -> (1 to 20000).map(_.toDouble),
+      "two clusters" -> (Seq.fill(10000)(1.0) ++ Seq.fill(10000)(1e9))
+    )
+    for ((label, vs) <- cases; parts <- Seq(1, 7, 32)) {
+      val err = worstRankError(vs, parts)
+      assert(err <= 0.05, f"$label/$parts partitions: rank error $err%.4f > 0.05")
+    }
+  }
+
+  test("weight conservation: n survives compaction and merge exactly") {
+    val s = new KllSketch(16)
+    (1 to 12345).foreach(i => s.update(i.toDouble))
+    assert(s.n == 12345)
+    val o = new KllSketch(16)
+    (1 to 999).foreach(i => o.update(i.toDouble))
+    s.mergeWith(o)
+    assert(s.n == 13344)
+    val kept = s.levels.zipWithIndex.map { case (lv, l) => lv.size.toLong << l }.sum
+    assert(kept == 13344, s"kept weight $kept != n — compaction lost/duplicated weight")
+  }
+
+  test("serialize/deserialize roundtrip preserves the summary bit-for-bit") {
+    val s = new KllSketch(32)
+    val rnd = new scala.util.Random(11)
+    (1 to 5000).foreach(_ => s.update(rnd.nextDouble()))
+    val r = KllSketch.deserialize(s.serialized)
+    assert(r.n == s.n && r.cap == s.cap)
+    assert(r.levels.map(_.toList) == s.levels.map(_.toList))
+    assert(r.estimates(ps.toArray).toList == s.estimates(ps.toArray).toList)
+  }
+
+  test("NaN inputs are ignored, nulls skipped, empty group yields null") {
+    val est = Seq(Some(1.0), None, Some(Double.NaN), Some(3.0), Some(2.0))
+      .toDF("v")
+      .agg(QuantileFunctions.quantile_sketch(col("v"), Seq(0.5)).as("e"))
+      .head().getSeq[Double](0)
+    assert(est.head == 2.0)
+    val row = Seq.empty[Double].toDF("v")
+      .agg(QuantileFunctions.quantile_sketch(col("v"), Seq(0.5)).as("e"))
+      .head()
+    assert(row.isNullAt(0), "empty input should yield null, not a crash")
+  }
+
+  test("map-side partial aggregation is planned (shuffle carries sketches, not rows)") {
+    val df = (1 to 1000).map(i => (i % 3, i.toDouble)).toDF("g", "v")
+      .groupBy("g").agg(QuantileFunctions.quantile_sketch(col("v"), ps).as("e"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_quantile_sketch"),
+      s"no partial aggregate in plan:\n$plan")
+  }
+}
