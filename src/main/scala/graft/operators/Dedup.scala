@@ -805,9 +805,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental exact-dedup INGEST GATE ([[DedupGate]]): the corpus
+    * is ingested, then a deterministic "re-crawl" (every third document
+    * under a fresh id — the dup-heavy batch every production crawler
+    * eventually delivers) is adjudicated against the persisted
+    * seen-table + bloom. Decisions are global min-doc_id-wins; the
+    * oracle recomputes them from scratch with a window over the SAME
+    * unioned relation, so the driver's hash compare proves
+    * gate ≡ recompute — including that every re-crawled doc resolves
+    * to its ORIGINAL id as canonical (the cross-batch case that is the
+    * gate's entire point). Fresh scratch store per run (honest bench:
+    * build + bloom + gate + fold-in). */
+  val q121DedupIngestGate: QueryDef = sql(
+    "q121_dedup_ingest_gate",
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0)
+      |SELECT doc_id,
+      |       MIN(doc_id) OVER (PARTITION BY text) AS first_doc_id,
+      |       CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text)
+      |            THEN 'new' ELSE 'duplicate' END AS status
+      |FROM all_docs ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val recrawl = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val path = graft.Scratch.dir("graft_dedup_gate") + "/gate"
+    val base = DedupGate.ensure(s, docs, path)
+    val late = DedupGate.gate(s, recrawl, path)
+    base.union(late).orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q45DedupExact, q46DedupNgramJaccard, q47DedupMinhash, q48DedupSimhash,
     q56NearDupPipeline, q89DedupClusters, q91DedupRemovalPlan, q93PairGraphStore,
     q94PairGraphIncremental, q95ClusterIncremental, q99CatalogPairGraph,
-    q117DuplicateSpans)
+    q117DuplicateSpans, q121DedupIngestGate)
 }

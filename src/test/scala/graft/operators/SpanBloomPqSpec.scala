@@ -75,6 +75,45 @@ class SpanBloomPqSpec extends AnyFunSuite {
       "bloom should be plan-resident (scalar subquery), not a driver constant")
   }
 
+  test("dedup gate: re-ingest replay flags everything duplicate; bloom advances by OR-merge") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val path = graft.Scratch.dir("graft_dedup_gate_spec") + "/gate"
+    val batch1 = docs.filter(col("doc_id") < 100)
+    val batch2 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+    val first = DedupGate.ensure(spark, batch1, path)
+    assert(first.collect().forall(_.getAs[String]("status") == "new"),
+      "distinct-text base batch must be all-new")
+    // a batch of never-seen docs: all new, and the gate folds them in
+    val fresh = DedupGate.gate(spark, batch2, path)
+    assert(fresh.collect().forall(_.getAs[String]("status") == "new"))
+    // REPLAY of the same batch (crash-retry shape): idempotent — each
+    // doc resolves to ITSELF as canonical ('new', not a self-duplicate)
+    val replay = DedupGate.gate(spark, batch2, path).collect()
+    assert(replay.forall(r => r.getAs[String]("status") == "new" &&
+      r.getAs[Long]("first_doc_id") == r.getAs[Long]("doc_id")),
+      "replayed batch must be idempotent (self-canonical)")
+    // RE-CRAWL under fresh ids: every doc must come back duplicate,
+    // canonical = the ORIGINAL ingest id
+    val recrawl = DedupGate.gate(spark,
+      batch2.select((col("doc_id") + 5000000L).as("doc_id"), col("text")), path)
+      .collect()
+    assert(recrawl.forall(r => r.getAs[String]("status") == "duplicate" &&
+      r.getAs[Long]("first_doc_id") == r.getAs[Long]("doc_id") - 5000000L),
+      "re-crawled batch must resolve to the original ids as canonical")
+    // the persisted bloom must now cover BOTH batches (OR-merge took)
+    val bloomBytes = graft.streaming.UpsertStore.read(spark, s"${path}__bloom")
+      .get.head().getAs[Array[Byte]]("bloom")
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+    val keys = docs.filter(col("doc_id") < 200)
+      .select(org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.sha2(col("text"), 256)).as("bk"))
+      .collect().map(_.getLong(0))
+    assert(keys.forall(bf.mightContainLong),
+      "stored bloom lost keys across the OR-merge — false negatives are forbidden")
+  }
+
   test("q119: PQ rerank equals brute force, with ADC pool margin ≥ 2×") {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk"),
