@@ -98,7 +98,15 @@ object ScaleProbe {
     // round-11 late adds: contamination probe from the stored gram
     // index (train side warm via the gate) and frame-level dedup
     // (the one corpus-sized digest shuffle must scale linearly)
-    "q108_contamination_indexed", "q110_frame_dedup")
+    "q108_contamination_indexed", "q110_frame_dedup",
+    // round-11 continuation: duplicate spans (one hashed-window groupBy
+    // + per-doc interval merge), the bloom-pruned contamination scan
+    // (train-side exchange must track EVAL size, so its ratio should
+    // sit well under the replication factor), the dedup ingest gate
+    // (store traffic ≈ duplicates), and the PQ serves (ADC over
+    // 8-byte codes; stored path gated after warm-up)
+    "q117_duplicate_spans", "q118_contamination_bloom",
+    "q121_dedup_ingest_gate", "q119_ann_pq", "q122_ann_pq_stored")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */
