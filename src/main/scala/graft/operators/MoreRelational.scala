@@ -602,10 +602,41 @@ object MoreRelational {
       .orderBy("l_returnflag", "p")
   }
 
+  /** Per-group approximate distinct count (HyperLogLog++) made
+    * oracle-checkable the q63/q120 way: the declared output is the
+    * EXACT distinct count plus an in-query flag that the HLL estimate
+    * (rsd 2%) landed within 5·rsd of it. HLL's error is probabilistic
+    * (unlike the CMS/KLL one-sided bounds) but deterministic for a
+    * fixed dataset — Spark's sketch has no RNG — so the flag is
+    * stable run-to-run and the driver's hash compare pins that the
+    * sketch behaves on real data at every SF. Scale: the sketch is
+    * the one-pass bounded-memory path (the exact readout is the part
+    * a 100 TB run drops); both sides partial-aggregate map-side. */
+  val q126HllDistinct: QueryDef = sql(
+    "q126_hll_distinct",
+    """SELECT o_orderpriority,
+      |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+      |       TRUE AS within_bound
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_exact"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("est"))
+      .select(
+        col("o_orderpriority"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <=
+          greatest(lit(5.0), lit(5 * 0.02) * col("n_exact"))).as("within_bound"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q23Cube, q24MinBy, q25ArrayFuncs, q26SaltedAgg, q27SqlEntry,
     q28CorrelatedSubquery, q29MultisetOps, q33Percentiles, q34Histogram,
     q35Levenshtein, q37PercentilesApprox, q66WindowExtras, q67DecimalMoney,
     q68DateArithmetic, q69GroupingSets, q72NullSemantics, q73OuterJoins,
-    q74ExistsSubqueries, q81SaltedJoin, q82GroupedTopK, q120QuantileSketch)
+    q74ExistsSubqueries, q81SaltedJoin, q82GroupedTopK, q120QuantileSketch,
+    q126HllDistinct)
 }

@@ -255,7 +255,43 @@ object Warehouse {
       .orderBy("custkey")
   }
 
+  /** Star join with an EXPLICIT bloom runtime filter: the selective
+    * dimension side (urgent orders) aggregates its join keys into a
+    * plan-resident bloom ([[graft.functions.BloomFunctions]] — the
+    * same expressions `spark.sql.optimizer.runtime.bloomFilter` would
+    * inject, here as a library lever the user controls), and the fact
+    * scan drops non-matching rows MAP-SIDE before the exchange. The
+    * exact equi-join removes bloom false positives, so the result is
+    * identical to the plain join — the oracle replays it unfiltered —
+    * while the fact-side shuffle carries ~selectivity·|fact| rows
+    * instead of all of them. At 100 TB this is the difference between
+    * exchanging a full fact table and exchanging the 20% that can
+    * possibly match; the q118 trick on the relational star schema. */
+  val q125BloomStarJoin: QueryDef = sql(
+    "q125_bloom_star_join",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val bloom = dim.agg(
+      graft.functions.BloomFunctions.bloom_agg(col("o_orderkey"), 1L << 20, 1L << 23)
+        .as("bf"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .filter(graft.functions.BloomFunctions.might_contain(bloom, col("l_orderkey")))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q76PartitionedDpp, q77PartitionPruneStatic, q78UpsertRoundtrip, q79BucketedJoin,
-    q83ZorderScan, q98UpsertChangefeed)
+    q83ZorderScan, q98UpsertChangefeed, q125BloomStarJoin)
 }

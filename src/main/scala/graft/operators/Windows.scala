@@ -110,5 +110,58 @@ object Windows {
       .orderBy("event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q31SlidingWindow, q32SessionWindow, q86TrailingWindow)
+  /** Ordered FUNNEL analysis (view → click → purchase): per user, the
+    * earliest view, the earliest click strictly AFTER that view, the
+    * earliest purchase strictly after that click — the sequential-
+    * pattern query every event-analytics stack ships (match_recognize
+    * / ClickHouse windowFunnel), composed here from three conditional
+    * min-aggregations. Each stage is one user-keyed aggregate whose
+    * shuffle carries a single timestamp per user; the event table is
+    * scanned once per stage with the stage predicate pushed into the
+    * scan — no per-user sort, no window over the full event stream.
+    * Conversion latency is exact µs arithmetic (the q86 rule: never
+    * round-trip a timestamp through double seconds). */
+  val q124Funnel: QueryDef = sql(
+    "q124_funnel",
+    """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t2
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t3
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT u.user_id,
+      |       CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |                 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached_stage,
+      |       ROUND((epoch_us(t3) - epoch_us(t1)) / 3600000000.0, 2) AS hours_to_convert
+      |FROM u LEFT JOIN v ON u.user_id = v.user_id
+      |       LEFT JOIN c ON u.user_id = c.user_id
+      |       LEFT JOIN p ON u.user_id = p.user_id
+      |ORDER BY u.user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    ev.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L).otherwise(0L).as("reached_stage"),
+        round((expr("unix_micros(t3)") - expr("unix_micros(t1)")) / lit(3600000000.0), 2)
+          .as("hours_to_convert"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q31SlidingWindow, q32SessionWindow, q86TrailingWindow,
+    q124Funnel)
 }

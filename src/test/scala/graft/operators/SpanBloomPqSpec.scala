@@ -114,6 +114,41 @@ class SpanBloomPqSpec extends AnyFunSuite {
       "stored bloom lost keys across the OR-merge — false negatives are forbidden")
   }
 
+  test("q125: bloom-pruned star join ≡ plain join, probe sits in the fact scan stage") {
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val plain = Tables.lineitem(spark, sf)
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val df = Warehouse.q125BloomStarJoin.fn(spark, sf)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == plain, "bloom prefilter changed the join result")
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("might_contain"), "bloom probe missing from the fact side")
+  }
+
+  test("q124: funnel stages are consistent with a naive per-user event replay") {
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("ts").getTime))
+    val expected = events.groupBy(_._1).map { case (u, evs) =>
+      val t1 = evs.filter(_._2 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(a => evs.filter(e => e._2 == "click" && e._3 > a).map(_._3).minOption)
+      val t3 = t2.flatMap(b => evs.filter(e => e._2 == "purchase" && e._3 > b).map(_._3).minOption)
+      u -> (if (t3.isDefined) 3L else if (t2.isDefined) 2L else if (t1.isDefined) 1L else 0L)
+    }
+    val got = Windows.q124Funnel.fn(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("reached_stage")).toMap
+    assert(got == expected,
+      s"first diffs: ${expected.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(3)}")
+  }
+
   test("q119: PQ rerank equals brute force, with ADC pool margin ≥ 2×") {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk"),
