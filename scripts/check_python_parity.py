@@ -162,6 +162,21 @@ with tempfile.TemporaryDirectory() as td:
           and stats.n == 3 and abs(stats.avgdl - 2.0) < 1e-12,
           f"tf={tf} stats={stats}")
 
+    # 8: round-11 compressed-ANN serve path — register the PQ index
+    # and read codes + codebooks back through plain SQL (the q127
+    # surface). 64-dim vectors so the 8x8 subspace split applies.
+    pq_emb = spark.createDataFrame(
+        [(i, [float((i * 64 + j) % 7) for j in range(64)]) for i in range(40)],
+        "vec_id long, emb array<double>")
+    g.register_pq_index(spark, "py_pq", pq_emb)
+    n_codes = spark.sql("SELECT count(*) AS n FROM graft.py_pq").collect()[0].n
+    width = spark.sql("SELECT size(codes) AS w FROM graft.py_pq LIMIT 1").collect()[0].w
+    n_sub = spark.sql(
+        "SELECT count(DISTINCT m) AS n FROM graft.py_pq__codebooks").collect()[0].n
+    check("catalog-registered PQ index readable via SQL from Python",
+          n_codes == 40 and width == 8 and n_sub == 8,
+          f"codes={n_codes} width={width} subspaces={n_sub}")
+
 spark.stop()
 if failures:
     sys.exit(f"{len(failures)} parity check(s) failed: {failures}")

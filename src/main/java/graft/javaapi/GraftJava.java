@@ -143,6 +143,16 @@ public final class GraftJava {
         spark, name, docs, "graft");
   }
 
+  /** The compressed-ANN twin (the q127 pure-SQL PQ serve path):
+   *  packed codes + per-subspace codebooks registered as
+   *  {@code graft.<name>} / {@code graft.<name>__codebooks}.
+   *  {@code emb} carries (vec_id, emb double[]). */
+  public static String registerPqIndex(SparkSession spark, String name,
+      Dataset<Row> emb) {
+    return graft.operators.PqIndex.registerCatalog(
+        spark, name, emb, "graft");
+  }
+
   /** Local keyed-parquet upsert sink (the KuduContext verb set behind
    *  one interface), constructed from Java. */
   public static UpsertSink parquetSink(SparkSession spark, String path, List<String> keys) {

@@ -135,6 +135,16 @@ def register_postings_index(spark: SparkSession, name: str, docs: DataFrame,
         spark._jsparkSession, name, docs._jdf, catalog)
 
 
+def register_pq_index(spark: SparkSession, name: str, emb: DataFrame,
+                      catalog: str = "graft") -> str:
+    """The compressed-ANN twin: product-quantization codes + codebooks
+    registered as ``<catalog>.<name>`` / ``<catalog>.<name>__codebooks``
+    (the q127 pure-SQL PQ serve path reads these).  ``emb`` carries
+    ``(vec_id, emb: array<double>)``."""
+    return spark._jvm.graft.operators.PqIndex.registerCatalog(
+        spark._jsparkSession, name, emb._jdf, catalog)
+
+
 # ------------------------------------------------------- upsert sink
 
 class UpsertSink:

@@ -35,6 +35,7 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (e => CosineSimilarity(e(0), e(1))),
     "dot_product" -> (e => DotProduct(e(0), e(1))),
+    "l2_distance" -> (e => L2Distance(e(0), e(1))),
     "rolling_hash" -> (e => RollingHash(e(0))),
     "normalize_text" -> (e => NormalizeText(e(0))),
     "simhash64" -> (e => SimHash64(e(0))),

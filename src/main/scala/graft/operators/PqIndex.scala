@@ -221,6 +221,22 @@ object PqIndex {
         txnId.getOrElse(mTxn)), Seq("meta_id"), assumeKeyUnique = true)
   }
 
+  /** Register the PQ index under the `graft` catalog (the
+    * q99/q100/q106 idiom): build or gate-serve AT the warehouse path,
+    * then `<catalog>.<name>` reads the packed codes and
+    * `<catalog>.<name>__codebooks` the per-subspace codebooks — an
+    * auditor (or the pure-SQL serve, q127) works in plain SQL.
+    * Returns the store path. */
+  def registerCatalog(spark: SparkSession, name: String, emb: DataFrame,
+                      catalog: String = "graft"): String = {
+    val path = s"${PairGraph.catalogWarehouse(spark, catalog)}/$name"
+    ensure(spark, emb, path)
+    PairGraph.ensureTable(spark, catalog, name, path, Seq("vec_id"))
+    PairGraph.ensureTable(spark, catalog, s"${name}__codebooks",
+      s"${path}__codebooks", Seq("m", "cid"))
+    path
+  }
+
   /** ADC + exact-rerank top-k from the STORED index for corpus-member
     * queries (`queryPred` over vec_id). `emb` supplies the raw vectors
     * for the query side and the ≤ C rerank fetches — the store itself

@@ -95,5 +95,18 @@ class JavaApiParitySpec extends AnyFunSuite {
     val stats = spark.sql("SELECT n, avgdl FROM graft.j_bm__stats").head()
     assert(stats.getLong(0) == 3L && stats.getDouble(1) == 30.0,
       s"stats row: $stats")
+
+    // the compressed-ANN twin (round 11: the q127 serve path) — 64-dim
+    // vectors so the 8×8 subspace split applies
+    val pq = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(64)(j => ((i * 64 + j) % 7).toDouble)))
+      .toDF("vec_id", "emb")
+    GraftJava.registerPqIndex(spark, "j_pq", pq)
+    assert(spark.sql("SELECT count(*) FROM graft.j_pq").head().getLong(0) == 40L)
+    val codeLen = spark.sql("SELECT size(codes) FROM graft.j_pq LIMIT 1")
+      .head().getInt(0)
+    assert(codeLen == 8, s"packed code width: $codeLen")
+    assert(spark.sql("SELECT count(DISTINCT m) FROM graft.j_pq__codebooks")
+      .head().getLong(0) == 8L)
   }
 }
