@@ -836,9 +836,105 @@ object Dedup {
     base.union(late).orderBy("doc_id")
   }
 
+  /** TRIANGLE COUNTING over the verified near-dup pair graph — the
+    * cluster-cohesion audit: a doc in many triangles sits in a dense
+    * duplicate clique (safe to collapse aggressively); a bridge doc
+    * with pairs but no triangles flags a chain the transitive closure
+    * glued together (q89's known failure mode for border-τ pairs).
+    * Edges come from the MATERIALIZED pair graph ([[PairGraph
+    * .pairGraph]] — gate-served, so repeat audits never re-mine
+    * pairs); the count is the classic two-join wedge closure on the
+    * (a < b)-oriented edge list, exact integers end-to-end (no float
+    * in the hash compare). Scale: wedge fan-out is Σ deg² on the
+    * JOIN-keyed vertex — for a hub-skewed graph orient edges
+    * low-degree → high-degree (bounds wedges by arboricity); this
+    * graph's components are τ=0.6-verified near-dup cliques, whose
+    * degree is cluster-bounded. */
+  val q128TriangleCount: QueryDef = sql(
+    "q128_triangle_count",
+    s"""WITH ${pairsCtes(0.6, "documents")},
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM jp),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1
+       |  JOIN e e2 ON e1.b = e2.a
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |m AS (SELECT x AS doc_id FROM tri UNION ALL
+       |      SELECT y FROM tri UNION ALL
+       |      SELECT z FROM tri)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val e = PairGraph.pairGraph(s, Tables.documents(s, d), d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val wedges = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+    val tri = wedges.join(
+      e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"), "left_semi")
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
+  /** q129 oracle: 3 PageRank iterations unrolled as CTEs — generated
+    * by the same loop shape as the engine (the q115 rule: generator
+    * and engine can't drift). */
+  private def pageRankSql(iters: Int): String = {
+    def step(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT adj.dst AS v,
+         |         0.15 / MAX(nn.n) + 0.85 * SUM($prev.r / deg.cnt) AS r
+         |  FROM adj JOIN $prev ON adj.src = $prev.v
+         |           JOIN deg ON adj.src = deg.src, nn
+         |  GROUP BY adj.dst)""".stripMargin
+    val chain = (1 to iters).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH ${pairsCtes(0.6, "documents")},
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM jp),
+       |adj AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT src, COUNT(*) AS cnt FROM adj GROUP BY src),
+       |nn AS (SELECT COUNT(*) AS n FROM deg),
+       |r0 AS (SELECT src AS v, 1.0 / nn.n AS r FROM deg, nn),
+       |$chain
+       |SELECT v AS doc_id, ROUND(r, 6) AS rank
+       |FROM r$iters ORDER BY doc_id""".stripMargin
+  }
+
+  /** PAGERANK over the near-dup pair graph (3 iterations, d = 0.85) —
+    * centrality-based REPRESENTATIVE selection: within a duplicate
+    * cluster the highest-rank doc is the one most broadly similar to
+    * the rest, a better canonical than q91's min-id policy when
+    * near-dup chains glue genuinely-different revisions together.
+    * Each iteration is one adjacency join + one vertex-keyed
+    * aggregate — the canonical iterative-graph shape on Spark
+    * (shuffle carries (dst, contribution) pairs, never adjacency
+    * lists); ranks stay exact doubles through the loop and round to
+    * 6 dp only at the output (the q115 discipline; per-vertex sums
+    * are cluster-bounded, so cross-engine addition-order jitter is
+    * ulp-scale against a 1e-6 grid). Edges gate-serve from the
+    * materialized pair graph like q128. */
+  val q129PageRank: QueryDef = sql(
+    "q129_pagerank", pageRankSql(3)) { (s, d) =>
+    val e = PairGraph.pairGraph(s, Tables.documents(s, d), d)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val adj = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("cnt"))
+    val n = deg.count() // node count — metadata-scale driver scalar
+    var r = deg.select(col("src").as("v"), (lit(1.0) / n).as("r"))
+    for (_ <- 1 to 3) {
+      r = adj
+        .join(r.withColumnRenamed("v", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("v"), (col("r") / col("cnt")).as("c"))
+        .groupBy("v")
+        .agg((lit(0.15) / n + lit(0.85) * sum(col("c"))).as("r"))
+    }
+    r.select(col("v").as("doc_id"), round(col("r"), 6).as("rank"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q45DedupExact, q46DedupNgramJaccard, q47DedupMinhash, q48DedupSimhash,
     q56NearDupPipeline, q89DedupClusters, q91DedupRemovalPlan, q93PairGraphStore,
     q94PairGraphIncremental, q95ClusterIncremental, q99CatalogPairGraph,
-    q117DuplicateSpans, q121DedupIngestGate)
+    q117DuplicateSpans, q121DedupIngestGate, q128TriangleCount, q129PageRank)
 }

@@ -149,6 +149,27 @@ class SpanBloomPqSpec extends AnyFunSuite {
       s"first diffs: ${expected.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(3)}")
   }
 
+  test("q128/q129: graph ops agree with hand-computed structure on the live corpus") {
+    // triangles: every doc's count must equal C(k,2) over its co-members
+    // in a clique — recheck naively from the emitted pair graph
+    val pairs = PairGraph.pairGraph(spark, Tables.documents(spark, sf), sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tri = Dedup.q128TriangleCount.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val es = pairs.toSeq
+    for ((a, b) <- es; (b2, c) <- es if b2 == b && pairs.contains((a, c))) {
+      naive(a) += 1; naive(b) += 1; naive(c) += 1
+    }
+    assert(tri == naive.toMap, s"triangle counts diverged: got=$tri want=$naive")
+    // pagerank: total rank mass is conserved (no dangling nodes in an
+    // undirected graph), so the ranks must sum to ~1
+    val ranks = Dedup.q129PageRank.fn(spark, sf).collect().map(_.getDouble(1))
+    assert(ranks.nonEmpty && math.abs(ranks.sum - 1.0) < 1e-3,
+      s"rank mass ${ranks.sum} != 1")
+  }
+
   test("q119: PQ rerank equals brute force, with ADC pool margin ≥ 2×") {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk"),
