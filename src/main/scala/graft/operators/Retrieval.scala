@@ -353,6 +353,85 @@ object Retrieval {
     rrfFuse(sparse, dense)
   }
 
+  /** The second-stage scorer seam of a retrieve→rerank pipeline: one
+    * instance per partition (the [[Multimodal.AssetDecoder]] rule —
+    * this is where a production system binds a cross-encoder model and
+    * batches pairs through it). The default is a REAL lexical
+    * reranker, not a fake: token-set Jaccard between query and
+    * candidate, deterministic and SQL-replayable, so the whole
+    * two-stage pipeline stays under the driver's oracle. */
+  trait PairScorer extends Serializable {
+    def score(query: String, doc: String): Double
+  }
+
+  /** Jaccard over lowercase whitespace token SETS, 6-dp half-up (the
+    * exact tokenization + rounding the DuckDB oracle replays). */
+  object LexicalJaccardScorer extends PairScorer {
+    private def toks(s: String): Set[String] = s.toLowerCase.split("\\s+").toSet
+    override def score(query: String, doc: String): Double = {
+      val a = toks(query); val b = toks(doc)
+      val uni = (a | b).size
+      if (uni == 0) 0.0
+      else BigDecimal((a & b).size.toDouble / uni)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
+  /** TWO-STAGE RETRIEVAL (retrieve → rerank), the production serving
+    * architecture: BM25 recalls a top-20 candidate set per query
+    * (cheap, index-backed), then the [[PairScorer]] seam re-scores
+    * ONLY those ≤ 20 pairs per query with full query/doc text — the
+    * expensive model touches a bounded candidate set, never the
+    * corpus. Batching is `mapPartitions` with one scorer instance per
+    * partition (where a real cross-encoder loads once and batches);
+    * final order is (rerank score desc, doc_id), ties broken inside
+    * the bounded heap. The oracle replays BOTH stages — BM25 CTEs +
+    * the SQL Jaccard — so the driver's hash compare proves the
+    * composed pipeline end-to-end. */
+  val q130RerankPipeline: QueryDef = sql(
+    "q130_rerank_pipeline",
+    s"""$bm25OracleCtes,
+       |cand AS (SELECT query_id, doc_id FROM sparse WHERE rk <= 20),
+       |qt AS (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS ts
+       |       FROM documents),
+       |rr AS (
+       |  SELECT c.query_id, c.doc_id,
+       |         ROUND(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+       |               / len(list_distinct(list_concat(a.ts, b.ts))), 6) AS score
+       |  FROM cand c JOIN qt a ON c.query_id = a.doc_id
+       |              JOIN qt b ON c.doc_id = b.doc_id),
+       |rr2 AS (SELECT query_id, doc_id,
+       |               ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                  ORDER BY score DESC, doc_id) AS rk
+       |        FROM rr)
+       |SELECT query_id, CAST(rk AS BIGINT) AS rk, doc_id FROM rr2
+       |WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val cand = topKRanks(bm25Scores(docs, probeQueries(docs))
+      .filter(col("query_id") =!= col("doc_id")), 20)
+    val texts = docs.select(col("doc_id"), col("text"))
+    val paired = cand
+      .join(texts.select(col("doc_id").as("query_id"), col("text").as("qtext")),
+        Seq("query_id"))
+      .join(texts.select(col("doc_id"), col("text").as("dtext")), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("qtext"), col("dtext"))
+      .as[(Long, Long, String, String)]
+    val scored = paired.mapPartitions { it =>
+      val scorer: PairScorer = LexicalJaccardScorer // per-partition bind
+      it.map { case (q, dId, qt, dt) => (q, dId, scorer.score(qt, dt)) }
+    }.toDF("query_id", "doc_id", "score")
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKFunctions
+        .top_k_by_score(col("score"), col("doc_id"), 5).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"))
+      .orderBy("query_id", "rk")
+  }
+
   val all: Seq[QueryDef] = Seq(q101Bm25TopK, q102HybridRrf, q104Bm25IndexServe,
-    q105Bm25IndexIncremental, q106CatalogBm25, q107HybridStored)
+    q105Bm25IndexIncremental, q106CatalogBm25, q107HybridStored,
+    q130RerankPipeline)
 }

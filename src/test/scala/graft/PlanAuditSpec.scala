@@ -47,7 +47,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q111_kmeans_step",      // broadcast 8-row centroid table vs corpus (Lloyd assignment)
     "q112_cluster_balanced_sample", // same centroid broadcast via the shared assignment
     "q115_kmeans_iterate",   // per-iteration 8-row centroid broadcast (Lloyd loop)
-    "q116_unigram_nll")      // q101's single-row corpus-total cross join
+    "q116_unigram_nll",      // q101's single-row corpus-total cross join
+    "q130_rerank_pipeline")  // stage-1 BM25 = q101's single-row stats cross join
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation
