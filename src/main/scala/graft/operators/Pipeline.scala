@@ -743,10 +743,67 @@ object Pipeline {
       .orderBy("test_doc")
   }
 
+  /** TOKEN-DISTRIBUTION DRIFT between two dataset snapshots — the
+    * statistical companion of q113's row-level diff: release auditing
+    * asks not only "which docs changed" but "did the language shift".
+    * Both versions (the q113 synthetic release pair) reduce to unigram
+    * distributions; the report is the top-10 tokens by absolute
+    * probability shift. Per-token probabilities are single divisions
+    * of exact integer counts (no summation-order jitter — the ranking
+    * is bit-stable cross-engine); the top-10 runs as
+    * `TakeOrderedAndProject` (orderBy+limit), a per-partition heap +
+    * driver merge, never a vocab-wide sort shuffle. */
+  val q131TokenDrift: QueryDef = sql(
+    "q131_token_drift",
+    """WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+      |new AS (SELECT doc_id,
+      |               CASE WHEN doc_id % 11 = 0 THEN reverse(text) ELSE text END AS text
+      |        FROM documents WHERE doc_id % 7 <> 5),
+      |ot AS (SELECT t AS token, COUNT(*) AS c
+      |       FROM old, unnest(string_split_regex(lower(text), '\s+')) AS u(t) GROUP BY 1),
+      |nt AS (SELECT t AS token, COUNT(*) AS c
+      |       FROM new, unnest(string_split_regex(lower(text), '\s+')) AS u(t) GROUP BY 1),
+      |tot AS (SELECT (SELECT SUM(c) FROM ot) AS toc, (SELECT SUM(c) FROM nt) AS tnc),
+      |u AS (SELECT COALESCE(ot.token, nt.token) AS token,
+      |             COALESCE(ot.c, 0) AS oc, COALESCE(nt.c, 0) AS nc
+      |      FROM ot FULL OUTER JOIN nt ON ot.token = nt.token),
+      |d AS (SELECT token,
+      |             CAST(oc AS DOUBLE) / toc AS po, CAST(nc AS DOUBLE) / tnc AS pn
+      |      FROM u, tot),
+      |r AS (SELECT token, po, pn,
+      |             ROW_NUMBER() OVER (ORDER BY ABS(po - pn) DESC, token) AS rk
+      |      FROM d)
+      |SELECT token, ROUND(po, 6) AS p_old, ROUND(pn, 6) AS p_new,
+      |       ROUND(ABS(po - pn), 6) AS drift
+      |FROM r WHERE rk <= 10
+      |ORDER BY drift DESC, token""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val ot = counts(docs.filter(col("doc_id") % 7 =!= 3))
+    val nt = counts(docs.filter(col("doc_id") % 7 =!= 5)
+      .select(when(col("doc_id") % 11 === 0, reverse(col("text")))
+        .otherwise(col("text")).as("text")))
+    val toc = ot.agg(sum("c")).head().getLong(0).toDouble
+    val tnc = nt.agg(sum("c")).head().getLong(0).toDouble
+    ot.withColumnRenamed("c", "oc")
+      .join(nt.withColumnRenamed("c", "nc"), Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("oc"), lit(0L)).cast("double") / toc).as("po"),
+        (coalesce(col("nc"), lit(0L)).cast("double") / tnc).as("pn"))
+      .orderBy(abs(col("po") - col("pn")).desc, col("token"))
+      .limit(10)
+      .select(col("token"), round(col("po"), 6).as("p_old"),
+        round(col("pn"), 6).as("p_new"),
+        round(abs(col("po") - col("pn")), 6).as("drift"))
+      .orderBy(col("drift").desc, col("token"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q57TextNormalize, q58PiiRedact, q59DatasetSplit, q60TokenPacking,
     q61ContaminationCheck, q62EmbeddingQuantize, q63TokenCms, q64StratifiedSample,
     q70QualityFilter, q71TableProfile, q80PrepPipeline, q87DeterministicShuffle,
     q88WeightedRepeat, q108ContaminationIndexed, q109ContaminationIndexIncremental,
-    q113SnapshotDiff, q114TokenBudgetMix, q118ContaminationBloom)
+    q113SnapshotDiff, q114TokenBudgetMix, q118ContaminationBloom, q131TokenDrift)
 }

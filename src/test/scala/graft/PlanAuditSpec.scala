@@ -48,7 +48,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q112_cluster_balanced_sample", // same centroid broadcast via the shared assignment
     "q115_kmeans_iterate",   // per-iteration 8-row centroid broadcast (Lloyd loop)
     "q116_unigram_nll",      // q101's single-row corpus-total cross join
-    "q130_rerank_pipeline")  // stage-1 BM25 = q101's single-row stats cross join
+    "q130_rerank_pipeline",  // stage-1 BM25 = q101's single-row stats cross join
+    "q132_embedding_outliers") // single-row centroid + single-row moments broadcasts
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation
