@@ -181,10 +181,57 @@ case class QuantileSketchAgg(
     copy(value = c(0))
 }
 
+/** `quantile_sketch_bytes(value, cap)` — the same mergeable summary,
+  * emitted SERIALIZED: the persistence form (a stored sketch advances
+  * by deserialize + [[KllSketch.mergeWith]] + reserialize — the
+  * merge-homomorphism that lets a quantile monitor fold batches in
+  * without rescanning history; q133's store row). */
+case class QuantileSketchBytesAgg(
+    value: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllSketch] {
+  require(cap >= 8 && cap % 2 == 0, s"cap must be even and ≥ 8: $cap")
+
+  override def children: Seq[Expression] = Seq(value)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = value.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a double value, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "quantile_sketch_bytes"
+
+  override def createAggregationBuffer(): KllSketch = new KllSketch(cap)
+  override def update(b: KllSketch, input: InternalRow): KllSketch = {
+    val v = value.eval(input)
+    if (v != null) b.update(v.asInstanceOf[Double])
+    b
+  }
+  override def merge(b: KllSketch, o: KllSketch): KllSketch = b.mergeWith(o)
+  override def eval(b: KllSketch): Any = if (b.n == 0) null else b.serialized
+  override def serialize(b: KllSketch): Array[Byte] = b.serialized
+  override def deserialize(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): QuantileSketchBytesAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileSketchBytesAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(value = c(0))
+}
+
 object QuantileFunctions {
   /** Aggregate Column: mergeable quantile estimates (one array entry
     * per requested p), deterministic compaction, cap-bounded memory. */
   def quantile_sketch(value: Column, ps: Seq[Double], cap: Int = 512): Column =
     GraftSqlBridge.column(
       QuantileSketchAgg(GraftSqlBridge.expression(value), ps, cap).toAggregateExpression())
+
+  /** Aggregate Column: the serialized summary itself (the storage /
+    * merge form — see [[QuantileSketchBytesAgg]]). */
+  def quantile_sketch_bytes(value: Column, cap: Int = 512): Column =
+    GraftSqlBridge.column(
+      QuantileSketchBytesAgg(GraftSqlBridge.expression(value), cap).toAggregateExpression())
 }

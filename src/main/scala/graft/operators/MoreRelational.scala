@@ -632,11 +632,143 @@ object MoreRelational {
       .orderBy("o_orderpriority")
   }
 
+  /** q120's quantile sketch AS A DERIVED STORE — the mergeable-sketch
+    * lifecycle: the per-group KLL summaries persist as serialized
+    * binaries ([[graft.streaming.UpsertStore]] row per group), and a
+    * new data batch advances them by DESERIALIZE + MERGE + RESERIALIZE
+    * — the sketch is a merge-homomorphism, so the store never rescans
+    * history (the q121 bloom rule applied to quantiles; this is what a
+    * continuous "p99 of the last N days" monitor does at 100 TB:
+    * per-batch sketch, merge into the store, estimate on read).
+    * q133 runs the honest lifecycle — build on the first 80% of
+    * orders, extend with the rest, serve — and its declared output is
+    * q120's contract (exact quantile + ε-bound flag computed against
+    * the FULL corpus), so the from-scratch oracle proves the
+    * incrementally-merged sketch honors the same bound a one-shot
+    * build would. Group sketches are KB-scale: the merge runs on two
+    * bounded binaries per group, driver-side, like the q121 bloom. */
+  val q133QuantileSketchStored: QueryDef = sql(
+    "q133_quantile_sketch_stored",
+    """WITH agg AS (
+      |  SELECT l_returnflag,
+      |         quantile_cont(l_extendedprice, 0.5) AS q50,
+      |         quantile_cont(l_extendedprice, 0.9) AS q90,
+      |         quantile_cont(l_extendedprice, 0.99) AS q99
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, p,
+      |       ROUND(CASE p WHEN 0.5 THEN q50 WHEN 0.9 THEN q90 ELSE q99 END, 4) AS exact_q,
+      |       TRUE AS within_bound
+      |FROM agg CROSS JOIN (VALUES (0.5), (0.9), (0.99)) v(p)
+      |ORDER BY l_returnflag, p""".stripMargin) { (s, d) =>
+    import graft.streaming.UpsertStore
+    val psArr = Seq(0.5, 0.9, 0.99)
+    val eps = 0.05
+    val base = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"),
+        col("l_extendedprice").cast("double").as("v"))
+    val cut = base.agg(expr("percentile(l_orderkey, 0.8)")).head().getDouble(0).toLong
+    val path = graft.Scratch.dir("graft_qsketch") + "/store"
+    def sketchRows(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("l_returnflag")
+      .agg(graft.functions.QuantileFunctions
+        .quantile_sketch_bytes(col("v")).as("sk"))
+    // build on the base batch, then MERGE the delta's sketches in —
+    // the stored summaries advance without rescanning the base rows
+    UpsertStore.replace(s, path, sketchRows(base.filter(col("l_orderkey") <= cut)),
+      Seq("l_returnflag"), assumeKeyUnique = true)
+    val stored = UpsertStore.read(s, path).get.collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    val delta = sketchRows(base.filter(col("l_orderkey") > cut)).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    val merged = (stored.keySet ++ delta.keySet).toSeq.map { g =>
+      val m = (stored.get(g), delta.get(g)) match {
+        case (Some(a), Some(b)) => graft.functions.KllSketch.deserialize(a)
+          .mergeWith(graft.functions.KllSketch.deserialize(b)).serialized
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case _ => sys.error("unreachable")
+      }
+      (g, m)
+    }
+    UpsertStore.replace(s, path,
+      s.createDataFrame(merged.map(t => org.apache.spark.sql.Row(t._1, t._2)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("l_returnflag",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("sk",
+            org.apache.spark.sql.types.BinaryType, nullable = false)))),
+      Seq("l_returnflag"), assumeKeyUnique = true)
+    // SERVE: estimates from the stored (incrementally merged) sketches
+    val est = UpsertStore.read(s, path).get.collect().map { r =>
+      r.getString(0) -> graft.functions.KllSketch
+        .deserialize(r.getAs[Array[Byte]]("sk")).estimates(psArr.toArray)
+    }.toMap
+    val estDf = s.createDataFrame(
+      est.toSeq.map(t => org.apache.spark.sql.Row(t._1, t._2.toSeq)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_returnflag",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("est",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false))))
+    // exact quantiles + the EXACT rank check of the stored estimates
+    // (the q120 tail, verbatim semantics)
+    val counts = base.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val rk = Distributed.groupedRowNumber(
+      base.select(col("l_returnflag"), col("v")), Seq("l_returnflag"), Seq("v"), "r")
+      .join(broadcast(counts), "l_returnflag")
+    def cont(q: Double): org.apache.spark.sql.Column = {
+      val h = (col("n") - 1) * lit(q) + 1
+      val vLo = max(when(col("r") === floor(h), col("v")))
+      val vHi = max(when(col("r") === ceil(h), col("v")))
+      vLo + (first(h) - floor(first(h))) * (vHi - vLo)
+    }
+    val exact = rk.groupBy("l_returnflag")
+      .agg(cont(0.5).as("e50"), cont(0.9).as("e90"), cont(0.99).as("e99"))
+    val checked = base.join(broadcast(estDf), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg((Seq(count(lit(1)).as("n")) ++ psArr.indices.flatMap { i =>
+        Seq(
+          sum(when(col("v") < element_at(col("est"), i + 1), 1L).otherwise(0L)).as(s"rlo$i"),
+          sum(when(col("v") <= element_at(col("est"), i + 1), 1L).otherwise(0L)).as(s"rhi$i"))
+      }).head, (Seq(count(lit(1)).as("n")) ++ psArr.indices.flatMap { i =>
+        Seq(
+          sum(when(col("v") < element_at(col("est"), i + 1), 1L).otherwise(0L)).as(s"rlo$i"),
+          sum(when(col("v") <= element_at(col("est"), i + 1), 1L).otherwise(0L)).as(s"rhi$i"))
+      }).tail: _*)
+    val flags = checked.select(
+      col("l_returnflag"),
+      array(psArr.indices.map { i =>
+        val p = psArr(i)
+        val h = (col("n") - 1) * lit(p) + 1
+        val slack = lit(eps) * col("n") + 1
+        struct(lit(p).as("p"),
+          ((col(s"rlo$i") <= h + slack) && (col(s"rhi$i") >= h - slack)).as("wb"))
+      }: _*).as("pw"))
+    flags.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), explode(col("pw")).as("x"),
+        col("e50"), col("e90"), col("e99"))
+      .select(col("l_returnflag"), col("x.p").as("p"),
+        round(when(col("x.p") === 0.5, col("e50"))
+          .when(col("x.p") === 0.9, col("e90")).otherwise(col("e99")), 4).as("exact_q"),
+        col("x.wb").as("within_bound"))
+      .orderBy("l_returnflag", "p")
+  }
+
+  private def asJava[T](s: Seq[T]): java.util.List[T] = {
+    val l = new java.util.ArrayList[T](s.size)
+    s.foreach(l.add)
+    l
+  }
+  implicit private class SeqAsJava[T](s: Seq[T]) {
+    def asJava: java.util.List[T] = MoreRelational.asJava(s)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q23Cube, q24MinBy, q25ArrayFuncs, q26SaltedAgg, q27SqlEntry,
     q28CorrelatedSubquery, q29MultisetOps, q33Percentiles, q34Histogram,
     q35Levenshtein, q37PercentilesApprox, q66WindowExtras, q67DecimalMoney,
     q68DateArithmetic, q69GroupingSets, q72NullSemantics, q73OuterJoins,
     q74ExistsSubqueries, q81SaltedJoin, q82GroupedTopK, q120QuantileSketch,
-    q126HllDistinct)
+    q126HllDistinct, q133QuantileSketchStored)
 }

@@ -62,6 +62,25 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(kept == 13344, s"kept weight $kept != n — compaction lost/duplicated weight")
   }
 
+  test("two-batch serialize-merge (the q133 store lifecycle) stays within the bound") {
+    val rnd = new scala.util.Random(23)
+    val a = Seq.fill(8000)(rnd.nextDouble() * 1e5)
+    val b = Seq.fill(12000)(rnd.nextDouble() * 1e5 + 5e4) // shifted delta batch
+    def bytesOf(vs: Seq[Double]) = vs.toDF("v").repartition(5)
+      .agg(QuantileFunctions.quantile_sketch_bytes(col("v")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val merged = KllSketch.deserialize(bytesOf(a))
+      .mergeWith(KllSketch.deserialize(bytesOf(b)))
+    assert(merged.n == 20000, "merge must conserve total weight")
+    val sorted = (a ++ b).sorted
+    val errs = ps.zip(merged.estimates(ps.toArray)).map { case (p, e) =>
+      val target = math.max(1L, math.ceil(p * 20000).toLong)
+      val lo = sorted.count(_ < e) + 1; val hi = sorted.count(_ <= e)
+      (if (target < lo) lo - target else if (target > hi) target - hi else 0L) / 20000.0
+    }
+    assert(errs.forall(_ <= 0.05), s"merged-store rank errors $errs exceed 5%")
+  }
+
   test("serialize/deserialize roundtrip preserves the summary bit-for-bit") {
     val s = new KllSketch(32)
     val rnd = new scala.util.Random(11)
