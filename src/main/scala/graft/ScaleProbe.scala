@@ -106,7 +106,16 @@ object ScaleProbe {
     // (store traffic ≈ duplicates), and the PQ serves (ADC over
     // 8-byte codes; stored path gated after warm-up)
     "q117_duplicate_spans", "q118_contamination_bloom",
-    "q121_dedup_ingest_gate", "q119_ann_pq", "q122_ann_pq_stored")
+    "q121_dedup_ingest_gate", "q119_ann_pq", "q122_ann_pq_stored",
+    // round-11 close: the sketch pass + its stored lifecycle (fixed
+    // store cost + one-pass data terms), funnel (3 conditional aggs),
+    // the bloom star join (fact-side exchange ∝ dim selectivity),
+    // graph ops (wedge closure / per-iteration joins are edge-sized),
+    // two-stage rerank (stage-2 cost is candidate-bounded), drift and
+    // outlier flags (one-two corpus passes, single-row broadcasts)
+    "q120_quantile_sketch", "q133_quantile_sketch_stored", "q124_funnel",
+    "q125_bloom_star_join", "q128_triangle_count", "q129_pagerank",
+    "q130_rerank_pipeline", "q131_token_drift", "q132_embedding_outliers")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */
