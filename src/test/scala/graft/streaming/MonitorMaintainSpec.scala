@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.functions.KllSketch
+import graft.operators.PqIndex
+
+/** The round-11 streaming maintainers for the new stores: the PQ index
+  * ([[PqIndexMaintainer]]) and the quantile monitor
+  * ([[QuantileMonitor]]). Streamed state must equal the one-shot
+  * computation; replays must not double-apply (the sketch merge is NOT
+  * idempotent — the atomic sketch+txn commit is the load-bearing part). */
+class MonitorMaintainSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+  import MonitorMaintainSpec._
+
+  private def vec(i: Long): Seq[Double] =
+    (0 until 64).map(j => ((i * 64 + j) % 13).toDouble)
+
+  test("PQ maintainer: streamed extends serve the same codes a direct extend would") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqm").toString
+    val m = new PqIndexMaintainer(spark, s"$dir/pq")
+    val base = (0L until 30L).map(i => (i, vec(i))).toDF("vec_id", "emb")
+    m.bootstrap(base)
+    m.ingestBatch((30L until 40L).map(i => (i, vec(i))).toDF("vec_id", "emb"),
+      txnId = Some(0L))
+    // all 40 vectors hold code rows; codebooks stayed pinned (30-vector train)
+    val codes = UpsertStore.read(spark, s"$dir/pq").get
+    assert(codes.count() == 40L)
+    // ledgered replay is a no-op
+    val v = UpsertStore.latestVersion(spark, s"$dir/pq")
+    m.ingestBatch((30L until 40L).map(i => (i, vec(i))).toDF("vec_id", "emb"),
+      txnId = Some(0L))
+    assert(UpsertStore.latestVersion(spark, s"$dir/pq") == v)
+    // streamed result == direct lifecycle (ensure base + extend delta)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pqm2").toString
+    PqIndex.ensure(spark, base, s"$dir2/pq")
+    PqIndex.extend(spark, (30L until 40L).map(i => (i, vec(i))).toDF("vec_id", "emb"),
+      s"$dir2/pq")
+    val a = codes.select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    val b = UpsertStore.read(spark, s"$dir2/pq").get
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(a == b, "streamed codes diverged from the direct extend")
+  }
+
+  test("quantile monitor: streamed batches match a one-shot sketch; replay is weight-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qm").toString
+    val m = new QuantileMonitor(spark, s"$dir/q")
+    val rnd = new scala.util.Random(31)
+    val b0 = Seq.fill(4000)(("a", rnd.nextDouble() * 100))
+    val b1 = Seq.fill(3000)(("a", rnd.nextDouble() * 100 + 50)) ++
+      Seq.fill(2000)(("b", rnd.nextDouble() * 10))
+    m.bootstrap(b0.toDF("grp", "v"))
+    m.ingestBatch(b1.toDF("grp", "v"), txnId = Some(0L))
+    // REPLAY with the same txn: weight must NOT double (merge is not
+    // idempotent — only the atomic txn guard protects it)
+    m.ingestBatch(b1.toDF("grp", "v"), txnId = Some(0L))
+    val weights = UpsertStore.read(spark, s"$dir/q").get.collect()
+      .map(r => r.getString(0) ->
+        KllSketch.deserialize(r.getAs[Array[Byte]]("sk")).n).toMap
+    assert(weights == Map("a" -> 7000L, "b" -> 2000L),
+      s"replay double-counted: $weights")
+    // estimates stay inside the 5% rank bound vs the exact union
+    val all = (b0 ++ b1).groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val est = m.estimates(Seq(0.5, 0.99)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    for (((g, p), e) <- est) {
+      val vs = all(g); val n = vs.size
+      val target = math.max(1L, math.ceil(p * n).toLong)
+      val lo = vs.count(_ < e) + 1; val hi = vs.count(_ <= e)
+      val dist = if (target < lo) lo - target else if (target > hi) target - hi else 0L
+      assert(dist.toDouble / n <= 0.05, s"($g, $p): rank error ${dist.toDouble / n}")
+    }
+  }
+
+  test("quantile monitor foreachBatch wiring folds a live stream in") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-qm-fb").toString
+    val m = new QuantileMonitor(spark, s"$dir/q")
+    m.bootstrap(Seq(("a", 1.0), ("a", 2.0)).toDF("grp", "v"))
+    val input = MemoryStream[Obs]
+    val q = m.run(input.toDF().select(col("grp"), col("v")), s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    input.addData((1 to 50).map(i => Obs("a", new Timestamp(1000), i.toDouble)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val n = UpsertStore.read(spark, s"$dir/q").get.collect()
+      .map(r => KllSketch.deserialize(r.getAs[Array[Byte]]("sk")).n).sum
+    assert(n == 52L, s"total observed weight $n != 52")
+  }
+}
+
+object MonitorMaintainSpec {
+  case class Obs(grp: String, ts: Timestamp, v: Double)
+}
