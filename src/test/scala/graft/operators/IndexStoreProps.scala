@@ -111,4 +111,61 @@ class IndexStoreProps extends AnyFunSuite {
         s"iter $iter (nTrain=$nTrain cap=$cap): served=$served expect=$expect")
     }
   }
+
+  test("dedup gate: decisions ≡ global min-wins recompute over random batch sequences (fixed seed)") {
+    val rnd = new scala.util.Random(20260814L)
+    for (iter <- 1 to 3) {
+      val root = Files.createTempDirectory(s"graft-gateprops-$iter").toString
+      // random content pool smaller than the id space ⇒ guaranteed dups,
+      // spread over 3 batches with strictly increasing ids
+      val pool = Vector.tabulate(5 + rnd.nextInt(5))(i => s"content $i " + randText(rnd))
+      var nextId = 0L
+      val batches = Seq.fill(3) {
+        val sz = 2 + rnd.nextInt(5)
+        val b = (1 to sz).map { _ =>
+          nextId += 1
+          (nextId, pool(rnd.nextInt(pool.length)))
+        }
+        b
+      }
+      val gate = new graft.streaming.DedupGateMaintainer(spark, s"$root/gate")
+      gate.bootstrap(batches.head.toDF("doc_id", "text"))
+      batches.tail.zipWithIndex.foreach { case (b, i) =>
+        gate.ingestBatch(b.toDF("doc_id", "text"), txnId = Some(i.toLong))
+      }
+      val got = gate.decisions().collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      val all = batches.flatten
+      val expect = all.map { case (id, text) =>
+        val first = all.filter(_._2 == text).map(_._1).min
+        id -> ((first, if (id == first) "new" else "duplicate"))
+      }.toMap
+      assert(got == expect, s"iter $iter: first diffs " +
+        expect.collect { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }.take(3))
+    }
+  }
+
+  test("pq index: stored serve ≡ from-scratch search over random corpora (fixed seed)") {
+    val rnd = new scala.util.Random(20260814L)
+    for (iter <- 1 to 2) {
+      val root = Files.createTempDirectory(s"graft-pqprops-$iter").toString
+      val n = 40 + rnd.nextInt(30)
+      val emb = (0L until n.toLong).map { i =>
+        (i, Seq.fill(64)(rnd.nextGaussian()))
+      }.toDF("vec_id", "emb")
+      val cut = n / 2
+      // grown-by-extend store vs one-shot store over the SAME corpus:
+      // codebooks differ (trained on base vs full), but both serves
+      // exact-rerank their ADC pools — outputs must agree wherever the
+      // pools cover the true neighbors; with |corpus| ≤ C the pool IS
+      // the corpus, so equality is exact by construction
+      PqIndex.ensure(spark, emb.filter($"vec_id" < cut), s"$root/grown")
+      PqIndex.extend(spark, emb.filter($"vec_id" >= cut), s"$root/grown")
+      PqIndex.ensure(spark, emb, s"$root/scratch")
+      def out(p: String) = PqIndex.search(spark, emb, p, $"vec_id" < 4)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(out(s"$root/grown") == out(s"$root/scratch"),
+        s"iter $iter (n=$n): grown-store serve diverged from one-shot store")
+    }
+  }
 }
