@@ -1,0 +1,310 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Product/time-series analytics over the `events` stream table plus
+  * corpus-level statistics the reference's SQL-on-stream surface
+  * (KafkaToKuduScala.scala:44-49 — windowed aggregation re-served as a
+  * SQL relation) implies but never ships: gap-filled resampling,
+  * rolling anomaly scores, active-user windows, last-touch attribution,
+  * grouped regression, TF-IDF keywording, deterministic weighted
+  * sampling, and a blocked fuzzy join.
+  *
+  * Scale posture (100 TB): every query here shuffles at most
+  * (group, day-or-hour) aggregates — never raw events — except the
+  * per-user windows (q136 pairs, q137 per-user sort), which shuffle one
+  * small row per (user, day) / per event and parallelize by user hash.
+  * The one range join (q136's trailing-7-day distinct) carries
+  * day-level pairs: |days| × |users| rows at most, metadata-sized next
+  * to the event table itself; at petabyte user counts the exact
+  * distinct swaps for the sliding-HLL union documented in SCALING.md.
+  */
+object Analytics {
+  import QueryDef.sql
+
+  /** Hourly downsample + forward fill: per event_type, sum(value) per
+    * hour over a dense spine from the corpus' first to last hour; gaps
+    * carry the last observed hour forward (`last(..., ignoreNulls)`
+    * running window) and are flagged. The spine is built once from a
+    * single global min/max row (broadcast cross join) and exploded with
+    * `sequence` — spine size = hours × types, metadata-scale; only the
+    * hourly aggregates shuffle, never raw events. */
+  val q134GapfillResample: QueryDef = sql(
+    "q134_gapfill_resample",
+    """WITH agg AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, ROUND(SUM(value), 2) AS sv
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+      |grid AS (
+      |  SELECT t.event_type, u.h
+      |  FROM (SELECT DISTINCT event_type FROM events) t,
+      |       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds) u)
+      |SELECT event_type, epoch_ms(h) AS hour_ms,
+      |       last_value(sv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+      |       sv IS NULL AS filled
+      |FROM grid LEFT JOIN agg USING (event_type, h)
+      |ORDER BY event_type, hour_ms""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val agg = ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum("value"), 2).as("sv"))
+    val spine = ev.agg(
+        date_trunc("hour", min("ts")).as("lo"),
+        date_trunc("hour", max("ts")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val grid = ev.select("event_type").distinct().crossJoin(spine)
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("event_type", "h"), "left")
+      .select(
+        col("event_type"),
+        expr("unix_millis(h)").as("hour_ms"),
+        last(col("sv"), ignoreNulls = true).over(w).as("sum_value"),
+        col("sv").isNull.as("filled"))
+      .orderBy("event_type", "hour_ms")
+  }
+
+  /** Rolling anomaly score: per event_type daily totals with a
+    * trailing-7-day (interval RANGE frame) mean/σ; z-score of each day
+    * against its own trailing week, |z| > 2 flagged. Shuffle carries
+    * one row per (type, day); the interval frame needs no spine — days
+    * with no events simply don't exist on either engine. */
+  val q135RollingZscore: QueryDef = sql(
+    "q135_rolling_zscore",
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d, SUM(value) AS total
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, epoch_ms(d) AS day_ms, ROUND(total, 2) AS total,
+      |       ROUND((total - avg(total) OVER w) / NULLIF(stddev_samp(total) OVER w, 0), 4) AS z,
+      |       COALESCE(ABS((total - avg(total) OVER w) / NULLIF(stddev_samp(total) OVER w, 0)) > 2, FALSE) AS anomaly
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY d
+      |             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day_ms""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(sum("value").as("total"))
+      // one SQL window expr so the interval RANGE frame matches the oracle
+      .withColumn("avg7", expr(
+        """avg(total) OVER (PARTITION BY event_type ORDER BY d
+          | RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)""".stripMargin))
+      .withColumn("sd7", expr(
+        """stddev_samp(total) OVER (PARTITION BY event_type ORDER BY d
+          | RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)""".stripMargin))
+    daily.select(
+      col("event_type"),
+      expr("unix_millis(d)").as("day_ms"),
+      round(col("total"), 2).as("total"),
+      round((col("total") - col("avg7")) / nullif(col("sd7"), lit(0)), 4).as("z"),
+      coalesce(
+        abs((col("total") - col("avg7")) / nullif(col("sd7"), lit(0))) > 2,
+        lit(false)).as("anomaly"))
+      .orderBy("event_type", "day_ms")
+  }
+
+  /** Daily + trailing-7-day active users (DAU / WAU): exact distinct
+    * per day, then a day-level range self-join for the trailing window.
+    * Everything after the first distinct is day×user pairs —
+    * metadata-sized vs the raw events; the range join is |days|² at
+    * worst on the day spine, trivially. At genuinely unbounded user
+    * counts the exact trailing distinct swaps for a sliding HLL union
+    * (q126's sketch) — this query IS the exactness baseline for it. */
+  val q136ActiveUsers: QueryDef = sql(
+    "q136_active_users",
+    """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+      |days AS (SELECT DISTINCT d FROM du)
+      |SELECT epoch_ms(days.d) AS day_ms,
+      |       (SELECT COUNT(*) FROM du WHERE du.d = days.d) AS dau,
+      |       (SELECT COUNT(DISTINCT user_id) FROM du
+      |         WHERE du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d) AS wau7
+      |FROM days ORDER BY day_ms""".stripMargin) { (s, d) =>
+    val du = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("d"), col("user_id")).distinct()
+    val dau = du.groupBy("d").agg(count(lit(1)).as("dau"))
+    val days = du.select(col("d").as("day")).distinct()
+    val wau = days.join(du,
+        du("d") <= col("day") && du("d") >= col("day") - expr("interval 6 days"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau7"))
+    dau.join(wau, dau("d") === wau("day"))
+      .select(expr("unix_millis(d)").as("day_ms"), col("dau"), col("wau7"))
+      .orderBy("day_ms")
+  }
+
+  /** Last-touch attribution: each purchase credits the most recent
+    * preceding click/view by the same user within 1 day (click wins
+    * ties), summarized per channel. One shuffle (user hash) + one
+    * per-user sort — the classic "attribution without a self-join"
+    * window plan; the strictly-preceding frame keeps a purchase from
+    * attributing to itself and costs nothing extra. */
+  val q137Attribution: QueryDef = sql(
+    "q137_attribution",
+    """WITH marked AS (
+      |  SELECT event_type, ts, value,
+      |         max(CASE WHEN event_type = 'click' THEN ts END) OVER w AS last_click,
+      |         max(CASE WHEN event_type = 'view'  THEN ts END) OVER w AS last_view
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT CASE WHEN last_click IS NOT NULL AND last_click >= ts - INTERVAL 1 DAY
+      |             AND (last_view IS NULL OR last_click >= last_view) THEN 'click'
+      |            WHEN last_view IS NOT NULL AND last_view >= ts - INTERVAL 1 DAY THEN 'view'
+      |            ELSE 'none' END AS channel,
+      |       COUNT(*) AS n_purchases,
+      |       ROUND(SUM(value), 2) AS attributed_value
+      |FROM marked WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = Tables.events(s, d)
+      .withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("ts"))).over(w))
+    marked.filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("last_click").isNotNull &&
+             col("last_click") >= col("ts") - expr("interval 1 day") &&
+             (col("last_view").isNull || col("last_click") >= col("last_view")),
+          "click")
+        .when(col("last_view").isNotNull &&
+              col("last_view") >= col("ts") - expr("interval 1 day"), "view")
+        .otherwise("none"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+           round(sum("value"), 2).as("attributed_value"))
+      .orderBy("channel")
+  }
+
+  /** Grouped ordinary-least-squares via the SQL2016 regr_* aggregates
+    * (slope / intercept / r² of extendedprice on quantity, per return
+    * flag). Pure partial-aggregatable sums — the shuffle carries six
+    * doubles per group, the textbook 100 TB-safe statistic. */
+  val q138RegressionByGroup: QueryDef = sql(
+    "q138_regression_by_group",
+    """SELECT l_returnflag,
+      |       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      |       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").cast("long").as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Per-document TF-IDF keywords: top-3 terms by tf·ln((N+1)/(df+1)),
+    * ties broken by term. One tokenize pass feeds both tf and df (df is
+    * vocab-sized → broadcast back onto tf); the only corpus-sized
+    * shuffle is the (doc, term) partial-agg — same staging as the q104
+    * postings build, and at scale it would serve FROM that stored
+    * index rather than re-tokenizing. */
+  val q139TfidfKeywords: QueryDef = sql(
+    "q139_tfidf_keywords",
+    """WITH toks AS (
+      |  SELECT doc_id, t AS token
+      |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(t)),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+      |scored AS (
+      |  SELECT doc_id, token, ROUND(tf * ln((n + 1.0) / (df + 1.0)), 4) AS score
+      |  FROM tf JOIN df USING (token), n)
+      |SELECT doc_id, token, score, rk
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+      |      FROM scored)
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 4))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "token", "score", "rk")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Blocked fuzzy (edit-distance) join: candidate pairs share a
+    * (lang, 50-char length bucket) block, verified by
+    * levenshtein ≤ 20 on the 40-char prefix. The block key bounds the
+    * quadratic term to the largest block (blocking is THE record-
+    * linkage scale lever — at 100 TB the block key is the thing you
+    * tune, never the verify); the join itself is an equi-join on the
+    * block key, so it hashes, never BNLJ. */
+  val q140FuzzyBlockedJoin: QueryDef = sql(
+    "q140_fuzzy_blocked_join",
+    """WITH b AS (
+      |  SELECT doc_id, lang, CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket, left(text, 40) AS prefix
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+      |       CAST(levenshtein(a.prefix, c.prefix) AS BIGINT) AS dist
+      |FROM b a JOIN b c ON a.lang = c.lang AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+      |WHERE levenshtein(a.prefix, c.prefix) <= 20
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val b = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      floor(col("n_chars") / 50.0).cast("long").as("bucket"),
+      substring(col("text"), 1, 40).as("prefix"))
+    val a = b.select(col("doc_id").as("doc_a"), col("lang"), col("bucket"),
+      col("prefix").as("pa"))
+    val c = b.select(col("doc_id").as("doc_b"), col("lang"), col("bucket"),
+      col("prefix").as("pb"))
+    a.join(c, Seq("lang", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .filter(col("dist") <= 20)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis):
+    * rank by ln(u)/w descending where u is the engine-reproducible
+    * multiplicative-hash uniform (q59's split primitive) and w the
+    * document's char weight — integer hash → exact same u on any
+    * engine; adjacent key gaps (~1e-8 here) dwarf double noise, so the
+    * selected SET is deterministic. Top-k via one TakeOrdered pass —
+    * no global sort, no collect. */
+  val q141WeightedSample: QueryDef = sql(
+    "q141_weighted_sample",
+    """WITH w AS (
+      |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS wt,
+      |         (((doc_id * 2654435761) % 4294967296) + 1.0) / 4294967297.0 AS u
+      |  FROM documents),
+      |keyed AS (SELECT doc_id, CAST(wt AS BIGINT) AS weight, ln(u) / wt AS k FROM w)
+      |SELECT doc_id, weight,
+      |       ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rank
+      |FROM keyed QUALIFY rank <= 25 ORDER BY rank""".stripMargin) { (s, d) =>
+    val keyed = Tables.documents(s, d).select(
+      col("doc_id"),
+      col("n_chars").cast("long").as("weight"),
+      (log((((col("doc_id") * lit(2654435761L)) % lit(4294967296L)) + lit(1.0)) /
+           lit(4294967297.0)) / col("n_chars").cast("double")).as("k"))
+    // TakeOrderedAndProject bounds the survivors to 25 BEFORE the rank
+    // window touches them — the unpartitioned row_number only ever sees
+    // k rows, never the corpus.
+    keyed.orderBy(col("k").desc, col("doc_id")).limit(25)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("k").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "weight", "rank")
+      .orderBy("rank")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q134GapfillResample, q135RollingZscore, q136ActiveUsers,
+    q137Attribution, q138RegressionByGroup, q139TfidfKeywords,
+    q140FuzzyBlockedJoin, q141WeightedSample)
+}
