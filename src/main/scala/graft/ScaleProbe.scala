@@ -115,7 +115,16 @@ object ScaleProbe {
     // outlier flags (one-two corpus passes, single-row broadcasts)
     "q120_quantile_sketch", "q133_quantile_sketch_stored", "q124_funnel",
     "q125_bloom_star_join", "q128_triangle_count", "q129_pagerank",
-    "q130_rerank_pipeline", "q131_token_drift", "q132_embedding_outliers")
+    "q130_rerank_pipeline", "q131_token_drift", "q132_embedding_outliers",
+    // analytics pack: the spine/grid terms (q134) and day-level pair
+    // terms (q136) are metadata-sized, so their ratios should sit far
+    // under the replication factor; the window plans (q135/q137) and
+    // the tokenize+tf pass (q139) are one-shuffle linear; the sorted-
+    // neighborhood join (q140) is n·W candidates — linear, not the
+    // quadratic blocked self-join it replaced
+    "q134_gapfill_resample", "q135_rolling_zscore", "q136_active_users",
+    "q137_attribution", "q138_regression_by_group", "q139_tfidf_keywords",
+    "q140_fuzzy_sorted_neighborhood", "q141_weighted_sample")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

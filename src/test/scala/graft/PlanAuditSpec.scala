@@ -49,7 +49,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q115_kmeans_iterate",   // per-iteration 8-row centroid broadcast (Lloyd loop)
     "q116_unigram_nll",      // q101's single-row corpus-total cross join
     "q130_rerank_pipeline",  // stage-1 BM25 = q101's single-row stats cross join
-    "q132_embedding_outliers") // single-row centroid + single-row moments broadcasts
+    "q132_embedding_outliers", // single-row centroid + single-row moments broadcasts
+    "q134_gapfill_resample", // types × hour-spine grid: both sides derived from
+                             // aggregates (5 rows × hours) — metadata-sized at any SF
+    "q136_active_users",     // day-level trailing-range join: |days| × (day,user)
+                             // pairs, never raw events
+    "q139_tfidf_keywords")   // single-row corpus-N cross join (q101's stats idiom)
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation

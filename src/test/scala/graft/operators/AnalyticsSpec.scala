@@ -126,18 +126,26 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
-  test("fuzzy join: pairs share a block, distance is symmetric-canonical (a<b), identical prefixes hit 0") {
+  test("sorted-neighborhood fuzzy join: pairs share a block, sit within W in sort order, dist is exact") {
     val docs = Tables.documents(spark, sf).select(
       col("doc_id"), col("lang"),
       floor(col("n_chars") / 50.0).cast("long").as("bucket"),
       substring(col("text"), 1, 40).as("prefix")).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[String]("lang"), r.getAs[Long]("bucket"), r.getAs[String]("prefix"))).toMap
-    val got = Analytics.q140FuzzyBlockedJoin.fn(spark, sf).collect()
+    // independent rank replay: sort each block by (prefix, doc_id)
+    val rank = docs.toSeq.groupBy { case (_, (l, bkt, _)) => (l, bkt) }
+      .flatMap { case (_, members) =>
+        members.sortBy { case (id, (_, _, p)) => (p, id) }
+          .zipWithIndex.map { case ((id, _), i) => id -> i }
+      }
+    val got = Analytics.q140FuzzySortedNeighborhood.fn(spark, sf).collect()
+    assert(got.nonEmpty)
     got.foreach { r =>
       val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
       assert(a < b)
       assert(docs(a)._1 == docs(b)._1 && docs(a)._2 == docs(b)._2, "must share a block")
+      assert(math.abs(rank(a) - rank(b)) <= 5, s"pair ($a,$b) outside the W=5 neighborhood")
       if (docs(a)._3 == docs(b)._3) assert(r.getAs[Long]("dist") == 0L)
     }
   }
