@@ -124,7 +124,12 @@ object ScaleProbe {
     // quadratic blocked self-join it replaced
     "q134_gapfill_resample", "q135_rolling_zscore", "q136_active_users",
     "q137_attribution", "q138_regression_by_group", "q139_tfidf_keywords",
-    "q140_fuzzy_sorted_neighborhood", "q141_weighted_sample")
+    "q140_fuzzy_sorted_neighborhood", "q141_weighted_sample",
+    // second analytics wave: the basket self-join must grow with
+    // orders × order-size² (never parts²); the IVM extend's store
+    // traffic is delta-keyed; entropy/NLL are tokenize-pass linear
+    "q142_market_basket", "q143_session_conversion", "q144_interevent_gaps",
+    "q145_token_entropy", "q146_bigram_nll", "q147_rollup_ivm")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

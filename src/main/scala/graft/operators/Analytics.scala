@@ -321,8 +321,262 @@ object Analytics {
       .orderBy("rank")
   }
 
+  /** Market-basket pair mining: parts co-occurring in an order, with
+    * support and lift (observed co-rate over independence). The
+    * self-join shuffles on the order key only — pair fan-out is bounded
+    * by order size², never corpus² — and the per-part counts are
+    * dim-sized, so they broadcast. The frequent-itemset primitive. */
+  val q142MarketBasket: QueryDef = sql(
+    "q142_market_basket",
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+      |pc AS (SELECT p, COUNT(*) AS c FROM op GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS support
+      |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2)
+      |SELECT CAST(part_a AS BIGINT) AS part_a, CAST(part_b AS BIGINT) AS part_b,
+      |       support,
+      |       ROUND(support * n.n_orders / (ca.c * 1.0 * cb.c), 4) AS lift
+      |FROM pairs JOIN pc ca ON part_a = ca.p JOIN pc cb ON part_b = cb.p, n
+      |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin) { (s, d) =>
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nOrders = op.agg(countDistinct("o").as("n_orders"))
+    val pc = op.groupBy("p").agg(count(lit(1)).as("c"))
+    val a = op.select(col("o"), col("p").as("part_a"))
+    val b = op.select(col("o"), col("p").as("part_b"))
+    val pairs = a.join(b, "o")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
+    pairs
+      .join(broadcast(pc.select(col("p").as("part_a"), col("c").as("ca"))), "part_a")
+      .join(broadcast(pc.select(col("p").as("part_b"), col("c").as("cb"))), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("part_a").cast("long").as("part_a"),
+        col("part_b").cast("long").as("part_b"),
+        col("support"),
+        round(col("support") * col("n_orders") / (col("ca") * lit(1.0) * col("cb")), 4)
+          .as("lift"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  /** Session-level conversion: q32's 30-min-gap sessions, bucketed by
+    * size, with the share that contain a purchase. Two window passes +
+    * two aggs, all partitioned by user — the composition every product
+    * funnel report is made of. */
+  val q143SessionConversion: QueryDef = sql(
+    "q143_session_conversion",
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id,
+      |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid,
+      |         event_type
+      |  FROM marked),
+      |per_session AS (
+      |  SELECT user_id, sid, COUNT(*) AS n_events,
+      |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM sessions GROUP BY 1, 2)
+      |SELECT CASE WHEN n_events <= 2 THEN 'short'
+      |            WHEN n_events <= 5 THEN 'medium' ELSE 'long' END AS bucket,
+      |       COUNT(*) AS n_sessions,
+      |       CAST(SUM(converted) AS BIGINT) AS n_converted,
+      |       ROUND(SUM(converted) / (COUNT(*) * 1.0), 4) AS conversion_rate
+      |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val run = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(s, d)
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(w).isNull ||
+             expr("unix_micros(ts)") - expr("unix_micros(lag(ts, 1) over (partition by user_id order by ts))") >= 1800000000L,
+          1).otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(run))
+    val perSession = sessions.groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+           max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"))
+    perSession
+      .withColumn("bucket",
+        when(col("n_events") <= 2, "short")
+          .when(col("n_events") <= 5, "medium").otherwise("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_sessions"),
+           sum("converted").cast("long").as("n_converted"),
+           round(sum("converted") / (count(lit(1)) * lit(1.0)), 4).as("conversion_rate"))
+      .orderBy("bucket")
+  }
+
+  /** Inter-event time statistics per event type: lag gaps within each
+    * (user, type) timeline, then exact percentiles of the gap
+    * distribution (Spark's exact `percentile` ≡ DuckDB quantile_cont —
+    * linear interpolation on the sorted multiset; the gaps are µs-exact
+    * doubles, so interpolation halving is bit-reproducible). */
+  val q144IntereventGaps: QueryDef = sql(
+    "q144_interevent_gaps",
+    """WITH g AS (
+      |  SELECT event_type,
+      |         CAST(date_diff('microsecond',
+      |                lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id),
+      |                ts) AS DOUBLE) / 1000000.0 AS gap_s
+      |  FROM events)
+      |SELECT event_type,
+      |       CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+      |       ROUND(AVG(gap_s), 2) AS avg_gap_s,
+      |       ROUND(quantile_cont(gap_s, 0.5), 2) AS p50_gap_s,
+      |       ROUND(quantile_cont(gap_s, 0.95), 2) AS p95_gap_s,
+      |       ROUND(MAX(gap_s), 2) AS max_gap_s
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("gap_s",
+        (expr("unix_micros(ts)") - expr("unix_micros(lag(ts, 1) over (partition by user_id, event_type order by ts, event_id))"))
+          .cast("double") / 1000000.0)
+      .filter(col("gap_s").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count("gap_s").as("n_gaps"),
+        round(avg("gap_s"), 2).as("avg_gap_s"),
+        round(expr("percentile(gap_s, 0.5)"), 2).as("p50_gap_s"),
+        round(expr("percentile(gap_s, 0.95)"), 2).as("p95_gap_s"),
+        round(max("gap_s"), 2).as("max_gap_s"))
+      .orderBy("event_type")
+  }
+
+  /** Shannon entropy of each document's token distribution — the
+    * vocabulary-diversity quality signal (low entropy = repetitive /
+    * boilerplate). One (doc, token) groupBy; the per-doc total rides
+    * a same-key window, so the plan is a single exchange. */
+  val q145TokenEntropy: QueryDef = sql(
+    "q145_token_entropy",
+    """WITH tf AS (
+      |  SELECT doc_id, t AS token, COUNT(*) AS c
+      |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(t)
+      |  GROUP BY 1, 2),
+      |d AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY 1)
+      |SELECT tf.doc_id,
+      |       CAST(d.n AS BIGINT) AS n_tokens,
+      |       ROUND(-SUM((c / (d.n * 1.0)) * ln(c / (d.n * 1.0))), 4) AS entropy
+      |FROM tf JOIN d ON tf.doc_id = d.doc_id
+      |GROUP BY tf.doc_id, d.n ORDER BY tf.doc_id""".stripMargin) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val withN = tf.withColumn("n", sum("c").over(Window.partitionBy("doc_id")))
+    withN.groupBy("doc_id")
+      .agg(
+        first("n").cast("long").as("n_tokens"),
+        round(-sum((col("c") / (col("n") * lit(1.0))) *
+          log(col("c") / (col("n") * lit(1.0)))), 4).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram language-model NLL per document (add-1 smoothing over the
+    * corpus vocabulary) — q116's unigram quality score upgraded to
+    * conditional probabilities. Bigrams come from one zip_with over the
+    * token array (no double explode); the bigram-count join shuffles on
+    * (w1, w2) — data-sized both sides — while the unigram counts and
+    * vocab size are vocab-sized and broadcast. */
+  val q146BigramNll: QueryDef = sql(
+    "q146_bigram_nll",
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      |uni AS (
+      |  SELECT u.t AS w, COUNT(*) AS c1
+      |  FROM t, unnest(toks) AS u(t) GROUP BY 1),
+      |v AS (SELECT COUNT(*) AS v FROM uni),
+      |bg AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, unnest(range(1, len(toks))) AS r(i)),
+      |bgc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2)
+      |SELECT bg.doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |       ROUND(-AVG(ln((bgc.c2 + 1.0) / (uni.c1 + v.v))), 4) AS bigram_nll
+      |FROM bg JOIN bgc ON bg.w1 = bgc.w1 AND bg.w2 = bgc.w2
+      |        JOIN uni ON bg.w1 = uni.w, v
+      |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+    val uni = t.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    val bg = t.select(col("doc_id"), explode(expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+          |         slice(toks, 2, size(toks) - 1),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    bg.join(bgc, Seq("w1", "w2"))
+      .join(broadcast(uni.withColumnRenamed("w", "w1")), "w1")
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(-avg(log((col("c2") + lit(1.0)) / (col("c1") + col("v")))), 4)
+          .as("bigram_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental aggregate maintenance (materialized-view refresh):
+    * a daily (event_type, day) rollup persists in the
+    * [[graft.streaming.UpsertStore]]; a new event batch advances it by
+    * aggregating ONLY the delta and additively merging into the stored
+    * rows for the touched keys — base events are never rescanned, and
+    * store traffic ∝ |delta keys| (the rollup itself is groups-sized,
+    * metadata next to the event log). The declared output serves from
+    * the store after the honest build(80%) → extend(20%) lifecycle;
+    * the full-recompute oracle proves merge ≡ recompute — the additive
+    * twin of q133's sketch-merge and the batch body every continuous
+    * rollup maintainer runs per micro-batch at 100 TB/day. */
+  val q147RollupIvm: QueryDef = sql(
+    "q147_rollup_ivm",
+    """SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day_ms,
+      |       COUNT(*) AS n_events,
+      |       ROUND(SUM(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY event_type, day_ms""".stripMargin) { (s, d) =>
+    import graft.streaming.UpsertStore
+    val ev = Tables.events(s, d).select(
+      col("event_type"), expr("unix_millis(date_trunc('day', ts))").as("day_ms"),
+      col("event_id"), col("value"))
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("event_type", "day_ms")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sv"))
+    val cut = ev.agg(expr("percentile(event_id, 0.8)")).head().getDouble(0).toLong
+    val path = graft.Scratch.dir("graft_rollup_ivm") + "/store"
+    val keys = Seq("event_type", "day_ms")
+    // BUILD on the base batch
+    UpsertStore.replace(s, path, rollup(ev.filter(col("event_id") <= cut)),
+      keys, assumeKeyUnique = true)
+    // EXTEND: aggregate the delta alone, additively merge into the
+    // stored rows it touches (left join keeps traffic delta-keyed)
+    val deltaAgg = rollup(ev.filter(col("event_id") > cut))
+    val stored = UpsertStore.read(s, path).get
+      .select(col("event_type"), col("day_ms"),
+        col("n_events").as("n0"), col("sv").as("sv0"))
+    val merged = deltaAgg.join(stored, keys, "left")
+      .select(col("event_type"), col("day_ms"),
+        (col("n_events") + coalesce(col("n0"), lit(0L))).as("n_events"),
+        (col("sv") + coalesce(col("sv0"), lit(0.0))).as("sv"))
+    UpsertStore.upsert(s, path, merged, keys, assumeKeyUnique = true)
+    // SERVE from the store
+    UpsertStore.read(s, path).get
+      .select(col("event_type"), col("day_ms"),
+        col("n_events"), round(col("sv"), 2).as("sum_value"))
+      .orderBy("event_type", "day_ms")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q134GapfillResample, q135RollingZscore, q136ActiveUsers,
     q137Attribution, q138RegressionByGroup, q139TfidfKeywords,
-    q140FuzzySortedNeighborhood, q141WeightedSample)
+    q140FuzzySortedNeighborhood, q141WeightedSample,
+    q142MarketBasket, q143SessionConversion, q144IntereventGaps,
+    q145TokenEntropy, q146BigramNll, q147RollupIvm)
 }

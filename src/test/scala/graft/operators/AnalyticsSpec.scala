@@ -150,6 +150,116 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("market basket: support and lift recompute from the raw pairs (naive recheck)") {
+    val op = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .collect().map(r => (r.getAs[Long]("o"), r.getAs[Long]("p")))
+    val byOrder = op.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nOrders = byOrder.size
+    val partCount = op.groupBy(_._2).view.mapValues(_.length).toMap
+    val got = Analytics.q142MarketBasket.fn(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, b) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))
+      val support = byOrder.valuesIterator.count(s => s(a) && s(b))
+      assert(r.getAs[Long]("support") == support, s"pair ($a,$b)")
+      val lift = support.toDouble * nOrders / (partCount(a).toDouble * partCount(b))
+      assert(math.abs(r.getAs[Double]("lift") - lift) < 1e-3)
+    }
+  }
+
+  test("session conversion: buckets partition all sessions; a purchase converts its whole session") {
+    def ts(sec: Long) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    // user 1: one 3-event session WITH purchase, then (after >30min) a
+    // 1-event session without; user 2: a single 6-event session, no purchase
+    val ev = (Seq((1L, 0L, "view"), (2L, 60L, "click"), (3L, 120L, "purchase"),
+      (4L, 4000L, "view")).map { case (id, t, ty) => (id, ts(t), 1L, ty, 1.0, "") } ++
+      (10 to 15).map(i => (i.toLong, ts(i * 10L), 2L, "view", 1.0, "")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("conv").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Analytics.q143SessionConversion.fn(spark, dir).collect()
+      .map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_converted"))).toMap
+    assert(out("medium") == ((1L, 1L)))  // the 3-event purchase session
+    assert(out("short") == ((1L, 0L)))   // the 1-event tail session
+    assert(out("long") == ((1L, 0L)))    // user 2's 6-event session
+  }
+
+  test("inter-event gaps: median recomputes from the raw per-user timeline (naive recheck)") {
+    val evs = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("ts").getTime * 1000L, r.getAs[Long]("event_id")))
+    def gaps(typ: String): Seq[Double] =
+      evs.filter(_._2 == typ).groupBy(_._1).values.flatMap { tl =>
+        val sorted = tl.sortBy(e => (e._3, e._4)).map(_._3 / 1000.0 / 1000.0)
+        sorted.zip(sorted.tail).map { case (a, b) => b - a }
+      }.toSeq
+    def quantile(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted; val pos = q * (s.length - 1)
+      val lo = s(pos.toInt); val hi = s(math.min(pos.toInt + 1, s.length - 1))
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    val got = Analytics.q144IntereventGaps.fn(spark, sf).collect()
+    got.foreach { r =>
+      val g = gaps(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_gaps") == g.length)
+      assert(math.abs(r.getAs[Double]("p50_gap_s") - quantile(g, 0.5)) < 0.05)
+      assert(math.abs(r.getAs[Double]("p95_gap_s") - quantile(g, 0.95)) < 0.05)
+    }
+  }
+
+  test("token entropy: uniform doc hits ln(k), constant doc hits 0") {
+    val docs = Seq(
+      (1L, "a b c d", "en", "t", 7L),      // 4 distinct, uniform -> ln(4)
+      (2L, "x x x x x", "en", "t", 9L))    // constant -> 0
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("ent").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Analytics.q145TokenEntropy.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    assert(math.abs(out(1L) - math.log(4.0)) < 1e-3)
+    assert(out(2L) == 0.0)
+  }
+
+  test("bigram NLL: hand-computed two-doc corpus") {
+    val docs = Seq(
+      (1L, "a b a b", "en", "t", 7L),
+      (2L, "a b c", "en", "t", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("bg").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // corpus: unigrams a:3 b:3 c:1 (V=3); bigrams ab:3 (2 from doc1 +
+    // 1 from doc2), ba:1, bc:1
+    // doc1 bigrams: ab, ba, ab -> nll = -(2*ln((3+1)/(3+3)) + ln((1+1)/(3+3)))/3
+    val expected1 = -(2 * math.log(4.0 / 6) + math.log(2.0 / 6)) / 3
+    // doc2 bigrams: ab, bc -> -(ln(4/6) + ln(2/6))/2
+    val expected2 = -(math.log(4.0 / 6) + math.log(2.0 / 6)) / 2
+    val out = Analytics.q146BigramNll.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("bigram_nll"))).toMap
+    assert(out(1L)._1 == 3 && math.abs(out(1L)._2 - expected1) < 1e-3)
+    assert(out(2L)._1 == 2 && math.abs(out(2L)._2 - expected2) < 1e-3)
+  }
+
+  test("rollup IVM: serve equals a direct full rollup, and the extend commit touches only delta keys") {
+    import graft.streaming.UpsertStore
+    val got = Analytics.q147RollupIvm.fn(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_ms")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    val want = Tables.events(spark, sf)
+      .groupBy(col("event_type"), expr("unix_millis(date_trunc('day', ts))").as("day_ms"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_ms")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sv"))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (n, sv)) =>
+      assert(want(k)._1 == n, s"count at $k")
+      assert(math.abs(want(k)._2 - sv) < 0.02, s"sum at $k")
+    }
+  }
+
   test("weighted sample: deterministic across runs and biased toward heavy docs") {
     val r1 = Analytics.q141WeightedSample.fn(spark, sf).collect().map(_.getAs[Long]("doc_id"))
     val r2 = Analytics.q141WeightedSample.fn(spark, sf).collect().map(_.getAs[Long]("doc_id"))
