@@ -109,10 +109,15 @@ object Analytics {
   /** Daily + trailing-7-day active users (DAU / WAU): exact distinct
     * per day, then a day-level range self-join for the trailing window.
     * Everything after the first distinct is day×user pairs —
-    * metadata-sized vs the raw events; the range join is |days|² at
-    * worst on the day spine, trivially. At genuinely unbounded user
-    * counts the exact trailing distinct swaps for a sliding HLL union
-    * (q126's sketch) — this query IS the exactness baseline for it. */
+    * metadata-sized vs the raw events. The trailing window is a pure
+    * non-equi range join, so it executes as a broadcast nested loop
+    * doing |days| × |(day,user) pairs| comparisons (the right side is
+    * the full pair set, not the day spine) — fine while the pair set
+    * is modest, and each day's pair list is at most 7× counted. At
+    * genuinely unbounded user counts the exact trailing distinct swaps
+    * for a sliding HLL union — q148 IS that swap (per-day HLL sketches
+    * union-merged over a 7-day offset equi-join, q126's bound-flag
+    * contract); this query is its exactness baseline. */
   val q136ActiveUsers: QueryDef = sql(
     "q136_active_users",
     """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
@@ -202,11 +207,17 @@ object Analytics {
   }
 
   /** Per-document TF-IDF keywords: top-3 terms by tf·ln((N+1)/(df+1)),
-    * ties broken by term. One tokenize pass feeds both tf and df (df is
-    * vocab-sized → broadcast back onto tf); the only corpus-sized
-    * shuffle is the (doc, term) partial-agg — same staging as the q104
-    * postings build, and at scale it would serve FROM that stored
-    * index rather than re-tokenizing. */
+    * ties broken by term. One tokenize pass feeds both tf and df; df
+    * joins BACK onto tf with a plain shuffle join on the token key —
+    * NOT a broadcast: df is vocabulary-sized, and a vocabulary grows
+    * with the corpus (1e8-1e9 terms at 100 TB), so broadcasting it is
+    * the one plan that gets strictly worse at scale (VERDICT r11 #1);
+    * both join sides here shuffle ∝ their own size and AQE still picks
+    * a broadcast when df happens to be small. The corpus-sized
+    * shuffles are the (doc, term) partial-agg — same staging as the
+    * q104 postings build — and the token-keyed join. q149 is this
+    * query served FROM that stored index (tf/df/N read, zero
+    * re-tokenization), hash-equal by construction. */
   val q139TfidfKeywords: QueryDef = sql(
     "q139_tfidf_keywords",
     """WITH toks AS (
@@ -228,7 +239,7 @@ object Analytics {
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n"))
-    val scored = tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+    val scored = tf.join(df, "token").crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 4))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
@@ -295,22 +306,30 @@ object Analytics {
     * document's char weight — integer hash → exact same u on any
     * engine; adjacent key gaps (~1e-8 here) dwarf double noise, so the
     * selected SET is deterministic. Top-k via one TakeOrdered pass —
-    * no global sort, no collect. */
+    * no global sort, no collect. Domain guards (ADVICE r11): the
+    * weight clamps to ≥1 (a zero-length doc would make ln(u)/0 a
+    * -Inf/NaN key, and NaN ordering diverges across engines), and the
+    * multiplicative hash masks doc_id to 28 bits BEFORE the multiply —
+    * 2^28 · 2654435761 < 2^63, so the product never wraps BIGINT
+    * (Spark wraps silently where DuckDB errors; the mask keeps both
+    * engines in the exact-integer domain at any doc_id). */
   val q141WeightedSample: QueryDef = sql(
     "q141_weighted_sample",
     """WITH w AS (
-      |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS wt,
-      |         (((doc_id * 2654435761) % 4294967296) + 1.0) / 4294967297.0 AS u
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+      |         GREATEST(CAST(n_chars AS DOUBLE), 1.0) AS wt,
+      |         ((((doc_id % 268435456) * 2654435761) % 4294967296) + 1.0) / 4294967297.0 AS u
       |  FROM documents),
-      |keyed AS (SELECT doc_id, CAST(wt AS BIGINT) AS weight, ln(u) / wt AS k FROM w)
+      |keyed AS (SELECT doc_id, weight, ln(u) / wt AS k FROM w)
       |SELECT doc_id, weight,
       |       ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rank
       |FROM keyed QUALIFY rank <= 25 ORDER BY rank""".stripMargin) { (s, d) =>
     val keyed = Tables.documents(s, d).select(
       col("doc_id"),
       col("n_chars").cast("long").as("weight"),
-      (log((((col("doc_id") * lit(2654435761L)) % lit(4294967296L)) + lit(1.0)) /
-           lit(4294967297.0)) / col("n_chars").cast("double")).as("k"))
+      (log(((((col("doc_id") % lit(268435456L)) * lit(2654435761L)) % lit(4294967296L)) +
+            lit(1.0)) / lit(4294967297.0)) /
+        greatest(col("n_chars").cast("double"), lit(1.0))).as("k"))
     // TakeOrderedAndProject bounds the survivors to 25 BEFORE the rank
     // window touches them — the unpartitioned row_number only ever sees
     // k rows, never the corpus.
@@ -482,9 +501,14 @@ object Analytics {
   /** Bigram language-model NLL per document (add-1 smoothing over the
     * corpus vocabulary) — q116's unigram quality score upgraded to
     * conditional probabilities. Bigrams come from one zip_with over the
-    * token array (no double explode); the bigram-count join shuffles on
-    * (w1, w2) — data-sized both sides — while the unigram counts and
-    * vocab size are vocab-sized and broadcast. */
+    * token array (no double explode); the unigram counts attach to the
+    * BIGRAM-VOCAB-sized count table first (vocab×vocab' shuffle join on
+    * w1 — both sides vocabulary-scale, neither broadcast: a vocabulary
+    * grows with the corpus, so broadcasting `uni` is the plan that gets
+    * strictly worse at 100× — VERDICT r11 #1), and only then does the
+    * enriched count table join the data-sized bigram stream on its
+    * (w1, w2) key, the shuffle the query needs anyway. Only the
+    * single-row vocab size broadcasts. */
   val q146BigramNll: QueryDef = sql(
     "q146_bigram_nll",
     """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
@@ -513,8 +537,8 @@ object Analytics {
           |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
     bg.join(bgc, Seq("w1", "w2"))
-      .join(broadcast(uni.withColumnRenamed("w", "w1")), "w1")
       .crossJoin(broadcast(v))
       .groupBy("doc_id")
       .agg(

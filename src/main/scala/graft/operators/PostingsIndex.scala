@@ -175,8 +175,13 @@ object PostingsIndex {
 
   /** BM25 scores served FROM the stored index: broadcast the query
     * term set against the postings table (posting-list pruning via the
-    * broadcast hash join — only matched postings shuffle), broadcast
-    * the vocabulary-sized df table and the single stats row. Returns
+    * broadcast hash join — only matched postings shuffle). The stored
+    * df table is VOCABULARY-sized, so it is semi-joined against the
+    * (tiny) query term set before the broadcast — the semi-join's term
+    * filter pushes into the df-table scan, and the broadcast relation
+    * is |query terms|-sized at any corpus size (an unpruned
+    * broadcast(df) grows with the vocabulary and OOMs at 100 TB); the
+    * single stats row rides as literals. Returns
     * (query_id, doc_id, score), same contract as
     * [[Retrieval.bm25Scores]] — identical expression tree, identical
     * rounding. Refuses a dirty or missing index (an interrupted
@@ -191,9 +196,11 @@ object PostingsIndex {
       sys.error(s"postings table at $path unreadable"))
     val dft = UpsertStore.read(spark, s"${path}__df").getOrElse(
       sys.error(s"df table at ${path}__df unreadable"))
+    val qTerms = queries.select("term").distinct()
+    val dftQ = dft.join(broadcast(qTerms), Seq("term"), "left_semi")
     broadcast(queries)
       .join(tf, Seq("term"))
-      .join(broadcast(dft), Seq("term"))
+      .join(broadcast(dftQ), Seq("term"))
       .withColumn("c", Retrieval.bm25Contrib(col("tf"), col("df"), col("dl"),
         lit(stats.getAs[Long]("n")), lit(stats.getAs[Double]("avgdl"))))
       .groupBy("query_id", "doc_id")

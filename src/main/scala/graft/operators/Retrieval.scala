@@ -20,8 +20,11 @@ import graft.functions.{TopKFunctions, VectorFunctions}
   * supplies) is broadcast, so scoring shuffles ONLY the postings whose
   * term appears in some query — posting-list pruning falls out of the
   * broadcast hash join rather than a hand-built index. The document-
-  * frequency table is vocabulary-sized (≪ corpus) and broadcast
-  * likewise; per-query top-k goes through the bounded-heap
+  * frequency relation is semi-joined against the (tiny, broadcast)
+  * query term set BEFORE it is broadcast, so the broadcast side is
+  * |query terms|-sized — the full vocabulary (1e8-1e9 terms at
+  * 100 TB) never rides an exchange; per-query top-k goes through the
+  * bounded-heap
   * [[graft.functions.TopKAggregate]] so the final shuffle carries
   * ≤ k rows per partition, never the scored candidate set.
   *
@@ -89,7 +92,17 @@ object Retrieval {
     // single-row corpus stats: N and avgdl (exact — integer sums fit
     // a double exactly, so partial-agg order cannot perturb the value)
     val stats = corpusStats(docs)
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df counted ONLY for query terms: the broadcast LEFT-SEMI drops
+    // non-query postings MAP-SIDE before the df aggregate, so the df
+    // relation broadcast below is |query terms|-sized — never the
+    // vocabulary (at a 100 TB corpus the vocab is 1e8-1e9 terms and an
+    // unpruned broadcast(dft) OOMs the driver). df per surviving term
+    // is unchanged: the semi-join removes whole terms, never postings
+    // of a kept term, so the counts — and q101's hashes — are
+    // identical to the full-vocabulary formulation.
+    val qTerms = queries.select("term").distinct()
+    val dft = tf.join(broadcast(qTerms), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val contrib = broadcast(queries)
       .join(tf, Seq("term"))
       .join(broadcast(dft), Seq("term"))

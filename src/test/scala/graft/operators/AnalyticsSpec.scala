@@ -187,10 +187,13 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("inter-event gaps: median recomputes from the raw per-user timeline (naive recheck)") {
+    // unix_micros keeps the parquet microsecond component — Timestamp
+    // .getTime * 1000 would truncate to ms and make the ground truth
+    // coarser than the µs-exact query it checks (ADVICE r11)
     val evs = Tables.events(spark, sf)
-      .select("user_id", "event_type", "ts", "event_id").collect()
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us", "event_id").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
-        r.getAs[java.sql.Timestamp]("ts").getTime * 1000L, r.getAs[Long]("event_id")))
+        r.getAs[Long]("us"), r.getAs[Long]("event_id")))
     def gaps(typ: String): Seq[Double] =
       evs.filter(_._2 == typ).groupBy(_._1).values.flatMap { tl =>
         val sorted = tl.sortBy(e => (e._3, e._4)).map(_._3 / 1000.0 / 1000.0)
@@ -205,8 +208,9 @@ class AnalyticsSpec extends AnyFunSuite {
     got.foreach { r =>
       val g = gaps(r.getAs[String]("event_type"))
       assert(r.getAs[Long]("n_gaps") == g.length)
-      assert(math.abs(r.getAs[Double]("p50_gap_s") - quantile(g, 0.5)) < 0.05)
-      assert(math.abs(r.getAs[Double]("p95_gap_s") - quantile(g, 0.95)) < 0.05)
+      // µs-exact recheck → only the query's own 2 dp rounding remains
+      assert(math.abs(r.getAs[Double]("p50_gap_s") - quantile(g, 0.5)) < 0.0051)
+      assert(math.abs(r.getAs[Double]("p95_gap_s") - quantile(g, 0.95)) < 0.0051)
     }
   }
 
