@@ -222,6 +222,81 @@ case class QuantileSketchBytesAgg(
     copy(value = c(0))
 }
 
+/** `quantile_sketch_merge(sk, cap)` — fold SERIALIZED sketches back
+  * together, distributively: input rows are binary summaries (the
+  * [[QuantileSketchBytesAgg]] output / the store's persistence form),
+  * the buffer is a live sketch, partial-merge runs map-side like any
+  * native agg. This is what makes a sketch STORE advance without a
+  * driver loop: `(stored ∪ delta).groupBy(grp).agg(merge(sk))` keeps
+  * group cardinality unbounded — the per-group driver-side
+  * deserialize/mergeWith loop it replaces was bounded by whatever
+  * fit one collect (VERDICT r11 #2). The KLL rank-error bound holds
+  * for ANY merge tree, so the partial-merge order Spark picks cannot
+  * push an estimate past the ε the bound-flag checks. */
+case class QuantileSketchMergeAgg(
+    value: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllSketch] {
+  require(cap >= 8 && cap % 2 == 0, s"cap must be even and ≥ 8: $cap")
+
+  override def children: Seq[Expression] = Seq(value)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = value.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a serialized sketch (binary), got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "quantile_sketch_merge"
+
+  override def createAggregationBuffer(): KllSketch = new KllSketch(cap)
+  override def update(b: KllSketch, input: InternalRow): KllSketch = {
+    val v = value.eval(input)
+    if (v != null) b.mergeWith(KllSketch.deserialize(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+  override def merge(b: KllSketch, o: KllSketch): KllSketch = b.mergeWith(o)
+  override def eval(b: KllSketch): Any = if (b.n == 0) null else b.serialized
+  override def serialize(b: KllSketch): Array[Byte] = b.serialized
+  override def deserialize(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): QuantileSketchMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileSketchMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(value = c(0))
+}
+
+/** `kll_estimates(sk, ps)` — per-row scalar: decode a serialized
+  * sketch and emit its quantile estimates (one array entry per p).
+  * Eval-only (CodegenFallback): it runs on STORE rows — one per
+  * monitored group — never in a corpus-scan hot path, and keeping the
+  * decode in an expression means "estimate on read" stays a
+  * distributed select over the store, not a collect. */
+case class KllEstimatesExpr(sketch: Expression, ps: Seq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(ps.nonEmpty && ps.forall(p => p > 0.0 && p < 1.0), s"quantiles in (0,1): $ps")
+
+  override def child: Expression = sketch
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = sketch.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a serialized sketch (binary), got ${other.catalogString}")
+  }
+  override def prettyName: String = "kll_estimates"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = KllSketch.deserialize(input.asInstanceOf[Array[Byte]])
+    if (s.n == 0) null else new GenericArrayData(s.estimates(ps.toArray))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(sketch = c)
+}
+
 object QuantileFunctions {
   /** Aggregate Column: mergeable quantile estimates (one array entry
     * per requested p), deterministic compaction, cap-bounded memory. */
@@ -234,4 +309,15 @@ object QuantileFunctions {
   def quantile_sketch_bytes(value: Column, cap: Int = 512): Column =
     GraftSqlBridge.column(
       QuantileSketchBytesAgg(GraftSqlBridge.expression(value), cap).toAggregateExpression())
+
+  /** Aggregate Column: fold serialized sketches distributively — the
+    * store-advance primitive (see [[QuantileSketchMergeAgg]]). */
+  def quantile_sketch_merge(value: Column, cap: Int = 512): Column =
+    GraftSqlBridge.column(
+      QuantileSketchMergeAgg(GraftSqlBridge.expression(value), cap).toAggregateExpression())
+
+  /** Scalar Column: quantile estimates decoded from a serialized
+    * sketch, one array entry per requested p. */
+  def kll_estimates(sketch: Column, ps: Seq[Double]): Column =
+    GraftSqlBridge.column(KllEstimatesExpr(GraftSqlBridge.expression(sketch), ps))
 }

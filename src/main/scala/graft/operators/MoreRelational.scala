@@ -645,8 +645,9 @@ object MoreRelational {
     * q120's contract (exact quantile + ε-bound flag computed against
     * the FULL corpus), so the from-scratch oracle proves the
     * incrementally-merged sketch honors the same bound a one-shot
-    * build would. Group sketches are KB-scale: the merge runs on two
-    * bounded binaries per group, driver-side, like the q121 bloom. */
+    * build would. The store advance is one distributed per-group
+    * sketch-merge aggregate over (stored ∪ delta) rows — no collect
+    * anywhere in the lifecycle, so group cardinality is unbounded. */
   val q133QuantileSketchStored: QueryDef = sql(
     "q133_quantile_sketch_stored",
     """WITH agg AS (
@@ -673,44 +674,27 @@ object MoreRelational {
       .agg(graft.functions.QuantileFunctions
         .quantile_sketch_bytes(col("v")).as("sk"))
     // build on the base batch, then MERGE the delta's sketches in —
-    // the stored summaries advance without rescanning the base rows
+    // the stored summaries advance without rescanning the base rows.
+    // The merge is one per-group QuantileSketchMergeAgg over
+    // (stored ∪ delta) rows — fully distributed (partial-merge runs
+    // map-side), so group cardinality is unbounded; nothing in the
+    // lifecycle collects (VERDICT r11 #2 — the driver-side
+    // deserialize/mergeWith loop this replaces capped groups at one
+    // collect's worth).
     UpsertStore.replace(s, path, sketchRows(base.filter(col("l_orderkey") <= cut)),
       Seq("l_returnflag"), assumeKeyUnique = true)
-    val stored = UpsertStore.read(s, path).get.collect()
-      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
-    val delta = sketchRows(base.filter(col("l_orderkey") > cut)).collect()
-      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
-    val merged = (stored.keySet ++ delta.keySet).toSeq.map { g =>
-      val m = (stored.get(g), delta.get(g)) match {
-        case (Some(a), Some(b)) => graft.functions.KllSketch.deserialize(a)
-          .mergeWith(graft.functions.KllSketch.deserialize(b)).serialized
-        case (Some(a), None) => a
-        case (None, Some(b)) => b
-        case _ => sys.error("unreachable")
-      }
-      (g, m)
-    }
-    UpsertStore.replace(s, path,
-      s.createDataFrame(merged.map(t => org.apache.spark.sql.Row(t._1, t._2)).asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("l_returnflag",
-            org.apache.spark.sql.types.StringType, nullable = false),
-          org.apache.spark.sql.types.StructField("sk",
-            org.apache.spark.sql.types.BinaryType, nullable = false)))),
-      Seq("l_returnflag"), assumeKeyUnique = true)
-    // SERVE: estimates from the stored (incrementally merged) sketches
-    val est = UpsertStore.read(s, path).get.collect().map { r =>
-      r.getString(0) -> graft.functions.KllSketch
-        .deserialize(r.getAs[Array[Byte]]("sk")).estimates(psArr.toArray)
-    }.toMap
-    val estDf = s.createDataFrame(
-      est.toSeq.map(t => org.apache.spark.sql.Row(t._1, t._2.toSeq)).asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("l_returnflag",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("est",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType), nullable = false))))
+    val merged = UpsertStore.read(s, path).get.select(col("l_returnflag"), col("sk"))
+      .unionByName(sketchRows(base.filter(col("l_orderkey") > cut)))
+      .groupBy("l_returnflag")
+      .agg(graft.functions.QuantileFunctions
+        .quantile_sketch_merge(col("sk")).as("sk"))
+    UpsertStore.replace(s, path, merged, Seq("l_returnflag"), assumeKeyUnique = true)
+    // SERVE: estimates decoded from the stored (incrementally merged)
+    // sketches in-plan — a distributed select over the store
+    val estDf = UpsertStore.read(s, path).get
+      .select(col("l_returnflag"),
+        graft.functions.QuantileFunctions
+          .kll_estimates(col("sk"), psArr).as("est"))
     // exact quantiles + the EXACT rank check of the stored estimates
     // (the q120 tail, verbatim semantics)
     val counts = base.groupBy("l_returnflag").agg(count(lit(1)).as("n"))

@@ -1,18 +1,27 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, LongType, StringType, StructField, StructType}
 
-import graft.functions.{KllSketch, QuantileFunctions}
+import graft.functions.QuantileFunctions
 
 /** CONTINUOUS QUANTILE MONITORING — the streaming face of the q133
   * sketch store: per-group KLL summaries persist serialized; every
   * arriving micro-batch is sketched with one map-side-combining
-  * aggregate and MERGED into the store (deserialize + mergeWith +
-  * reserialize over KB-scale binaries), so "p99 of everything seen so
+  * aggregate and MERGED into the store, so "p99 of everything seen so
   * far" reads in milliseconds at any corpus size and no batch ever
   * rescans history.
+  *
+  * The merge is DISTRIBUTED end-to-end (VERDICT r11 #2): stored rows ∪
+  * delta sketches feed one per-group [[graft.functions.
+  * QuantileSketchMergeAgg]] — partial-merge runs map-side like any
+  * native aggregate, nothing is ever collected to the driver, so group
+  * cardinality is unbounded (one sketch per user, per tenant, per
+  * (metric × shard) all work; the earlier driver-side
+  * deserialize/mergeWith loop capped groups at what one collect
+  * held). Estimates decode on read through the
+  * [[graft.functions.KllEstimatesExpr]] scalar — a distributed select
+  * over the store, not a collect either.
   *
   * Replay discipline differs from every other maintainer because a
   * sketch merge is NOT idempotent — folding the same batch twice
@@ -23,35 +32,26 @@ import graft.functions.{KllSketch, QuantileFunctions}
   * txn) and each ingest is ONE `UpsertStore.replace` — one manifest
   * commit, so a replay either sees the whole previous commit (and
   * skips on its txn) or none of it (and re-merges from the prior
-  * state). Group count = monitored metrics — metadata-scale, so the
-  * per-batch full-table rewrite is bytes, not data.
+  * state). The per-ingest full-table rewrite is one distributed
+  * parquet write of KB-scale sketch rows — O(|groups|) I/O with no
+  * driver involvement; reading the current store while its
+  * replacement is being written is safe because the manifest swap
+  * keeps the previous base live until the commit after next.
   *
   * Batches carry (`grp` string, `v` double).
   */
 final class QuantileMonitor(
     spark: SparkSession, storePath: String) extends Serializable {
 
-  private val schema = StructType(Seq(
-    StructField("grp", StringType, nullable = false),
-    StructField("sk", BinaryType, nullable = false),
-    StructField("txn", LongType, nullable = false)))
-
-  private def sketchRows(batch: DataFrame): Map[String, Array[Byte]] =
+  private def sketchRows(batch: DataFrame): DataFrame =
     batch.groupBy("grp")
       .agg(QuantileFunctions.quantile_sketch_bytes(col("v")).as("sk"))
-      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
-
-  private def writeAll(rows: Map[String, Array[Byte]], txn: Long): Unit =
-    UpsertStore.replace(spark, storePath,
-      spark.createDataFrame(
-        java.util.Arrays.asList(
-          rows.toSeq.map(t => Row(t._1, t._2, txn)): _*),
-        schema),
-      Seq("grp"), assumeKeyUnique = true)
 
   /** Seed the monitor from the historical corpus. */
   def bootstrap(corpus: DataFrame): Unit =
-    writeAll(sketchRows(corpus), -1L)
+    UpsertStore.replace(spark, storePath,
+      sketchRows(corpus).withColumn("txn", lit(-1L)),
+      Seq("grp"), assumeKeyUnique = true)
 
   /** Sketch + merge one batch; `txnId` (the streaming batchId) makes
     * replays no-ops — see the class doc for why it MUST ride in the
@@ -59,38 +59,29 @@ final class QuantileMonitor(
   def ingestBatch(batch: DataFrame, txnId: Option[Long] = None): Unit = {
     val cur = UpsertStore.read(spark, storePath).getOrElse(
       sys.error(s"no quantile monitor at $storePath — bootstrap first"))
-      .collect()
-    val committed = if (cur.isEmpty) -1L else cur.map(_.getAs[Long]("txn")).max
+    // one-row aggregate — the only driver-visible value in the path
+    val committed = cur.agg(coalesce(max(col("txn")), lit(-1L))).head().getLong(0)
     if (txnId.exists(_ <= committed)) return
-    val stored = cur.map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
-    val delta = sketchRows(batch)
-    val merged = (stored.keySet ++ delta.keySet).map { g =>
-      g -> ((stored.get(g), delta.get(g)) match {
-        case (Some(a), Some(b)) => KllSketch.deserialize(a)
-          .mergeWith(KllSketch.deserialize(b)).serialized
-        case (Some(a), None) => a
-        case (None, Some(b)) => b
-        case _ => sys.error("unreachable")
-      })
-    }.toMap
-    writeAll(merged, txnId.getOrElse(committed))
+    val merged = cur.select(col("grp"), col("sk"))
+      .unionByName(sketchRows(batch))
+      .groupBy("grp")
+      .agg(QuantileFunctions.quantile_sketch_merge(col("sk")).as("sk"))
+      .withColumn("txn", lit(txnId.getOrElse(committed)))
+    UpsertStore.replace(spark, storePath, merged, Seq("grp"), assumeKeyUnique = true)
   }
 
-  /** Current estimates, one row per (grp, p). */
+  /** Current estimates, one row per (grp, p) — decoded in-plan, no
+    * collect. */
   def estimates(ps: Seq[Double]): DataFrame = {
-    val rows = UpsertStore.read(spark, storePath).getOrElse(
-      sys.error(s"no quantile monitor at $storePath")).collect()
-      .flatMap { r =>
-        val est = KllSketch.deserialize(r.getAs[Array[Byte]]("sk"))
-          .estimates(ps.toArray)
-        ps.zip(est).map { case (p, e) => Row(r.getString(0), p, e) }
-      }
-    spark.createDataFrame(
-      java.util.Arrays.asList(rows.toIndexedSeq: _*),
-      StructType(Seq(
-        StructField("grp", StringType, nullable = false),
-        StructField("p", DoubleType, nullable = false),
-        StructField("est", DoubleType, nullable = false))))
+    val store = UpsertStore.read(spark, storePath).getOrElse(
+      sys.error(s"no quantile monitor at $storePath"))
+    val psArr = array(ps.map(lit): _*)
+    store
+      .select(col("grp"),
+        posexplode(QuantileFunctions.kll_estimates(col("sk"), ps)))
+      .select(col("grp"),
+        element_at(psArr, col("pos") + 1).as("p"),
+        col("col").as("est"))
   }
 
   /** Wire into a streaming query. */
