@@ -218,8 +218,7 @@ object Analytics {
     * q104 postings build — and the token-keyed join. q149 is this
     * query served FROM that stored index (tf/df/N read, zero
     * re-tokenization), hash-equal by construction. */
-  val q139TfidfKeywords: QueryDef = sql(
-    "q139_tfidf_keywords",
+  private val q139Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, t AS token
       |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(t)),
@@ -232,7 +231,10 @@ object Analytics {
       |SELECT doc_id, token, score, rk
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
       |      FROM scored)
-      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  val q139TfidfKeywords: QueryDef = sql(
+    "q139_tfidf_keywords", q139Sql) { (s, d) =>
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("token"))
@@ -597,10 +599,128 @@ object Analytics {
       .orderBy("event_type", "day_ms")
   }
 
+  /** Sliding-HLL trailing-7-day active users — q136's WAU for
+    * unbounded user cardinality. One DataSketches HLL sketch per day is
+    * the ONLY user-sized aggregation (partial+final, map-side
+    * combining); each day's sketch then explodes onto the ≤7 target
+    * days it serves and union-merges per target day — a pure
+    * equi-shuffle on the day key carrying |days|×7 KB-scale sketch
+    * rows. No nested-loop range join anywhere (q136's trailing window
+    * is a BroadcastNestedLoopJoin over the full (day,user) pair set —
+    * this is the swap its scaladoc names). The exact side uses the
+    * SAME offset-explode equi-plan over the distinct pair set (7×|pairs|
+    * rows, still no BNLJ), because the declared contract is q126's:
+    * exact value + in-query |est−exact| ≤ max(5, 5·rsd·exact) flag,
+    * rsd = 1.04/√2¹² ≈ 1.63% at lgK=12 — the oracle pins the exact
+    * WAU and asserts the flag is TRUE everywhere. */
+  val q148HllWau: QueryDef = sql(
+    "q148_hll_wau",
+    """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+      |days AS (SELECT DISTINCT d FROM du)
+      |SELECT epoch_ms(days.d) AS day_ms,
+      |       (SELECT COUNT(DISTINCT user_id) FROM du
+      |         WHERE du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d) AS wau_exact,
+      |       TRUE AS within_bound
+      |FROM days ORDER BY day_ms""".stripMargin) { (s, d) =>
+    val du = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("d"), col("user_id")).distinct()
+    val days = du.select(col("d").as("day")).distinct()
+    // each source day contributes to target days d..d+6; spine gaps
+    // drop out via the semi-join — the exact set the oracle's BETWEEN
+    // produces (UTC session TZ keeps day arithmetic DST-free)
+    def explodeOffsets(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("off", explode(sequence(lit(0), lit(6))))
+      .withColumn("day", expr("timestampadd(DAY, off, d)"))
+      .join(days, Seq("day"), "left_semi")
+    val exact = explodeOffsets(du)
+      .groupBy("day").agg(countDistinct("user_id").as("wau_exact"))
+    val daily = du.groupBy("d").agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+    val est = explodeOffsets(daily)
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    exact.join(est, "day")
+      .select(expr("unix_millis(day)").as("day_ms"), col("wau_exact"),
+        (abs(col("est") - col("wau_exact")) <=
+          greatest(lit(5.0), lit(5 * 0.0163) * col("wau_exact"))).as("within_bound"))
+      .orderBy("day_ms")
+  }
+
+  /** q139's TF-IDF keywords served FROM the stored postings index —
+    * the promise in q139's scaladoc made real: tf, df, and N all come
+    * off the [[PostingsIndex]] persistence (build-once, corpus-keyed
+    * store path shared with q104), ZERO re-tokenization at serve time.
+    * The scoring expression is q139's token-for-token, so q139's
+    * from-scratch oracle proves serve ≡ recompute through the
+    * persistence roundtrip, hash-proven — the q104 discipline applied
+    * to the second scorer the same index can answer. */
+  val q149TfidfFromIndex: QueryDef = sql(
+    "q149_tfidf_index_serve", q139Sql) { (s, d) =>
+    val store = PostingsIndex.storePath(d)
+    PostingsIndex.ensure(s, Tables.documents(s, d), store)
+    PostingsIndex.tfidfTopK(s, store, 3)
+  }
+
+  /** q140's fuzzy join with FULL-TEXT verification: identical
+    * sorted-neighborhood candidate generation (block → prefix sort →
+    * W=5 window → prefix-distance ≤ 20), then the surviving candidate
+    * pairs — already bounded to n·W — join BACK to the corpus by doc
+    * id for a levenshtein over the complete texts, kept when the
+    * distance is ≤ 25% of the longer text. The id join-back means the
+    * block shuffle never carries full documents (only 40-char
+    * prefixes); the expensive verify runs on the candidate set alone,
+    * which is why a linear candidate generator is worth having at all.
+    * `dist` here is the REAL edit distance — q140's prefix-distance
+    * variant remains as the cheap triage tier. */
+  val q150FuzzyFullVerify: QueryDef = sql(
+    "q150_fuzzy_full_verify",
+    """WITH b AS (
+      |  SELECT doc_id, lang, CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket,
+      |         left(text, 40) AS prefix, text
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, bucket ORDER BY prefix, doc_id) AS rk
+      |  FROM b)
+      |SELECT least(a.doc_id, c.doc_id) AS doc_a, greatest(a.doc_id, c.doc_id) AS doc_b,
+      |       CAST(levenshtein(a.text, c.text) AS BIGINT) AS dist
+      |FROM r a JOIN r c ON a.lang = c.lang AND a.bucket = c.bucket
+      |  AND c.rk > a.rk AND c.rk <= a.rk + 5
+      |WHERE levenshtein(a.prefix, c.prefix) <= 20
+      |  AND levenshtein(a.text, c.text) <= 0.25 * greatest(length(a.text), length(c.text))
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val b = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      floor(col("n_chars") / 50.0).cast("long").as("bucket"),
+      substring(col("text"), 1, 40).as("prefix"))
+    val n = s.sparkContext.defaultParallelism * 2
+    val w = Window.partitionBy("lang", "bucket").orderBy("prefix", "doc_id")
+    val r = b.repartition(n, col("lang"), col("bucket"))
+      .withColumn("rk", row_number().over(w))
+    val a = r.select(col("doc_id").as("ida"), col("lang"), col("bucket"),
+      col("prefix").as("pa"), col("rk").as("rka"))
+    val c = r.select(col("doc_id").as("idb"), col("lang"), col("bucket"),
+      col("prefix").as("pb"), col("rk").as("rkb"))
+    val cand = a.join(c.hint("shuffle_hash"), Seq("lang", "bucket"))
+      .filter(col("rkb") > col("rka") && col("rkb") <= col("rka") + 5)
+      .filter(levenshtein(col("pa"), col("pb")) <= 20)
+      .select("ida", "idb")
+    val t = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    cand
+      .join(t.select(col("doc_id").as("ida"), col("text").as("ta")), "ida")
+      .join(t.select(col("doc_id").as("idb"), col("text").as("tb")), "idb")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") <= lit(0.25) * greatest(length(col("ta")), length(col("tb"))))
+      .select(
+        least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"),
+        col("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q134GapfillResample, q135RollingZscore, q136ActiveUsers,
     q137Attribution, q138RegressionByGroup, q139TfidfKeywords,
     q140FuzzySortedNeighborhood, q141WeightedSample,
     q142MarketBasket, q143SessionConversion, q144IntereventGaps,
-    q145TokenEntropy, q146BigramNll, q147RollupIvm)
+    q145TokenEntropy, q146BigramNll, q147RollupIvm,
+    q148HllWau, q149TfidfFromIndex, q150FuzzyFullVerify)
 }
