@@ -559,8 +559,10 @@ object Analytics {
     * metadata next to the event log). The declared output serves from
     * the store after the honest build(80%) → extend(20%) lifecycle;
     * the full-recompute oracle proves merge ≡ recompute — the additive
-    * twin of q133's sketch-merge and the batch body every continuous
-    * rollup maintainer runs per micro-batch at 100 TB/day. */
+    * twin of q133's sketch-merge. Its continuous face is
+    * [[graft.streaming.RollupMaintainer]], which runs exactly this
+    * batch body per micro-batch with the txn-ledgered exactly-once
+    * discipline an additive (non-idempotent) merge needs. */
   val q147RollupIvm: QueryDef = sql(
     "q147_rollup_ivm",
     """SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day_ms,
