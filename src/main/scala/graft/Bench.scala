@@ -102,9 +102,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""streaming_rows_per_sec":$streamingRps,"upsert_rows_per_sec":$upsertRps,""" +
-      s""""errors":$errs,"sf":"$sfDir"}""")
+      s""""errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // persist the COMPLETE per-query blob in-repo: the driver's
+    // BENCH_r*.json keeps only the tail of the sbt output, which hides
+    // most per-query numbers from round-over-round comparison; this
+    // file is committed so every query's time is diffable (skipped for
+    // SPARK_GRAFT_BENCH_ONLY re-measure runs — partial blobs would
+    // masquerade as whole-bench baselines)
+    if (only.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local_latest.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

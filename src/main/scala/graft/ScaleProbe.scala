@@ -129,7 +129,14 @@ object ScaleProbe {
     // orders × order-size² (never parts²); the IVM extend's store
     // traffic is delta-keyed; entropy/NLL are tokenize-pass linear
     "q142_market_basket", "q143_session_conversion", "q144_interevent_gaps",
-    "q145_token_entropy", "q146_bigram_nll", "q147_rollup_ivm")
+    "q145_token_entropy", "q146_bigram_nll", "q147_rollup_ivm",
+    // round 12: the HLL WAU swap must stay day-sketch-sized (q148) and
+    // the stores metadata-sized (q151/q153); the index-served TF-IDF
+    // (q149) pays the store build once then joins postings ∝ data; the
+    // full-text verify (q150) is candidate-bounded; the stratified
+    // sample (q152) is heap-bounded per group
+    "q148_hll_wau", "q149_tfidf_index_serve", "q150_fuzzy_full_verify",
+    "q151_hll_distinct_store", "q152_stratified_sample", "q153_hll_window_serve")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

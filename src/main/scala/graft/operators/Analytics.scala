@@ -718,11 +718,97 @@ object Analytics {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** STRATIFIED weighted sampling without replacement — q141's
+    * Efraimidis–Spirakis key drawn per language: top-5 docs per lang by
+    * ln(u)/w with the same deterministic multiplicative-hash uniform
+    * and the same domain guards. The per-group selection runs through
+    * the bounded-heap [[graft.functions.TopKAggregate]] — each map
+    * task keeps a 5-entry heap per group and the final shuffle carries
+    * ≤ 5 rows per (group × partition), never the corpus — where a rank
+    * window would sort every stratum end-to-end (and the oracle's
+    * QUALIFY does exactly that, pinning the heap's tie discipline:
+    * score desc, doc_id asc). Weights ride a broadcast join of the
+    * 5·|langs| winners back onto the corpus scan. */
+  val q152StratifiedSample: QueryDef = sql(
+    "q152_stratified_sample",
+    """WITH w AS (
+      |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+      |         GREATEST(CAST(n_chars AS DOUBLE), 1.0) AS wt,
+      |         ((((doc_id % 268435456) * 2654435761) % 4294967296) + 1.0) / 4294967297.0 AS u
+      |  FROM documents),
+      |keyed AS (SELECT doc_id, lang, weight, ln(u) / wt AS k FROM w)
+      |SELECT lang, doc_id, weight,
+      |       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rank
+      |FROM keyed QUALIFY rank <= 5 ORDER BY lang, rank""".stripMargin) { (s, d) =>
+    val keyed = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      (log(((((col("doc_id") % lit(268435456L)) * lit(2654435761L)) % lit(4294967296L)) +
+            lit(1.0)) / lit(4294967297.0)) /
+        greatest(col("n_chars").cast("double"), lit(1.0))).as("k"))
+    val top = keyed.groupBy("lang")
+      .agg(graft.functions.TopKFunctions
+        .top_k_by_score(col("k"), col("doc_id"), 5).as("hits"))
+      .select(col("lang"), posexplode(col("hits")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars").cast("long").as("weight"))
+      .join(broadcast(top), "doc_id")
+      .select("lang", "doc_id", "weight", "rank")
+      .orderBy("lang", "rank")
+  }
+
+  /** ARBITRARY trailing-window distinct users served from a per-day
+    * HLL sketch store — the property that makes the sketch store worth
+    * persisting at all: ONE per-day sketch table answers every window
+    * length after the fact (7-day and 28-day here, from the same
+    * rows), where exact distinct would rescan raw events per window.
+    * Build: one user-sized aggregation into |days| KB-scale binaries.
+    * Serve: filter the ≤w stored rows, one `hll_union_agg`, estimate —
+    * metadata I/O regardless of corpus size. Declared with the q126
+    * contract (exact + 5·rsd bound flag, both windows anchored at the
+    * corpus' last day), so the oracle pins exactness and the flag pins
+    * the sketch. */
+  val q153HllWindowServe: QueryDef = sql(
+    "q153_hll_window_serve",
+    """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+      |mx AS (SELECT MAX(d) AS mxd FROM du)
+      |SELECT CAST(v.w AS BIGINT) AS window_days,
+      |       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM du, mx
+      |         WHERE epoch_ms(du.d) > epoch_ms(mx.mxd) - CAST(v.w AS BIGINT) * 86400000) AS n_exact,
+      |       TRUE AS within_bound
+      |FROM (VALUES (7), (28)) v(w) ORDER BY window_days""".stripMargin) { (s, d) =>
+    import graft.streaming.UpsertStore
+    val du = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("d"), col("user_id")).distinct()
+      .withColumn("day_ms", expr("unix_millis(d)"))
+    val path = graft.Scratch.dir("graft_hll_days") + "/store"
+    UpsertStore.replace(s, path,
+      du.groupBy("day_ms").agg(hll_sketch_agg(col("user_id"), 12).as("sk")),
+      Seq("day_ms"), assumeKeyUnique = true)
+    val stored = UpsertStore.read(s, path).get
+    val maxd = stored.agg(max("day_ms")).head().getLong(0)
+    val wins = s.range(2)
+      .select(when(col("id") === 0, 7L).otherwise(28L).as("window_days"))
+    def inWindow(df: org.apache.spark.sql.DataFrame) = df
+      .crossJoin(broadcast(wins))
+      .filter(col("day_ms") > lit(maxd) - col("window_days") * lit(86400000L))
+    val est = inWindow(stored).groupBy("window_days")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = inWindow(du).groupBy("window_days")
+      .agg(countDistinct("user_id").as("n_exact"))
+    exact.join(est, "window_days")
+      .select(col("window_days"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <=
+          greatest(lit(5.0), lit(5 * 0.0163) * col("n_exact"))).as("within_bound"))
+      .orderBy("window_days")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q134GapfillResample, q135RollingZscore, q136ActiveUsers,
     q137Attribution, q138RegressionByGroup, q139TfidfKeywords,
     q140FuzzySortedNeighborhood, q141WeightedSample,
     q142MarketBasket, q143SessionConversion, q144IntereventGaps,
     q145TokenEntropy, q146BigramNll, q147RollupIvm,
-    q148HllWau, q149TfidfFromIndex, q150FuzzyFullVerify)
+    q148HllWau, q149TfidfFromIndex, q150FuzzyFullVerify,
+    q152StratifiedSample, q153HllWindowServe)
 }

@@ -632,6 +632,54 @@ object MoreRelational {
       .orderBy("o_orderpriority")
   }
 
+  /** q126's HLL distinct AS A DERIVED STORE — the mergeable-sketch
+    * lifecycle applied to cardinality: per-group DataSketches HLL
+    * binaries persist in the [[graft.streaming.UpsertStore]], and a
+    * new event batch advances them with one distributed per-group
+    * `hll_union_agg` over (stored ∪ delta) sketch rows — native,
+    * codegen'd, partial-merging map-side, group cardinality unbounded
+    * (the q133 discipline with Spark's own sketch functions doing the
+    * whole lifecycle: sketch with `hll_sketch_agg`, merge with
+    * `hll_union_agg`, read with `hll_sketch_estimate`). The honest
+    * build(80%)→extend(20%)→serve run is declared with q126's
+    * contract — exact distinct + in-query 5·rsd bound flag (rsd =
+    * 1.04/√2¹² ≈ 1.63% at lgK=12) — so the from-scratch oracle proves
+    * the union-merged sketch honors the same bound a one-shot build
+    * would. This is "daily unique users at 100 TB/day": per-batch
+    * sketch, merge into the store, estimate on read; history is never
+    * rescanned. */
+  val q151HllDistinctStore: QueryDef = sql(
+    "q151_hll_distinct_store",
+    """SELECT event_type,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |       TRUE AS within_bound
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.streaming.UpsertStore
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"), col("event_id"))
+    val cut = ev.agg(expr("percentile(event_id, 0.8)")).head().getDouble(0).toLong
+    val path = graft.Scratch.dir("graft_hll_store") + "/store"
+    def sk(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("event_type").agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+    // BUILD on the base batch
+    UpsertStore.replace(s, path, sk(ev.filter(col("event_id") <= cut)),
+      Seq("event_type"), assumeKeyUnique = true)
+    // EXTEND: union-merge the delta's sketches in, fully distributed
+    val merged = UpsertStore.read(s, path).get.select(col("event_type"), col("sk"))
+      .unionByName(sk(ev.filter(col("event_id") > cut)))
+      .groupBy("event_type").agg(hll_union_agg(col("sk")).as("sk"))
+    UpsertStore.replace(s, path, merged, Seq("event_type"), assumeKeyUnique = true)
+    // SERVE: estimates off the store; exact + bound flag declared
+    val est = UpsertStore.read(s, path).get
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est"))
+    ev.groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
+      .join(est, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <=
+          greatest(lit(5.0), lit(5 * 0.0163) * col("n_exact"))).as("within_bound"))
+      .orderBy("event_type")
+  }
+
   /** q120's quantile sketch AS A DERIVED STORE — the mergeable-sketch
     * lifecycle: the per-group KLL summaries persist as serialized
     * binaries ([[graft.streaming.UpsertStore]] row per group), and a
@@ -754,5 +802,5 @@ object MoreRelational {
     q35Levenshtein, q37PercentilesApprox, q66WindowExtras, q67DecimalMoney,
     q68DateArithmetic, q69GroupingSets, q72NullSemantics, q73OuterJoins,
     q74ExistsSubqueries, q81SaltedJoin, q82GroupedTopK, q120QuantileSketch,
-    q126HllDistinct, q133QuantileSketchStored)
+    q126HllDistinct, q133QuantileSketchStored, q151HllDistinctStore)
 }
