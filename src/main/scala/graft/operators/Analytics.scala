@@ -709,7 +709,17 @@ object Analytics {
     cand
       .join(t.select(col("doc_id").as("ida"), col("text").as("ta")), "ida")
       .join(t.select(col("doc_id").as("idb"), col("text").as("tb")), "idb")
-      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      // two semantics-free guards around the O(len²) levenshtein (the
+      // 10× probe read 201× without them on a dup-dense corpus, where
+      // most surviving candidates are exact clones): a length gap
+      // above the threshold can never pass (lev ≥ |len_a − len_b|),
+      // and identical texts are dist 0 by definition — the equality
+      // branch turns the dominant dup-dense term into a string compare
+      .filter(abs(length(col("ta")) - length(col("tb"))) <=
+        lit(0.25) * greatest(length(col("ta")), length(col("tb"))))
+      .withColumn("dist",
+        when(col("ta") === col("tb"), lit(0L))
+          .otherwise(levenshtein(col("ta"), col("tb")).cast("long")))
       .filter(col("dist") <= lit(0.25) * greatest(length(col("ta")), length(col("tb"))))
       .select(
         least(col("ida"), col("idb")).as("doc_a"),
