@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CONTINUOUS DISTINCT-COUNT MONITORING — the streaming face of the
+  * q151 HLL store: per-group DataSketches HLL binaries persist; every
+  * micro-batch is sketched (`hll_sketch_agg`, map-side combining) and
+  * union-merged into the store (`hll_union_agg` over stored ∪ delta
+  * rows, fully distributed), so "distinct users seen so far, per
+  * group" reads in milliseconds at any corpus size.
+  *
+  * Replay discipline — the instructive CONTRAST with
+  * [[QuantileMonitor]]: an HLL union only ever sees the same hashed
+  * SET, so re-folding the exact same batch can never double-count —
+  * where the KLL merge and the rollup's additive merge grow on every
+  * refold. This maintainer is therefore replay-safe by CONVERGENCE,
+  * like the dedup gate's convergent writes: the txn column it still
+  * carries is an optimization (skip the whole merge job on a known
+  * replay) and a debugging breadcrumb, not a correctness requirement.
+  * One honest caveat, spec-pinned: the FIRST refold may shift an
+  * estimate once — within its error bound — when the union normalizes
+  * a sparse coupon list into dense registers; from then on refolds are
+  * bit-stable (register max is idempotent), and the estimate stays
+  * inside the bound of the true set at every fold count.
+  *
+  * Batches carry (`grp` string, `id` — any orderable atomic type).
+  */
+final class DistinctMonitor(
+    spark: SparkSession, storePath: String, lgK: Int = 12) extends Serializable {
+
+  private def sketchRows(batch: DataFrame): DataFrame =
+    batch.groupBy("grp")
+      .agg(hll_sketch_agg(col("id"), lgK).as("sk"))
+
+  /** Seed the monitor from the historical corpus. */
+  def bootstrap(corpus: DataFrame): Unit =
+    UpsertStore.replace(spark, storePath,
+      sketchRows(corpus).withColumn("txn", lit(-1L)),
+      Seq("grp"), assumeKeyUnique = true)
+
+  /** Sketch + union-merge one batch. `txnId` short-circuits known
+    * replays; correctness does not depend on it (idempotent merge). */
+  def ingestBatch(batch: DataFrame, txnId: Option[Long] = None): Unit = {
+    val cur = UpsertStore.read(spark, storePath).getOrElse(
+      sys.error(s"no distinct monitor at $storePath — bootstrap first"))
+    val committed = cur.agg(coalesce(max(col("txn")), lit(-1L))).head().getLong(0)
+    if (txnId.exists(_ <= committed)) return
+    val merged = cur.select(col("grp"), col("sk"))
+      .unionByName(sketchRows(batch))
+      .groupBy("grp")
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .withColumn("txn", lit(txnId.getOrElse(committed)))
+    UpsertStore.replace(spark, storePath, merged, Seq("grp"), assumeKeyUnique = true)
+  }
+
+  /** Current estimates, one row per grp — decoded in-plan. */
+  def estimates(): DataFrame =
+    UpsertStore.read(spark, storePath).getOrElse(
+      sys.error(s"no distinct monitor at $storePath"))
+      .select(col("grp"), hll_sketch_estimate(col("sk")).as("est"))
+
+  /** Wire into a streaming query. */
+  def run(rows: DataFrame, checkpointDir: String,
+          trigger: org.apache.spark.sql.streaming.Trigger =
+            org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            ingestBatch(batch.select("grp", "id"), Some(batchId))
+        } finally batch.unpersist()
+      }
+      .start()
+}

@@ -108,6 +108,56 @@ class MonitorMaintainSpec extends AnyFunSuite {
     assert(KllSketch.deserialize(sk).n == 6L)
   }
 
+  test("distinct monitor: replays never double-count WITHOUT the ledger; refolds stabilize") {
+    // the contrast with the quantile/rollup stores: an HLL union only
+    // ever sees the same hashed SET, so a ledger-bypassed replay
+    // cannot double-count (KLL/additive merges grow on every refold).
+    // One caveat the test pins honestly: the FIRST refold may shift an
+    // estimate once, within its error bound, when the union normalizes
+    // a sparse coupon list into dense registers; after that, refolds
+    // are bit-stable (register max is idempotent).
+    val dir = java.nio.file.Files.createTempDirectory("graft-dm").toString
+    val m = new DistinctMonitor(spark, s"$dir/d")
+    val b0 = (0L until 3000L).map(i => ("a", i))
+    val b1 = (2000L until 5000L).map(i => ("a", i)) ++ (0L until 800L).map(i => ("b", i))
+    m.bootstrap(b0.toDF("grp", "id"))
+    m.ingestBatch(b1.toDF("grp", "id"))                 // no txn: convergent path
+    m.ingestBatch(b1.toDF("grp", "id"))                 // refold 1: may normalize
+    val after1 = m.estimates().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    m.ingestBatch(b1.toDF("grp", "id"))                 // refold 2: must be a no-op
+    val after2 = m.estimates().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after2 == after1,
+      s"normalized registers must not move on refold: $after1 vs $after2")
+    // estimates track the exact distinct within the 5·rsd bound at
+    // EVERY fold count — the set never grows, unlike a weight merge
+    val exact = Map("a" -> 5000L, "b" -> 800L)
+    for ((g, e) <- exact; est <- Seq(after1(g), after2(g)))
+      assert(math.abs(est - e) <= math.max(5.0, 5 * 0.0163 * e),
+        s"$g: est $est vs exact $e")
+    // and the ledgered path still short-circuits a known replay
+    m.ingestBatch(Seq(("a", 99999L)).toDF("grp", "id"), txnId = Some(3L))
+    val v = UpsertStore.latestVersion(spark, s"$dir/d")
+    m.ingestBatch(Seq(("a", 88888L)).toDF("grp", "id"), txnId = Some(3L))
+    assert(UpsertStore.latestVersion(spark, s"$dir/d") == v)
+  }
+
+  test("distinct monitor foreachBatch wiring folds a live stream in") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-dm-fb").toString
+    val m = new DistinctMonitor(spark, s"$dir/d")
+    m.bootstrap(Seq(("a", 1L), ("a", 2L)).toDF("grp", "id"))
+    val input = MemoryStream[DistinctObs]
+    val q = m.run(input.toDF().select(col("grp"), col("id")), s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    input.addData((1L to 50L).map(i => DistinctObs("a", i)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val est = m.estimates().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("a") == 50L, s"50 distinct ids at this scale estimate exactly: $est")
+  }
+
   test("quantile monitor foreachBatch wiring folds a live stream in") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-qm-fb").toString
@@ -127,4 +177,5 @@ class MonitorMaintainSpec extends AnyFunSuite {
 
 object MonitorMaintainSpec {
   case class Obs(grp: String, ts: Timestamp, v: Double)
+  case class DistinctObs(grp: String, id: Long)
 }
