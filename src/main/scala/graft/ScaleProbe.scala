@@ -136,7 +136,10 @@ object ScaleProbe {
     // full-text verify (q150) is candidate-bounded; the stratified
     // sample (q152) is heap-bounded per group
     "q148_hll_wau", "q149_tfidf_index_serve", "q150_fuzzy_full_verify",
-    "q151_hll_distinct_store", "q152_stratified_sample", "q153_hll_window_serve")
+    "q151_hll_distinct_store", "q152_stratified_sample", "q153_hll_window_serve",
+    // the cluster split adds one label join to the cluster pipeline;
+    // the EWMA is one type-keyed window pass over day-grain rows
+    "q154_cluster_split", "q155_daily_ewma")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

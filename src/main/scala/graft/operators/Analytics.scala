@@ -797,10 +797,11 @@ object Analytics {
       Seq("day_ms"), assumeKeyUnique = true)
     val stored = UpsertStore.read(s, path).get
     val maxd = stored.agg(max("day_ms")).head().getLong(0)
-    val wins = s.range(2)
-      .select(when(col("id") === 0, 7L).otherwise(28L).as("window_days"))
+    // windows ride an exploded literal array — no join of any kind
+    // (a crossJoin against a 2-row frame plans a BNLJ; this stays in
+    // whole-stage codegen)
     def inWindow(df: org.apache.spark.sql.DataFrame) = df
-      .crossJoin(broadcast(wins))
+      .withColumn("window_days", explode(array(lit(7L), lit(28L))))
       .filter(col("day_ms") > lit(maxd) - col("window_days") * lit(86400000L))
     val est = inWindow(stored).groupBy("window_days")
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
@@ -813,6 +814,46 @@ object Analytics {
       .orderBy("window_days")
   }
 
+  /** Exponentially-weighted moving average of the daily totals
+    * (α = 0.3, the pandas adjust=True estimator): ŝ_i =
+    * Σ_j r^(i−j)·x_j / Σ_j r^(i−j) with r = 1−α. The r^i factor
+    * cancels in the ratio, so both running sums accumulate
+    * x_j·r^(−j) and r^(−j) over a plain ROWS UNBOUNDED PRECEDING
+    * frame — ONE (type-keyed) window pass, no recursion, no
+    * self-join; both engines sum in the same ascending-day order so
+    * the 4 dp round is stable. r^(−j) grows ~1.43^j: fine for the
+    * day-grain series here (2^63 headroom past j≈120); a year-plus
+    * series re-anchors j per block (e.g. j mod 90 with a carried
+    * block factor) — noted, not needed at this grain. */
+  val q155DailyEwma: QueryDef = sql(
+    "q155_daily_ewma",
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS d, SUM(value) AS x
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) - 1 AS i
+      |  FROM daily)
+      |SELECT event_type, epoch_ms(d) AS day_ms, ROUND(x, 2) AS total,
+      |       ROUND(SUM(x * pow(1 / 0.7, i)) OVER w / SUM(pow(1 / 0.7, i)) OVER w, 4) AS ewma
+      |FROM r
+      |WINDOW w AS (PARTITION BY event_type ORDER BY i ROWS UNBOUNDED PRECEDING)
+      |ORDER BY event_type, day_ms""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(sum("value").as("x"))
+    val wi = Window.partitionBy("event_type").orderBy("d")
+    val w = Window.partitionBy("event_type").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("i", row_number().over(wi) - 1)
+      .withColumn("wt", pow(lit(1 / 0.7), col("i")))
+      .select(
+        col("event_type"), expr("unix_millis(d)").as("day_ms"),
+        round(col("x"), 2).as("total"),
+        round(sum(col("x") * col("wt")).over(w) / sum(col("wt")).over(w), 4).as("ewma"))
+      .orderBy("event_type", "day_ms")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q134GapfillResample, q135RollingZscore, q136ActiveUsers,
     q137Attribution, q138RegressionByGroup, q139TfidfKeywords,
@@ -820,5 +861,5 @@ object Analytics {
     q142MarketBasket, q143SessionConversion, q144IntereventGaps,
     q145TokenEntropy, q146BigramNll, q147RollupIvm,
     q148HllWau, q149TfidfFromIndex, q150FuzzyFullVerify,
-    q152StratifiedSample, q153HllWindowServe)
+    q152StratifiedSample, q153HllWindowServe, q155DailyEwma)
 }

@@ -932,9 +932,60 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** LEAKAGE-FREE train/val/test split: the q59 deterministic hash
+    * split drawn per near-dup CLUSTER instead of per document, so two
+    * near-duplicates can never straddle train and test (the eval-
+    * contamination failure mode a per-doc split bakes in: the model is
+    * scored on a paraphrase of its own training data). Composes the
+    * materialized cluster table (banding + label propagation run once,
+    * gated reads after — q89's serving path) with a left join back to
+    * the corpus (unclustered docs are their own singleton cluster) and
+    * the multiplicative-hash bucket on the CLUSTER id — every member
+    * inherits the same bucket by construction, which the oracle's
+    * recursive-CTE closure re-derives and the hash compare pins.
+    * Domain guard as in q141: the 28-bit mask keeps the multiply
+    * inside exact-integer range on both engines. Scale shape: the
+    * split itself adds one label join + a per-row hash to the cluster
+    * pipeline — nothing new shuffles. */
+  val q154ClusterSplit: QueryDef = sql(
+    "q154_cluster_split",
+    s"""WITH RECURSIVE ${pairsCtes(0.6, "documents")},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jp
+       |  UNION ALL SELECT doc_b, doc_a FROM jp),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |assign AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+       |SELECT doc_id, cluster_id,
+       |       CASE WHEN (((cluster_id % 268435456) * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+       |            WHEN (((cluster_id % 268435456) * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM assign ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val clusters = PairGraph.clusters(s, docs, d, 0.6)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+    val assigned = docs.select("doc_id").join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val b = ((col("cluster_id") % lit(268435456L)) * lit(2654435761L)) %
+      lit(4294967296L) % 100
+    assigned
+      .withColumn("split",
+        when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q45DedupExact, q46DedupNgramJaccard, q47DedupMinhash, q48DedupSimhash,
     q56NearDupPipeline, q89DedupClusters, q91DedupRemovalPlan, q93PairGraphStore,
     q94PairGraphIncremental, q95ClusterIncremental, q99CatalogPairGraph,
-    q117DuplicateSpans, q121DedupIngestGate, q128TriangleCount, q129PageRank)
+    q117DuplicateSpans, q121DedupIngestGate, q128TriangleCount, q129PageRank,
+    q154ClusterSplit)
 }
