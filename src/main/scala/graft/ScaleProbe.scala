@@ -138,8 +138,10 @@ object ScaleProbe {
     "q148_hll_wau", "q149_tfidf_index_serve", "q150_fuzzy_full_verify",
     "q151_hll_distinct_store", "q152_stratified_sample", "q153_hll_window_serve",
     // the cluster split adds one label join to the cluster pipeline;
-    // the EWMA is one type-keyed window pass over day-grain rows
-    "q154_cluster_split", "q155_daily_ewma")
+    // the EWMA is one type-keyed window pass over day-grain rows; the
+    // manifest composes digest-groupBy + quality scan + gated cluster
+    // read + doc-keyed joins — each term priced by its standalone query
+    "q154_cluster_split", "q155_daily_ewma", "q156_training_manifest")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

@@ -982,10 +982,121 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** THE TRAINING-DATA MANIFEST — the end-to-end curation decision for
+    * every document in ONE declarative plan, composing the pipeline's
+    * stages in their production order: exact dedup (q45's group-min
+    * over 32 B content digests) → quality heuristics (q70's verdicts)
+    * → near-dup cluster policy (keep the component representative,
+    * q91's rule, off the materialized cluster table) → leakage-free
+    * split (q154's cluster-keyed hash) for the survivors. Every doc
+    * gets (keep, reason, split) where reason names the FIRST stage
+    * that dropped it — the auditable artifact an actual 100 TB
+    * curation run hands downstream, and exactly what a reference user
+    * gluing these stages by hand would script. Scale shape: one
+    * digest groupBy (32 B keys), one quality scan, the gated cluster
+    * read, and two doc-keyed joins — every term already priced by its
+    * standalone query; Catalyst fuses the scans. */
+  val q156TrainingManifest: QueryDef = sql(
+    "q156_training_manifest",
+    s"""WITH RECURSIVE ${pairsCtes(0.6, "documents")},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jp
+       |  UNION ALL SELECT doc_b, doc_a FROM jp),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |firsts AS (
+       |  SELECT sha256(text) AS h, MIN(doc_id) AS keep_doc
+       |  FROM documents GROUP BY 1),
+       |m AS (
+       |  SELECT doc_id,
+       |         len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+       |         CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS DOUBLE)
+       |           / len(string_split_regex(lower(text), '\\s+')) AS distinct_ratio,
+       |         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                              x -> x IN ('the', 'a'))) AS DOUBLE)
+       |           / len(string_split_regex(lower(text), '\\s+')) AS stopword_ratio,
+       |         CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+       |           / len(string_split_regex(lower(text), '\\s+')) AS avg_token_len
+       |  FROM documents),
+       |staged AS (
+       |  SELECT d.doc_id,
+       |         (d.doc_id <> f.keep_doc) AS is_exact_dup,
+       |         CASE WHEN m.n_tokens < 10 THEN 'too_short'
+       |              WHEN m.distinct_ratio < 0.3 THEN 'low_diversity'
+       |              WHEN m.stopword_ratio > 0.5 THEN 'stopword_heavy'
+       |              WHEN m.avg_token_len < 2.0 OR m.avg_token_len > 12.0 THEN 'token_len_outlier'
+       |              ELSE 'keep' END AS verdict,
+       |         COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d
+       |  JOIN firsts f ON sha256(d.text) = f.h
+       |  JOIN m ON d.doc_id = m.doc_id
+       |  LEFT JOIN comp c ON d.doc_id = c.doc_id),
+       |reasons AS (
+       |  SELECT doc_id, cluster_id,
+       |         CASE WHEN is_exact_dup THEN 'exact_dup'
+       |              WHEN verdict <> 'keep' THEN verdict
+       |              WHEN doc_id <> cluster_id THEN 'near_dup'
+       |              ELSE 'kept' END AS reason
+       |  FROM staged)
+       |SELECT doc_id, (reason = 'kept') AS keep, reason,
+       |       CASE WHEN reason <> 'kept' THEN 'none'
+       |            WHEN (((cluster_id % 268435456) * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+       |            WHEN (((cluster_id % 268435456) * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM reasons ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val firsts = docs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("keep_doc"))
+    val verdicts = docs
+      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("distinct_ratio"),
+        (size(filter(col("toks"), t => t.isin("the", "a"))).cast("double") /
+          size(col("toks"))).as("stopword_ratio"),
+        (length(expr("replace(text, ' ', '')")).cast("double") / size(col("toks")))
+          .as("avg_token_len"))
+      .select(col("doc_id"),
+        when(col("n_tokens") < 10, "too_short")
+          .when(col("distinct_ratio") < 0.3, "low_diversity")
+          .when(col("stopword_ratio") > 0.5, "stopword_heavy")
+          .when(col("avg_token_len") < 2.0 || col("avg_token_len") > 12.0,
+            "token_len_outlier")
+          .otherwise("keep").as("verdict"))
+    val clusters = PairGraph.clusters(s, docs, d, 0.6)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+    val staged = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(firsts, "h")
+      .join(verdicts, "doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("reason",
+        when(col("doc_id") =!= col("keep_doc"), "exact_dup")
+          .when(col("verdict") =!= "keep", col("verdict"))
+          .when(col("doc_id") =!= col("cluster_id"), "near_dup")
+          .otherwise("kept"))
+    val bucket = ((col("cluster_id") % lit(268435456L)) * lit(2654435761L)) %
+      lit(4294967296L) % 100
+    staged.select(
+      col("doc_id"),
+      (col("reason") === "kept").as("keep"),
+      col("reason"),
+      when(col("reason") =!= "kept", "none")
+        .when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q45DedupExact, q46DedupNgramJaccard, q47DedupMinhash, q48DedupSimhash,
     q56NearDupPipeline, q89DedupClusters, q91DedupRemovalPlan, q93PairGraphStore,
     q94PairGraphIncremental, q95ClusterIncremental, q99CatalogPairGraph,
     q117DuplicateSpans, q121DedupIngestGate, q128TriangleCount, q129PageRank,
-    q154ClusterSplit)
+    q154ClusterSplit, q156TrainingManifest)
 }
