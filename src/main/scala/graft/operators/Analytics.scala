@@ -17,10 +17,10 @@ import graft.{QueryDef, Tables}
   * (group, day-or-hour) aggregates — never raw events — except the
   * per-user windows (q136 pairs, q137 per-user sort), which shuffle one
   * small row per (user, day) / per event and parallelize by user hash.
-  * The one range join (q136's trailing-7-day distinct) carries
-  * day-level pairs: |days| × |users| rows at most, metadata-sized next
-  * to the event table itself; at petabyte user counts the exact
-  * distinct swaps for the sliding-HLL union documented in SCALING.md.
+  * Trailing windows over the pair set ride the offset-explode
+  * equi-plan (7×|pairs| equi-shuffled rows — no range join, no nested
+  * loop anywhere in the pack); at petabyte user counts the exact
+  * distinct swaps for the sliding-HLL union (q148/q153).
   */
 object Analytics {
   import QueryDef.sql
@@ -107,17 +107,19 @@ object Analytics {
   }
 
   /** Daily + trailing-7-day active users (DAU / WAU): exact distinct
-    * per day, then a day-level range self-join for the trailing window.
-    * Everything after the first distinct is day×user pairs —
-    * metadata-sized vs the raw events. The trailing window is a pure
-    * non-equi range join, so it executes as a broadcast nested loop
-    * doing |days| × |(day,user) pairs| comparisons (the right side is
-    * the full pair set, not the day spine) — fine while the pair set
-    * is modest, and each day's pair list is at most 7× counted. At
-    * genuinely unbounded user counts the exact trailing distinct swaps
-    * for a sliding HLL union — q148 IS that swap (per-day HLL sketches
-    * union-merged over a 7-day offset equi-join, q126's bound-flag
-    * contract); this query is its exactness baseline. */
+    * per day, then the trailing window via the OFFSET-EXPLODE
+    * equi-plan — each (day, user) pair contributes to the ≤7 target
+    * days it serves (explode over 0..6, semi-filter to the day
+    * spine), then one countDistinct per target day. Everything after
+    * the first distinct is day×user pairs — metadata-sized vs the raw
+    * events — and the window costs exactly 7×|pairs| equi-shuffled
+    * rows: no nested-loop range join anywhere (the earlier non-equi
+    * formulation planned a BroadcastNestedLoopJoin doing |days| ×
+    * |pairs| comparisons and sat on the PlanAudit allowlist; this
+    * plan removed it). At genuinely unbounded user counts the exact
+    * trailing distinct still swaps for the sliding HLL union — q148,
+    * same offset-explode shape over KB sketch rows instead of raw
+    * pairs; this query is its exactness baseline. */
   val q136ActiveUsers: QueryDef = sql(
     "q136_active_users",
     """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
@@ -131,8 +133,10 @@ object Analytics {
       .select(date_trunc("day", col("ts")).as("d"), col("user_id")).distinct()
     val dau = du.groupBy("d").agg(count(lit(1)).as("dau"))
     val days = du.select(col("d").as("day")).distinct()
-    val wau = days.join(du,
-        du("d") <= col("day") && du("d") >= col("day") - expr("interval 6 days"))
+    val wau = du
+      .withColumn("off", explode(sequence(lit(0), lit(6))))
+      .withColumn("day", expr("timestampadd(DAY, off, d)"))
+      .join(days, Seq("day"), "left_semi")
       .groupBy("day").agg(countDistinct("user_id").as("wau7"))
     dau.join(wau, dau("d") === wau("day"))
       .select(expr("unix_millis(d)").as("day_ms"), col("dau"), col("wau7"))

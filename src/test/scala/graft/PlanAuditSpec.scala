@@ -52,8 +52,6 @@ class PlanAuditSpec extends AnyFunSuite {
     "q132_embedding_outliers", // single-row centroid + single-row moments broadcasts
     "q134_gapfill_resample", // types × hour-spine grid: both sides derived from
                              // aggregates (5 rows × hours) — metadata-sized at any SF
-    "q136_active_users",     // day-level trailing-range join: |days| × (day,user)
-                             // pairs, never raw events
     "q139_tfidf_keywords",   // single-row corpus-N cross join (q101's stats idiom)
     "q142_market_basket",    // single-row n_orders cross join (lift denominator)
     "q146_bigram_nll")       // single-row vocab-size cross join (smoothing denominator)
