@@ -81,6 +81,60 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(errs.forall(_ <= 0.05), s"merged-store rank errors $errs exceed 5%")
   }
 
+  test("quantile_sketch_merge: distributed fold of serialized sketches is weight-exact and bound-honest") {
+    // the VERDICT r11 #2 primitive: per-partition sketch bytes folded
+    // back together by the binary-input aggregate, vs a one-shot
+    // sketch over the raw values — same weight, same error contract
+    val rnd = new scala.util.Random(41)
+    val values = Seq.fill(20000)(rnd.nextDouble() * 1e6)
+    val df = values.zipWithIndex
+      .map { case (v, i) => (i % 5, i % 13, v) }.toDF("g", "p", "v")
+    val parts = df.groupBy("g", "p")
+      .agg(QuantileFunctions.quantile_sketch_bytes(col("v")).as("sk"))
+    val merged = parts.groupBy("g")
+      .agg(QuantileFunctions.quantile_sketch_merge(col("sk")).as("sk"))
+      .collect().map(r => r.getInt(0) -> KllSketch.deserialize(r.getAs[Array[Byte]](1)))
+      .toMap
+    val byGroup = values.zipWithIndex.groupBy(_._2 % 5)
+      .view.mapValues(_.map(_._1).sorted).toMap
+    for ((g, sk) <- merged) {
+      assert(sk.n == byGroup(g).size, s"group $g: weight ${sk.n} != ${byGroup(g).size}")
+      val sorted = byGroup(g); val n = sorted.size
+      for ((p, e) <- ps.zip(sk.estimates(ps.toArray))) {
+        val target = math.max(1L, math.ceil(p * n).toLong)
+        val lo = sorted.count(_ < e) + 1; val hi = sorted.count(_ <= e)
+        val dist = if (target < lo) lo - target else if (target > hi) target - hi else 0L
+        assert(dist.toDouble / n <= 0.05, s"group $g p $p: rank error ${dist.toDouble / n}")
+      }
+    }
+    // the merge agg partial-aggregates map-side like any native agg
+    val plan = parts.groupBy("g")
+      .agg(QuantileFunctions.quantile_sketch_merge(col("sk")).as("sk"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_quantile_sketch_merge"),
+      s"no partial merge in plan:\n$plan")
+  }
+
+  test("kll_estimates expression decodes stored sketches in-plan (no collect)") {
+    // pin the sketch BYTES once (re-running the lazy aggregate builds
+    // a different — equally valid — sketch from another partial-merge
+    // order), then compare the in-plan decode against the driver-side
+    // decode of the exact same bytes
+    val bytes = (1 to 9999).map(i => (i % 3, i.toDouble)).toDF("g", "v")
+      .groupBy("g").agg(QuantileFunctions.quantile_sketch_bytes(col("v")).as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    val out = bytes.toSeq.toDF("g", "sk")
+      .select(col("g"), QuantileFunctions.kll_estimates(col("sk"), ps).as("est"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    for ((g, est) <- out)
+      assert(est.toList ==
+        KllSketch.deserialize(bytes(g)).estimates(ps.toArray).toList)
+    // null sketch → null out (not a crash)
+    val nullRow = Seq((1, Option.empty[Array[Byte]])).toDF("g", "sk")
+      .select(QuantileFunctions.kll_estimates(col("sk"), ps).as("est")).head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("serialize/deserialize roundtrip preserves the summary bit-for-bit") {
     val s = new KllSketch(32)
     val rnd = new scala.util.Random(11)
