@@ -211,6 +211,16 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val idx = served.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(idx == scratch, "query-term-pruned df must leave every score unchanged")
+
+    // q149's serve promise: tf/df/N all come off the store — the serve
+    // plan must contain NO tokenization (no split/lower over text) and
+    // no scan of the documents table, only store parquet reads
+    val tfidfPlan = graft.operators.PostingsIndex
+      .tfidfTopK(spark, s"$dir/idx", 3).queryExecution.executedPlan.toString
+    assert(!tfidfPlan.contains("split(") && !tfidfPlan.contains("lower("),
+      s"index-served TF-IDF must not re-tokenize:\n$tfidfPlan")
+    assert(!tfidfPlan.contains("documents"),
+      s"index-served TF-IDF must read only the store:\n$tfidfPlan")
   }
 
   test("postings extend ≡ rebuild; committed-txn replay skips; crash-retry converges") {
