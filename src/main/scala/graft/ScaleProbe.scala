@@ -141,7 +141,8 @@ object ScaleProbe {
     // the EWMA is one type-keyed window pass over day-grain rows; the
     // manifest composes digest-groupBy + quality scan + gated cluster
     // read + doc-keyed joins — each term priced by its standalone query
-    "q154_cluster_split", "q155_daily_ewma", "q156_training_manifest")
+    "q154_cluster_split", "q155_daily_ewma", "q156_training_manifest",
+    "q157_temperature_mix")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

@@ -800,10 +800,46 @@ object Pipeline {
       .orderBy(col("drift").desc, col("token"))
   }
 
+  /** TEMPERATURE-BASED mixture weights (the pretraining data-mixing
+    * idiom, e.g. multilingual sampling at T<1): per-language sampling
+    * share ∝ size^α with α = 0.7, which upweights small languages
+    * relative to their raw share (α=1 is proportional, α=0 uniform).
+    * Size is the char mass (the cheap proxy the corpus already
+    * carries); emitted next to the raw share so the flattening is
+    * auditable, plus the expected doc allotment at a 10k-doc budget.
+    * One group-sized aggregate + a single-row total broadcast —
+    * nothing corpus-sized moves; q88/q114 execute a mix like this,
+    * this query COMPUTES one. */
+  val q157TemperatureMix: QueryDef = sql(
+    "q157_temperature_mix",
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS DOUBLE) AS sz
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT lang, n_docs, sz, pow(sz, 0.7) AS w FROM c),
+      |s AS (SELECT SUM(w) AS tw, SUM(sz) AS tsz FROM t)
+      |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+      |       ROUND(sz / tsz, 6) AS raw_share,
+      |       ROUND(w / tw, 6) AS temp_share,
+      |       CAST(ROUND(10000 * w / tw, 0) AS BIGINT) AS docs_at_10k
+      |FROM t, s ORDER BY lang""".stripMargin) { (s, d) =>
+    val t = Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("double").as("sz"))
+      .withColumn("w", pow(col("sz"), 0.7))
+    val totals = t.agg(sum("w").as("tw"), sum("sz").as("tsz"))
+    t.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"),
+        round(col("sz") / col("tsz"), 6).as("raw_share"),
+        round(col("w") / col("tw"), 6).as("temp_share"),
+        round(lit(10000) * col("w") / col("tw"), 0).cast("long").as("docs_at_10k"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q57TextNormalize, q58PiiRedact, q59DatasetSplit, q60TokenPacking,
     q61ContaminationCheck, q62EmbeddingQuantize, q63TokenCms, q64StratifiedSample,
     q70QualityFilter, q71TableProfile, q80PrepPipeline, q87DeterministicShuffle,
     q88WeightedRepeat, q108ContaminationIndexed, q109ContaminationIndexIncremental,
-    q113SnapshotDiff, q114TokenBudgetMix, q118ContaminationBloom, q131TokenDrift)
+    q113SnapshotDiff, q114TokenBudgetMix, q118ContaminationBloom, q131TokenDrift,
+    q157TemperatureMix)
 }

@@ -54,7 +54,8 @@ class PlanAuditSpec extends AnyFunSuite {
                              // aggregates (5 rows × hours) — metadata-sized at any SF
     "q139_tfidf_keywords",   // single-row corpus-N cross join (q101's stats idiom)
     "q142_market_basket",    // single-row n_orders cross join (lift denominator)
-    "q146_bigram_nll")       // single-row vocab-size cross join (smoothing denominator)
+    "q146_bigram_nll",       // single-row vocab-size cross join (smoothing denominator)
+    "q157_temperature_mix")  // single-row mixture-total cross join (share denominators)
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation
