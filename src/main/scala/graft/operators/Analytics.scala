@@ -782,15 +782,17 @@ object Analytics {
     * contract (exact + 5·rsd bound flag, both windows anchored at the
     * corpus' last day), so the oracle pins exactness and the flag pins
     * the sketch. */
-  val q153HllWindowServe: QueryDef = sql(
-    "q153_hll_window_serve",
+  private val q153Sql: String =
     """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
       |mx AS (SELECT MAX(d) AS mxd FROM du)
       |SELECT CAST(v.w AS BIGINT) AS window_days,
       |       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM du, mx
       |         WHERE epoch_ms(du.d) > epoch_ms(mx.mxd) - CAST(v.w AS BIGINT) * 86400000) AS n_exact,
       |       TRUE AS within_bound
-      |FROM (VALUES (7), (28)) v(w) ORDER BY window_days""".stripMargin) { (s, d) =>
+      |FROM (VALUES (7), (28)) v(w) ORDER BY window_days""".stripMargin
+
+  val q153HllWindowServe: QueryDef = sql(
+    "q153_hll_window_serve", q153Sql) { (s, d) =>
     import graft.streaming.UpsertStore
     val du = Tables.events(s, d)
       .select(date_trunc("day", col("ts")).as("d"), col("user_id")).distinct()
@@ -816,6 +818,59 @@ object Analytics {
         (abs(col("est") - col("n_exact")) <=
           greatest(lit(5.0), lit(5 * 0.0163) * col("n_exact"))).as("within_bound"))
       .orderBy("window_days")
+  }
+
+  /** q153's window serve in PURE SQL over the CATALOG-registered
+    * sketch store — the q100/q106/q127 idiom for the HLL family, and
+    * the fifth derived store a warehouse user can query by name: the
+    * per-day sketch table registers as `graft.<name>`, and the whole
+    * serve (window expansion by exploded literal array, trailing
+    * filter against a scalar-subquery max-day anchor, `hll_union_agg`
+    * → `hll_sketch_estimate` — all NATIVE Spark SQL, no custom
+    * function registration) plus the exact side and the bound flag is
+    * one SQL text. Shares q153's oracle: catalog read + SQL surface +
+    * stored sketches ≡ the Column-API serve, hash-proven. */
+  val q158CatalogHllSql: QueryDef = sql(
+    "q158_catalog_hll_sql", q153Sql) { (s, d) =>
+    import graft.streaming.UpsertStore
+    if (!s.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.UpsertCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.path", graft.Scratch.dir("graft-catalog-wh"))
+    }
+    val t = s"hll_days_${PairGraph.dirKey64(d)}"
+    val path = s"${PairGraph.catalogWarehouse(s, "graft")}/$t"
+    val du = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("dd"), col("user_id")).distinct()
+      .withColumn("day_ms", expr("unix_millis(dd)"))
+    UpsertStore.replace(s, path,
+      du.groupBy("day_ms").agg(hll_sketch_agg(col("user_id"), 12).as("sk")),
+      Seq("day_ms"), assumeKeyUnique = true)
+    PairGraph.ensureTable(s, "graft", t, path, Seq("day_ms"))
+    Tables.registerAll(s, d)
+    s.sql(
+      s"""WITH expanded AS (
+         |  SELECT explode(array(BIGINT(7), BIGINT(28))) AS window_days, day_ms, sk
+         |  FROM graft.`$t`),
+         |est AS (
+         |  SELECT window_days, hll_sketch_estimate(hll_union_agg(sk)) AS est
+         |  FROM expanded
+         |  WHERE day_ms > (SELECT MAX(day_ms) FROM graft.`$t`)
+         |                 - window_days * 86400000
+         |  GROUP BY 1),
+         |du AS (
+         |  SELECT DISTINCT unix_millis(date_trunc('day', ts)) AS day_ms, user_id
+         |  FROM events),
+         |exact AS (
+         |  SELECT window_days, COUNT(DISTINCT user_id) AS n_exact
+         |  FROM (SELECT explode(array(BIGINT(7), BIGINT(28))) AS window_days,
+         |               day_ms, user_id FROM du)
+         |  WHERE day_ms > (SELECT MAX(day_ms) FROM du) - window_days * 86400000
+         |  GROUP BY 1)
+         |SELECT x.window_days, x.n_exact,
+         |       abs(e.est - x.n_exact)
+         |         <= greatest(CAST(5.0 AS DOUBLE), 5 * 0.0163 * x.n_exact) AS within_bound
+         |FROM exact x JOIN est e ON x.window_days = e.window_days
+         |ORDER BY window_days""".stripMargin)
   }
 
   /** Exponentially-weighted moving average of the daily totals
@@ -865,5 +920,6 @@ object Analytics {
     q142MarketBasket, q143SessionConversion, q144IntereventGaps,
     q145TokenEntropy, q146BigramNll, q147RollupIvm,
     q148HllWau, q149TfidfFromIndex, q150FuzzyFullVerify,
-    q152StratifiedSample, q153HllWindowServe, q155DailyEwma)
+    q152StratifiedSample, q153HllWindowServe, q155DailyEwma,
+    q158CatalogHllSql)
 }
