@@ -281,6 +281,10 @@ case class KllEstimatesExpr(sketch: Expression, ps: Seq[Double])
   require(ps.nonEmpty && ps.forall(p => p > 0.0 && p < 1.0), s"quantiles in (0,1): $ps")
 
   override def child: Expression = sketch
+  // An empty (n==0) sketch decodes to null even when the input column
+  // is non-nullable, so the null contract must be declared explicitly
+  // or the optimizer may fold IsNull(kll_estimates(..)) to false.
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = sketch.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess

@@ -992,10 +992,15 @@ object Dedup {
     * gets (keep, reason, split) where reason names the FIRST stage
     * that dropped it — the auditable artifact an actual 100 TB
     * curation run hands downstream, and exactly what a reference user
-    * gluing these stages by hand would script. Scale shape: one
-    * digest groupBy (32 B keys), one quality scan, the gated cluster
-    * read, and two doc-keyed joins — every term already priced by its
-    * standalone query; Catalyst fuses the scans. */
+    * gluing these stages by hand would script. Near-dup policy: the
+    * kept representative is the lowest-id cluster member that survives
+    * the exact-dup and quality stages (NOT the raw min id), so a
+    * cluster whose min-id copy is dirty still retains its best clean
+    * copy. Scale shape: one digest groupBy (32 B keys), one quality
+    * scan, the gated cluster read, doc-keyed joins, and one
+    * cluster-keyed rep aggregate (cluster-table-sized) — every term
+    * already priced by its standalone query; Catalyst fuses the
+    * scans. */
   val q156TrainingManifest: QueryDef = sql(
     "q156_training_manifest",
     s"""WITH RECURSIVE ${pairsCtes(0.6, "documents")},
@@ -1036,13 +1041,16 @@ object Dedup {
        |  JOIN firsts f ON sha256(d.text) = f.h
        |  JOIN m ON d.doc_id = m.doc_id
        |  LEFT JOIN comp c ON d.doc_id = c.doc_id),
+       |reps AS (
+       |  SELECT cluster_id, MIN(doc_id) AS rep FROM staged
+       |  WHERE NOT is_exact_dup AND verdict = 'keep' GROUP BY cluster_id),
        |reasons AS (
-       |  SELECT doc_id, cluster_id,
-       |         CASE WHEN is_exact_dup THEN 'exact_dup'
-       |              WHEN verdict <> 'keep' THEN verdict
-       |              WHEN doc_id <> cluster_id THEN 'near_dup'
+       |  SELECT s.doc_id, s.cluster_id,
+       |         CASE WHEN s.is_exact_dup THEN 'exact_dup'
+       |              WHEN s.verdict <> 'keep' THEN s.verdict
+       |              WHEN s.doc_id <> r.rep THEN 'near_dup'
        |              ELSE 'kept' END AS reason
-       |  FROM staged)
+       |  FROM staged s LEFT JOIN reps r ON s.cluster_id = r.cluster_id)
        |SELECT doc_id, (reason = 'kept') AS keep, reason,
        |       CASE WHEN reason <> 'kept' THEN 'none'
        |            WHEN (((cluster_id % 268435456) * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
@@ -1076,14 +1084,23 @@ object Dedup {
       .join(verdicts, "doc_id")
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    // Representative promotion: the kept member of a near-dup cluster
+    // is the lowest-id member that SURVIVES the exact-dup and quality
+    // stages — a low-quality min-id member drops for its own reason
+    // and the next-best clean copy is promoted to 'kept', so a cluster
+    // that contains any clean copy always retains exactly one.
+    val reps = staged
+      .filter(col("doc_id") === col("keep_doc") && col("verdict") === "keep")
+      .groupBy("cluster_id").agg(min("doc_id").as("rep"))
+    val reasoned = staged.join(reps, Seq("cluster_id"), "left")
       .withColumn("reason",
         when(col("doc_id") =!= col("keep_doc"), "exact_dup")
           .when(col("verdict") =!= "keep", col("verdict"))
-          .when(col("doc_id") =!= col("cluster_id"), "near_dup")
+          .when(col("doc_id") =!= col("rep"), "near_dup")
           .otherwise("kept"))
     val bucket = ((col("cluster_id") % lit(268435456L)) * lit(2654435761L)) %
       lit(4294967296L) % 100
-    staged.select(
+    reasoned.select(
       col("doc_id"),
       (col("reason") === "kept").as("keep"),
       col("reason"),

@@ -267,17 +267,67 @@ object MoreRelational {
   /** Bounded-memory percentile twin of [[q33Percentiles]]: Spark's
     * `percentile_approx` (Greenwald–Khanna sketch, accuracy 1000 ⇒
     * rank error ≤ n/1000 in fixed memory) — the 100 TB scale path when
-    * exact rank selection's per-group sort is not worth it. Sketches
-    * differ across engines, so no SQL oracle; the ScalaTest spec pins
-    * it within tolerance of the exact q33 values. */
-  val q37PercentilesApprox: QueryDef = rowsOnly("q37_percentiles_approx") { (s, d) =>
-    Tables.lineitem(s, d)
+    * exact rank selection's per-group sort is not worth it. Sketch
+    * internals differ across engines, so the DECLARED contract is the
+    * q63/q120/q126/q148 bound-flag idiom: the exact q33 values plus an
+    * in-query `within_bound` flag asserting each GK estimate's rank
+    * interval [#{v<a}+1, #{v≤a}] intersects the target rank
+    * ⌊(n−1)q⌋+1 within the sketch's ±n/1000 contract (+1 boundary
+    * slack) — the oracle pins the exact values and TRUE, making the
+    * approx path hash-checkable without hashing sketch output. One
+    * extra group-agg over the base scan (broadcast of the 3-row
+    * estimate table) — no new shuffle shape vs q33. */
+  val q37PercentilesApprox: QueryDef = sql(
+    "q37_percentiles_approx",
+    """SELECT l_returnflag,
+      |       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |       ROUND(CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50_disc,
+      |       TRUE AS within_bound
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val base = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val approx = base.groupBy("l_returnflag").agg(
+      expr("percentile_approx(v, 0.5, 1000)").as("a50"),
+      expr("percentile_approx(v, 0.9, 1000)").as("a90"))
+    val rankCheck = base.join(broadcast(approx), "l_returnflag")
       .groupBy("l_returnflag")
       .agg(
-        round(expr("CAST(percentile_approx(l_extendedprice, 0.5, 1000) AS DOUBLE)"), 4).as("p50"),
-        round(expr("CAST(percentile_approx(l_extendedprice, 0.9, 1000) AS DOUBLE)"), 4).as("p90"),
-        round(expr("CAST(percentile_approx(l_extendedprice, 0.5, 1000) AS DOUBLE)"), 4)
-          .as("p50_disc"))
+        count(lit(1)).as("n"),
+        sum(when(col("v") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("v") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("v") <= col("a90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("v") < col("a90"), 1L).otherwise(0L)).as("lt90"))
+    def rankOk(q: Double, le: org.apache.spark.sql.Column,
+               lt: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val target = floor((col("n") - 1) * lit(q)) + 1
+      val slack = col("n") / lit(1000.0) + lit(1.0)
+      (lt + 1 <= target + slack) && (le >= target - slack)
+    }
+    val flags = rankCheck.select(col("l_returnflag"),
+      (rankOk(0.5, col("le50"), col("lt50")) &&
+        rankOk(0.9, col("le90"), col("lt90"))).as("within_bound"))
+    // exact side: q33's distributed rank-selection machinery verbatim
+    val counts = base.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val rk = Distributed.groupedRowNumber(base, Seq("l_returnflag"), Seq("v"), "r")
+      .join(broadcast(counts), "l_returnflag")
+    def cont(q: Double): org.apache.spark.sql.Column = {
+      val h = (col("n") - 1) * lit(q) + 1
+      val vLo = max(when(col("r") === floor(h), col("v")))
+      val vHi = max(when(col("r") === ceil(h), col("v")))
+      vLo + (first(h) - floor(first(h))) * (vHi - vLo)
+    }
+    def disc(q: Double): org.apache.spark.sql.Column =
+      max(when(col("r") === floor((col("n") - 1) * lit(q)) + 1, col("v")))
+    rk.groupBy("l_returnflag")
+      .agg(
+        round(cont(0.5), 4).as("p50"),
+        round(cont(0.9), 4).as("p90"),
+        round(disc(0.5).cast("double"), 4).as("p50_disc"))
+      .join(flags, "l_returnflag")
+      .select("l_returnflag", "p50", "p90", "p50_disc", "within_bound")
       .orderBy("l_returnflag")
   }
 

