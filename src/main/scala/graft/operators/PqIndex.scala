@@ -81,8 +81,15 @@ object PqIndex {
     * iterations the M·K centroids round-trip through the driver as a
     * literal relation (metadata-scale — the q115 bounded-collect
     * discipline). Returns (codebooks literal DF, final assignment). */
-  private[operators] def trainCodebooks(s: SparkSession, parts: DataFrame)
+  private[operators] def trainCodebooks(s: SparkSession, parts0: DataFrame)
       : (DataFrame, DataFrame) = {
+    // Lloyd re-reads the subvector relation once per iteration plus
+    // once for the final encode/pack — persist it (MEMORY_AND_DISK,
+    // the MLlib-KMeans input-caching discipline) instead of paying the
+    // parquet scan + normalize + explode on every pass. ~100 B × M
+    // rows per vector, spills past memory; released by build()'s
+    // unpersist / the harness' per-query clearCache.
+    val parts = parts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var assigned = parts.withColumn("cid", (col("vec_id") % K).cast("int"))
     var cent: DataFrame = null
     for (_ <- 1 to ITERS) {
@@ -180,6 +187,8 @@ object PqIndex {
       val (cent, assigned) = trainCodebooks(spark, parts)
       UpsertStore.replace(spark, path, packCodes(assigned), Seq("vec_id"),
         assumeKeyUnique = true)
+      // codes are materialized — the Lloyd-loop cache is done
+      parts.unpersist()
       UpsertStore.replace(spark, s"${path}__codebooks", cent, Seq("m", "cid"),
         assumeKeyUnique = true)
       UpsertStore.replace(spark, metaPath,
