@@ -1001,8 +1001,10 @@ object Dedup {
     * cluster-keyed rep aggregate (cluster-table-sized) — every term
     * already priced by its standalone query; Catalyst fuses the
     * scans. */
-  val q156TrainingManifest: QueryDef = sql(
-    "q156_training_manifest",
+  /** The manifest contract's DuckDB replay — shared verbatim by q156
+    * (one-shot) and q159 (streamed lifecycle): both must hash-match
+    * the same from-scratch recursive-CTE computation. */
+  private val manifestSql: String =
     s"""WITH RECURSIVE ${pairsCtes(0.6, "documents")},
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM jp
@@ -1056,11 +1058,35 @@ object Dedup {
        |            WHEN (((cluster_id % 268435456) * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
        |            WHEN (((cluster_id % 268435456) * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
        |            ELSE 'test' END AS split
-       |FROM reasons ORDER BY doc_id""".stripMargin) { (s, d) =>
+       |FROM reasons ORDER BY doc_id""".stripMargin
+
+  val q156TrainingManifest: QueryDef = sql(
+    "q156_training_manifest", manifestSql) { (s, d) =>
     val docs = Tables.documents(s, d)
     val firsts = docs.groupBy(sha2(col("text"), 256).as("h"))
       .agg(min("doc_id").as("keep_doc"))
-    val verdicts = docs
+    val clusters = PairGraph.clusters(s, docs, d, 0.6)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+    val facts = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(firsts, "h")
+      .join(qualityVerdicts(docs), Seq("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("doc_id") =!= col("keep_doc")).as("is_exact_dup"),
+        col("verdict"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    manifestRows(facts)
+      .select("doc_id", "keep", "reason", "split")
+      .orderBy("doc_id")
+  }
+
+  /** q156's per-doc quality verdict — ONE definition shared by the
+    * batch manifest and the streaming
+    * [[graft.streaming.ManifestMaintainer]]; a drifting copy would
+    * silently desync streamed vs one-shot curation decisions. Takes
+    * (doc_id, text), returns (doc_id, verdict). */
+  private[graft] def qualityVerdicts(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).as("n_tokens"),
@@ -1077,37 +1103,63 @@ object Dedup {
           .when(col("avg_token_len") < 2.0 || col("avg_token_len") > 12.0,
             "token_len_outlier")
           .otherwise("keep").as("verdict"))
-    val clusters = PairGraph.clusters(s, docs, d, 0.6)
-      .select(col("doc_id"), col("label").as("cluster_id"))
-    val staged = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
-      .join(firsts, "h")
-      .join(verdicts, "doc_id")
-      .join(clusters, Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-    // Representative promotion: the kept member of a near-dup cluster
-    // is the lowest-id member that SURVIVES the exact-dup and quality
-    // stages — a low-quality min-id member drops for its own reason
-    // and the next-best clean copy is promoted to 'kept', so a cluster
-    // that contains any clean copy always retains exactly one.
-    val reps = staged
-      .filter(col("doc_id") === col("keep_doc") && col("verdict") === "keep")
+
+  /** q156's manifest derivation from per-doc FACTS
+    * (doc_id, is_exact_dup, verdict, cluster_id) — stage priority
+    * exact-dup > quality > near-dup, representative promotion (the
+    * lowest-id member surviving both earlier stages keeps), split =
+    * Knuth-hash of the CLUSTER id (q154's cluster-atomic rule).
+    * Correct over any facts set that contains WHOLE clusters (the rep
+    * aggregate sees every member) — the property the streaming
+    * maintainer's affected-cluster refresh relies on. Returns
+    * (doc_id, cluster_id, keep, reason, split). */
+  private[graft] def manifestRows(facts: DataFrame): DataFrame = {
+    val reps = facts
+      .filter(!col("is_exact_dup") && col("verdict") === "keep")
       .groupBy("cluster_id").agg(min("doc_id").as("rep"))
-    val reasoned = staged.join(reps, Seq("cluster_id"), "left")
+    val reasoned = facts.join(reps, Seq("cluster_id"), "left")
       .withColumn("reason",
-        when(col("doc_id") =!= col("keep_doc"), "exact_dup")
+        when(col("is_exact_dup"), "exact_dup")
           .when(col("verdict") =!= "keep", col("verdict"))
           .when(col("doc_id") =!= col("rep"), "near_dup")
           .otherwise("kept"))
     val bucket = ((col("cluster_id") % lit(268435456L)) * lit(2654435761L)) %
       lit(4294967296L) % 100
     reasoned.select(
-      col("doc_id"),
+      col("doc_id"), col("cluster_id"),
       (col("reason") === "kept").as("keep"),
       col("reason"),
       when(col("reason") =!= "kept", "none")
         .when(bucket < 80, "train").when(bucket < 90, "val")
         .otherwise("test").as("split"))
-      .orderBy("doc_id")
+  }
+
+  /** q156's CONTINUOUS twin, declared end-to-end (VERDICT r12 #2):
+    * bootstrap the [[graft.streaming.ManifestMaintainer]] — gate +
+    * cluster + facts + manifest stores — on the first 80% of the
+    * corpus, fold the rest in as two ingest batches (`ingestBatch` IS
+    * the foreachBatch body; the streaming-harness variant with
+    * checkpoint restart is ManifestMaintainSpec's job), then serve the
+    * manifest store. Shares q156's from-scratch oracle, so the
+    * driver's hash compare proves streamed curation ≡ one-shot over
+    * the same history — gate decisions, cluster merges ACROSS the
+    * bootstrap/batch boundary, representative re-elections, and
+    * cluster-atomic splits all included. Per-batch cost is batch +
+    * affected-cluster sized (class doc); fresh scratch store per run
+    * (honest bench: bootstrap + 2×ingest + serve). */
+  val q159ManifestMaintain: QueryDef = sql(
+    "q159_manifest_maintain", manifestSql) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val store = graft.Scratch.dir("graft_manifest_maint") + "/store"
+    val mm = new graft.streaming.ManifestMaintainer(s, d, store)
+    val (cut, _, _, _) = lifecycleSplit(docs)
+    val rest = docs.filter(col("doc_id") > cut)
+    val mid = rest.agg(expr("percentile(doc_id, 0.5)").as("m")).head()
+      .getDouble(0).toLong
+    mm.bootstrap(docs.filter(col("doc_id") <= cut))
+    mm.ingestBatch(rest.filter(col("doc_id") <= mid), Some(0L))
+    mm.ingestBatch(rest.filter(col("doc_id") > mid), Some(1L))
+    mm.current.orderBy("doc_id")
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -1115,5 +1167,5 @@ object Dedup {
     q56NearDupPipeline, q89DedupClusters, q91DedupRemovalPlan, q93PairGraphStore,
     q94PairGraphIncremental, q95ClusterIncremental, q99CatalogPairGraph,
     q117DuplicateSpans, q121DedupIngestGate, q128TriangleCount, q129PageRank,
-    q154ClusterSplit, q156TrainingManifest)
+    q154ClusterSplit, q156TrainingManifest, q159ManifestMaintain)
 }

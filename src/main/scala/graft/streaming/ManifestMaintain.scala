@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** CONTINUOUS training-data manifest — the streaming twin of q156
+  * (`Dedup.q156TrainingManifest`) and the EIGHTH maintainer: the
+  * end-to-end curation decision (keep?, first-stage drop reason,
+  * leakage-free split) kept current to the last ingested micro-batch
+  * by COMPOSING the maintainers each stage already has — the dedup
+  * gate ([[DedupGateMaintainer]], exact-dup stage), the pair-graph /
+  * cluster maintainer ([[ClusterMaintainer]], near-dup stage) — plus a
+  * per-doc FACTS store (is_exact_dup, quality verdict: doc-local,
+  * computed once on arrival, never re-derived from text). This is the
+  * production shape a 100 TB pipeline actually runs: the crawl never
+  * stops, and "what goes in the next training mix" is a store read,
+  * not a nightly recompute.
+  *
+  * Per-batch work is batch + affected-cluster sized, NEVER corpus
+  * sized: the gate adjudicates the batch against its bloom+seen store,
+  * the cluster extend probes only the delta's LSH bands, and the
+  * manifest refresh re-derives rows ONLY for the batch docs plus the
+  * full membership of clusters the batch touched (merges relabel or
+  * re-elect representatives for old members — exactly the rows whose
+  * (cluster_id, reason, split) can change; every other doc's manifest
+  * row is provably unchanged because its cluster saw no new member).
+  * [[Dedup.manifestRows]] is correct over any whole-cluster subset, so
+  * the scoped refresh equals the full recompute by construction — and
+  * ManifestMaintainSpec proves streamed ≡ q156's one-shot over the
+  * same history, hash-for-hash.
+  *
+  * Replay safety is LAYERED like [[ClusterMaintainer]]'s: the gate
+  * replays convergently without a ledger, the cluster stores each
+  * self-skip an already-committed txn, the facts and manifest upserts
+  * are idempotent (same keys, same values), and this maintainer's own
+  * `__ingest_txn` ledger commits LAST — a crash in any window replays
+  * the batch, each layer skips or converges, and the refresh completes
+  * whatever the crash interrupted.
+  *
+  * Contract: batches carry (`doc_id`, `text`); doc_ids are fresh and
+  * increasing across batches (the crawl record-id contract shared by
+  * every maintainer) — that is what makes the gate's first-ingested
+  * canonical coincide with q156's min-id `firsts` rule.
+  */
+final class ManifestMaintainer(
+    spark: SparkSession, dataDir: String, storePath: String,
+    tau: Double = 0.6) extends Serializable {
+
+  private val gate = new DedupGateMaintainer(spark, s"${storePath}__gate")
+  private val clusterM = new ClusterMaintainer(
+    spark, dataDir, s"${storePath}__pairs", tau)
+  private def factsPath = s"${storePath}__facts"
+  private def manifestPath = s"${storePath}__manifest"
+  private def txnPath = s"${storePath}__ingest_txn"
+
+  /** Seed every stage store from the historical corpus and derive the
+    * full manifest once. */
+  def bootstrap(corpus: DataFrame): Unit = {
+    gate.bootstrap(corpus)
+    clusterM.bootstrap(corpus)
+    UpsertStore.replace(spark, factsPath, factsOf(corpus), Seq("doc_id"),
+      assumeKeyUnique = true)
+    refreshManifest(None)
+  }
+
+  /** Doc-local facts for a batch: exact-dup status from the gate's
+    * decision log, quality verdict from the shared q156 definition. */
+  private def factsOf(batch: DataFrame): DataFrame =
+    batch.select("doc_id")
+      .join(gate.decisions(), Seq("doc_id"))
+      .select(col("doc_id"), (col("status") === "duplicate").as("is_exact_dup"))
+      .join(Dedup.qualityVerdicts(batch), Seq("doc_id"))
+
+  /** Re-derive manifest rows for the given batch's blast radius (or
+    * everything, on bootstrap): batch docs + all members of clusters
+    * containing a batch doc, read back from the facts store. */
+  private def refreshManifest(batchIds: Option[DataFrame]): Unit = {
+    val ct = clusterM.current // (doc_id, label) — post-update
+    val facts = UpsertStore.read(spark, factsPath).getOrElse(
+      sys.error(s"no facts store at $factsPath — bootstrap first"))
+    val scoped = batchIds match {
+      case None => facts
+      case Some(ids) =>
+        val labels = ct.join(ids, Seq("doc_id"), "left_semi")
+          .select("label").distinct()
+        val members = ct.join(broadcast(labels), Seq("label"), "left_semi")
+          .select("doc_id")
+        // no broadcast hint on the member set: it is usually tiny but
+        // an adversarial mega-cluster could exceed the driver — AQE
+        // picks broadcast when it actually fits
+        facts.join(members.union(ids).distinct(), Seq("doc_id"), "left_semi")
+    }
+    val withCluster = scoped.join(ct, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"), col("verdict"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val rows = Dedup.manifestRows(withCluster)
+    if (batchIds.isEmpty)
+      UpsertStore.replace(spark, manifestPath, rows, Seq("doc_id"),
+        assumeKeyUnique = true)
+    else
+      UpsertStore.upsert(spark, manifestPath, rows, Seq("doc_id"),
+        assumeKeyUnique = true)
+  }
+
+  /** Adjudicate + fold one micro-batch of NEW docs through every
+    * stage, then refresh the manifest rows its clusters touch. */
+  def ingestBatch(batch: DataFrame, txnId: Option[Long] = None): Unit = {
+    val committed = UpsertStore.read(spark, txnPath)
+      .map(_.head().getAs[Long]("txn")).getOrElse(-1L)
+    if (txnId.exists(_ <= committed)) return
+    gate.ingestBatch(batch, txnId)
+    clusterM.ingestBatch(batch, txnId)
+    val ids = batch.select("doc_id")
+    UpsertStore.upsert(spark, factsPath, factsOf(batch), Seq("doc_id"),
+      assumeKeyUnique = true)
+    refreshManifest(Some(ids))
+    // ledger commits LAST: a crash before this line replays the batch;
+    // the gate converges, the cluster stores self-skip, and the
+    // idempotent facts/manifest upserts complete the refresh
+    txnId.foreach(t => UpsertStore.replace(spark, txnPath,
+      spark.range(1).select(lit(1L).as("meta_id"), lit(t).as("txn")),
+      Seq("meta_id")))
+  }
+
+  /** The manifest as of the last committed batch:
+    * (doc_id, keep, reason, split). */
+  def current: DataFrame =
+    UpsertStore.read(spark, manifestPath).getOrElse(
+      sys.error(s"no manifest store at $manifestPath — bootstrap first"))
+      .select("doc_id", "keep", "reason", "split")
+
+  /** Wire into a streaming query: every micro-batch flows through
+    * gate → clusters → facts → scoped manifest refresh. */
+  def run(docs: DataFrame, checkpointDir: String,
+          trigger: org.apache.spark.sql.streaming.Trigger =
+            org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            ingestBatch(batch.select("doc_id", "text"), Some(batchId))
+        } finally batch.unpersist()
+      }
+      .start()
+}

@@ -106,14 +106,15 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     assert(finalHits.contains(21L),
       s"post-restart index read must see the post-restart vec 21: $finalHits")
   }
-  test("seven maintainers share one restart: postings, grams, gate, pq, quantile, distinct, rollup stay consistent") {
-    // VERDICT r11 #7: the derived-store layer survives a restart
-    // TOGETHER — every maintainer behind its own MemoryStream +
-    // checkpoint, stopped mid-stream (simulated crash/deploy),
-    // restarted on the same checkpoints, then each store compared to
-    // its from-scratch computation. Cross-maintainer bugs (shared
-    // ledger idioms, replay guards firing on another store's txn)
-    // would surface here, not in the one-at-a-time specs.
+  test("eight maintainers share one restart: postings, grams, gate, pq, quantile, distinct, rollup, manifest stay consistent") {
+    // VERDICT r11 #7 (+ r12 #2's manifest maintainer): the
+    // derived-store layer survives a restart TOGETHER — every
+    // maintainer behind its own MemoryStream + checkpoint, stopped
+    // mid-stream (simulated crash/deploy), restarted on the same
+    // checkpoints, then each store compared to its from-scratch
+    // computation. Cross-maintainer bugs (shared ledger idioms, replay
+    // guards firing on another store's txn) would surface here, not in
+    // the one-at-a-time specs.
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-sixway").toString
     def ts(sec: Int) = new Timestamp(1704067200000L + sec * 1000L)
@@ -135,9 +136,11 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     val mm = new QuantileMonitor(spark, s"$dir/monitor")
     val dm = new DistinctMonitor(spark, s"$dir/distinct")
     val rm = new RollupMaintainer(spark, s"$dir/rollup")
+    val fm = new ManifestMaintainer(spark, "eightway", s"$dir/manifest")
     pm.bootstrap(histDocs)
     sm.bootstrap(histDocs)
     gm.bootstrap(histDocs)
+    fm.bootstrap(histDocs)
     qm.bootstrap((0L until 30L).map(i => (i, dvec(i.toInt))).toDF("vec_id", "emb"))
     mm.bootstrap(Seq(("a", 1.0), ("a", 2.0)).toDF("grp", "v"))
     dm.bootstrap(Seq(("a", 1L), ("a", 2L)).toDF("grp", "id"))
@@ -147,6 +150,7 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     val docsP = MemoryStream[StreamingOpsSpec.Doc]
     val docsS = MemoryStream[StreamingOpsSpec.Doc]
     val docsG = MemoryStream[StreamingOpsSpec.Doc]
+    val docsF = MemoryStream[StreamingOpsSpec.Doc]
     val vecs = MemoryStream[ContinuousPipelineSpec.DVec]
     val obs = MemoryStream[MonitorMaintainSpec.Obs]
     val ids = MemoryStream[MonitorMaintainSpec.DistinctObs]
@@ -158,11 +162,12 @@ class ContinuousPipelineSpec extends AnyFunSuite {
       gm.run(docsG.toDF(), s"$dir/ck-g", Trigger.ProcessingTime(0)),
       qm.run(vecs.toDF(), s"$dir/ck-v", Trigger.ProcessingTime(0)),
       mm.run(obs.toDF().select(col("grp"), col("v")), s"$dir/ck-m", Trigger.ProcessingTime(0)),
-      rm.run(evs.toDF(), s"$dir/ck-r", Trigger.ProcessingTime(0)))
+      rm.run(evs.toDF(), s"$dir/ck-r", Trigger.ProcessingTime(0)),
+      fm.run(docsF.toDF(), s"$dir/ck-f", Trigger.ProcessingTime(0)))
     val qs1 = startAll()
     val b1 = Seq(StreamingOpsSpec.Doc(10L, ts(1), textA),   // exact dup of doc 1
       StreamingOpsSpec.Doc(11L, ts(2), uniq("u")))
-    Seq(docsP, docsS, docsG).foreach(_.addData(b1: _*))
+    Seq(docsP, docsS, docsG, docsF).foreach(_.addData(b1: _*))
     vecs.addData((30L until 35L).map(i => ContinuousPipelineSpec.DVec(i, dvec(i.toInt))): _*)
     obs.addData((1 to 50).map(i => MonitorMaintainSpec.Obs("a", ts(0), i.toDouble)): _*)
     ids.addData((1L to 40L).map(i => MonitorMaintainSpec.DistinctObs("a", i)): _*)
@@ -181,7 +186,7 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     val qs2 = startAll()
     val b2 = Seq(StreamingOpsSpec.Doc(12L, ts(3), textC),   // exact dup of doc 2
       StreamingOpsSpec.Doc(13L, ts(4), uniq("w")))
-    Seq(docsP, docsS, docsG).foreach(_.addData(b2: _*))
+    Seq(docsP, docsS, docsG, docsF).foreach(_.addData(b2: _*))
     vecs.addData((35L until 40L).map(i => ContinuousPipelineSpec.DVec(i, dvec(i.toInt))): _*)
     obs.addData((1 to 30).map(i => MonitorMaintainSpec.Obs("b", ts(0), i.toDouble)): _*)
     ids.addData((1L to 25L).map(i => MonitorMaintainSpec.DistinctObs("b", i)): _*)
@@ -248,6 +253,22 @@ class ContinuousPipelineSpec extends AnyFunSuite {
       ("click", 1704067200000L) -> ((2L, 3.5)),
       ("click", 1704067200000L + 86400000L) -> ((1L, 0.5)),
       ("view", 1704067200000L + 86400000L) -> ((1L, 5.0))), s"$served")
+
+    // manifest: streamed curation decisions ≡ q156's one-shot over the
+    // full ingested history (exact dups on both sides of the restart
+    // drop, uniques keep with cluster-keyed splits)
+    val manifestDir = java.nio.file.Files.createTempDirectory("eightway-q156").toString
+    allDocs.select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("t").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$manifestDir/documents.parquet")
+    val streamedManifest = fm.current.collect().map(r =>
+      (r.getLong(0), r.getBoolean(1), r.getString(2), r.getString(3))).toSet
+    val oneShotManifest = Dedup.q156TrainingManifest.fn(spark, manifestDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getBoolean(1), r.getString(2), r.getString(3))).toSet
+    assert(streamedManifest == oneShotManifest,
+      s"missing=${(oneShotManifest -- streamedManifest).take(5)} " +
+        s"extra=${(streamedManifest -- oneShotManifest).take(5)}")
   }
 }
 
