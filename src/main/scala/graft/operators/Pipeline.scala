@@ -693,6 +693,57 @@ object Pipeline {
     ShingleIndex.probe(s, store, docs.filter(b >= 90))
   }
 
+  /** q108's contamination adjudication in PURE SQL over the
+    * CATALOG-registered gram store (VERDICT r12 #3) — the
+    * q100/q106/q127/q158 idiom applied to the last derived-store
+    * family without a by-name SQL surface: [[ShingleIndex
+    * .registerCatalog]] exposes the train postings as `graft.<t>` and
+    * the gram frequencies as `graft.<t>__df`, and the whole eval
+    * adjudication — shingle the eval split (same tokenize → 8-gram →
+    * xxhash64 convention the index stores), anti-join the df>50 stop
+    * grams, join the stored postings, per-pair and per-doc rollups —
+    * is one SQL text an auditor can run by table name, no Scala API in
+    * the read path. Shares q108's from-scratch oracle: catalog read +
+    * SQL probe + stored grams ≡ the Column-API probe, hash-proven.
+    * Scale shape is q108's: only eval-sized gram sets and matched
+    * postings shuffle; the stop-gram anti-join broadcasts a
+    * metadata-sized table. */
+  val q160CatalogContaminationSql: QueryDef = sql(
+    "q160_catalog_contamination_sql", contaminationIndexSql) { (s, d) =>
+    if (!s.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.UpsertCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.path", graft.Scratch.dir("graft-catalog-wh"))
+    }
+    val b = bucket100(col("doc_id"))
+    val docs = Tables.documents(s, d)
+    val t = s"grams_${PairGraph.dirKey64(d)}"
+    ShingleIndex.registerCatalog(s, t, docs.filter(b < 80))
+    Tables.registerAll(s, d)
+    s.sql(
+      s"""WITH ev0 AS (
+         |  SELECT doc_id, split(lower(text), '\\\\s+') AS toks
+         |  FROM documents
+         |  WHERE $bucket100Sql >= 90),
+         |ev AS (
+         |  SELECT doc_id AS test_doc,
+         |         explode(array_distinct(transform(sequence(1, size(toks) - 7),
+         |           i -> xxhash64(concat_ws(' ', slice(toks, i, 8)))))) AS g
+         |  FROM ev0 WHERE size(toks) >= 8),
+         |stop AS (SELECT g FROM graft.`${t}__df` WHERE dfreq > 50),
+         |pruned AS (
+         |  SELECT p.g, p.doc_id AS train_doc
+         |  FROM graft.`$t` p LEFT ANTI JOIN stop ON p.g = stop.g),
+         |pairs AS (
+         |  SELECT test_doc, train_doc, COUNT(*) AS shared
+         |  FROM ev JOIN pruned ON ev.g = pruned.g
+         |  GROUP BY 1, 2)
+         |SELECT test_doc, COUNT(*) AS n_train_docs,
+         |       CAST(MAX(shared) AS BIGINT) AS max_shared
+         |FROM pairs
+         |GROUP BY test_doc
+         |ORDER BY test_doc""".stripMargin)
+  }
+
   /** Contamination scan with a BLOOM-FILTER prefilter on the train
     * side — the map-side-prune shape of q108, using Spark's own
     * runtime-filter expressions ([[graft.functions.BloomFunctions]]).
@@ -841,5 +892,5 @@ object Pipeline {
     q70QualityFilter, q71TableProfile, q80PrepPipeline, q87DeterministicShuffle,
     q88WeightedRepeat, q108ContaminationIndexed, q109ContaminationIndexIncremental,
     q113SnapshotDiff, q114TokenBudgetMix, q118ContaminationBloom, q131TokenDrift,
-    q157TemperatureMix)
+    q157TemperatureMix, q160CatalogContaminationSql)
 }
