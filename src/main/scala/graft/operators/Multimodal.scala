@@ -256,6 +256,127 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ---- embedding-producer seam (VERDICT r12 #6) ----
+
+  case class AssetEmbedding(vec_id: Long, emb: Array[Double])
+
+  /** The ENCODER seam — the [[graft.operators.Retrieval]] PairScorer
+    * idiom applied to embedding production: a per-partition BATCHED
+    * model call that turns raw assets into fixed-dim embedding
+    * columns. Production binds a CLIP/SigLIP-style image (or audio)
+    * tower here — one ONNX Runtime / TorchScript session per
+    * partition, `embed` called once per `batchSize` group so the
+    * accelerator sees full batches, exactly where
+    * [[embedAssets]]'s `it.grouped(batchSize)` loop invokes it. The
+    * container ships only the deterministic
+    * [[HashProjectionEmbedder]] stand-in. */
+  trait AssetEmbedder extends Serializable {
+    def dim: Int
+    /** One model invocation: a batch of assets in, one embedding per
+      * asset out (order-aligned). */
+    def embed(batch: Seq[Asset]): Seq[Array[Double]]
+  }
+
+  /** Deterministic stand-in encoder: 16-bin byte histogram (integer
+    * counts) projected to `dim` dims by a fixed integer hash matrix
+    * w(i,j) = ((31i + 17j) · 2654435761) mod 97 − 48, divided by the
+    * payload length once at the end. All intermediate sums are
+    * integer-exact and ≪ 2⁵³, so a DuckDB replay computes bit-equal
+    * doubles — the property that lets the downstream ANN output be
+    * hash-compared cross-engine. */
+  object HashProjectionEmbedder extends AssetEmbedder {
+    override val dim = 8
+    override def embed(batch: Seq[Asset]): Seq[Array[Double]] =
+      batch.map { a =>
+        val bins = new Array[Long](16)
+        var i = 0
+        while (i < a.content.length) { bins((a.content(i) & 0xff) >> 4) += 1L; i += 1 }
+        val n = math.max(1, a.content.length).toDouble
+        Array.tabulate(dim) { j =>
+          var s = 0L
+          var k = 0
+          while (k < 16) { s += bins(k) * w(k, j); k += 1 }
+          s / n
+        }
+      }
+    private def w(i: Int, j: Int): Long =
+      ((i * 31L + j * 17L) * 2654435761L) % 97L - 48L
+  }
+
+  /** Batched encoding: repartition by id so payload bytes spread
+    * evenly, then one [[AssetEmbedder.embed]] call per `batchSize`
+    * group per partition — the exact loop a GPU-backed encoder needs
+    * (amortized session init, full inference batches), with the
+    * embedding column coming back ready for [[VectorIndex]] /
+    * [[PqIndex]]. */
+  def embedAssets(ds: Dataset[Asset], embedder: AssetEmbedder,
+                  batchSize: Int = 64): Dataset[AssetEmbedding] = {
+    import ds.sparkSession.implicits._
+    ds.repartition(col("doc_id"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { b =>
+          b.zip(embedder.embed(b)).map { case (a, e) => AssetEmbedding(a.doc_id, e) }
+        }
+      }
+  }
+
+  /** The embedding-producer seam, declared end-to-end: raw assets →
+    * batched encode ([[embedAssets]] + [[HashProjectionEmbedder]]) →
+    * exact top-3 cosine neighbors for assets with id < 5 (the q50
+    * output contract over PRODUCED embeddings instead of the shipped
+    * embeddings table). The oracle replays the whole pipeline —
+    * histogram, integer projection, single division, cosine rank —
+    * from the raw text bytes in DuckDB, so the driver's hash compare
+    * proves the mapPartitions batch-encode path end-to-end;
+    * MultimodalEmbedSpec additionally pins batch-size invariance and
+    * feeds the same embeddings through [[VectorIndex]]. Scale: encode
+    * is one map-side pass (no shuffle beyond the even-spread
+    * repartition); the serve is the q50 scan + bounded-heap top-k,
+    * and the stored-index path for repeat queries is [[VectorIndex]]/
+    * [[PqIndex]] exactly as for the shipped embeddings. */
+  val q162AssetEmbeddings: QueryDef = QueryDef.sql(
+    "q162_asset_embeddings",
+    """WITH h AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n,
+      |         list_transform(range(0, 16),
+      |           b -> len(list_filter(split(text, ''), c -> ord(c) // 16 = b))) AS bins
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, 8), j ->
+      |           list_sum(list_transform(range(0, 16), i ->
+      |             CAST(bins[i + 1] AS DOUBLE) *
+      |             (((i * 31 + j * 17) * 2654435761) % 97 - 48)))
+      |           / GREATEST(n, 1)) AS emb
+      |  FROM h),
+      |q AS (SELECT doc_id AS query_id, emb AS qe FROM e WHERE doc_id < 5),
+      |c AS (SELECT doc_id AS neighbor_id, emb AS ce FROM e),
+      |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qe, ce) AS sim
+      |      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      |      FROM s)
+      |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id
+      |FROM r WHERE rk <= 3
+      |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+    val emb = embedAssets(assets(s, d), HashProjectionEmbedder).toDF()
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+    val cands = emb.select(col("vec_id").as("neighbor_id"), col("emb").as("ce"))
+    cands.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        nanvl(graft.functions.VectorFunctions.cosine_similarity(col("qe"), col("ce")),
+          lit(-1.0)))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKFunctions.top_k_by_score(col("sim"), col("neighbor_id"), 3)
+        .as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("neighbor_id"))
+      .orderBy("query_id", "rk")
+  }
+
   val all: Seq[QueryDef] = Seq(q54Multimodal, q65MultimodalFrames,
-    q75MultimodalResize, q110FrameDedup)
+    q75MultimodalResize, q110FrameDedup, q162AssetEmbeddings)
 }
