@@ -164,6 +164,70 @@ object StreamingScaleProbe {
   }
 }
 
+/** B2 throughput profile (VERDICT r12 #8): B2 has sat at ~350-390 k
+  * rows/s since r10 while B3 improved — this sweep locates the knee on
+  * each of B2's three candidate levers, one axis at a time off the
+  * bench default (200 k rows/batch, 8 agg/state partitions, HDFS-backed
+  * heap state):
+  *   1. rowsPerBatch — if rows/s keeps rising with batch size, B2 is
+  *      fixed-cost-bound (micro-batch planning + state commit + upsert
+  *      job), not CPU-bound, and the ceiling is per-BATCH not per-ROW;
+  *   2. agg/state partitions — each state partition commits a delta
+  *      file per batch, so partitions price the fixed cost directly;
+  *   3. state-store provider — heap vs RocksDB (changelog checkpointing
+  *      trades snapshot cost for replay length; at KB-scale state the
+  *      expected result is parity or a small RocksDB JNI tax, worth
+  *      recording so the at-scale swap guidance in StreamingState's
+  *      scaladoc rests on a measurement).
+  * Each cell is a median-of-3 full `BenchStreaming.run` (fresh sink +
+  * checkpoint dirs per run). Emits one JSON line; the curve and its
+  * reading live in BASELINE.md's B2-profile section.
+  *
+  * Usage: `sbt "runMain graft.B2ProfileProbe"`.
+  */
+object B2ProfileProbe {
+  private def median3(run: => Double): Double = Seq.fill(3)(run).sorted.apply(1)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-b2-profile")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cells = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def cell(name: String)(r: => Double): Unit = {
+      val v = median3(r)
+      cells += name -> v
+      System.err.println(f"[b2prof] $name%-28s ${v}%9.0f rows/s")
+    }
+
+    // axis 1: batch size (batches scaled down as rows grow so each
+    // cell measures a comparable steady-state span)
+    cell("rows50k")(BenchStreaming.run(spark, 50000, 12))
+    cell("rows200k")(BenchStreaming.run(spark, 200000, 12))
+    cell("rows800k")(BenchStreaming.run(spark, 800000, 6))
+    cell("rows2m")(BenchStreaming.run(spark, 2000000, 4))
+    // axis 2: agg/state partitions at the default batch size
+    cell("parts1")(BenchStreaming.run(spark, 200000, 12, aggParts = 1))
+    cell("parts2")(BenchStreaming.run(spark, 200000, 12, aggParts = 2))
+    cell("parts4")(BenchStreaming.run(spark, 200000, 12, aggParts = 4))
+    cell("parts32")(BenchStreaming.run(spark, 200000, 12, aggParts = 32))
+    // axis 3: state-store provider at the default shape
+    cell("rocksdb")(BenchStreaming.run(spark, 200000, 12,
+      provider = Some(graft.streaming.StreamingState.RocksDBProvider)))
+
+    val body = cells.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    println(s"""{"metric":"b2_profile",$body}""")
+    spark.stop()
+  }
+}
+
 /** Streaming NEAR-DUP scale probe (VERDICT r6 #7): throughput of
   * [[graft.streaming.StreamingNearDup]] in exact-verify mode at base
   * vs 10× batch size, with per-batch timings so a growing-index
@@ -234,9 +298,12 @@ object BenchStreaming {
     * source (deterministic batch sizes, no wall-clock pacing).
     * `keyCard` is the distinct-key cardinality of the generated stream
     * (the streaming agg's state width scales with window/slide ×
-    * keyCard). */
+    * keyCard). `aggParts` is the shuffle/state partition count the
+    * streaming query captures at start; `provider` optionally swaps
+    * the state-store implementation (BASELINE.md B2-profile sweep). */
   def run(spark: SparkSession, rowsPerBatch: Int, batches: Int,
-          keyCard: Int = 100): Double = {
+          keyCard: Int = 100, aggParts: Int = 8,
+          provider: Option[String] = None): Double = {
     val dir = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
     val sink = new ParquetUpsertSink(spark, s"$dir/sink", Seq("as_of_time"))
     val src = spark.readStream
@@ -255,9 +322,14 @@ object BenchStreaming {
     // per batch (the dominant fixed cost at this batch size). The
     // query captures the setting at start; restore right after.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = try TrafficPipeline.run(src, sink, s"$dir/ckpt",
+    spark.conf.set("spark.sql.shuffle.partitions", aggParts.toString)
+    def start() = TrafficPipeline.run(src, sink, s"$dir/ckpt",
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // withProvider's scope only needs to cover query START (the
+    // binding is captured then); it also flips changelog checkpointing
+    // for RocksDB, which a bare providerClass set would miss
+    val q = try provider.fold(start())(p =>
+      graft.streaming.StreamingState.withProvider(spark, p)(start()))
     finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // lastProgress.batchId is monotonic; recentProgress caps at 100
     // entries and would saturate a long benchmark

@@ -36,7 +36,25 @@ object ScaleProbe {
   private def spanOf(df: DataFrame, c: String): Long =
     df.agg(max(col(c).cast("long"))).head().getLong(0) + 1L
 
+  /** Per-replica bijective char rotation over [a-z0-9] for
+    * `documents.text` (on `SPARK_GRAFT_SCALE_DECORRELATE=1`): a
+    * bijection preserves token lengths, token boundaries,
+    * within-replica equality/near-dup structure, and edit distances
+    * EXACTLY, while making cross-replica shingles disjoint — the
+    * NON-dup-dense replica (VERDICT r12 #5). The default key-offset
+    * replica keeps text identical across replicas, so every near-dup
+    * cluster of size c becomes size K·c and pair/verify terms grow K²
+    * per cluster; the decorrelated replica keeps duplicate DENSITY
+    * constant (K independent copies of the corpus's own cluster
+    * structure), which is what a genuinely larger crawl looks like. */
+  private val rotSrc = "abcdefghijklmnopqrstuvwxyz0123456789"
+  private def rotDst(i: Int): String = {
+    val r = i % rotSrc.length
+    rotSrc.drop(r) + rotSrc.take(r)
+  }
+
   def replicate(spark: SparkSession, srcDir: String, k: Int, outDir: String): Unit = {
+    val decorrelate = sys.env.get("SPARK_GRAFT_SCALE_DECORRELATE").contains("1")
     Tables.all.foreach { t =>
       val base = Tables.load(spark, srcDir, t)
       val out =
@@ -58,9 +76,12 @@ object ScaleProbe {
             case c => c -> spanOf(base, c)
           }.toMap
           (0 until k).map { i =>
-            spans.foldLeft(base) { case (df, (c, span)) =>
+            val shifted = spans.foldLeft(base) { case (df, (c, span)) =>
               df.withColumn(c, col(c) + lit(i.toLong * span))
             }
+            if (decorrelate && t == "documents")
+              shifted.withColumn("text", translate(col("text"), rotSrc, rotDst(i)))
+            else shifted
           }.reduce(_ unionByName _)
         }
       out.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$t.parquet")
