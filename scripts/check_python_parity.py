@@ -177,6 +177,53 @@ with tempfile.TemporaryDirectory() as td:
           n_codes == 40 and width == 8 and n_sub == 8,
           f"codes={n_codes} width={width} subspaces={n_sub}")
 
+    # 9: round-13 contamination serve path (the q160 surface) --
+    # register the train-split gram index and adjudicate an eval doc in
+    # PLAIN SQL by table name.  Eval doc 100 shares exactly one 8-gram
+    # (w1..w8) with train doc 1 and nothing with train doc 2.
+    tr = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(1, 11))),
+         (2, " ".join(f"z{i}" for i in range(1, 11)))],
+        "doc_id long, text string")
+    g.register_shingle_index(spark, "py_grams", tr)
+    ev_text = " ".join([f"w{i}" for i in range(1, 9)] + ["q9", "q10"])
+    spark.createDataFrame([(100, ev_text)], "doc_id long, text string") \
+        .createOrReplaceTempView("py_eval")
+    rows = spark.sql("""
+        WITH ev0 AS (SELECT doc_id, split(lower(text), '\\\\s+') AS toks
+                     FROM py_eval),
+        ev AS (SELECT doc_id AS test_doc,
+                      explode(array_distinct(transform(
+                        sequence(1, size(toks) - 7),
+                        i -> xxhash64(concat_ws(' ', slice(toks, i, 8)))))) AS g
+               FROM ev0 WHERE size(toks) >= 8),
+        stop AS (SELECT g FROM graft.py_grams__df WHERE dfreq > 50),
+        pruned AS (SELECT p.g, p.doc_id AS train_doc
+                   FROM graft.py_grams p LEFT ANTI JOIN stop ON p.g = stop.g)
+        SELECT test_doc, train_doc, COUNT(*) AS shared
+        FROM ev JOIN pruned ON ev.g = pruned.g
+        GROUP BY 1, 2""").collect()
+    hits = sorted((r.test_doc, r.train_doc, r.shared) for r in rows)
+    check("catalog-registered gram index adjudicates contamination via SQL",
+          hits == [(100, 1, 1)], f"hits={hits}")
+
+    # 10: round-13 time-travel read (the q161 surface) -- a catalog
+    # table created and written FROM PYTHON SQL, then read pinned at
+    # the pre-update commit with VERSION AS OF.
+    spark.sql("CREATE TABLE graft.py_tt (k INT, v STRING) "
+              "TBLPROPERTIES ('keys'='k')")
+    spark.sql("INSERT INTO graft.py_tt VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.py_tt VALUES (2, 'B'), (3, 'c')")
+    pinned = sorted((r.k, r.v) for r in
+                    spark.sql("SELECT k, v FROM graft.py_tt VERSION AS OF 0")
+                    .collect())
+    tip = sorted((r.k, r.v) for r in
+                 spark.sql("SELECT k, v FROM graft.py_tt").collect())
+    check("VERSION AS OF catalog read from Python pins the pre-update commit",
+          pinned == [(1, "a"), (2, "b")]
+          and tip == [(1, "a"), (2, "B"), (3, "c")],
+          f"pinned={pinned} tip={tip}")
+
 spark.stop()
 if failures:
     sys.exit(f"{len(failures)} parity check(s) failed: {failures}")

@@ -153,6 +153,16 @@ public final class GraftJava {
         spark, name, emb, "graft");
   }
 
+  /** The contamination twin (the q160 pure-SQL adjudication path):
+   *  the train split's 8-gram postings + gram frequencies registered
+   *  as {@code graft.<name>} / {@code graft.<name>__df}.
+   *  {@code trainDocs} carries (doc_id, text). */
+  public static String registerShingleIndex(SparkSession spark, String name,
+      Dataset<Row> trainDocs) {
+    return graft.operators.ShingleIndex.registerCatalog(
+        spark, name, trainDocs, "graft");
+  }
+
   /** Local keyed-parquet upsert sink (the KuduContext verb set behind
    *  one interface), constructed from Java. */
   public static UpsertSink parquetSink(SparkSession spark, String path, List<String> keys) {

@@ -145,6 +145,18 @@ def register_pq_index(spark: SparkSession, name: str, emb: DataFrame,
         spark._jsparkSession, name, emb._jdf, catalog)
 
 
+def register_shingle_index(spark: SparkSession, name: str,
+                           train_docs: DataFrame,
+                           catalog: str = "graft") -> str:
+    """The contamination twin: the train split's 8-gram postings +
+    gram frequencies registered as ``<catalog>.<name>`` /
+    ``<catalog>.<name>__df`` (the q160 pure-SQL contamination
+    adjudication reads these by table name).  ``train_docs`` carries
+    ``(doc_id, text)``."""
+    return spark._jvm.graft.operators.ShingleIndex.registerCatalog(
+        spark._jsparkSession, name, train_docs._jdf, catalog)
+
+
 # ------------------------------------------------------- upsert sink
 
 class UpsertSink:

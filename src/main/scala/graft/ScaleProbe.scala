@@ -47,8 +47,8 @@ object ScaleProbe {
     * per cluster; the decorrelated replica keeps duplicate DENSITY
     * constant (K independent copies of the corpus's own cluster
     * structure), which is what a genuinely larger crawl looks like. */
-  private val rotSrc = "abcdefghijklmnopqrstuvwxyz0123456789"
-  private def rotDst(i: Int): String = {
+  private[graft] val rotSrc = "abcdefghijklmnopqrstuvwxyz0123456789"
+  private[graft] def rotDst(i: Int): String = {
     val r = i % rotSrc.length
     rotSrc.drop(r) + rotSrc.take(r)
   }
@@ -163,7 +163,15 @@ object ScaleProbe {
     // manifest composes digest-groupBy + quality scan + gated cluster
     // read + doc-keyed joins — each term priced by its standalone query
     "q154_cluster_split", "q155_daily_ewma", "q156_training_manifest",
-    "q157_temperature_mix")
+    "q157_temperature_mix",
+    // round 13/14: the streaming manifest lifecycle (fresh stores per
+    // run; per-batch work must stay batch + affected-cluster sized, so
+    // the 10× ratio prices the data terms on top of the fixed commit
+    // tax), the catalog contamination SQL serve, the version-pinned
+    // catalog read, and the embed-then-serve seam (one map-side encode
+    // pass + the q50 scan — expect ~linear)
+    "q159_manifest_maintain", "q160_catalog_contamination_sql",
+    "q161_time_travel_sql", "q162_asset_embeddings")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

@@ -91,3 +91,89 @@ object ClusterServeProbe {
     spark.stop()
   }
 }
+
+/** Serve-under-ingest for the STREAMING MANIFEST store (VERDICT r13
+  * #6): [[ClusterServeProbe]] pinned the cluster table's read latency
+  * under maintenance load; this probe does the same for the composed
+  * manifest maintainer — q156-shaped manifest reads (full read + keep/
+  * reason rollup) issued concurrently with running `ingestBatch`
+  * lifecycles, at the base and 10× batch protocol. The manifest is an
+  * [[graft.streaming.UpsertStore]] like every other derived store
+  * (readers see the last committed manifest pointer; the in-flight
+  * batch's gate/cluster/facts/manifest commits become visible only at
+  * their atomic swaps), so under-load read latency should sit near
+  * idle, and a mid-refresh reader sees the previous complete manifest,
+  * never a partial one.
+  *
+  * Usage: `sbt "runMain graft.ManifestServeProbe"`.
+  */
+object ManifestServeProbe {
+  import graft.streaming.ManifestMaintainer
+
+  /** Same deterministic corpus as [[ClusterServeProbe.batchDf]] with a
+    * quality mix: every 7th doc is a short low-quality one, so the
+    * manifest exercises all three stages (exact/near dup + quality). */
+  private def batchDf(spark: SparkSession, batchIdx: Long, n: Long) =
+    spark.range(batchIdx * n, (batchIdx + 1) * n).selectExpr(
+      "id AS doc_id",
+      """CASE WHEN id % 7 = 3 THEN 'tiny doc'
+        |ELSE concat_ws(' ', transform(sequence(0, 49), w ->
+        |  CASE WHEN id % 10 = 0 AND w < 49 THEN concat('tok', pmod(hash(id - 1, w), 50000))
+        |       WHEN id % 10 = 0 THEN concat('alt', id)
+        |       ELSE concat('tok', pmod(hash(id, w), 50000)) END)) END AS text""".stripMargin)
+
+  /** One q156-shaped serve: the full manifest + a keep/reason rollup. */
+  private def serveOnce(mm: ManifestMaintainer): Double = {
+    val t0 = System.nanoTime()
+    mm.current.groupBy("keep", "reason").count().count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def run(spark: SparkSession, n: Long, batches: Int): (Double, Double, Double, Int) = {
+    val dir = java.nio.file.Files.createTempDirectory("manifest-serve-probe").toString
+    val mm = new ManifestMaintainer(spark, s"mserve-$n", s"$dir/store")
+    mm.bootstrap(batchDf(spark, 0, n))
+    val idle = {
+      serveOnce(mm) // warm plans
+      Seq.fill(3)(serveOnce(mm)).sorted.apply(1)
+    }
+    val ingesting = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val reads = scala.collection.mutable.ListBuffer.empty[Double]
+    val reader = new Thread(() => {
+      while (ingesting.get()) reads += serveOnce(mm)
+    })
+    reader.start()
+    try (1 to batches).foreach { i =>
+      mm.ingestBatch(batchDf(spark, i.toLong, n), txnId = Some(i.toLong))
+    } finally {
+      ingesting.set(false)
+      reader.join()
+    }
+    val sorted = reads.toSeq.sorted
+    (idle, sorted(sorted.size / 2), sorted.last, sorted.size)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-manifest-serve-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (idleB, medB, maxB, nB) = run(spark, n = 500, batches = 5)
+    System.err.println(f"[mserve] base 500/batch  idle=${idleB}%.3fs " +
+      f"median=${medB}%.3fs max=${maxB}%.3fs reads=$nB")
+    val (idleX, medX, maxX, nX) = run(spark, n = 5000, batches = 5)
+    System.err.println(f"[mserve] 10x 5000/batch  idle=${idleX}%.3fs " +
+      f"median=${medX}%.3fs max=${maxX}%.3fs reads=$nX")
+    println(s"""{"metric":"manifest_serve_probe","idle_base":$idleB,""" +
+      s""""underload_median_base":$medB,"underload_max_base":$maxB,""" +
+      s""""idle_10x":$idleX,"underload_median_10x":$medX,""" +
+      s""""underload_max_10x":$maxX,"reads_base":$nB,"reads_10x":$nX}""")
+    spark.stop()
+  }
+}

@@ -70,14 +70,22 @@ object DedupGate {
       val candidates = hashed.filter(BloomFunctions.might_contain(storedBloom, col("bk")))
       val seen = UpsertStore.read(spark, path)
         .getOrElse(sys.error(s"no seen-table at $path"))
+      // seenHits and novel are DUPLICATE-sized (tiny) but each feeds
+      // several downstream actions (seen-table upsert, bloom advance,
+      // the decision join) — without materialization every action
+      // re-runs the bloom probe and re-merges the seen store
+      // (~3 store merges per batch, pure fixed cost: the round-14
+      // q159 profile). localCheckpoint pins each after ONE pass.
       val seenHits = candidates.select("content_hash").distinct()
         .join(seen, Seq("content_hash"))
         .select(col("content_hash"), col("first_doc_id"))
+        .localCheckpoint()
       // batch-internal first occurrences for hashes the store has not
       // seen become the new canonical rows
       val batchFirsts = firstOccurrences(hashed)
       val novel = batchFirsts
         .join(seenHits.select("content_hash"), Seq("content_hash"), "left_anti")
+        .localCheckpoint()
       UpsertStore.upsert(spark, path,
         novel.select("content_hash", "first_doc_id"), Seq("content_hash"),
         assumeKeyUnique = true)

@@ -380,7 +380,12 @@ object PairGraph {
           .select(col("doc_id").as("doc_a"), col("label").as("doc_b"))
         Dedup.clusterAssignments(newEdges.unionByName(starEdges))
       }
-    val hasMerges = merged.columns.nonEmpty && !merged.isEmpty
+    // merged is relabel-sized (affected clusters only) but feeds two
+    // actions (the emptiness gate + the upsert), each of which would
+    // re-merge the stored label table — materialize it once
+    val mergedCk =
+      if (merged.columns.isEmpty) merged else merged.localCheckpoint()
+    val hasMerges = mergedCk.columns.nonEmpty && !mergedCk.isEmpty
     if (hasMerges) {
       // dirty (pre-update fingerprint preserved for the retry path) →
       // labels → clean meta; a merge-less update has no data mutation
@@ -388,7 +393,7 @@ object PairGraph {
       UpsertStore.replace(spark, cMetaPath,
         metaRow(spark, cMeta.getAs[Long]("corpus_n"), cMeta.getAs[Long]("corpus_h"),
           tau, dirty = true, cTxn), Seq("meta_id"), assumeKeyUnique = true)
-      UpsertStore.upsert(spark, cPath, merged, Seq("doc_id"), assumeKeyUnique = true)
+      UpsertStore.upsert(spark, cPath, mergedCk, Seq("doc_id"), assumeKeyUnique = true)
     }
     UpsertStore.replace(spark, cMetaPath,
       metaRow(spark, meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"), tau,

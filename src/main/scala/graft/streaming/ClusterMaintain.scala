@@ -61,9 +61,14 @@ final class ClusterMaintainer(
         s"no sketch index at $storePath — bootstrap before streaming ingest")
     })
     if (!replay) {
-      PairGraph.extend(spark, batch, dataDir, tau, Some(storePath), txnId)
+      // one fingerprint scan of the batch feeds BOTH stages (each would
+      // otherwise re-derive it — two extra batch scans per micro-batch,
+      // pure fixed cost at any batch size)
+      val fp = PairGraph.corpusFingerprint(batch)
+      PairGraph.extend(spark, batch, dataDir, tau, Some(storePath), txnId,
+        deltaFp = Some(fp))
       PairGraph.updateClusters(spark, batch, dataDir, tau, Some(storePath),
-        txnId = txnId)
+        txnId = txnId, deltaFp = Some(fp))
       // ledger commits LAST: a crash before this line replays the batch,
       // and each store's own recorded txn skips its already-applied half
       // — the replay completes whatever the crash interrupted

@@ -48,26 +48,54 @@ final class ManifestMaintainer(
     spark: SparkSession, dataDir: String, storePath: String,
     tau: Double = 0.6) extends Serializable {
 
-  private val gate = new DedupGateMaintainer(spark, s"${storePath}__gate")
-  private val clusterM = new ClusterMaintainer(
+  // stage handles are graft-visible so Q159Profile can time the
+  // lifecycle stage-by-stage (the q95-profile playbook)
+  private[graft] val gate = new DedupGateMaintainer(spark, s"${storePath}__gate")
+  private[graft] val clusterM = new ClusterMaintainer(
     spark, dataDir, s"${storePath}__pairs", tau)
   private def factsPath = s"${storePath}__facts"
   private def manifestPath = s"${storePath}__manifest"
   private def txnPath = s"${storePath}__ingest_txn"
 
   /** Seed every stage store from the historical corpus and derive the
-    * full manifest once. */
-  def bootstrap(corpus: DataFrame): Unit = {
-    gate.bootstrap(corpus)
-    clusterM.bootstrap(corpus)
-    UpsertStore.replace(spark, factsPath, factsOf(corpus), Seq("doc_id"),
-      assumeKeyUnique = true)
-    refreshManifest(None)
+    * full manifest once.
+    *
+    * STAGE PARALLELISM (the round-14 q159 profile cut): the gate and
+    * cluster maintainers mutate DISJOINT store families and both
+    * consume only the input batch, so the composition runs the cluster
+    * stage on a concurrent driver thread while the gate + facts chain
+    * runs on the caller's — two independent job DAGs in flight, which
+    * on a cluster is exactly what two independent stages should be.
+    * Only the manifest refresh needs both (cluster labels × gate-fed
+    * facts), so it joins after the barrier. The crash-replay matrix is
+    * unchanged: each layer self-skips or converges regardless of which
+    * side committed first, and the composition ledger still commits
+    * last. The input is persisted across the stages' ~5 scans
+    * (hash, sketch, fingerprint, quality, ids). */
+  def bootstrap(corpus0: DataFrame): Unit = {
+    val corpus = corpus0.persist()
+    try {
+      val clusterSide = concurrent.Future(clusterM.bootstrap(corpus))(stageEc)
+      gate.bootstrap(corpus)
+      UpsertStore.replace(spark, factsPath, factsOf(corpus), Seq("doc_id"),
+        assumeKeyUnique = true)
+      concurrent.Await.result(clusterSide, concurrent.duration.Duration.Inf)
+      refreshManifest(None)
+    } finally corpus.unpersist(blocking = false)
   }
+
+  /** One extra driver thread for the cluster stage (class doc on
+    * [[bootstrap]]); daemon so a crashed stream never pins the JVM. */
+  private val stageEc = concurrent.ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "manifest-maintain-cluster-stage")
+      t.setDaemon(true)
+      t
+    }))
 
   /** Doc-local facts for a batch: exact-dup status from the gate's
     * decision log, quality verdict from the shared q156 definition. */
-  private def factsOf(batch: DataFrame): DataFrame =
+  private[graft] def factsOf(batch: DataFrame): DataFrame =
     batch.select("doc_id")
       .join(gate.decisions(), Seq("doc_id"))
       .select(col("doc_id"), (col("status") === "duplicate").as("is_exact_dup"))
@@ -76,7 +104,7 @@ final class ManifestMaintainer(
   /** Re-derive manifest rows for the given batch's blast radius (or
     * everything, on bootstrap): batch docs + all members of clusters
     * containing a batch doc, read back from the facts store. */
-  private def refreshManifest(batchIds: Option[DataFrame]): Unit = {
+  private[graft] def refreshManifest(batchIds: Option[DataFrame]): Unit = {
     val ct = clusterM.current // (doc_id, label) — post-update
     val facts = UpsertStore.read(spark, factsPath).getOrElse(
       sys.error(s"no facts store at $factsPath — bootstrap first"))
@@ -105,23 +133,28 @@ final class ManifestMaintainer(
   }
 
   /** Adjudicate + fold one micro-batch of NEW docs through every
-    * stage, then refresh the manifest rows its clusters touch. */
-  def ingestBatch(batch: DataFrame, txnId: Option[Long] = None): Unit = {
+    * stage, then refresh the manifest rows its clusters touch. The
+    * cluster stage runs concurrently with gate + facts ([[bootstrap]]
+    * class doc); the refresh joins after both. */
+  def ingestBatch(batch0: DataFrame, txnId: Option[Long] = None): Unit = {
     val committed = UpsertStore.read(spark, txnPath)
       .map(_.head().getAs[Long]("txn")).getOrElse(-1L)
     if (txnId.exists(_ <= committed)) return
-    gate.ingestBatch(batch, txnId)
-    clusterM.ingestBatch(batch, txnId)
-    val ids = batch.select("doc_id")
-    UpsertStore.upsert(spark, factsPath, factsOf(batch), Seq("doc_id"),
-      assumeKeyUnique = true)
-    refreshManifest(Some(ids))
-    // ledger commits LAST: a crash before this line replays the batch;
-    // the gate converges, the cluster stores self-skip, and the
-    // idempotent facts/manifest upserts complete the refresh
-    txnId.foreach(t => UpsertStore.replace(spark, txnPath,
-      spark.range(1).select(lit(1L).as("meta_id"), lit(t).as("txn")),
-      Seq("meta_id")))
+    val batch = batch0.persist()
+    try {
+      val clusterSide = concurrent.Future(clusterM.ingestBatch(batch, txnId))(stageEc)
+      gate.ingestBatch(batch, txnId)
+      UpsertStore.upsert(spark, factsPath, factsOf(batch), Seq("doc_id"),
+        assumeKeyUnique = true)
+      concurrent.Await.result(clusterSide, concurrent.duration.Duration.Inf)
+      refreshManifest(Some(batch.select("doc_id")))
+      // ledger commits LAST: a crash before this line replays the batch;
+      // the gate converges, the cluster stores self-skip, and the
+      // idempotent facts/manifest upserts complete the refresh
+      txnId.foreach(t => UpsertStore.replace(spark, txnPath,
+        spark.range(1).select(lit(1L).as("meta_id"), lit(t).as("txn")),
+        Seq("meta_id")))
+    } finally batch.unpersist(blocking = false)
   }
 
   /** The manifest as of the last committed batch:

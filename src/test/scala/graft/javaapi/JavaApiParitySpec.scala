@@ -108,5 +108,47 @@ class JavaApiParitySpec extends AnyFunSuite {
     assert(codeLen == 8, s"packed code width: $codeLen")
     assert(spark.sql("SELECT count(DISTINCT m) FROM graft.j_pq__codebooks")
       .head().getLong(0) == 8L)
+
+    // the contamination twin (round 13: the q160 serve path) — eval
+    // doc 100 shares exactly one 8-gram (w1..w8) with train doc 1
+    val train = Seq(
+      1L -> (1 to 10).map(i => s"w$i").mkString(" "),
+      2L -> (1 to 10).map(i => s"z$i").mkString(" ")).toDF("doc_id", "text")
+    GraftJava.registerShingleIndex(spark, "j_grams", train)
+    Seq(100L -> ((1 to 8).map(i => s"w$i") ++ Seq("q9", "q10")).mkString(" "))
+      .toDF("doc_id", "text").createOrReplaceTempView("j_eval")
+    val hits = spark.sql(
+      """WITH ev0 AS (SELECT doc_id, split(lower(text), '\\s+') AS toks FROM j_eval),
+        |ev AS (SELECT doc_id AS test_doc,
+        |              explode(array_distinct(transform(sequence(1, size(toks) - 7),
+        |                i -> xxhash64(concat_ws(' ', slice(toks, i, 8)))))) AS g
+        |       FROM ev0 WHERE size(toks) >= 8),
+        |stop AS (SELECT g FROM graft.j_grams__df WHERE dfreq > 50),
+        |pruned AS (SELECT p.g, p.doc_id AS train_doc
+        |           FROM graft.j_grams p LEFT ANTI JOIN stop ON p.g = stop.g)
+        |SELECT test_doc, train_doc, COUNT(*) AS shared
+        |FROM ev JOIN pruned ON ev.g = pruned.g
+        |GROUP BY 1, 2""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hits == Set((100L, 1L, 1L)),
+      s"Java-registered gram index adjudicated via SQL: $hits")
+  }
+
+  test("Java-created catalog table time-travels with VERSION AS OF (q161 path)") {
+    if (!spark.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.path",
+        java.nio.file.Files.createTempDirectory("graft-jcat").toString)
+    }
+    spark.sql("CREATE TABLE graft.j_tt (k INT, v STRING) TBLPROPERTIES ('keys'='k')")
+    spark.sql("INSERT INTO graft.j_tt VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.j_tt VALUES (2, 'B'), (3, 'c')")
+    val pinned = spark.sql("SELECT k, v FROM graft.j_tt VERSION AS OF 0")
+      .as[(Int, String)].collect().toSet
+    val tip = spark.sql("SELECT k, v FROM graft.j_tt")
+      .as[(Int, String)].collect().toSet
+    assert(pinned == Set(1 -> "a", 2 -> "b"), s"pinned@0: $pinned")
+    assert(tip == Set(1 -> "a", 2 -> "B", 3 -> "c"), s"tip: $tip")
   }
 }
