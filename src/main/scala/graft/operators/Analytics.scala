@@ -270,8 +270,10 @@ object Analytics {
     * The first version equi-joined on the block key alone and filtered
     * the rank band AFTER: every probe still iterated its whole block,
     * an O(Σ|block|²) stream the k=30 decorrelated probe exposed (the
-    * 10→30 segment grew 4.7× on 3× data) even though the FILTERED
-    * output was linear all along. */
+    * 10→30 segment grew ~4× on 3× data while this plan stayed flat —
+    * both plans re-measured side-by-side by `graft.FuzzyProbe`; the
+    * recorded sweep and its reading live in SCALING.md's round-14
+    * section) even though the FILTERED output was linear all along. */
   val q140FuzzySortedNeighborhood: QueryDef = sql(
     "q140_fuzzy_sorted_neighborhood",
     """WITH b AS (

@@ -334,8 +334,12 @@ object Multimodal {
     * repartition); the serve is the q50 scan + bounded-heap top-k,
     * and the stored-index path for repeat queries is [[VectorIndex]]/
     * [[PqIndex]] exactly as for the shipped embeddings. */
-  val q162AssetEmbeddings: QueryDef = QueryDef.sql(
-    "q162_asset_embeddings",
+  /** The asset-ANN contract both q162 (one-shot brute force) and q163
+    * (streamed maintainer, exhaustive-probe serve) must hash-match:
+    * DuckDB replays the whole pipeline — histogram, integer
+    * projection, single division, cosine rank — from the raw text
+    * bytes. */
+  private val assetAnnSql =
     """WITH h AS (
       |  SELECT doc_id, octet_length(encode(text)) AS n,
       |         list_transform(range(0, 16),
@@ -358,7 +362,10 @@ object Multimodal {
       |      FROM s)
       |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id
       |FROM r WHERE rk <= 3
-      |ORDER BY query_id, rk""".stripMargin) { (s, d) =>
+      |ORDER BY query_id, rk""".stripMargin
+
+  val q162AssetEmbeddings: QueryDef = QueryDef.sql(
+    "q162_asset_embeddings", assetAnnSql) { (s, d) =>
     val emb = embedAssets(assets(s, d), HashProjectionEmbedder).toDF()
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"))
@@ -377,6 +384,39 @@ object Multimodal {
       .orderBy("query_id", "rk")
   }
 
+  /** The embedding-producer seam run CONTINUOUSLY (the ninth
+    * maintainer, [[graft.streaming.AssetEmbedMaintainer]]): bootstrap
+    * the encoder + IVF index on the first 80% of the assets, fold the
+    * rest in as two encode+extend batches (`ingestBatch` IS the
+    * foreachBatch body; the streaming-harness variant with checkpoint
+    * restart is MultimodalEmbedSpec's job), then serve top-3 neighbors
+    * among the PRODUCED embeddings with nProbe = centroids — every
+    * cell probed makes the IVF serve EXACT, so this shares q162's
+    * brute-force oracle and the driver's hash compare proves streamed
+    * embedding production ≡ one-shot over the same asset history.
+    * Scale: encode touches only new assets (map-side, batched),
+    * extend is one delta-sized assignment pass against frozen
+    * centroids, and the serve reads probed cells only; fresh scratch
+    * store per run (honest bench: bootstrap + 2×encode/extend +
+    * serve). */
+  val q163AssetEmbedMaintain: QueryDef = QueryDef.sql(
+    "q163_asset_embed_maintain", assetAnnSql) { (s, d) =>
+    val ds = assets(s, d)
+    val store = graft.Scratch.dir("graft_embed_maint") + "/index"
+    val em = new graft.streaming.AssetEmbedMaintainer(s, d, store,
+      HashProjectionEmbedder, centroids = 4)
+    val cut = ds.toDF().selectExpr("percentile(doc_id, 0.8)").head()
+      .getDouble(0).toLong
+    val rest = ds.filter(col("doc_id") > cut)
+    val mid = rest.toDF().selectExpr("percentile(doc_id, 0.5)").head()
+      .getDouble(0).toLong
+    em.bootstrap(ds.filter(col("doc_id") <= cut))
+    em.ingestBatch(rest.filter(col("doc_id") <= mid), Some(0L))
+    em.ingestBatch(rest.filter(col("doc_id") > mid), Some(1L))
+    em.searchMembers(col("vec_id") < 5, nProbe = 4, k = 3)
+  }
+
   val all: Seq[QueryDef] = Seq(q54Multimodal, q65MultimodalFrames,
-    q75MultimodalResize, q110FrameDedup, q162AssetEmbeddings)
+    q75MultimodalResize, q110FrameDedup, q162AssetEmbeddings,
+    q163AssetEmbedMaintain)
 }

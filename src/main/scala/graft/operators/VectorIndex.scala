@@ -264,6 +264,32 @@ object VectorIndex {
     val cells = index(spark, emb, dataDir, centroids, pathOverride, fp)
     val cents = UpsertStore.read(spark, s"${path}__centroids").getOrElse(
       sys.error(s"vector index at $path has no centroid table"))
+    memberServe(cells, cents, queryPred, nProbe, k)
+  }
+
+  /** Corpus-member IVF top-k straight from the STORED index with NO
+    * fingerprint gate — [[searchIndexed]]'s freshness contract (the
+    * caller owns it: a maintainer ledger, or a preceding index/extend
+    * in the same job) applied to MEMBER queries: query vectors are
+    * stored cell rows selected by predicate, and self-matches are
+    * excluded before the heap, so the output contract is exactly
+    * [[searchStored]]'s. `nProbe = centroids` makes the serve exact
+    * (every cell probed — the MultimodalEmbedSpec losslessness
+    * argument), which is what lets a maintained index share a
+    * brute-force oracle. */
+  def searchMembers(spark: SparkSession, path: String, queryPred: Column,
+                    nProbe: Int = 10, k: Int = 3): DataFrame = {
+    val cells = UpsertStore.read(spark, path).getOrElse(
+      sys.error(s"no vector index at $path — run index first"))
+    val cents = UpsertStore.read(spark, s"${path}__centroids").getOrElse(
+      sys.error(s"vector index at $path has no centroid table"))
+    memberServe(cells, cents, queryPred, nProbe, k)
+  }
+
+  /** The shared member-query serve tail (probe → nProbe cells → exact
+    * verify → bounded-heap top-k, self-matches excluded). */
+  private def memberServe(cells: DataFrame, cents: DataFrame, queryPred: Column,
+                          nProbe: Int, k: Int): DataFrame = {
     val probes = cells.filter(queryPred)
       .crossJoin(broadcast(cents))
       .withColumn("csim", nanvl(

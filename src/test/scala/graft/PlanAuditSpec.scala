@@ -56,10 +56,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "q142_market_basket",    // single-row n_orders cross join (lift denominator)
     "q146_bigram_nll",       // single-row vocab-size cross join (smoothing denominator)
     "q157_temperature_mix",  // single-row mixture-total cross join (share denominators)
-    "q162_asset_embeddings") // q50's declared-exact shape over PRODUCED embeddings:
+    "q162_asset_embeddings", // q50's declared-exact shape over PRODUCED embeddings:
                              // broadcast 5-query set vs corpus; the stored-index
                              // serve path (VectorIndex.searchStored) is proven
                              // identical by MultimodalEmbedSpec
+    "q163_asset_embed_maintain") // q96's broadcast 4-centroid probe via the
+                                 // maintained-index serve (searchMembers)
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation
