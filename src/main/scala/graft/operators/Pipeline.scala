@@ -886,11 +886,102 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Data selection via importance reweighting (the DSIR shape, Xie et
+    * al. 2023): score every document by how much more likely its
+    * tokens are under a TARGET domain's unigram bag-of-words model
+    * than under the raw corpus's — log importance weight
+    * Σ_w c_dw·(ln p_target(w) − ln p_raw(w)) with add-1 smoothing over
+    * the shared vocabulary — and select the docs that look more
+    * target- than corpus-like (rounded score > 0). The target stand-in
+    * is the `lang = 'en'` slice (in production: the trusted domain,
+    * e.g. an encyclopedia crawl). Scale shape = q116's: BOTH models
+    * come out of ONE vocab-sized aggregate over the token stream
+    * (conditional count — no second corpus pass), the smoothing
+    * totals ride in as a single-row broadcast, the corpus×vocab
+    * term-join is AQE-broadcastable whenever the weight table fits,
+    * and the per-doc score is a partial+final regroup. Nothing
+    * corpus-sized is collected or broadcast. */
+  /** The importance-selection contract q165 (one-shot) and q166
+    * (streamed count maintenance) must both hash-match: DuckDB replays
+    * the two smoothed unigram models and the per-doc log importance
+    * weight from the raw corpus. */
+  private val dsirSelectSql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, t AS term
+      |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(t)
+      |  WHERE t <> ''),
+      |m AS (
+      |  SELECT term, COUNT(*) AS cr,
+      |         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+      |  FROM toks GROUP BY 1),
+      |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt, COUNT(*) AS v FROM m),
+      |w AS (
+      |  SELECT term,
+      |         ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v)) AS lw
+      |  FROM m CROSS JOIN tot),
+      |s AS (SELECT toks.doc_id, w.lw FROM toks JOIN w USING (term))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |       ROUND(SUM(lw), 4) AS log_ir,
+      |       ROUND(SUM(lw), 4) > 0 AS selected
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val q165DsirSelect: QueryDef = sql(
+    "q165_dsir_select", dsirSelectSql) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val m = toks.groupBy("term").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === "en", 1).otherwise(0)).as("ct"))
+    val tot = m.agg(sum("cr").as("nr"), sum("ct").as("nt"), count(lit(1)).as("v"))
+    val weights = m.crossJoin(broadcast(tot))
+      .select(col("term"),
+        (log((col("ct") + lit(1.0)) / (col("nt") + col("v"))) -
+         log((col("cr") + lit(1.0)) / (col("nr") + col("v")))).as("lw"))
+    toks.join(weights, Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lw")), 4).as("log_ir"),
+        (round(sum(col("lw")), 4) > 0).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** q165's models maintained CONTINUOUSLY (the tenth maintainer,
+    * [[graft.streaming.DsirMaintainer]]): bootstrap both unigram
+    * count models on the first 80% of the corpus, fold the rest in as
+    * two additive delta merges (`ingestBatch` IS the foreachBatch
+    * body; the streaming-harness variant with checkpoint restart is
+    * DsirMaintainSpec's job), then score the WHOLE corpus against the
+    * committed counts — identical final counts make the streamed
+    * models ≡ the one-shot q165 models, so this shares q165's oracle
+    * and the driver's hash compare proves online selection ≡ terminal
+    * batch selection over the same corpus history. Scale: each batch
+    * touches only its own terms (delta-keyed left join), the serve is
+    * q165's corpus×vocab join; fresh scratch store per run (honest
+    * bench: bootstrap + 2 delta merges + full-corpus serve). */
+  val q166DsirMaintain: QueryDef = sql(
+    "q166_dsir_maintain", dsirSelectSql) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+    val store = graft.Scratch.dir("graft_dsir_maint") + "/counts"
+    val m = new graft.streaming.DsirMaintainer(s, store)
+    val cut = docs.selectExpr("percentile(doc_id, 0.8)").head()
+      .getDouble(0).toLong
+    val rest = docs.filter(col("doc_id") > cut)
+    val mid = rest.selectExpr("percentile(doc_id, 0.5)").head()
+      .getDouble(0).toLong
+    m.bootstrap(docs.filter(col("doc_id") <= cut))
+    m.ingestBatch(rest.filter(col("doc_id") <= mid), Some(0L))
+    m.ingestBatch(rest.filter(col("doc_id") > mid), Some(1L))
+    m.serve(docs)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q57TextNormalize, q58PiiRedact, q59DatasetSplit, q60TokenPacking,
     q61ContaminationCheck, q62EmbeddingQuantize, q63TokenCms, q64StratifiedSample,
     q70QualityFilter, q71TableProfile, q80PrepPipeline, q87DeterministicShuffle,
     q88WeightedRepeat, q108ContaminationIndexed, q109ContaminationIndexIncremental,
     q113SnapshotDiff, q114TokenBudgetMix, q118ContaminationBloom, q131TokenDrift,
-    q157TemperatureMix, q160CatalogContaminationSql)
+    q157TemperatureMix, q160CatalogContaminationSql, q165DsirSelect,
+    q166DsirMaintain)
 }

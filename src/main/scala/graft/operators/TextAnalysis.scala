@@ -309,7 +309,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE tokenizer induction, the corpus-scale pair-count step
+    * (Sennrich et al. 2016): the merge a byte-pair-encoding trainer
+    * would apply next is the adjacent symbol pair with the highest
+    * corpus frequency — here the top 20, from the character-pair
+    * census weighted by word frequency. The scale move IS the query
+    * shape: pair counting runs over the DISTINCT-word table (vocab-
+    * sized, with each word carrying its corpus count) rather than the
+    * token stream, so the expensive explode touches ~avg_word_len ×
+    * |vocab| rows, not the corpus — the standard BPE-trainer trick
+    * (count words once, iterate merges over the vocabulary). Both
+    * aggregations combine map-side; no end-of-word marker (scoped to
+    * the intra-word pair census). Iterated merges would loop this
+    * query with the winning pair fused — the q115 kmeans_iterate
+    * driver-loop pattern. */
+  val q164BpePairStep: QueryDef = sql(
+    "q164_bpe_pair_step",
+    """WITH w AS (
+      |  SELECT t AS word, COUNT(*) AS wc
+      |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(t)
+      |  WHERE t <> '' GROUP BY 1),
+      |p AS (
+      |  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, wc
+      |  FROM w, unnest(range(1, length(word))) AS r(i)
+      |  WHERE length(word) >= 2)
+      |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+      |FROM p GROUP BY pair
+      |ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+    val words = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    words.filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"), col("wc"))
+      .groupBy("pair").agg(sum("wc").cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40TextQuality, q41TokenFrequency, q42DocStatsByLang, q43LangId, q44Fingerprint,
-    q49TokenMetrics, q36DocChunks, q90IntraDocRepetition, q116UnigramNll)
+    q49TokenMetrics, q36DocChunks, q90IntraDocRepetition, q116UnigramNll,
+    q164BpePairStep)
 }

@@ -60,8 +60,12 @@ class PlanAuditSpec extends AnyFunSuite {
                              // broadcast 5-query set vs corpus; the stored-index
                              // serve path (VectorIndex.searchStored) is proven
                              // identical by MultimodalEmbedSpec
-    "q163_asset_embed_maintain") // q96's broadcast 4-centroid probe via the
+    "q163_asset_embed_maintain", // q96's broadcast 4-centroid probe via the
                                  // maintained-index serve (searchMembers)
+    "q165_dsir_select",          // q116's single-row smoothing-totals cross join
+                                 // (nr/nt/v denominators for both unigram models)
+    "q166_dsir_maintain")        // the same totals cross join, priced off the
+                                 // maintained count store (DsirMaintainer.serve)
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation

@@ -638,6 +638,45 @@ class OperatorsSpec extends AnyFunSuite {
       s"missing ${(expected -- gotRows).take(3)}, extra ${(gotRows -- expected).take(3)}")
   }
 
+  test("BPE pair step (q164): vocab-weighted census equals the per-occurrence recompute") {
+    val words = Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+      .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+    // brute force over every token OCCURRENCE — the query's distinct-word
+    // + weight formulation must be exactly this sum
+    val counts = words.filter(_.length >= 2)
+      .flatMap(_.sliding(2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = TextAnalysis.q164BpePairStep.fn(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(got == expected, s"got ${got.take(5)} expected ${expected.take(5)}")
+  }
+
+  test("DSIR select (q165): importance weights match a driver-side two-model recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
+    val toks = docs.map { case (id, lang, t) =>
+      (id, lang, t.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)) }
+    val cr = toks.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = toks.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = cr.size.toLong
+    val nr = cr.values.sum.toDouble + v
+    val nt = ct.values.sum.toDouble + v
+    val lw = cr.map { case (w, c) =>
+      w -> (math.log((ct.getOrElse(w, 0L) + 1.0) / nt) - math.log((c + 1.0) / nr)) }
+    val expected = toks.map { case (id, _, ts) =>
+      val s = BigDecimal(ts.map(lw).sum)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, ts.size.toLong, s, s > 0)
+    }.toSet
+    val got = Pipeline.q165DsirSelect.fn(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(got == expected,
+      s"missing ${(expected -- got).take(3)}, extra ${(got -- expected).take(3)}")
+  }
+
   test("snapshot diff (q113): statuses match a text-equality recompute, unchanged rows absent") {
     val docs = Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect().toMap
