@@ -349,8 +349,163 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Symbol-sequence encoding shared by the BPE trainer (q167) and its
+    * application (q168): a word's current segmentation is its symbols
+    * joined by TWO spaces, padded by one space on each end
+    * (`" a  b  c "`). Under this encoding, plain non-overlapping
+    * left-to-right string `replace` of `" L  R "` with `" LR "` is
+    * EXACTLY one greedy BPE merge pass — the single-space pad consumed
+    * by each match re-emerges from the replacement, so consecutive
+    * merge sites chain (`" a  a  a  a " → " aa  aa "`), overlapping
+    * ones don't (`" a  a  a " → " aa  a "`), and a symbol can never
+    * match inside a neighbor (`" ab  c "` has no `" b  c "`). Both
+    * engines get the identical semantics from their builtin `replace`,
+    * no regex lookahead needed (DuckDB's RE2 has none). */
+  private def bpeSeq0(word: Column): Column =
+    concat(lit(" "), trim(regexp_replace(word, "(.)", "$1  ")), lit(" "))
+
+  /** Adjacent-pair census over a (seq, wc) vocabulary — pair display
+    * form is `"L R"` (single space). */
+  private def bpePairCensus(vocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    vocab.select(split(trim(col("seq")), "  ").as("syms"), col("wc"))
+      .filter(size(col("syms")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(syms) - 1), j -> concat(element_at(syms, j), ' ', element_at(syms, j + 1)))"))
+        .as("pr"), col("wc"))
+      .groupBy("pr").agg(sum("wc").as("n"))
+
+  /** One merge applied to the vocabulary: the learned pair arrives as a
+    * driver-side literal, so this is a pure narrow map — no join. */
+  private def bpeApplyMerge(vocab: org.apache.spark.sql.DataFrame, pair: String)
+      : org.apache.spark.sql.DataFrame = {
+    val Array(l, r) = pair.split(" ", 2)
+    vocab.withColumn("seq",
+      org.apache.spark.sql.functions.replace(col("seq"),
+        lit(s" $l  $r "), lit(s" ${l + r} ")))
+  }
+
+  /** The shared trainer loop: word census → `iters` greedy merges.
+    * Returns (merge log, final vocab with word/seq/wc). The top pair is
+    * COLLECTED each iteration (ONE row — the q115 bounded-collect
+    * discipline) and re-enters the plan as a replace literal, so every
+    * census pass is vocab-sized narrow work over the persisted word
+    * census and the lineage stays one replace-chain deep. */
+  private[operators] def bpeTrain(s: org.apache.spark.sql.SparkSession,
+      d: String, iters: Int)
+      : (Seq[(Int, String, Long)], org.apache.spark.sql.DataFrame) = {
+    val words = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .persist()
+    var vocab = words.withColumn("seq", bpeSeq0(col("word")))
+    val merges = (1 to iters).map { i =>
+      val top = bpePairCensus(vocab)
+        .orderBy(col("n").desc, col("pr")).limit(1).collect()(0)
+      val (pair, n) = (top.getString(0), top.getLong(1))
+      vocab = bpeApplyMerge(vocab, pair)
+      (i, pair, n)
+    }
+    // the cache's job (iters census collects over one materialized word
+    // census) is done; callers executing the returned vocab plan later
+    // recompute the census once — the same single corpus aggregation
+    // q165 pays — instead of squatting on storage memory
+    words.unpersist(blocking = false)
+    (merges, vocab)
+  }
+
+  /** q167/q168 oracle CTE prologue: the q164 word census, the symbol
+    * encoding, and `iters` unrolled census→top-1→replace blocks —
+    * generated by the same loop shape as the Spark side so the two
+    * can't drift (the q115 kmeans-iterate discipline). */
+  private def bpeTrainSqlParts(iters: Int): Seq[String] = {
+    val prologue = Seq(
+      """w AS (
+        |  SELECT t AS word, COUNT(*) AS wc
+        |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(t)
+        |  WHERE t <> '' GROUP BY 1)""".stripMargin,
+      """v0 AS (SELECT word, ' ' || trim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS seq, wc FROM w)""")
+    prologue ++ (1 to iters).flatMap { i =>
+      Seq(
+        s"""p$i AS (
+           |  SELECT pr, CAST(SUM(wc) AS BIGINT) AS n FROM (
+           |    SELECT unnest(list_transform(range(1, len(syms)), j -> syms[j] || ' ' || syms[j + 1])) AS pr, wc
+           |    FROM (SELECT string_split(trim(seq), '  ') AS syms, wc FROM v${i - 1})
+           |    WHERE len(syms) >= 2)
+           |  GROUP BY pr)""".stripMargin,
+        s"m$i AS (SELECT pr, n FROM p$i ORDER BY n DESC, pr LIMIT 1)",
+        s"""v$i AS (
+           |  SELECT v.word, replace(v.seq,
+           |    ' ' || split_part(m.pr, ' ', 1) || '  ' || split_part(m.pr, ' ', 2) || ' ',
+           |    ' ' || replace(m.pr, ' ', '') || ' ') AS seq, v.wc
+           |  FROM v${i - 1} v CROSS JOIN m$i m)""".stripMargin)
+    }
+  }
+
+  /** BPE TOKENIZER TRAINING, the full greedy merge loop (Sennrich et
+    * al. 2016) on top of q164's single census step: `iters = 3` rounds
+    * of (adjacent-pair census over the weighted vocabulary → argmax →
+    * merge applied to every word). Output is the learned merge table —
+    * the trainer's actual product, the ranked merge list a tokenizer
+    * ships with. Scale shape: every census and every rewrite is
+    * vocab-sized (never the token stream — the corpus is folded into
+    * `wc` ONCE); the winning pair is one collected row per iteration
+    * re-entering as a `replace` literal, so iterations add narrow maps,
+    * not joins, and the word census is computed once and persisted. At
+    * 100 TB the vocabulary is millions of rows against trillions of
+    * tokens — the loop costs |vocab| × iters, exactly the published
+    * BPE-trainer trick. */
+  val q167BpeTrainMerges: QueryDef = sql(
+    "q167_bpe_train_merges", {
+      val finals = (1 to 3).map(i =>
+        s"SELECT $i AS step, pr AS pair, n FROM m$i").mkString(" UNION ALL ")
+      s"""WITH ${bpeTrainSqlParts(3).mkString(",\n")}
+         |SELECT * FROM ($finals) ORDER BY step""".stripMargin
+    }) { (s, d) =>
+    val (merges, _) = bpeTrain(s, d, 3)
+    import s.implicits._
+    merges.toDF("step", "pair", "n").orderBy("step")
+  }
+
+  /** BPE TOKENIZER APPLICATION — segment fertility per document: encode
+    * every doc with the q167-learned merges and report how many BPE
+    * pieces its words decompose into (n_pieces / n_words = fertility,
+    * the standard tokenizer-quality metric). The encode is the
+    * trainer's final vocabulary (word → piece count) joined back to the
+    * corpus token stream — a corpus×vocab equi-join (AQE-broadcastable
+    * whenever the vocab fits) plus a per-doc regroup; no per-token
+    * re-segmentation ever runs over the corpus. */
+  val q168BpeFertility: QueryDef = sql(
+    "q168_bpe_fertility",
+    s"""WITH ${bpeTrainSqlParts(3).mkString(",\n")},
+       |pieces AS (SELECT word, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS np FROM v3),
+       |toks AS (
+       |  SELECT doc_id, t AS word
+       |  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS u(t)
+       |  WHERE t <> '')
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(np) AS BIGINT) AS n_pieces,
+       |       ROUND(SUM(np) * 1.0 / COUNT(*), 4) AS fertility
+       |FROM toks JOIN pieces USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val (_, vocab) = bpeTrain(s, d, 3)
+    val pieces = vocab
+      .select(col("word"),
+        size(split(trim(col("seq")), "  ")).cast("long").as("np"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(pieces, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("np").cast("long").as("n_pieces"),
+        round(sum("np") * lit(1.0) / count(lit(1)), 4).as("fertility"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40TextQuality, q41TokenFrequency, q42DocStatsByLang, q43LangId, q44Fingerprint,
     q49TokenMetrics, q36DocChunks, q90IntraDocRepetition, q116UnigramNll,
-    q164BpePairStep)
+    q164BpePairStep, q167BpeTrainMerges, q168BpeFertility)
 }

@@ -653,6 +653,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected, s"got ${got.take(5)} expected ${expected.take(5)}")
   }
 
+  /** Reference greedy BPE on the driver: word census → iterated
+    * (pair census → argmax → single greedy left-to-right merge pass per
+    * word). The engine's double-space `replace` encoding must produce
+    * exactly these merges and segmentations. */
+  private def refBpe(words: Seq[String], iters: Int)
+      : (Seq[(Int, String, Long)], Map[String, Int]) = {
+    val census = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var vocab: Map[Vector[String], Long] =
+      census.map { case (w, c) => w.toVector.map(_.toString) -> c }
+    def mergeOne(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    val merges = (1 to iters).map { step =>
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach(p =>
+          pairs(p) = pairs.getOrElse(p, 0L) + c)
+      }
+      val ((l, r), n) = pairs.toSeq
+        .sortBy { case ((a, b), c) => (-c, s"$a $b") }.head
+      vocab = vocab.groupBy { case (syms, _) => mergeOne(syms, l, r) }
+        .view.mapValues(_.values.sum).toMap
+      (step, s"$l $r", n)
+    }
+    (merges, vocab.map { case (syms, _) => syms.mkString -> syms.length })
+  }
+
+  test("BPE trainer (q167): merge list equals a driver-side true greedy BPE") {
+    val words = Tables.documents(spark, sf)
+      .select($"text").as[String].collect()
+      .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty).toSeq
+    val (expected, _) = refBpe(words, 3)
+    val got = TextAnalysis.q167BpeTrainMerges.fn(spark, sf)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("BPE fertility (q168): per-doc piece counts equal the reference segmentation") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val allWords = docs.flatMap(_._2.toLowerCase.split("\\s+")).filter(_.nonEmpty).toSeq
+    val (_, pieceCount) = refBpe(allWords, 3)
+    val expected = docs.map { case (id, t) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val np = ws.map(w => pieceCount(w).toLong).sum
+      val fert = BigDecimal(np.toDouble / ws.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, ws.length.toLong, np, fert)
+    }.toSet
+    val got = TextAnalysis.q168BpeFertility.fn(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected,
+      s"missing ${(expected -- got).take(3)}, extra ${(got -- expected).take(3)}")
+  }
+
   test("DSIR select (q165): importance weights match a driver-side two-model recompute") {
     val docs = Tables.documents(spark, sf)
       .select($"doc_id", $"lang", $"text").as[(Long, String, String)].collect()
