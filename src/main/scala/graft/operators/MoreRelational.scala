@@ -846,11 +846,90 @@ object MoreRelational {
     def asJava: java.util.List[T] = MoreRelational.asJava(s)
   }
 
+  /** Corpus heavy hitters via a Misra–Gries summary
+    * ([[graft.functions.MgSummary]]), made oracle-checkable the
+    * q37/q120/q126 way: the declared output is the EXACT top-20 token
+    * census plus two in-query flags the MG theorems GUARANTEE —
+    * `detected` (any token with true count > N/(k+1) must hold a
+    * positive counter) and `within_bound` (est ≤ exact and
+    * exact − est ≤ ⌊N/(k+1)⌋). The flags are deterministic even though
+    * the raw estimates depend on Spark's partial-merge order, so the
+    * driver's hash compare pins that the sketch honors its bounds on
+    * real data at every SF. Scale: the sketch is the one-pass
+    * k-bounded-memory path a 100 TB token scan would keep (map-side
+    * combine, one k-sized row per partition in the shuffle); the exact
+    * census readout is the oracle harness such a run drops. */
+  val q169HeavyHitters: QueryDef = sql(
+    "q169_heavy_hitters",
+    """WITH toks AS (
+      |  SELECT t AS term
+      |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(t)
+      |  WHERE t <> ''),
+      |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1)
+      |SELECT term, n, TRUE AS detected, TRUE AS within_bound
+      |FROM c ORDER BY n DESC, term LIMIT 20""".stripMargin) { (s, d) =>
+    val k = 4096
+    val toks = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("n"))
+    val top = exact.orderBy(col("n").desc, col("term")).limit(20)
+    val tot = exact.agg(sum("n").as("nn"))
+    val est = toks.agg(graft.functions.HeavyFunctions.mg_sketch(col("term"), k).as("mg"))
+      .select(explode(col("mg")).as(Seq("term", "est")))
+    top.crossJoin(broadcast(tot))
+      .join(est, Seq("term"), "left")
+      .select(col("term"), col("n").cast("long").as("n"),
+        (coalesce(col("est"), lit(0L)) > 0).as("detected"),
+        (coalesce(col("est"), lit(0L)) <= col("n") &&
+          col("n") - coalesce(col("est"), lit(0L)) <=
+            floor(col("nn") / lit(k + 1))).as("within_bound"))
+      .orderBy(col("n").desc, col("term"))
+  }
+
+  /** q169's summaries maintained CONTINUOUSLY per language (the
+    * eleventh maintainer, [[graft.streaming.HeavyMaintainer]]):
+    * bootstrap on the first 80% of the corpus, fold the rest in as two
+    * delta merges (`ingestBatch` IS the foreachBatch body; the
+    * streaming-harness variant with checkpoint restart is
+    * HeavyHittersSpec's job), then serve the per-lang exact top-10 +
+    * MG bound flags against the committed summaries. The flags are
+    * guaranteed for ANY batch slicing and merge order, so the streamed
+    * store hash-matches the one-shot oracle — the driver's compare
+    * proves incremental merging preserved the bounds. Scale: each
+    * batch moves only its own languages' k-bounded rows. */
+  val q170HeavyHittersMaintain: QueryDef = sql(
+    "q170_heavy_hitters_maintain",
+    """WITH toks AS (
+      |  SELECT lang, t AS term
+      |  FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS u(t)
+      |  WHERE t <> ''),
+      |c AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+      |r AS (SELECT lang, term, n,
+      |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+      |      FROM c)
+      |SELECT lang, term, n, TRUE AS detected, TRUE AS within_bound
+      |FROM r WHERE rk <= 10 ORDER BY lang, n DESC, term""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+    val store = graft.Scratch.dir("graft_heavy_maint") + "/sketches"
+    val m = new graft.streaming.HeavyMaintainer(s, store)
+    val cut = docs.selectExpr("percentile(doc_id, 0.8)").head()
+      .getDouble(0).toLong
+    val rest = docs.filter(col("doc_id") > cut)
+    val mid = rest.selectExpr("percentile(doc_id, 0.5)").head()
+      .getDouble(0).toLong
+    m.bootstrap(docs.filter(col("doc_id") <= cut))
+    m.ingestBatch(rest.filter(col("doc_id") <= mid), Some(0L))
+    m.ingestBatch(rest.filter(col("doc_id") > mid), Some(1L))
+    m.serve(docs)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q23Cube, q24MinBy, q25ArrayFuncs, q26SaltedAgg, q27SqlEntry,
     q28CorrelatedSubquery, q29MultisetOps, q33Percentiles, q34Histogram,
     q35Levenshtein, q37PercentilesApprox, q66WindowExtras, q67DecimalMoney,
     q68DateArithmetic, q69GroupingSets, q72NullSemantics, q73OuterJoins,
     q74ExistsSubqueries, q81SaltedJoin, q82GroupedTopK, q120QuantileSketch,
-    q126HllDistinct, q133QuantileSketchStored, q151HllDistinctStore)
+    q126HllDistinct, q133QuantileSketchStored, q151HllDistinctStore,
+    q169HeavyHitters, q170HeavyHittersMaintain)
 }

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HeavyFunctions
+
+/** CONTINUOUS HEAVY-HITTER TRACKING — the ELEVENTH maintainer: one
+  * Misra–Gries summary ([[graft.functions.MgSummary]]) per language,
+  * kept current to the last committed crawl batch, so "what tokens
+  * dominate this language's corpus" is answerable store-side at any
+  * moment without a corpus scan — the monitoring primitive a 100 TB
+  * ingest pipeline keeps for vocabulary drift, boilerplate surges, and
+  * spam bursts.
+  *
+  * Store traffic per batch is delta-keyed: the batch aggregates ALONE
+  * into one k-bounded summary per language it touches
+  * (`mg_sketch_bytes`), and only THOSE languages' stored rows are
+  * pulled (left-semi) into the distributive `mg_sketch_merge` fold —
+  * untouched languages never move. The summary merge is NOT
+  * idempotent, so exactly-once rides the [[UpsertStore.upsert]] txn
+  * ledger: a replayed batch is skipped before any write (the
+  * [[DsirMaintainer]] / [[RollupMaintainer]] discipline).
+  *
+  * [[serve]] declares the q169 contract per language: the EXACT
+  * per-lang top-10 census over the served corpus plus the two flags
+  * the MG theorems guarantee against the MAINTAINED summary (detected,
+  * within ⌊N/(k+1)⌋ of exact). The flags are deterministic for any
+  * merge tree and any batch slicing, so serving the whole streamed
+  * history equals the one-shot bootstrap serve — the driver's hash
+  * compare proves the maintained sketch still honors its bounds after
+  * arbitrary incremental merging.
+  *
+  * Batches carry (`doc_id` long, `lang` string, `text` string).
+  */
+final class HeavyMaintainer(
+    spark: SparkSession, storePath: String, k: Int = 2048)
+    extends Serializable {
+
+  private val keys = Seq("lang")
+
+  private def toks(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+
+  /** One k-bounded serialized summary per language in `docs`. */
+  private def sketch(docs: DataFrame): DataFrame =
+    toks(docs).groupBy("lang")
+      .agg(HeavyFunctions.mg_sketch_bytes(col("term"), k).as("sk"))
+
+  /** Seed the store from the historical corpus. */
+  def bootstrap(docs: DataFrame): Unit =
+    UpsertStore.replace(spark, storePath, sketch(docs), keys,
+      assumeKeyUnique = true)
+
+  /** Fold one batch in: batch-alone summaries, merged distributively
+    * with the stored rows of ONLY the touched languages; `txnId` (the
+    * streaming batchId) makes replays no-ops BEFORE any write. */
+  def ingestBatch(batch: DataFrame, txnId: Option[Long] = None): Unit = {
+    val delta = sketch(batch)
+    val merged = UpsertStore.read(spark, storePath) match {
+      case None => delta
+      case Some(stored) =>
+        val touched = stored.select("lang", "sk")
+          .join(delta.select("lang"), keys, "left_semi")
+        delta.unionByName(touched)
+          .groupBy("lang")
+          .agg(HeavyFunctions.mg_sketch_merge(col("sk"), k).as("sk"))
+    }
+    UpsertStore.upsert(spark, storePath, merged, keys,
+      assumeKeyUnique = true, txnId = txnId)
+  }
+
+  /** q169's contract per language against the COMMITTED summaries:
+    * exact per-lang top-10 over `docs` + the guaranteed MG bound
+    * flags. The exact census is the oracle harness; the store answers
+    * the flags without any history rescan. */
+  def serve(docs: DataFrame): DataFrame = {
+    val st = UpsertStore.read(spark, storePath).getOrElse(
+      sys.error(s"no heavy-hitter store at $storePath — bootstrap first"))
+    val langN = st.select(col("lang"), HeavyFunctions.mg_n(col("sk")).as("nn"))
+    val entries = st
+      .select(col("lang"), explode(HeavyFunctions.mg_entries(col("sk"))).as("e"))
+      .select(col("lang"), col("e.term").as("term"), col("e.est").as("est"))
+    val exact = toks(docs).groupBy("lang", "term").agg(count(lit(1)).as("n"))
+    val top = graft.operators.Distributed.groupedRowNumber(
+        exact.withColumn("negn", -col("n")),
+        Seq("lang"), Seq("negn", "term"), "rk")
+      .filter(col("rk") <= 10).drop("negn", "rk")
+    top.join(broadcast(langN), keys)
+      .join(entries, Seq("lang", "term"), "left")
+      .select(col("lang"), col("term"), col("n").cast("long").as("n"),
+        (coalesce(col("est"), lit(0L)) > 0).as("detected"),
+        (coalesce(col("est"), lit(0L)) <= col("n") &&
+          col("n") - coalesce(col("est"), lit(0L)) <=
+            floor(col("nn") / lit(k + 1))).as("within_bound"))
+      .orderBy(col("lang"), col("n").desc, col("term"))
+  }
+
+  /** Wire into a streaming query: every micro-batch folds into the
+    * per-language summaries. */
+  def run(docs: DataFrame, checkpointDir: String,
+          trigger: org.apache.spark.sql.streaming.Trigger =
+            org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            ingestBatch(batch.select("doc_id", "lang", "text"), Some(batchId))
+        } finally batch.unpersist()
+      }
+      .start()
+}

@@ -64,8 +64,10 @@ class PlanAuditSpec extends AnyFunSuite {
                                  // maintained-index serve (searchMembers)
     "q165_dsir_select",          // q116's single-row smoothing-totals cross join
                                  // (nr/nt/v denominators for both unigram models)
-    "q166_dsir_maintain")        // the same totals cross join, priced off the
+    "q166_dsir_maintain",        // the same totals cross join, priced off the
                                  // maintained count store (DsirMaintainer.serve)
+    "q169_heavy_hitters")        // single-row token-total cross join (the
+                                 // N/(k+1) bound denominator)
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation
