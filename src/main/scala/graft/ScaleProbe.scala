@@ -171,7 +171,22 @@ object ScaleProbe {
     // catalog read, and the embed-then-serve seam (one map-side encode
     // pass + the q50 scan — expect ~linear)
     "q159_manifest_maintain", "q160_catalog_contamination_sql",
-    "q161_time_travel_sql", "q162_asset_embeddings")
+    "q161_time_travel_sql", "q162_asset_embeddings",
+    // round 14: the tokenizer-induction pair (census + trainer loop are
+    // vocab-sized — replicated docs do NOT grow the vocab, so the work
+    // that should grow is the corpus-side token fold and the q168
+    // corpus×vocab join), the DSIR scorers (one conditional vocab
+    // aggregate + corpus×vocab join, one-shot and maintained), and the
+    // heavy-hitter pair (k-bounded sketch rows per partition; the exact
+    // census readout is the part that scales with data)
+    "q164_bpe_pair_step", "q165_dsir_select", "q166_dsir_maintain",
+    "q167_bpe_train_merges", "q168_bpe_fertility",
+    "q169_heavy_hitters", "q170_heavy_hitters_maintain",
+    // the simhash index pair: build is one fingerprint pass + the
+    // distinct-fp chunk explode; serve cost is bucket-matched postings
+    // + Hamming-surviving pairs (both candidate-sized, but the bucket
+    // join's fan-in grows with corpus density — the ratio to watch)
+    "q171_simhash_index_serve", "q172_simhash_maintain")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */
