@@ -924,6 +924,131 @@ object MoreRelational {
     m.serve(docs)
   }
 
+  /** Train/eval distinct-shingle overlap via THETA SKETCHES
+    * ([[graft.functions.ThetaBuf]] — KMV / theta framework: Beyer et
+    * al. SIGMOD 2007, Dasgupta et al. 2016), the set-op capability the
+    * HLL rows can't give: estimates of |∩|, |∪| and |eval \ train|
+    * between two sketches, never just per-side cardinality. Made
+    * oracle-checkable the q126/q169 way: the DECLARED output is the
+    * five EXACT set sizes plus a `within_bound` flag comparing each
+    * sketch estimate against 5× the KMV standard error (5/√(k−1),
+    * scaled by the exact union size — the union is the scale at which
+    * derived-sketch error accrues). Estimates are deterministic for
+    * fixed data (fixed xxhash64 seed; the retained set is merge-order
+    * invariant), so the flags hash-stably pass the driver's compare —
+    * verified in estimation mode at sf0.01 AND sf0.1 (θ < 1 at both:
+    * 16 k / 27 k distinct shingles vs k=1024). Scale: each side
+    * collapses to ONE k·8 B row (map-side combine); the overlap
+    * question at 100 TB is a two-row set op, not a shingle join. */
+  val q171ThetaOverlap: QueryDef = sql(
+    "q171_theta_overlap",
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      |           FROM documents
+      |           WHERE len(string_split_regex(lower(text), '\s+')) >= 3),
+      |c AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS cut FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+      |       FROM t, unnest(range(1, len(toks) - 1)) AS u(i)),
+      |tr AS (SELECT DISTINCT s FROM sh, c WHERE doc_id <= cut),
+      |ev AS (SELECT DISTINCT s FROM sh, c WHERE doc_id > cut),
+      |m AS (
+      |  SELECT 'train' AS measure, (SELECT COUNT(*) FROM tr) AS n_exact
+      |  UNION ALL SELECT 'eval', (SELECT COUNT(*) FROM ev)
+      |  UNION ALL SELECT 'intersect', (SELECT COUNT(*) FROM tr JOIN ev USING (s))
+      |  UNION ALL SELECT 'union',
+      |    (SELECT COUNT(*) FROM (SELECT s FROM tr UNION SELECT s FROM ev))
+      |  UNION ALL SELECT 'eval_only', (SELECT COUNT(*) FROM ev ANTI JOIN tr USING (s)))
+      |SELECT measure, CAST(n_exact AS BIGINT) AS n_exact, TRUE AS within_bound
+      |FROM m ORDER BY measure""".stripMargin) { (s, d) =>
+    import graft.functions.ThetaFunctions._
+    val k = 1024
+    val docs = Tables.documents(s, d)
+    val cut = math.floor(0.8 * docs.agg(max("doc_id")).head().getLong(0)).toLong
+    val sh = docs
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"))
+        .as("s"))
+    val tr = sh.filter(col("doc_id") <= cut).select("s").distinct()
+    val ev = sh.filter(col("doc_id") > cut).select("s").distinct()
+    val combo = tr.agg(
+        theta_sketch_bytes(col("s"), k).as("sk_a"),
+        count(lit(1)).as("n_a"))
+      .crossJoin(ev.agg(
+        theta_sketch_bytes(col("s"), k).as("sk_b"),
+        count(lit(1)).as("n_b")))
+      .crossJoin(tr.join(ev, "s").agg(count(lit(1)).as("n_i")))
+      .crossJoin(tr.union(ev).distinct().agg(count(lit(1)).as("n_u")))
+    val rows = combo.select(explode(array(
+      struct(lit("train").as("measure"), col("n_a").as("n_exact"),
+        theta_estimate(col("sk_a")).as("est")),
+      struct(lit("eval").as("measure"), col("n_b").as("n_exact"),
+        theta_estimate(col("sk_b")).as("est")),
+      struct(lit("intersect").as("measure"), col("n_i").as("n_exact"),
+        theta_intersect_estimate(col("sk_a"), col("sk_b")).as("est")),
+      struct(lit("union").as("measure"), col("n_u").as("n_exact"),
+        theta_union_estimate(col("sk_a"), col("sk_b")).as("est")),
+      struct(lit("eval_only").as("measure"), (col("n_b") - col("n_i")).as("n_exact"),
+        theta_anotb_estimate(col("sk_b"), col("sk_a")).as("est")))).as("x"),
+      col("n_u"))
+    rows.select(col("x.measure").as("measure"),
+        col("x.n_exact").cast("long").as("n_exact"),
+        (abs(col("x.est") - col("x.n_exact")) <=
+          greatest(lit(16.0), lit(5.0 / math.sqrt(k - 1.0)) * col("n_u")))
+          .as("within_bound"))
+      .orderBy("measure")
+  }
+
+  /** Day-over-day retention/churn from a CONTINUOUSLY MAINTAINED
+    * per-day theta-sketch store — the TWELFTH maintainer
+    * ([[graft.streaming.ThetaMaintainer]]): bootstrap on all but the
+    * last six event days, fold the tail in as two delta batches
+    * (`ingestBatch` IS the foreachBatch body; the streaming-harness
+    * variant with checkpoint restart is ThetaSketchSpec's job), then
+    * serve per consecutive-day pair the EXACT retained (∩) and new (\)
+    * user counts plus flags checking the maintained sketches' set-op
+    * estimates against 5× the KMV standard error. The θ-union merge is
+    * IDEMPOTENT (a sketch is a SET of retained hashes) — the one
+    * maintainer whose replay safety needs no ledger skip; the txn
+    * ledger is still written for restart bookkeeping. Scale: each
+    * batch moves only its own days' k-bounded rows; serve reads two
+    * store rows per pair, never the event history. */
+  val q172ThetaRetentionMaintain: QueryDef = sql(
+    "q172_theta_retention_maintain",
+    """WITH u AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+      |d AS (SELECT DISTINCT day FROM u),
+      |p AS (SELECT d1.day AS day FROM d d1
+      |      JOIN d d2 ON d2.day = d1.day + INTERVAL 1 DAY),
+      |ret AS (SELECT a.day, CAST(COUNT(*) AS BIGINT) AS n_retained
+      |        FROM u a JOIN u b ON b.user_id = a.user_id
+      |                         AND b.day = a.day + INTERVAL 1 DAY
+      |        GROUP BY a.day),
+      |nw AS (SELECT b.day - INTERVAL 1 DAY AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+      |       FROM u b ANTI JOIN u a ON a.user_id = b.user_id
+      |                             AND a.day = b.day - INTERVAL 1 DAY
+      |       GROUP BY b.day)
+      |SELECT epoch_ms(p.day) AS day_ms,
+      |       COALESCE(ret.n_retained, 0) AS n_retained,
+      |       COALESCE(nw.n_new, 0) AS n_new,
+      |       TRUE AS retained_in_bound, TRUE AS new_in_bound
+      |FROM p LEFT JOIN ret ON ret.day = p.day LEFT JOIN nw ON nw.day = p.day
+      |ORDER BY day_ms""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select(col("ts"), col("user_id"))
+    val store = graft.Scratch.dir("graft_theta_maint") + "/sketches"
+    val m = new graft.streaming.ThetaMaintainer(s, store)
+    val maxDay = ev.agg(max(to_date(col("ts")))).head().getDate(0)
+    val d6 = java.sql.Date.valueOf(maxDay.toLocalDate.minusDays(6))
+    val d3 = java.sql.Date.valueOf(maxDay.toLocalDate.minusDays(3))
+    m.bootstrap(ev.filter(to_date(col("ts")) <= lit(d6)))
+    m.ingestBatch(ev.filter(to_date(col("ts")) > lit(d6) &&
+      to_date(col("ts")) <= lit(d3)), Some(0L))
+    m.ingestBatch(ev.filter(to_date(col("ts")) > lit(d3)), Some(1L))
+    // batch-split literals stay DATE-typed (day boundaries); the
+    // store key is the date_trunc'd TIMESTAMP both engines share
+    m.serve(ev)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q23Cube, q24MinBy, q25ArrayFuncs, q26SaltedAgg, q27SqlEntry,
     q28CorrelatedSubquery, q29MultisetOps, q33Percentiles, q34Histogram,
@@ -931,5 +1056,6 @@ object MoreRelational {
     q68DateArithmetic, q69GroupingSets, q72NullSemantics, q73OuterJoins,
     q74ExistsSubqueries, q81SaltedJoin, q82GroupedTopK, q120QuantileSketch,
     q126HllDistinct, q133QuantileSketchStored, q151HllDistinctStore,
-    q169HeavyHitters, q170HeavyHittersMaintain)
+    q169HeavyHitters, q170HeavyHittersMaintain, q171ThetaOverlap,
+    q172ThetaRetentionMaintain)
 }

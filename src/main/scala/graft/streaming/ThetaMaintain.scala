@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ThetaFunctions
+
+/** CONTINUOUS DISTINCT-SET TRACKING — the TWELFTH maintainer: one
+  * theta sketch ([[graft.functions.ThetaBuf]]) of the day's distinct
+  * users per event-day, kept current to the last committed batch, so
+  * SET-OP questions between any two days — retained users (∩), new
+  * users (\), combined reach (∪) — are answerable store-side at any
+  * moment. HLL stores (q151/q153/q158, [[DistinctMonitor]]) answer
+  * only per-group cardinality; the theta store answers CROSS-group
+  * overlap, the retention/churn primitive of a 100 TB event pipeline.
+  *
+  * Store traffic per batch is delta-keyed (the maintainer law): the
+  * batch sketches ALONE into one k-bounded sketch per day it touches
+  * (`theta_sketch_bytes`), and only THOSE days' stored rows join the
+  * distributive `theta_union_merge` fold — untouched days never move.
+  *
+  * Exactly-once: unlike the MG / DSIR / rollup folds, the θ-union is
+  * IDEMPOTENT — a sketch is a set of retained hash values, so
+  * re-absorbing a replayed batch's delta is a no-op by construction.
+  * The [[UpsertStore.upsert]] txn ledger is still written (restart
+  * bookkeeping + the shared crash-discipline audit), but correctness
+  * does not depend on the skip: ThetaSketchSpec proves a double-ingest
+  * leaves the store byte-identical even with the ledger bypassed.
+  *
+  * [[serve]] declares the q172 contract: per consecutive-day pair,
+  * EXACT retained/new user counts over the served corpus plus
+  * `within_bound` flags comparing the maintained sketches' ∩ / \
+  * estimates against 5× the KMV standard error (≈ 1/√(k−1), scaled by
+  * the pair's union size) — deterministic for fixed data, so the
+  * streamed store hash-matches the one-shot oracle.
+  *
+  * Batches carry (`ts` timestamp, `user_id` long).
+  */
+final class ThetaMaintainer(
+    spark: SparkSession, storePath: String, k: Int = 512)
+    extends Serializable {
+
+  private val keys = Seq("day")
+
+  private def sketch(batch: DataFrame): DataFrame =
+    batch.select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(ThetaFunctions.theta_sketch_bytes(col("user_id"), k).as("sk"))
+
+  /** Seed the store from the historical event log. */
+  def bootstrap(events: DataFrame): Unit =
+    UpsertStore.replace(spark, storePath, sketch(events), keys,
+      assumeKeyUnique = true)
+
+  /** Fold one batch in: batch-alone sketches, θ-union-merged with the
+    * stored rows of ONLY the touched days. Idempotent even without the
+    * ledger skip; `txnId` still recorded for restart bookkeeping. */
+  def ingestBatch(batch: DataFrame, txnId: Option[Long] = None): Unit = {
+    val delta = sketch(batch)
+    val merged = UpsertStore.read(spark, storePath) match {
+      case None => delta
+      case Some(stored) =>
+        val touched = stored.select("day", "sk")
+          .join(delta.select("day"), keys, "left_semi")
+        delta.unionByName(touched)
+          .groupBy("day")
+          .agg(ThetaFunctions.theta_union_merge(col("sk"), k).as("sk"))
+    }
+    UpsertStore.upsert(spark, storePath, merged, keys,
+      assumeKeyUnique = true, txnId = txnId)
+  }
+
+  /** Day-over-day retention/churn against the COMMITTED sketches:
+    * per consecutive-day pair, exact |users_d ∩ users_{d+1}| and
+    * |users_{d+1} \ users_d| over `events`, plus the sketch-store
+    * bound flags. The exact side is the oracle harness; the store
+    * answers the estimates from two k-bounded rows per pair. */
+  def serve(events: DataFrame): DataFrame = {
+    val st = UpsertStore.read(spark, storePath).getOrElse(
+      sys.error(s"no theta store at $storePath — bootstrap first"))
+    val u = events
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id")).distinct()
+    val pairs = st.select(col("day"), col("sk"))
+      .join(st.select(col("day").as("nxt"), col("sk").as("sk_b")),
+        col("day") + expr("INTERVAL 1 DAY") === col("nxt"))
+      .select(col("day"), col("nxt"),
+        ThetaFunctions.theta_intersect_estimate(col("sk"), col("sk_b")).as("est_ret"),
+        ThetaFunctions.theta_anotb_estimate(col("sk_b"), col("sk")).as("est_new"),
+        ThetaFunctions.theta_union_estimate(col("sk"), col("sk_b")).as("est_union"))
+    val ret = u.as("a")
+      .join(u.as("b"),
+        col("b.user_id") === col("a.user_id") &&
+          col("b.day") === col("a.day") + expr("INTERVAL 1 DAY"))
+      .groupBy(col("a.day").as("day"))
+      .agg(count(lit(1)).as("n_retained"))
+    val nw = u.as("b")
+      .join(u.as("a"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.day") + expr("INTERVAL 1 DAY") === col("b.day"),
+        "left_anti")
+      .select((col("day") - expr("INTERVAL 1 DAY")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val bound = greatest(lit(24.0),
+      lit(5.0 / math.sqrt(k - 1.0)) * col("est_union"))
+    pairs
+      .join(ret, Seq("day"), "left")
+      .join(nw, Seq("day"), "left")
+      .select(expr("unix_millis(day)").as("day_ms"),
+        coalesce(col("n_retained"), lit(0L)).cast("long").as("n_retained"),
+        coalesce(col("n_new"), lit(0L)).cast("long").as("n_new"),
+        (abs(col("est_ret") - coalesce(col("n_retained"), lit(0L))) <= bound)
+          .as("retained_in_bound"),
+        (abs(col("est_new") - coalesce(col("n_new"), lit(0L))) <= bound)
+          .as("new_in_bound"))
+      .orderBy("day_ms")
+  }
+
+  /** Wire into a streaming query: every micro-batch folds into the
+    * per-day sketches. */
+  def run(events: DataFrame, checkpointDir: String,
+          trigger: org.apache.spark.sql.streaming.Trigger =
+            org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            ingestBatch(batch.select("ts", "user_id"), Some(batchId))
+        } finally batch.unpersist()
+      }
+      .start()
+}

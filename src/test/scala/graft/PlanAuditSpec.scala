@@ -66,8 +66,11 @@ class PlanAuditSpec extends AnyFunSuite {
                                  // (nr/nt/v denominators for both unigram models)
     "q166_dsir_maintain",        // the same totals cross join, priced off the
                                  // maintained count store (DsirMaintainer.serve)
-    "q169_heavy_hitters")        // single-row token-total cross join (the
+    "q169_heavy_hitters",        // single-row token-total cross join (the
                                  // N/(k+1) bound denominator)
+    "q171_theta_overlap")        // four single-row sketch/count aggregates
+                                 // cross-joined into one measure row — every
+                                 // BNLJ side is exactly one row at any SF
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation
