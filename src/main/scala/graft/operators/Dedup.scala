@@ -129,6 +129,59 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EXACT set-similarity join via PREFIX FILTERING (AllPairs:
+    * Bayardo et al. WWW 2007; PPJoin: Xiao et al. WWW 2008) — the
+    * guaranteed-complete alternative to both q46 (whose df≤50 cap
+    * CHANGES semantics to make the inverted-index self-join tractable)
+    * and q47's MinHash (probabilistic recall). Order every doc's
+    * shingle set by a global (df asc, hash) total order and emit only
+    * the PREFIX of length n − ⌈t·n⌉ + 1: for J(x,y) ≥ t the overlap
+    * is ≥ t/(1+t)·(|x|+|y|) ≥ ⌈t·|x|⌉ (since |y| ≥ t·|x|), and two
+    * sets sharing ≥ α tokens must collide inside their (n−α+1)-length
+    * prefixes — so every qualifying pair survives candidate
+    * generation, with NO df cap and NO hashing risk beyond the shared
+    * xxhash64-identity trick the oracle gate guards. Candidates then
+    * verify with an exact intersection count restricted to candidate
+    * docs. Scale shape: at t=0.5 each doc ships half its shingles
+    * into the join, and those are its RAREST half (df-ascending
+    * order), so posting lists in the self-join are the short ones —
+    * the candidate count is output-bound, not corpus²; the verify
+    * join touches only candidate pairs. The one vocab-sized extra
+    * cost vs q46 is the df join that assigns the global order. */
+  val q173SetSimPrefixJoin: QueryDef = sql(
+    "q173_setsim_prefix_join",
+    exactPairsSql(0.5, "SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM jp")) { (s, d) =>
+    val t = 0.5
+    val sh = shingles(Tables.documents(s, d))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfreq"))
+    val docs = sh.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("sh")))).as("ord"),
+        count(lit(1)).as("n"))
+    val pref = docs.select(col("doc_id"), col("n"),
+        explode(expr(
+          s"slice(ord, 1, CAST(greatest(1L, n - CAST(ceil($t * n) AS BIGINT) + 1L) AS INT))"))
+          .as("e"))
+      .select(col("doc_id"), col("n"), col("e.sh").as("sh"))
+    val cand = pref.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sh")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("nb") >= ceil(lit(t) * col("na")) &&
+        col("nb") <= floor(col("na") / lit(t)))
+      .select("doc_a", "doc_b", "na", "nb").distinct()
+    val shared = cand.select("doc_a", "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    val jac = col("shared").cast("double") /
+      (col("na") + col("nb") - col("shared"))
+    cand.join(shared, Seq("doc_a", "doc_b"))
+      .filter(jac >= t)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** CTE chain computing exact-Jaccard pairs `jp(doc_a, doc_b, jac)`
     * at threshold `tau` over full (un-pruned) 3-gram shingle sets of
     * `src` — the shared ground-truth core of the q47/q48/q56 oracles
@@ -1164,6 +1217,7 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     q45DedupExact, q46DedupNgramJaccard, q47DedupMinhash, q48DedupSimhash,
+    q173SetSimPrefixJoin,
     q56NearDupPipeline, q89DedupClusters, q91DedupRemovalPlan, q93PairGraphStore,
     q94PairGraphIncremental, q95ClusterIncremental, q99CatalogPairGraph,
     q117DuplicateSpans, q121DedupIngestGate, q128TriangleCount, q129PageRank,

@@ -313,6 +313,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sim == exact, s"simhash path diverged: missed=${(exact -- sim).take(5)} extra=${(sim -- exact).take(5)}")
   }
 
+  test("prefix-filter set-sim join (q173) equals brute-force exact pairs, incl. boundary cases") {
+    import spark.implicits._
+    // adversarial corpus: an identical pair (J=1), a pair engineered to
+    // sit EXACTLY at J=0.5 (shingle sets sized 2α and 2α sharing α), a
+    // just-below pair, and background docs. Written as token streams
+    // whose 3-gram shingle sets realize those overlaps: doc 3/4 share
+    // their first 6 tokens (4 shingles) then diverge for 4 more
+    // shingles each → J = 4/(8+8-4) = 1/3 < 0.5; doc 5/6 share 8 of
+    // their 12 shingles → J = 8/16 = 0.5 exactly on the threshold.
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val shared6 = words(6, "s")   // 4 shared shingles
+    val shared10 = words(10, "c") // 8 shared shingles
+    val docs = Seq(
+      (1L, s"$shared10 x1 x2 x3 x4"),          // 12 shingles, 8 shared w/ doc 2
+      (2L, s"$shared10 y1 y2 y3 y4"),          // J(1,2) = 8/16 = 0.5 — must KEEP
+      (3L, s"$shared6 p1 p2 p3 p4"),           // 8 shingles, 4 shared w/ doc 4
+      (4L, s"$shared6 q1 q2 q3 q4"),           // J(3,4) = 4/12 = 1/3 — must DROP
+      (5L, words(20, "a")),                    //
+      (6L, words(20, "a")),                    // J(5,6) = 1 — identical pair
+      (7L, words(15, "z")))                    // isolated
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppj").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.q173SetSimPrefixJoin.fn(spark, dir)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 0.5), (5L, 6L, 1.0)),
+      s"prefix join diverged from ground truth: $got")
+  }
+
   test("near-dup pipeline (dedup-first) equals banding raw docs on a duplicated corpus") {
     // replicate docs 3x with shifted ids: exact-dup clusters of size 3
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
