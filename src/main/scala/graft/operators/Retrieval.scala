@@ -444,7 +444,40 @@ object Retrieval {
       .orderBy("query_id", "rk")
   }
 
+  /** Substring (LIKE-'%pat%') search served from the stored
+    * character-trigram postings index ([[TrigramIndex]] — the public
+    * Google-Code-Search method): build on the first 80% of the
+    * corpus, extend with the rest (postings upsert idempotent by
+    * (gram, doc_id); df side store additive + delta-keyed), then
+    * serve five literal patterns — candidates from intersecting the
+    * K=4 RAREST pattern trigrams' posting lists, exactness from the
+    * candidate-only `contains` verify. One pattern is absent from the
+    * corpus and must return empty through the index path (its
+    * trigrams have no postings). Scale: the raw LIKE scan reads every
+    * byte at every query; the index reads K short posting lists +
+    * output-sized verify, and the stores advance per batch without
+    * rescanning history. */
+  val q174TrigramSubstringServe: QueryDef = sql(
+    "q174_trigram_substring_serve",
+    """WITH pats(query) AS (VALUES ('key agg row'), ('window spark order'),
+      |                            ('merge batch'), ('scan slow fast'),
+      |                            ('zz missing zz'))
+      |SELECT p.query, d.doc_id
+      |FROM pats p JOIN documents d ON d.text LIKE '%' || p.query || '%'
+      |ORDER BY query, doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val cut = math.floor(0.8 * docs.agg(max("doc_id")).head().getLong(0)).toLong
+    val path = graft.Scratch.dir("graft_trigram") + "/index"
+    TrigramIndex.build(s, docs.filter(col("doc_id") <= cut), path)
+    TrigramIndex.extend(s, docs.filter(col("doc_id") > cut), path, Some(0L))
+    val pats = Seq("key agg row", "window spark order", "merge batch",
+      "scan slow fast", "zz missing zz")
+    import s.implicits._
+    TrigramIndex.search(s, path, pats.toDF("query"), docs)
+      .orderBy("query", "doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q101Bm25TopK, q102HybridRrf, q104Bm25IndexServe,
     q105Bm25IndexIncremental, q106CatalogBm25, q107HybridStored,
-    q130RerankPipeline)
+    q130RerankPipeline, q174TrigramSubstringServe)
 }

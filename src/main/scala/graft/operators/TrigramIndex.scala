@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.UpsertStore
+
+/** Character-TRIGRAM postings index for SUBSTRING search — the public
+  * Google-Code-Search method (Russ Cox, "Regular Expression Matching
+  * with a Trigram Index", 2012): a substring pattern can only match a
+  * document that contains EVERY trigram of the pattern, so candidates
+  * come from intersecting trigram posting lists and only candidates
+  * pay the `contains` verify. This is the LIKE-'%pat%' accelerator of
+  * a 100 TB corpus: the raw scan reads every byte of every document;
+  * the index touches K posting lists plus the (output-sized) verify.
+  *
+  * Store shape (the [[PostingsIndex]] discipline): a postings store
+  * keyed (gram, doc_id) — idempotently extendable, a replayed batch
+  * upserts the identical rows — and a gram→df side store advanced by
+  * delta-keyed additive merge (only the batch's grams move).
+  *
+  * Serve uses the RAREST-K refinement (also Cox's): any subset of the
+  * pattern's trigrams yields a candidate SUPERSET, so the serve
+  * intersects only the K=4 rarest (by stored df, asc) — fan-out is
+  * bounded by the shortest posting lists while the verify keeps
+  * exactness. A pattern trigram absent from the corpus has no
+  * postings rows, so no document reaches K hits and the result is
+  * correctly empty without any special-casing.
+  */
+object TrigramIndex {
+
+  /** Distinct character trigrams of `text` per doc. */
+  private def grams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
+          .as("gram"))
+      .distinct()
+
+  private def dfRows(docs: DataFrame): DataFrame =
+    grams(docs).groupBy("gram").agg(count(lit(1)).as("df"))
+
+  /** Build both stores from scratch. */
+  def build(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    UpsertStore.replace(spark, s"$path/postings", grams(docs),
+      Seq("gram", "doc_id"), assumeKeyUnique = true)
+    UpsertStore.replace(spark, s"$path/df", dfRows(docs),
+      Seq("gram"), assumeKeyUnique = true)
+  }
+
+  /** Fold a new-docs batch in: postings upsert is idempotent by key;
+    * the df merge is additive and delta-keyed (txn-ledgered). */
+  def extend(spark: SparkSession, docs: DataFrame, path: String,
+             txnId: Option[Long] = None): Unit = {
+    val delta = grams(docs)
+    UpsertStore.upsert(spark, s"$path/postings", delta,
+      Seq("gram", "doc_id"), assumeKeyUnique = true, txnId = txnId)
+    val deltaDf = delta.groupBy("gram").agg(count(lit(1)).as("df"))
+    val merged = UpsertStore.read(spark, s"$path/df") match {
+      case None => deltaDf
+      case Some(stored) =>
+        deltaDf.unionByName(
+            stored.join(deltaDf.select("gram"), Seq("gram"), "left_semi"))
+          .groupBy("gram").agg(sum("df").as("df"))
+    }
+    UpsertStore.upsert(spark, s"$path/df", merged,
+      Seq("gram"), assumeKeyUnique = true, txnId = txnId)
+  }
+
+  /** Substring search over the stored index: `patterns` carries one
+    * string column `query` (the literal pattern, length ≥ 3); `docs`
+    * is the corpus relation the verify reads. Returns (query, doc_id)
+    * for every document whose text CONTAINS the pattern. */
+  def search(spark: SparkSession, path: String,
+             patterns: DataFrame, docs: DataFrame, rareK: Int = 4): DataFrame = {
+    val postings = UpsertStore.read(spark, s"$path/postings").getOrElse(
+      sys.error(s"no trigram postings at $path — build first"))
+    val dfStore = UpsertStore.read(spark, s"$path/df").getOrElse(
+      sys.error(s"no trigram df store at $path — build first"))
+    val pg = patterns.select(col("query"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(query) - 2, 0)), i -> substring(query, i, 3))"))
+          .as("gram"))
+      .distinct()
+    // rarest-K pattern grams by stored df; an unseen gram (df null →
+    // 0) sorts first and correctly empties the candidate set
+    val rankedAll = Distributed.groupedRowNumber(
+      pg.join(dfStore, Seq("gram"), "left")
+        .select(col("query"), col("gram"), coalesce(col("df"), lit(0L)).as("df")),
+      Seq("query"), Seq("df", "gram"), "rk")
+    val nsel = rankedAll.groupBy("query")
+      .agg(least(count(lit(1)), lit(rareK)).cast("long").as("nsel"))
+    val sel = rankedAll.filter(col("rk") <= rareK).select("query", "gram")
+    // candidates: docs holding ALL selected grams (count == nsel)
+    val cand = sel.join(postings, Seq("gram"))
+      .groupBy("query", "doc_id").agg(count(lit(1)).as("hits"))
+      .join(broadcast(nsel), Seq("query"))
+      .filter(col("hits") === col("nsel"))
+      .select("query", "doc_id")
+    // exact verify on candidates only
+    cand.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(col("text").contains(col("query")))
+      .select(col("query"), col("doc_id"))
+  }
+}

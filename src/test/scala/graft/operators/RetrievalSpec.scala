@@ -343,4 +343,34 @@ class RetrievalSpec extends AnyFunSuite {
       s"catalog SQL serve must match the from-scratch ranking; " +
         s"sql=${viaSql.take(5)} scratch=${scratch.take(5)}")
   }
+
+  test("trigram index: serve == LIKE scan for any rareK; replayed extend is a no-op; absent pattern empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "quick brown foxes are rare"),
+      (3L, "a slow red panda sleeps"),
+      (4L, "the quick red panda jumps"),
+      (5L, "brown bread and red wine")).toDF("doc_id", "text")
+    val pats = Seq("quick brown", "red panda", "ck b", "purple cow")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri").toString + "/idx"
+    TrigramIndex.build(spark, docs.filter($"doc_id" <= 3), dir)
+    TrigramIndex.extend(spark, docs.filter($"doc_id" > 3), dir, Some(0L))
+    // replay with the same txn id: neither store may advance
+    val vP = graft.streaming.UpsertStore.latestVersion(spark, s"$dir/postings")
+    val vD = graft.streaming.UpsertStore.latestVersion(spark, s"$dir/df")
+    TrigramIndex.extend(spark, docs.filter($"doc_id" > 3), dir, Some(0L))
+    assert(graft.streaming.UpsertStore.latestVersion(spark, s"$dir/postings") == vP &&
+      graft.streaming.UpsertStore.latestVersion(spark, s"$dir/df") == vD,
+      "replayed extend advanced a trigram store")
+    val truth = pats.flatMap(p => docs.filter($"text".contains(p))
+      .select($"doc_id").as[Long].collect().map(p -> _)).toSet
+    // the candidate-superset property: ANY rarest-K subset + verify is exact
+    for (k <- Seq(1, 2, 4, 100)) {
+      val got = TrigramIndex.search(spark, dir, pats.toDF("query"), docs, rareK = k)
+        .as[(String, Long)].collect().toSet
+      assert(got == truth, s"rareK=$k diverged: got=$got truth=$truth")
+    }
+    assert(!truth.exists(_._1 == "purple cow"), "sanity: absent pattern must be empty")
+  }
 }
