@@ -46,7 +46,15 @@ object GraftFunctions {
         longArg(e(3), "seed"))),
     "top_k_by_score" -> (e => TopKByScore(e(0), e(1), intArg(e(2), "k"))),
     // Generator: `SELECT ... FROM t LATERAL VIEW shingles(tokens, 3) AS shingle`
-    "shingles" -> (e => ShingleGenerator(e(0), intArg(e(1), "n"))))
+    "shingles" -> (e => ShingleGenerator(e(0), intArg(e(1), "n"))),
+    // theta / KMV sketch family (q171/q172/q175): aggregates return an
+    // AggregateFunction — the analyzer wraps it, same as builtins
+    "theta_sketch_bytes" -> (e => ThetaSketchBytesAgg(e(0), intArg(e(1), "k"))),
+    "theta_union_merge" -> (e => ThetaUnionMergeAgg(e(0), intArg(e(1), "k"))),
+    "theta_estimate" -> (e => ThetaEstimateExpr(e(0))),
+    "theta_intersect_estimate" -> (e => ThetaIntersectExpr(e(0), e(1))),
+    "theta_anotb_estimate" -> (e => ThetaAnotBExpr(e(0), e(1))),
+    "theta_union_estimate" -> (e => ThetaUnionPairExpr(e(0), e(1))))
 
   /** Register all functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -1014,8 +1014,7 @@ object MoreRelational {
     * ledger is still written for restart bookkeeping. Scale: each
     * batch moves only its own days' k-bounded rows; serve reads two
     * store rows per pair, never the event history. */
-  val q172ThetaRetentionMaintain: QueryDef = sql(
-    "q172_theta_retention_maintain",
+  private val q172Sql: String =
     """WITH u AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
       |d AS (SELECT DISTINCT day FROM u),
       |p AS (SELECT d1.day AS day FROM d d1
@@ -1033,7 +1032,10 @@ object MoreRelational {
       |       COALESCE(nw.n_new, 0) AS n_new,
       |       TRUE AS retained_in_bound, TRUE AS new_in_bound
       |FROM p LEFT JOIN ret ON ret.day = p.day LEFT JOIN nw ON nw.day = p.day
-      |ORDER BY day_ms""".stripMargin) { (s, d) =>
+      |ORDER BY day_ms""".stripMargin
+
+  val q172ThetaRetentionMaintain: QueryDef = sql(
+    "q172_theta_retention_maintain", q172Sql) { (s, d) =>
     val ev = Tables.events(s, d).select(col("ts"), col("user_id"))
     val store = graft.Scratch.dir("graft_theta_maint") + "/sketches"
     val m = new graft.streaming.ThetaMaintainer(s, store)
@@ -1049,6 +1051,70 @@ object MoreRelational {
     m.serve(ev)
   }
 
+  /** q172's retention adjudication in PURE SQL over the CATALOG-
+    * registered theta store — the by-name SQL surface for the sketch
+    * family (the q100/q106/q127/q158/q160 idiom, now covering theta):
+    * the per-day sketch table registers as `graft.<name>`, the set-op
+    * scalars register in the session FunctionRegistry
+    * ([[graft.GraftFunctions]]), and the whole serve — consecutive-day
+    * self-join on the store, `theta_intersect_estimate` /
+    * `theta_anotb_estimate` / `theta_union_estimate`, exact side, 5σ
+    * flags — is one SQL text a warehouse user can run. Shares q172's
+    * oracle: catalog read + SQL surface + stored sketches ≡ the
+    * maintainer serve, hash-proven. */
+  val q175CatalogThetaSql: QueryDef = sql(
+    "q175_catalog_theta_sql", q172Sql) { (s, d) =>
+    import graft.streaming.UpsertStore
+    graft.GraftFunctions.register(s)
+    if (!s.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.UpsertCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.path", graft.Scratch.dir("graft-catalog-wh"))
+    }
+    val k = 512
+    val t = s"theta_days_${PairGraph.dirKey64(d)}"
+    val path = s"${PairGraph.catalogWarehouse(s, "graft")}/$t"
+    val ev = Tables.events(s, d)
+    UpsertStore.replace(s, path,
+      ev.select(expr("unix_millis(date_trunc('day', ts))").as("day_ms"), col("user_id"))
+        .groupBy("day_ms")
+        .agg(graft.functions.ThetaFunctions
+          .theta_sketch_bytes(col("user_id"), k).as("sk")),
+      Seq("day_ms"), assumeKeyUnique = true)
+    PairGraph.ensureTable(s, "graft", t, path, Seq("day_ms"))
+    Tables.registerAll(s, d)
+    s.sql(
+      s"""WITH p AS (
+         |  SELECT a.day_ms,
+         |         theta_intersect_estimate(a.sk, b.sk) AS est_ret,
+         |         theta_anotb_estimate(b.sk, a.sk) AS est_new,
+         |         theta_union_estimate(a.sk, b.sk) AS est_union
+         |  FROM graft.`$t` a JOIN graft.`$t` b ON b.day_ms = a.day_ms + 86400000),
+         |u AS (SELECT DISTINCT unix_millis(date_trunc('day', ts)) AS day_ms, user_id
+         |      FROM events),
+         |ret AS (SELECT a.day_ms, COUNT(*) AS n_retained
+         |        FROM u a JOIN u b ON b.user_id = a.user_id
+         |                         AND b.day_ms = a.day_ms + 86400000
+         |        GROUP BY 1),
+         |nw AS (SELECT b.day_ms - 86400000 AS day_ms, COUNT(*) AS n_new
+         |       FROM u b LEFT ANTI JOIN u a
+         |         ON a.user_id = b.user_id AND a.day_ms = b.day_ms - 86400000
+         |       GROUP BY 1)
+         |SELECT p.day_ms,
+         |       COALESCE(ret.n_retained, BIGINT(0)) AS n_retained,
+         |       COALESCE(nw.n_new, BIGINT(0)) AS n_new,
+         |       abs(p.est_ret - COALESCE(ret.n_retained, BIGINT(0)))
+         |         <= greatest(CAST(24.0 AS DOUBLE),
+         |                     ${5.0 / math.sqrt(k - 1.0)} * p.est_union)
+         |         AS retained_in_bound,
+         |       abs(p.est_new - COALESCE(nw.n_new, BIGINT(0)))
+         |         <= greatest(CAST(24.0 AS DOUBLE),
+         |                     ${5.0 / math.sqrt(k - 1.0)} * p.est_union)
+         |         AS new_in_bound
+         |FROM p LEFT JOIN ret ON ret.day_ms = p.day_ms
+         |       LEFT JOIN nw ON nw.day_ms = p.day_ms
+         |ORDER BY day_ms""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q23Cube, q24MinBy, q25ArrayFuncs, q26SaltedAgg, q27SqlEntry,
     q28CorrelatedSubquery, q29MultisetOps, q33Percentiles, q34Histogram,
@@ -1057,5 +1123,5 @@ object MoreRelational {
     q74ExistsSubqueries, q81SaltedJoin, q82GroupedTopK, q120QuantileSketch,
     q126HllDistinct, q133QuantileSketchStored, q151HllDistinctStore,
     q169HeavyHitters, q170HeavyHittersMaintain, q171ThetaOverlap,
-    q172ThetaRetentionMaintain)
+    q172ThetaRetentionMaintain, q175CatalogThetaSql)
 }
