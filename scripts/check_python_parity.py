@@ -224,6 +224,27 @@ with tempfile.TemporaryDirectory() as td:
           and tip == [(1, "a"), (2, "B"), (3, "c")],
           f"pinned={pinned} tip={tip}")
 
+    # 11: round-14 theta-store serve path (the q175 surface) --
+    # register per-day theta sketches from Python and run the set-op
+    # estimates in PLAIN SQL by table name.  Exact-mode data (30/30
+    # users, k=64): day-1 users 1..30, day-2 users 21..50 -> the
+    # intersect estimate must be EXACTLY 10 and a-not-b exactly 20.
+    from datetime import datetime
+    evs = ([(datetime(2026, 3, 1, 10), u) for u in range(1, 31)] +
+           [(datetime(2026, 3, 2, 10), u) for u in range(21, 51)])
+    g.register_theta_store(
+        spark, "py_theta",
+        spark.createDataFrame(evs, "ts timestamp, user_id long"), 64)
+    r = spark.sql("""
+        SELECT theta_intersect_estimate(a.sk, b.sk) AS i,
+               theta_anotb_estimate(b.sk, a.sk) AS d,
+               theta_union_estimate(a.sk, b.sk) AS u
+        FROM graft.py_theta a JOIN graft.py_theta b
+          ON b.day_ms = a.day_ms + 86400000""").collect()
+    got = (r[0].i, r[0].d, r[0].u) if r else None
+    check("catalog-registered theta store answers set ops via SQL",
+          got == (10.0, 20.0, 50.0), f"got={got}")
+
 spark.stop()
 if failures:
     sys.exit(f"{len(failures)} parity check(s) failed: {failures}")

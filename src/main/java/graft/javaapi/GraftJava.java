@@ -163,6 +163,17 @@ public final class GraftJava {
         spark, name, trainDocs, "graft");
   }
 
+  /** The distinct-set twin (the q175 pure-SQL retention path):
+   *  per-day theta sketches of {@code events}' distinct users
+   *  registered as {@code graft.<name>} (day_ms, sk), theta set-op
+   *  functions registered in the session.
+   *  {@code events} carries (ts, user_id). */
+  public static String registerThetaStore(SparkSession spark, String name,
+      Dataset<Row> events, int k) {
+    return graft.streaming.ThetaMaintainer.registerCatalog(
+        spark, name, events, k, "graft");
+  }
+
   /** Local keyed-parquet upsert sink (the KuduContext verb set behind
    *  one interface), constructed from Java. */
   public static UpsertSink parquetSink(SparkSession spark, String path, List<String> keys) {

@@ -157,6 +157,18 @@ def register_shingle_index(spark: SparkSession, name: str,
         spark._jsparkSession, name, train_docs._jdf, catalog)
 
 
+def register_theta_store(spark: SparkSession, name: str, events: DataFrame,
+                         k: int = 512, catalog: str = "graft") -> str:
+    """The distinct-set twin: per-day theta (KMV) sketches of
+    ``events``' distinct users registered as ``<catalog>.<name>``
+    (day_ms, sk), with the ``theta_*`` set-op functions put in the
+    session registry -- the q175 pure-SQL retention adjudication
+    (intersect / a-not-b / union estimates between any two days) runs
+    by table name.  ``events`` carries ``(ts timestamp, user_id)``."""
+    return spark._jvm.graft.streaming.ThetaMaintainer.registerCatalog(
+        spark._jsparkSession, name, events._jdf, int(k), catalog)
+
+
 # ------------------------------------------------------- upsert sink
 
 class UpsertSink:

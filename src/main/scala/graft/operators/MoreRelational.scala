@@ -1064,23 +1064,13 @@ object MoreRelational {
     * maintainer serve, hash-proven. */
   val q175CatalogThetaSql: QueryDef = sql(
     "q175_catalog_theta_sql", q172Sql) { (s, d) =>
-    import graft.streaming.UpsertStore
-    graft.GraftFunctions.register(s)
     if (!s.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
       s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.UpsertCatalog].getName)
       s.conf.set("spark.sql.catalog.graft.path", graft.Scratch.dir("graft-catalog-wh"))
     }
     val k = 512
     val t = s"theta_days_${PairGraph.dirKey64(d)}"
-    val path = s"${PairGraph.catalogWarehouse(s, "graft")}/$t"
-    val ev = Tables.events(s, d)
-    UpsertStore.replace(s, path,
-      ev.select(expr("unix_millis(date_trunc('day', ts))").as("day_ms"), col("user_id"))
-        .groupBy("day_ms")
-        .agg(graft.functions.ThetaFunctions
-          .theta_sketch_bytes(col("user_id"), k).as("sk")),
-      Seq("day_ms"), assumeKeyUnique = true)
-    PairGraph.ensureTable(s, "graft", t, path, Seq("day_ms"))
+    graft.streaming.ThetaMaintainer.registerCatalog(s, t, Tables.events(s, d), k)
     Tables.registerAll(s, d)
     s.sql(
       s"""WITH p AS (

@@ -436,7 +436,7 @@ object PairGraph {
     * data where catalog READS never look — a silently empty table.
     * Resolving through the instance makes write path ≡ read path by
     * construction, whatever the conf has since drifted to. */
-  private[operators] def catalogWarehouse(spark: SparkSession, catalog: String): String =
+  private[graft] def catalogWarehouse(spark: SparkSession, catalog: String): String =
     (try org.apache.spark.sql.GraftSqlBridge.catalogPlugin(spark, catalog)
      catch {
        case _: org.apache.spark.sql.connector.catalog.CatalogNotFoundException =>
@@ -452,7 +452,7 @@ object PairGraph {
   /** Create the catalog entry over an existing store dir (idempotent).
     * Goes through SQL DDL — the catalog's public surface — so the
     * sidecar format stays [[graft.sources.UpsertCatalog]]'s concern. */
-  private[operators] def ensureTable(spark: SparkSession, catalog: String,
+  private[graft] def ensureTable(spark: SparkSession, catalog: String,
                                      table: String, path: String,
                                      keys: Seq[String]): Unit = {
     val schema = UpsertStore.read(spark, path).getOrElse(

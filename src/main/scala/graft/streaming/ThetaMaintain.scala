@@ -134,3 +134,25 @@ final class ThetaMaintainer(
       }
       .start()
 }
+
+object ThetaMaintainer {
+  /** Register per-day theta sketches of `events`' distinct users as
+    * `<catalog>.<name>` (day_ms BIGINT, sk BINARY) and put the theta
+    * functions in the session registry — after this the q175 pure-SQL
+    * retention adjudication runs against the table by name from any
+    * binding (Scala/SQL/Python/Java). Returns the store path. */
+  def registerCatalog(spark: SparkSession, name: String, events: DataFrame,
+                      k: Int = 512, catalog: String = "graft"): String = {
+    import graft.operators.PairGraph
+    graft.GraftFunctions.register(spark)
+    val path = s"${PairGraph.catalogWarehouse(spark, catalog)}/$name"
+    UpsertStore.replace(spark, path,
+      events.select(expr("unix_millis(date_trunc('day', ts))").as("day_ms"),
+          col("user_id"))
+        .groupBy("day_ms")
+        .agg(ThetaFunctions.theta_sketch_bytes(col("user_id"), k).as("sk")),
+      Seq("day_ms"), assumeKeyUnique = true)
+    PairGraph.ensureTable(spark, catalog, name, path, Seq("day_ms"))
+    path
+  }
+}

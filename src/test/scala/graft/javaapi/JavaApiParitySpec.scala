@@ -132,6 +132,24 @@ class JavaApiParitySpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(hits == Set((100L, 1L, 1L)),
       s"Java-registered gram index adjudicated via SQL: $hits")
+
+    // the distinct-set twin (round 14: the q175 serve path) — exact-
+    // mode data (30/30 users < k=64): day-1 users 1..30, day-2 users
+    // 21..50 ⇒ intersect exactly 10, a-not-b 20, union 50
+    def tsv(x: String) = java.sql.Timestamp.valueOf(x)
+    val evs = ((1 to 30).map(u => (tsv("2026-03-01 10:00:00"), u.toLong)) ++
+      (21 to 50).map(u => (tsv("2026-03-02 10:00:00"), u.toLong)))
+      .toDF("ts", "user_id")
+    GraftJava.registerThetaStore(spark, "j_theta", evs, 64)
+    val ops = spark.sql(
+      """SELECT theta_intersect_estimate(a.sk, b.sk),
+        |       theta_anotb_estimate(b.sk, a.sk),
+        |       theta_union_estimate(a.sk, b.sk)
+        |FROM graft.j_theta a JOIN graft.j_theta b
+        |  ON b.day_ms = a.day_ms + 86400000""".stripMargin)
+      .as[(Double, Double, Double)].collect().toSeq
+    assert(ops == Seq((10.0, 20.0, 50.0)),
+      s"Java-registered theta store set ops via SQL: $ops")
   }
 
   test("Java-created catalog table time-travels with VERSION AS OF (q161 path)") {
