@@ -182,11 +182,18 @@ object ScaleProbe {
     "q164_bpe_pair_step", "q165_dsir_select", "q166_dsir_maintain",
     "q167_bpe_train_merges", "q168_bpe_fertility",
     "q169_heavy_hitters", "q170_heavy_hitters_maintain",
+    // the theta family: sketch folds are k-bounded per group (the
+    // ratio prices the exact oracle side — distinct joins, linear);
+    // the prefix join ships (1−t)·n shingles and is output-bounded
+    // after that; the trigram serve reads K posting lists + verify
+    "q171_theta_overlap", "q172_theta_retention_maintain",
+    "q173_setsim_prefix_join", "q174_trigram_substring_serve",
+    "q175_catalog_theta_sql",
     // the simhash index pair: build is one fingerprint pass + the
     // distinct-fp chunk explode; serve cost is bucket-matched postings
     // + Hamming-surviving pairs (both candidate-sized, but the bucket
     // join's fan-in grows with corpus density — the ratio to watch)
-    "q171_simhash_index_serve", "q172_simhash_maintain")
+    "q176_simhash_index_serve", "q177_simhash_maintain")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

@@ -182,6 +182,71 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The cross-split exact near-dup pairs at J ≥ 0.6 — the shared
+    * oracle of the simhash-index pair q176/q177: eval docs (> the 80%
+    * cut) against indexed docs (≤ the cut). */
+  private val q176Sql: String =
+    s"""WITH ${pairsCtes(0.6, "documents")},
+       |c AS (SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS cut FROM documents)
+       |SELECT CASE WHEN doc_a > cut THEN doc_a ELSE doc_b END AS test_doc,
+       |       CASE WHEN doc_a > cut THEN doc_b ELSE doc_a END AS train_doc,
+       |       ROUND(jac, 4) AS jaccard
+       |FROM jp, c WHERE (doc_a <= cut) <> (doc_b <= cut)
+       |ORDER BY test_doc, train_doc""".stripMargin
+
+  /** Near-dup probe of an eval split against the STORED banded-SimHash
+    * index ([[SimhashIndex]]) — q48's machinery as a derived store:
+    * build on the first 60% of the corpus, extend with the next 20%
+    * (keyed upserts, txn-ledgered), then probe the eval 20% — bucket-
+    * matched chunk postings, Hamming ≤ 16 prefilter on DISTINCT
+    * fingerprints, exact-Jaccard verify on candidates only (train-side
+    * shingles recomputed for candidate docs, never stored). The oracle
+    * is the brute-force cross-split pair set at J ≥ 0.6, so the driver
+    * proves the index path loses nothing the full self-join finds.
+    * Scale: serve touches only buckets the eval set occupies — the
+    * question "is this batch near-duplicating the corpus" stops being
+    * corpus-sized. */
+  val q176SimhashIndexServe: QueryDef = sql(
+    "q176_simhash_index_serve", q176Sql) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val cutA = math.floor(0.6 * maxId).toLong
+    val cutB = math.floor(0.8 * maxId).toLong
+    val path = graft.Scratch.dir("graft_simhash") + "/index"
+    SimhashIndex.build(s, docs.filter(col("doc_id") <= cutA), path)
+    SimhashIndex.extend(s,
+      docs.filter(col("doc_id") > cutA && col("doc_id") <= cutB), path, Some(0L))
+    SimhashIndex.serve(s, path, docs.filter(col("doc_id") > cutB),
+        docs.filter(col("doc_id") <= cutB))
+      .orderBy("test_doc", "train_doc")
+  }
+
+  /** q176's index maintained CONTINUOUSLY — the THIRTEENTH maintainer
+    * ([[graft.streaming.SimhashMaintainer]]): bootstrap on the first
+    * 60%, fold the next 20% in as two delta batches (`ingestBatch` IS
+    * the foreachBatch body; the streaming-harness variant with
+    * checkpoint restart is SimhashMaintainSpec's job), then probe the
+    * eval 20% against the committed stores. Both stores are idempotent
+    * by key, so replay safety needs no ledger skip (the gate/postings
+    * discipline — contrast the additive MG/DSIR folds). Shares q176's
+    * from-scratch oracle: streamed extends ≡ one-shot build,
+    * hash-proven by the driver. */
+  val q177SimhashMaintain: QueryDef = sql(
+    "q177_simhash_maintain", q176Sql) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val cutA = math.floor(0.6 * maxId).toLong
+    val cutM = math.floor(0.7 * maxId).toLong
+    val cutB = math.floor(0.8 * maxId).toLong
+    val store = graft.Scratch.dir("graft_simhash_maint") + "/index"
+    val m = new graft.streaming.SimhashMaintainer(s, store)
+    m.bootstrap(docs.filter(col("doc_id") <= cutA))
+    m.ingestBatch(docs.filter(col("doc_id") > cutA && col("doc_id") <= cutM), Some(0L))
+    m.ingestBatch(docs.filter(col("doc_id") > cutM && col("doc_id") <= cutB), Some(1L))
+    m.serve(docs.filter(col("doc_id") > cutB), docs.filter(col("doc_id") <= cutB))
+      .orderBy("test_doc", "train_doc")
+  }
+
   /** CTE chain computing exact-Jaccard pairs `jp(doc_a, doc_b, jac)`
     * at threshold `tau` over full (un-pruned) 3-gram shingle sets of
     * `src` — the shared ground-truth core of the q47/q48/q56 oracles
@@ -1217,7 +1282,7 @@ object Dedup {
 
   val all: Seq[QueryDef] = Seq(
     q45DedupExact, q46DedupNgramJaccard, q47DedupMinhash, q48DedupSimhash,
-    q173SetSimPrefixJoin,
+    q173SetSimPrefixJoin, q176SimhashIndexServe, q177SimhashMaintain,
     q56NearDupPipeline, q89DedupClusters, q91DedupRemovalPlan, q93PairGraphStore,
     q94PairGraphIncremental, q95ClusterIncremental, q99CatalogPairGraph,
     q117DuplicateSpans, q121DedupIngestGate, q128TriangleCount, q129PageRank,

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.streaming.UpsertStore
+
+/** STORED banded-SimHash near-dup index — q48's candidate machinery
+  * (Charikar 2002 fingerprints; 8×8-bit chunk banding; Hamming ≤ 16
+  * prefilter; exact-Jaccard verify) turned into a derived store, so
+  * "which indexed documents is this batch near-duplicating?" is a
+  * bucket-probe against committed postings instead of a corpus-wide
+  * self-join. This is the contamination-shaped near-dup SERVE: the
+  * cluster maintainer (q95) answers "what clusters exist among
+  * everything ingested"; this index answers "does THIS eval/incoming
+  * document collide with the indexed corpus" without touching
+  * non-colliding buckets.
+  *
+  * Stores: `fps` (doc_id → simhash, keyed doc_id) and `chunks`
+  * postings over DISTINCT fingerprints (chunk, chunk_val, simhash) —
+  * the q48 lesson that exact-copy clusters must collapse to one
+  * fingerprint BEFORE the quadratic bucket join. Both stores are
+  * idempotent by key, so a replayed extend upserts identical rows —
+  * replay-safe with or without the txn ledger (the gate/postings
+  * discipline, unlike the additive MG/DSIR folds).
+  *
+  * Serve cost: eval-side fingerprints (one map pass), bucket-matched
+  * chunk postings (only buckets the eval set touches shuffle), Hamming
+  * survivors expand to doc pairs, and ONLY candidates pay the exact
+  * shingle-set verify — recomputed from text for candidate docs alone,
+  * never stored (storing shingle arrays would duplicate the corpus).
+  */
+object SimhashIndex {
+
+  private[operators] def fps(docs: DataFrame): DataFrame =
+    Dedup.shingleArray(docs)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        TextFunctions.simhash64(col("shingles")).as("simhash"))
+
+  def build(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    val f = fps(docs)
+    UpsertStore.replace(spark, s"$path/fps", f,
+      Seq("doc_id"), assumeKeyUnique = true)
+    UpsertStore.replace(spark, s"$path/chunks", chunks(f),
+      Seq("chunk", "chunk_val", "simhash"), assumeKeyUnique = true)
+  }
+
+  def extend(spark: SparkSession, docs: DataFrame, path: String,
+             txnId: Option[Long] = None): Unit = {
+    val f = fps(docs)
+    UpsertStore.upsert(spark, s"$path/fps", f,
+      Seq("doc_id"), assumeKeyUnique = true, txnId = txnId)
+    UpsertStore.upsert(spark, s"$path/chunks", chunks(f),
+      Seq("chunk", "chunk_val", "simhash"), assumeKeyUnique = true, txnId = txnId)
+  }
+
+  private def chunks(fp: DataFrame): DataFrame =
+    fp.select("simhash").distinct()
+      .select(col("simhash"),
+        posexplode(expr(
+          "transform(sequence(0, 7), c -> (simhash >> (c * 8)) & 255)")))
+      .select(col("pos").as("chunk"), col("col").as("chunk_val"), col("simhash"))
+
+  /** Near-dup probe of `evalDocs` against the stored index: pairs
+    * (test_doc, train_doc, jaccard) with exact Jaccard ≥ `tau`.
+    * `corpus` is the doc relation the verify reads indexed text from
+    * (only candidate train docs are re-shingled). */
+  def serve(spark: SparkSession, path: String, evalDocs: DataFrame,
+            corpus: DataFrame, tau: Double = 0.6, hamming: Int = 16): DataFrame = {
+    val storedFps = UpsertStore.read(spark, s"$path/fps").getOrElse(
+      sys.error(s"no simhash index at $path — build first"))
+    val storedChunks = UpsertStore.read(spark, s"$path/chunks").getOrElse(
+      sys.error(s"no simhash chunk postings at $path — build first"))
+    val esh = Dedup.shingleArray(evalDocs)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), Dedup.hashedShingleCols.as("hsh"),
+        TextFunctions.simhash64(col("shingles")).as("simhash"))
+    val efp = esh.select(col("doc_id"), col("simhash"))
+    val echunks = chunks(efp)
+      .select(col("chunk"), col("chunk_val"), col("simhash").as("fp_e"))
+    val fpPairs = echunks
+      .join(storedChunks.select(col("chunk"), col("chunk_val"),
+        col("simhash").as("fp_i")), Seq("chunk", "chunk_val"))
+      .filter(expr("bit_count(fp_e ^ fp_i)") <= hamming)
+      .select("fp_e", "fp_i").distinct()
+    val cand = fpPairs
+      .join(efp.select(col("simhash").as("fp_e"), col("doc_id").as("test_doc")), "fp_e")
+      .join(storedFps.select(col("simhash").as("fp_i"), col("doc_id").as("train_doc")), "fp_i")
+      .select("test_doc", "train_doc")
+    // exact verify on candidates only; train-side shingles recomputed
+    // for candidate docs alone
+    val tsh = Dedup.shingleArray(
+        corpus.join(cand.select(col("train_doc").as("doc_id")).distinct(), "doc_id"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), Dedup.hashedShingleCols.as("hsh"))
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    cand
+      .join(esh.select(col("doc_id").as("test_doc"), col("hsh").as("sh_a")), "test_doc")
+      .join(tsh.select(col("doc_id").as("train_doc"), col("hsh").as("sh_b")), "train_doc")
+      .withColumn("jaccard", jac)
+      .filter(col("jaccard") >= tau)
+      .select(col("test_doc"), col("train_doc"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}
