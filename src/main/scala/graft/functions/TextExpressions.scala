@@ -74,11 +74,41 @@ case class RollingHash(child: Expression)
   * forms the output. Near-duplicate docs have small Hamming distance.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash64"
+
+  /** Codegen'd: a fallback here forces the ENTIRE enclosing projection
+    * interpreted — including re-evaluating the shingle-array transform
+    * that feeds this — which made the q176 fingerprint pass ~20×
+    * slower than the same pass under whole-stage codegen. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val b2 = ctx.freshName("b2")
+      val h = ctx.freshName("h")
+      val counts = ctx.freshName("counts")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    long $h = graft.functions.Hash64.fnv1a($c.getUTF8String($i));
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b2 = 0; $b2 < 64; $b2++) {
+         |  if ($counts[$b2] > 0) $out |= (1L << $b2);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]

@@ -40,6 +40,16 @@ object Dedup {
       .drop("toks")
   }
 
+  /** [[shingleArray]] restricted to docs that can have shingles at all
+    * (≥ 3 tokens), with the filter on the RAW text. Filtering on
+    * `size(shingles) > 0` instead pushes the whole shingle chain into
+    * the scan predicate and re-derives it per row in interpreted mode
+    * — the q80 pushdown tax, measured 5.4 s alone at bench SF vs
+    * ~0.1 s for this token-count predicate. Same survivor set by
+    * construction: shingles are empty iff the doc has < 3 tokens. */
+  private[graft] def shingleArrayNonEmpty(documents: DataFrame): DataFrame =
+    shingleArray(documents.filter(size(TextAnalysis.tokens(col("text"))) >= 3))
+
   /** Distinct word-3-gram shingles per document (docs with ≥ 3 tokens),
     * one row each — via the custom [[graft.functions.ShingleGenerator]]
     * UDTF, which streams shingles and dedups per document without
@@ -152,33 +162,49 @@ object Dedup {
     "q173_setsim_prefix_join",
     exactPairsSql(0.5, "SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM jp")) { (s, d) =>
     val t = 0.5
-    val sh = shingles(Tables.documents(s, d))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    // one shingle pass feeds the df census, the prefix emission, and
+    // the verify arrays — persist for the query's scope
+    val arr = shingleArrayNonEmpty(Tables.documents(s, d))
+      .select(col("doc_id"), hashedShingleCols.as("hsh"))
+      .persist()
+    val sh = arr.select(col("doc_id"), explode(col("hsh")).as("sh"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfreq"))
     val docs = sh.join(dfreq, "sh")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("dfreq"), col("sh")))).as("ord"),
         count(lit(1)).as("n"))
+    // prefix WITH its 1-based position in the (df asc, hash) order —
+    // the position feeds PPJoin's positional filter below
     val pref = docs.select(col("doc_id"), col("n"),
-        explode(expr(
-          s"slice(ord, 1, CAST(greatest(1L, n - CAST(ceil($t * n) AS BIGINT) + 1L) AS INT))"))
-          .as("e"))
-      .select(col("doc_id"), col("n"), col("e.sh").as("sh"))
-    val cand = pref.select(col("doc_id").as("doc_a"), col("n").as("na"), col("sh"))
-      .join(pref.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("sh")), Seq("sh"))
+        posexplode(expr(
+          s"slice(ord, 1, CAST(greatest(1L, n - CAST(ceil($t * n) AS BIGINT) + 1L) AS INT))")))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("i"),
+        col("col.sh").as("sh"))
+    // PPJoin positional filter: for the FIRST shared token (positions
+    // i*, j* in the shared order) the overlap is ≤ 1 + min(na−i*,
+    // nb−j*); a qualifying pair needs overlap ≥ ⌈t/(1+t)·(na+nb)⌉ and
+    // its first shared token provably sits inside both prefixes, so
+    // filtering every collision row keeps completeness
+    val aMin = ceil(lit(t / (1 + t)) * (col("na") + col("nb")))
+    val cand = pref.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("i").as("ia"), col("sh"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("i").as("ib"), col("sh")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b") &&
         col("nb") >= ceil(lit(t) * col("na")) &&
-        col("nb") <= floor(col("na") / lit(t)))
-      .select("doc_a", "doc_b", "na", "nb").distinct()
-    val shared = cand.select("doc_a", "doc_b")
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-    val jac = col("shared").cast("double") /
-      (col("na") + col("nb") - col("shared"))
-    cand.join(shared, Seq("doc_a", "doc_b"))
-      .filter(jac >= t)
-      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+        col("nb") <= floor(col("na") / lit(t)) &&
+        lit(1) + least(col("na") - col("ia"), col("nb") - col("ib")) >= aMin)
+      .select("doc_a", "doc_b").distinct()
+    // candidate-only verify on the per-doc hash ARRAYS (the q48
+    // verifyExact shape) — candidate-row-sized, never posting-sized
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    cand
+      .join(arr.select(col("doc_id").as("doc_a"), col("hsh").as("sh_a")), "doc_a")
+      .join(arr.select(col("doc_id").as("doc_b"), col("hsh").as("sh_b")), "doc_b")
+      .withColumn("j", jac)
+      .filter(col("j") >= t)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -327,8 +353,7 @@ object Dedup {
     * measure candidate volume against true-pair volume directly. */
   private[graft] def bandedCandidatesPreDistinct(documents: DataFrame): DataFrame = {
     val k = 32; val bands = 16; val rows = k / bands
-    val sigs = shingleArray(documents)
-      .filter(size(col("shingles")) > 0)
+    val sigs = shingleArrayNonEmpty(documents)
       .select(col("doc_id"),
         TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"))
     val banded = sigs.select(
@@ -446,8 +471,7 @@ object Dedup {
   val q48DedupSimhash: QueryDef = sql(
     "q48_dedup_simhash",
     exactPairsSql(0.6, "SELECT doc_a, doc_b FROM jp")) { (s, d) =>
-    val sh = shingleArray(Tables.documents(s, d))
-      .filter(size(col("shingles")) > 0)
+    val sh = shingleArrayNonEmpty(Tables.documents(s, d))
       .select(col("doc_id"), hashedShingleCols.as("hsh"),
         TextFunctions.simhash64(col("shingles")).as("simhash"))
       .cache()
@@ -534,8 +558,7 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"),
         first("text").as("text"))
       .drop("content_hash")
-    val sh = shingleArray(reps)
-      .filter(size(col("shingles")) > 0)
+    val sh = shingleArrayNonEmpty(reps)
       .select(col("doc_id"), hashedShingleCols.as("hsh"),
         TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig"),
         col("n_copies"))

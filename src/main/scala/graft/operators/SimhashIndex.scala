@@ -33,27 +33,39 @@ import graft.streaming.UpsertStore
   */
 object SimhashIndex {
 
-  private[operators] def fps(docs: DataFrame): DataFrame =
-    Dedup.shingleArray(docs)
-      .filter(size(col("shingles")) > 0)
+  private[graft] def fps(docs: DataFrame): DataFrame =
+    // parallelized: the shingle+simhash map is the lifecycle's hot
+    // stage and a bench-SF parquet table is one input split — without
+    // the guard repartition it runs single-core (the q90/Distributed
+    // rationale; at warehouse scale file splits do this for free).
+    // Degenerate docs drop via Dedup.shingleArrayNonEmpty's raw-text
+    // predicate (NOT size(shingles) > 0 — the q80 pushdown tax).
+    Dedup.shingleArrayNonEmpty(Distributed.parallelized(docs))
       .select(col("doc_id"),
         TextFunctions.simhash64(col("shingles")).as("simhash"))
 
   def build(spark: SparkSession, docs: DataFrame, path: String): Unit = {
-    val f = fps(docs)
-    UpsertStore.replace(spark, s"$path/fps", f,
-      Seq("doc_id"), assumeKeyUnique = true)
-    UpsertStore.replace(spark, s"$path/chunks", chunks(f),
-      Seq("chunk", "chunk_val", "simhash"), assumeKeyUnique = true)
+    // the fingerprint pass (shingle + simhash64 over every doc) is the
+    // expensive map stage; both store writes read it, so it persists
+    // for exactly this scope (the PqIndex input-caching discipline)
+    val f = fps(docs).persist()
+    try {
+      UpsertStore.replace(spark, s"$path/fps", f,
+        Seq("doc_id"), assumeKeyUnique = true)
+      UpsertStore.replace(spark, s"$path/chunks", chunks(f),
+        Seq("chunk", "chunk_val", "simhash"), assumeKeyUnique = true)
+    } finally f.unpersist()
   }
 
   def extend(spark: SparkSession, docs: DataFrame, path: String,
              txnId: Option[Long] = None): Unit = {
-    val f = fps(docs)
-    UpsertStore.upsert(spark, s"$path/fps", f,
-      Seq("doc_id"), assumeKeyUnique = true, txnId = txnId)
-    UpsertStore.upsert(spark, s"$path/chunks", chunks(f),
-      Seq("chunk", "chunk_val", "simhash"), assumeKeyUnique = true, txnId = txnId)
+    val f = fps(docs).persist()
+    try {
+      UpsertStore.upsert(spark, s"$path/fps", f,
+        Seq("doc_id"), assumeKeyUnique = true, txnId = txnId)
+      UpsertStore.upsert(spark, s"$path/chunks", chunks(f),
+        Seq("chunk", "chunk_val", "simhash"), assumeKeyUnique = true, txnId = txnId)
+    } finally f.unpersist()
   }
 
   private def chunks(fp: DataFrame): DataFrame =
@@ -73,10 +85,12 @@ object SimhashIndex {
       sys.error(s"no simhash index at $path — build first"))
     val storedChunks = UpsertStore.read(spark, s"$path/chunks").getOrElse(
       sys.error(s"no simhash chunk postings at $path — build first"))
-    val esh = Dedup.shingleArray(evalDocs)
-      .filter(size(col("shingles")) > 0)
+    // eval-side shingle+fingerprint pass feeds the bucket probe AND
+    // the verify — persist for the serve's scope (eval-batch-sized)
+    val esh = Dedup.shingleArrayNonEmpty(Distributed.parallelized(evalDocs))
       .select(col("doc_id"), Dedup.hashedShingleCols.as("hsh"),
         TextFunctions.simhash64(col("shingles")).as("simhash"))
+      .persist()
     val efp = esh.select(col("doc_id"), col("simhash"))
     val echunks = chunks(efp)
       .select(col("chunk"), col("chunk_val"), col("simhash").as("fp_e"))
@@ -91,9 +105,8 @@ object SimhashIndex {
       .select("test_doc", "train_doc")
     // exact verify on candidates only; train-side shingles recomputed
     // for candidate docs alone
-    val tsh = Dedup.shingleArray(
-        corpus.join(cand.select(col("train_doc").as("doc_id")).distinct(), "doc_id"))
-      .filter(size(col("shingles")) > 0)
+    val tsh = Dedup.shingleArrayNonEmpty(Distributed.parallelized(
+        corpus.join(cand.select(col("train_doc").as("doc_id")).distinct(), "doc_id")))
       .select(col("doc_id"), Dedup.hashedShingleCols.as("hsh"))
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b"))).cast("double")

@@ -31,28 +31,35 @@ object TrigramIndex {
 
   /** Distinct character trigrams of `text` per doc. */
   private def grams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    // parallelized: the char-trigram explode multiplies a 1-split
+    // bench-SF scan by ~|text| rows before any exchange — the guard
+    // repartition keeps the explode on all cores (Distributed doc)
+    Distributed.parallelized(docs).select(col("doc_id"),
         explode(expr(
           "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
           .as("gram"))
       .distinct()
 
-  private def dfRows(docs: DataFrame): DataFrame =
-    grams(docs).groupBy("gram").agg(count(lit(1)).as("df"))
-
   /** Build both stores from scratch. */
   def build(spark: SparkSession, docs: DataFrame, path: String): Unit = {
-    UpsertStore.replace(spark, s"$path/postings", grams(docs),
-      Seq("gram", "doc_id"), assumeKeyUnique = true)
-    UpsertStore.replace(spark, s"$path/df", dfRows(docs),
-      Seq("gram"), assumeKeyUnique = true)
+    // the trigram explode+distinct is the expensive pass; postings and
+    // df both read it, so it persists for exactly this scope
+    val g = grams(docs).persist()
+    try {
+      UpsertStore.replace(spark, s"$path/postings", g,
+        Seq("gram", "doc_id"), assumeKeyUnique = true)
+      UpsertStore.replace(spark, s"$path/df",
+        g.groupBy("gram").agg(count(lit(1)).as("df")),
+        Seq("gram"), assumeKeyUnique = true)
+    } finally g.unpersist()
   }
 
   /** Fold a new-docs batch in: postings upsert is idempotent by key;
     * the df merge is additive and delta-keyed (txn-ledgered). */
   def extend(spark: SparkSession, docs: DataFrame, path: String,
              txnId: Option[Long] = None): Unit = {
-    val delta = grams(docs)
+    val delta = grams(docs).persist()
+    try {
     UpsertStore.upsert(spark, s"$path/postings", delta,
       Seq("gram", "doc_id"), assumeKeyUnique = true, txnId = txnId)
     val deltaDf = delta.groupBy("gram").agg(count(lit(1)).as("df"))
@@ -65,6 +72,7 @@ object TrigramIndex {
     }
     UpsertStore.upsert(spark, s"$path/df", merged,
       Seq("gram"), assumeKeyUnique = true, txnId = txnId)
+    } finally delta.unpersist()
   }
 
   /** Substring search over the stored index: `patterns` carries one

@@ -113,8 +113,7 @@ final class StreamingNearDup(
     * bootstrapped doc as kept (dedupe the corpus FIRST — this seeds,
     * it does not re-decide). */
   def bootstrap(docs: DataFrame): Unit = {
-    val sigs = graft.operators.Dedup.shingleArray(docs)
-      .filter(size(col("shingles")) > 0)
+    val sigs = graft.operators.Dedup.shingleArrayNonEmpty(docs)
       .select(
         Seq(col("doc_id"), expr("unix_millis(ts)").as("ts_ms"),
           TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig")) ++
@@ -135,8 +134,7 @@ final class StreamingNearDup(
     // ONE projection derives both downstream forms of the shingle set
     // (hashed set for the exact verify, MinHash signature for banding),
     // so the persist holds long arrays only — never shingle strings
-    val sigs = graft.operators.Dedup.shingleArray(batch)
-      .filter(size(col("shingles")) > 0)
+    val sigs = graft.operators.Dedup.shingleArrayNonEmpty(batch)
       .select(
         Seq(col("doc_id"), expr("unix_millis(ts)").as("ts_ms"),
           TextFunctions.minhash_signature(col("shingles"), k, seed = 42L).as("sig")) ++
