@@ -162,11 +162,26 @@ object Dedup {
     "q173_setsim_prefix_join",
     exactPairsSql(0.5, "SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM jp")) { (s, d) =>
     val t = 0.5
-    // one shingle pass feeds the df census, the prefix emission, and
-    // the verify arrays — persist for the query's scope
-    val arr = shingleArrayNonEmpty(Tables.documents(s, d))
+    // one shingle pass feeds the digest, the df census, the prefix
+    // emission, and the verify arrays — persist for the query's scope
+    val arr0 = shingleArrayNonEmpty(Tables.documents(s, d))
       .select(col("doc_id"), hashedShingleCols.as("hsh"))
+    // DEDUP-FIRST (the q48/q56 lesson, prefix-join edition): docs with
+    // IDENTICAL shingle sets collapse to one representative before any
+    // pairwise machinery — on a duplicate-dense corpus the copies
+    // multiply every df count and posting list, and candidate volume
+    // grows quadratically in copy count (measured 20.8× at the 10×
+    // key-offset replica before this collapse). Identical sets expand
+    // back afterwards: J = 1 pairs within a group, and each surviving
+    // representative pair fans out to its groups' member cross product
+    // — output-bound by definition, never candidate-bound.
+    val groups = arr0
+      .withColumn("dig", expr("xxhash64(array_sort(hsh))"))
+      .groupBy("dig")
+      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"),
+        first("hsh").as("hsh"), count(lit(1)).as("sz"))
       .persist()
+    val arr = groups.select(col("rep").as("doc_id"), col("hsh"))
     val sh = arr.select(col("doc_id"), explode(col("hsh")).as("sh"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfreq"))
     val docs = sh.join(dfreq, "sh")
@@ -199,11 +214,28 @@ object Dedup {
     // verifyExact shape) — candidate-row-sized, never posting-sized
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    cand
+    val repPairs = cand
       .join(arr.select(col("doc_id").as("doc_a"), col("hsh").as("sh_a")), "doc_a")
       .join(arr.select(col("doc_id").as("doc_b"), col("hsh").as("sh_b")), "doc_b")
       .withColumn("j", jac)
       .filter(col("j") >= t)
+      .select(col("doc_a"), col("doc_b"), col("j"))
+    // expand back to doc pairs: identical-set groups pair at J = 1
+    // internally; a representative pair fans out to both groups'
+    // member cross product (same sets ⇒ same jaccard for every copy)
+    val intra = groups.filter(col("sz") > 1)
+      .select(col("members"), explode(col("members")).as("x"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"), lit(1.0).as("j"))
+    val cross = repPairs
+      .join(groups.select(col("rep").as("doc_a"), col("members").as("ma")), "doc_a")
+      .join(groups.select(col("rep").as("doc_b"), col("members").as("mb")), "doc_b")
+      .select(col("mb"), col("j"), explode(col("ma")).as("x"))
+      .select(col("x"), col("j"), explode(col("mb")).as("y"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("j"))
+    cross.unionByName(intra)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
