@@ -193,7 +193,9 @@ object ScaleProbe {
     // distinct-fp chunk explode; serve cost is bucket-matched postings
     // + Hamming-surviving pairs (both candidate-sized, but the bucket
     // join's fan-in grows with corpus density — the ratio to watch)
-    "q176_simhash_index_serve", "q177_simhash_maintain")
+    "q176_simhash_index_serve", "q177_simhash_maintain",
+    // top-gram coverage: tokenize + 3-way explode + two aggs — linear
+    "q178_topgram_coverage")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

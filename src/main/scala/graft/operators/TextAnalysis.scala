@@ -504,8 +504,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Top-n-gram coverage — the Gopher repetition signals (Rae et al.
+    * 2021 §A1.1: "fraction of tokens covered by the most frequent
+    * n-gram", n = 2/3/4), complementing q90's distinct-gram dup ratio:
+    * q90 sees diffuse repetition, these flag one phrase dominating the
+    * document (boilerplate, keyword stuffing, template spam). Scale
+    * shape: one tokenize pass, a 3-way n explode, partial+final gram
+    * counts, then a per-(doc, n) MAX aggregate — two exchanges, no
+    * window, nothing corpus-sized beyond the gram census itself.
+    * Output is (doc, n)-keyed with only the top COUNT (never the gram
+    * string), so max-count ties cannot break determinism. */
+  val q178TopgramCoverage: QueryDef = sql(
+    "q178_topgram_coverage",
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      |           FROM documents
+      |           WHERE len(string_split_regex(lower(text), '\s+')) >= 4),
+      |g AS (SELECT doc_id, v.n AS n, len(toks) AS n_tokens,
+      |             array_to_string(toks[i:i+v.n-1], ' ') AS gram
+      |      FROM t, (VALUES (2), (3), (4)) v(n),
+      |           unnest(range(1, len(toks) - v.n + 2)) AS u(i)),
+      |c AS (SELECT doc_id, n, n_tokens, gram, COUNT(*) AS cnt
+      |      FROM g GROUP BY 1, 2, 3, 4),
+      |m AS (SELECT doc_id, n, n_tokens, MAX(cnt) AS top_cnt
+      |      FROM c GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n,
+      |       CAST(top_cnt AS BIGINT) AS top_count,
+      |       ROUND(CAST(top_cnt * n AS DOUBLE) / n_tokens, 4) AS coverage,
+      |       (CAST(top_cnt * n AS DOUBLE) / n_tokens) > 0.2 AS flagged
+      |FROM m ORDER BY doc_id, n""".stripMargin) { (s, d) =>
+    // parallelized: per-row array math on a 1-split scan (q90 rationale)
+    val docs = Distributed.parallelized(Tables.documents(s, d))
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 4)
+    val grams = docs
+      .select(col("doc_id"), col("toks"),
+        explode(array(lit(2), lit(3), lit(4))).as("n"))
+      .select(col("doc_id"), col("n"), size(col("toks")).as("n_tokens"),
+        explode(expr(
+          "transform(sequence(1, size(toks) - n + 1), i -> concat_ws(' ', slice(toks, i, n)))"))
+          .as("gram"))
+    val top = grams
+      .groupBy("doc_id", "n", "n_tokens", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n", "n_tokens").agg(max("cnt").as("top_cnt"))
+    val cov = col("top_cnt").cast("double") * col("n") / col("n_tokens")
+    top.select(col("doc_id"), col("n").cast("long").as("n"),
+        col("top_cnt").cast("long").as("top_count"),
+        round(cov, 4).as("coverage"),
+        (cov > 0.2).as("flagged"))
+      .orderBy("doc_id", "n")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q40TextQuality, q41TokenFrequency, q42DocStatsByLang, q43LangId, q44Fingerprint,
     q49TokenMetrics, q36DocChunks, q90IntraDocRepetition, q116UnigramNll,
-    q164BpePairStep, q167BpeTrainMerges, q168BpeFertility)
+    q164BpePairStep, q167BpeTrainMerges, q168BpeFertility, q178TopgramCoverage)
 }

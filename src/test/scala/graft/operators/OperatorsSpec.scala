@@ -345,6 +345,32 @@ class OperatorsSpec extends AnyFunSuite {
       s"prefix join diverged from ground truth: $got")
   }
 
+  test("top-gram coverage (q178): dominated doc flagged, diverse doc not, counts exact") {
+    import spark.implicits._
+    val docs = Seq(
+      // "x y" appears 10 times in 20 tokens → 2-gram coverage = 1.0
+      (1L, Seq.fill(10)("x y").mkString(" ")),
+      // all-distinct tokens → every n-gram count 1, coverage = n/20
+      (2L, (1 to 20).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tg").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.q178TopgramCoverage.fn(spark, dir)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    // doc 1: "x y" ×10 (but overlapping "y x" ×9); top 2-gram count 10,
+    // coverage 10·2/20 = 1.0; top 3-gram "x y x"/"y x y" count 9,
+    // coverage 9·3/20 = 1.35 (overlapping grams can exceed 1 — the
+    // signal is still monotone in dominance); top 4-gram count 9.
+    val d1 = got.filter(_._1 == 1L).map(r => (r._2, r._3, r._4, r._5))
+    assert(d1 == Seq((2L, 10L, 1.0, true), (3L, 9L, 1.35, true),
+      (4L, 9L, 1.8, true)), s"doc1: $d1")
+    val d2 = got.filter(_._1 == 2L).map(r => (r._2, r._3, r._4, r._5))
+    assert(d2 == Seq((2L, 1L, 0.1, false), (3L, 1L, 0.15, false),
+      (4L, 1L, 0.2, false)), s"doc2: $d2")
+  }
+
   test("near-dup pipeline (dedup-first) equals banding raw docs on a duplicated corpus") {
     // replicate docs 3x with shifted ids: exact-dup clusters of size 3
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
