@@ -163,7 +163,7 @@ object Dedup {
     exactPairsSql(0.5, "SELECT doc_a, doc_b, ROUND(jac, 4) AS jaccard FROM jp")) { (s, d) =>
     val t = 0.5
     // one shingle pass feeds the digest, the df census, the prefix
-    // emission, and the verify arrays — persist for the query's scope
+    // emission, and the verify arrays — materialized once below
     val arr0 = shingleArrayNonEmpty(Tables.documents(s, d))
       .select(col("doc_id"), hashedShingleCols.as("hsh"))
     // DEDUP-FIRST (the q48/q56 lesson, prefix-join edition): docs with
@@ -175,12 +175,16 @@ object Dedup {
     // back afterwards: J = 1 pairs within a group, and each surviving
     // representative pair fans out to its groups' member cross product
     // — output-bound by definition, never candidate-bound.
+    // localCheckpoint, not persist (ADVICE r14): the query fn returns a
+    // lazy plan with no unpersist site — the checkpoint materializes
+    // the group table once (it feeds four downstream reads) and the
+    // ContextCleaner frees the blocks when the result is dropped.
     val groups = arr0
       .withColumn("dig", expr("xxhash64(array_sort(hsh))"))
       .groupBy("dig")
       .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"),
         first("hsh").as("hsh"), count(lit(1)).as("sz"))
-      .persist()
+      .localCheckpoint()
     val arr = groups.select(col("rep").as("doc_id"), col("hsh"))
     val sh = arr.select(col("doc_id"), explode(col("hsh")).as("sh"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("dfreq"))

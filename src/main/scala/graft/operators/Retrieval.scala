@@ -448,7 +448,8 @@ object Retrieval {
     * character-trigram postings index ([[TrigramIndex]] — the public
     * Google-Code-Search method): build on the first 80% of the
     * corpus, extend with the rest (postings upsert idempotent by
-    * (gram, doc_id); df side store additive + delta-keyed), then
+    * (gram, doc_id); df recounted from the stored postings for the
+    * touched grams — replay-exact without a ledger), then
     * serve five literal patterns — candidates from intersecting the
     * K=4 RAREST pattern trigrams' posting lists, exactness from the
     * candidate-only `contains` verify. One pattern is absent from the

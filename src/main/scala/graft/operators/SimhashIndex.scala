@@ -30,6 +30,23 @@ import graft.streaming.UpsertStore
   * survivors expand to doc pairs, and ONLY candidates pay the exact
   * shingle-set verify — recomputed from text for candidate docs alone,
   * never stored (storing shingle arrays would duplicate the corpus).
+  *
+  * RECALL BOUND (pigeonhole, ADVICE r14): 8 disjoint 8-bit chunks
+  * guarantee a shared chunk — and therefore a bucket collision — only
+  * for fingerprint pairs at Hamming distance ≤ 7 (8 differing bits
+  * can land one per chunk). The serve's default `hamming = 16` filter
+  * is therefore a PREfilter on candidates the banding happens to
+  * surface, not a completeness contract: a pair at distance 8–16
+  * whose differing bits spread across all 8 chunks is never bucketed
+  * and is silently missed. On near-dup corpora this is immaterial —
+  * J ≥ 0.6 text pairs fingerprint within a few bits (q176's oracle
+  * passes at sf0.01 AND sf0.1) — but adversarial or weakly-similar
+  * pairs in the 8–16 band are corpus-dependent, the same shape as the
+  * q48 one-shot. Guaranteed completeness at Hamming ≤ d needs ≥ d+1
+  * disjoint chunks (d differing bits cannot touch all d+1), so a
+  * caller needing the full ≤ 16 contract should band into 17 chunks
+  * of ⌊64/17⌋ bits (or overlapping chunks) and accept the bucket
+  * fan-in that buys.
   */
 object SimhashIndex {
 
@@ -86,11 +103,16 @@ object SimhashIndex {
     val storedChunks = UpsertStore.read(spark, s"$path/chunks").getOrElse(
       sys.error(s"no simhash chunk postings at $path — build first"))
     // eval-side shingle+fingerprint pass feeds the bucket probe AND
-    // the verify — persist for the serve's scope (eval-batch-sized)
+    // the verify. localCheckpoint, not persist (ADVICE r14): serve()
+    // returns a lazy plan, so a persist here has no unpersist site and
+    // leaks a cached block per serve in a long-lived session; a local
+    // checkpoint materializes the (eval-batch-sized) pass eagerly and
+    // the ContextCleaner frees its blocks as soon as the caller drops
+    // the returned DataFrame — cache lifetime ≡ result lifetime.
     val esh = Dedup.shingleArrayNonEmpty(Distributed.parallelized(evalDocs))
       .select(col("doc_id"), Dedup.hashedShingleCols.as("hsh"),
         TextFunctions.simhash64(col("shingles")).as("simhash"))
-      .persist()
+      .localCheckpoint()
     val efp = esh.select(col("doc_id"), col("simhash"))
     val echunks = chunks(efp)
       .select(col("chunk"), col("chunk_val"), col("simhash").as("fp_e"))

@@ -16,8 +16,13 @@ import graft.streaming.UpsertStore
   *
   * Store shape (the [[PostingsIndex]] discipline): a postings store
   * keyed (gram, doc_id) — idempotently extendable, a replayed batch
-  * upserts the identical rows — and a gram→df side store advanced by
-  * delta-keyed additive merge (only the batch's grams move).
+  * upserts the identical rows — and a gram→df side store refreshed by
+  * RECOUNTING the touched grams from the postings store after each
+  * upsert (the [[ShingleIndex]] rule): `df(gram) = count(postings
+  * where gram)` is exact against any replayed or overlapping batch,
+  * where an additive delta fold would silently inflate on replay
+  * (ADVICE r14). Both stores are therefore idempotent by
+  * construction; the txn ledger remains optional bookkeeping.
   *
   * Serve uses the RAREST-K refinement (also Cox's): any subset of the
   * pattern's trigrams yields a candidate SUPERSET, so the serve
@@ -55,23 +60,27 @@ object TrigramIndex {
   }
 
   /** Fold a new-docs batch in: postings upsert is idempotent by key;
-    * the df merge is additive and delta-keyed (txn-ledgered). */
+    * df for the touched grams is RECOUNTED from the just-upserted
+    * postings store (only the delta's grams' posting lists are read —
+    * a semi-join-pruned, column-pruned parquet pass), so a replayed or
+    * doc-overlapping batch converges to the exact counts instead of
+    * additively inflating them (ADVICE r14). Cost ∝ the touched
+    * grams' posting lists rather than the bare delta — the price of
+    * ledger-free idempotence, same trade [[ShingleIndex.extend]]
+    * makes. */
   def extend(spark: SparkSession, docs: DataFrame, path: String,
              txnId: Option[Long] = None): Unit = {
     val delta = grams(docs).persist()
     try {
-    UpsertStore.upsert(spark, s"$path/postings", delta,
-      Seq("gram", "doc_id"), assumeKeyUnique = true, txnId = txnId)
-    val deltaDf = delta.groupBy("gram").agg(count(lit(1)).as("df"))
-    val merged = UpsertStore.read(spark, s"$path/df") match {
-      case None => deltaDf
-      case Some(stored) =>
-        deltaDf.unionByName(
-            stored.join(deltaDf.select("gram"), Seq("gram"), "left_semi"))
-          .groupBy("gram").agg(sum("df").as("df"))
-    }
-    UpsertStore.upsert(spark, s"$path/df", merged,
-      Seq("gram"), assumeKeyUnique = true, txnId = txnId)
+      UpsertStore.upsert(spark, s"$path/postings", delta,
+        Seq("gram", "doc_id"), assumeKeyUnique = true, txnId = txnId)
+      val postings = UpsertStore.read(spark, s"$path/postings").getOrElse(
+        sys.error(s"trigram postings at $path unreadable after upsert"))
+      val refreshed = postings
+        .join(delta.select("gram").distinct(), Seq("gram"), "left_semi")
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+      UpsertStore.upsert(spark, s"$path/df", refreshed,
+        Seq("gram"), assumeKeyUnique = true, txnId = txnId)
     } finally delta.unpersist()
   }
 

@@ -141,6 +141,30 @@ class ThetaSketchSpec extends AnyFunSuite {
       "ledgered replay advanced the store")
   }
 
+  test("theta aggregates work through SQL TEXT, not just the Column API (ADVICE r14)") {
+    // the registry wraps a bare AggregateFunction for SQL; pin that
+    // wrapping with an actual SQL-text GROUP BY over both aggregates
+    graft.GraftFunctions.register(spark)
+    (1L to 100L).map(v => (v % 2, v)).toDF("g", "v")
+      .createOrReplaceTempView("theta_sql_t")
+    val est = spark.sql(
+      """SELECT g, theta_estimate(theta_sketch_bytes(v, 64)) AS e
+        |FROM theta_sql_t GROUP BY g ORDER BY g""".stripMargin)
+      .as[(Long, Double)].collect().toSeq
+    // 50 distinct values per group, k=64 ⇒ exact mode
+    assert(est == Seq((0L, 50.0), (1L, 50.0)),
+      s"SQL-path theta_sketch_bytes/theta_estimate wrong: $est")
+    // theta_union_merge through SQL: shard sketches re-merged in SQL
+    // must estimate the full distinct count exactly (100 distinct
+    // values across both groups stays under k=128 ⇒ exact mode)
+    val merged = spark.sql(
+      """SELECT theta_estimate(theta_union_merge(sk, 128)) AS e
+        |FROM (SELECT g, theta_sketch_bytes(v, 128) AS sk
+        |      FROM theta_sql_t GROUP BY g)""".stripMargin)
+      .as[Double].collect()(0)
+    assert(merged == 100.0, s"SQL-path theta_union_merge wrong: $merged")
+  }
+
   test("theta maintainer foreachBatch wiring + checkpoint restart: serve equals one-shot") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-th-fb").toString
