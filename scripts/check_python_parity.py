@@ -245,6 +245,64 @@ with tempfile.TemporaryDirectory() as td:
     check("catalog-registered theta store answers set ops via SQL",
           got == (10.0, 20.0, 50.0), f"got={got}")
 
+    # 12: round-15 substring-index serve path (the q179 surface) --
+    # register the trigram store from Python and intersect posting
+    # lists in PLAIN SQL by table name.  'alpha' (grams alp/lph/pha)
+    # is contained in docs 1 and 2 only.
+    tri_docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "the alphabet soup"), (3, "zzz qqq")],
+        "doc_id long, text string")
+    g.register_trigram_index(spark, "py_tri", tri_docs)
+    hits = [r.doc_id for r in spark.sql("""
+        WITH pg AS (SELECT DISTINCT explode(transform(
+                      sequence(1, length('alpha') - 2),
+                      i -> substring('alpha', i, 3))) AS gram),
+        cand AS (SELECT doc_id FROM pg JOIN graft.py_tri p USING (gram)
+                 GROUP BY doc_id
+                 HAVING COUNT(*) = (SELECT COUNT(*) FROM pg))
+        SELECT doc_id FROM cand ORDER BY doc_id""").collect()]
+    df_alp = spark.sql(
+        "SELECT df FROM graft.py_tri__df WHERE gram = 'alp'").collect()
+    check("catalog-registered trigram index serves substring search via SQL",
+          hits == [1, 2] and [r.df for r in df_alp] == [2],
+          f"hits={hits} df(alp)={df_alp}")
+
+    # 13: round-15 near-dup-probe serve path (the q180 surface) --
+    # register the simhash store from Python (simhash64 lands in the
+    # session registry) and bucket-probe an eval doc in PLAIN SQL by
+    # table name.  Eval doc 10 near-duplicates train doc 1 (26 of 30
+    # tokens shared) and shares nothing with train doc 2.
+    sh_train = spark.createDataFrame([(1, t_a), (2, t_c)],
+                                     "doc_id long, text string")
+    g.register_simhash_index(spark, "py_sh", sh_train)
+    spark.createDataFrame([(10, t_a2)], "doc_id long, text string") \
+        .createOrReplaceTempView("py_eval_sh")
+    pairs = [(r.test_doc, r.train_doc) for r in spark.sql("""
+        WITH sh AS (
+          SELECT doc_id, simhash64(sh0) AS fp
+          FROM (SELECT doc_id,
+                       array_distinct(transform(sequence(1, size(toks) - 2),
+                         i -> concat_ws(' ', element_at(toks, i),
+                              element_at(toks, i + 1), element_at(toks, i + 2)))) AS sh0
+                FROM (SELECT doc_id, split(lower(text), '\\\\s+') AS toks
+                      FROM py_eval_sh)
+                WHERE size(toks) >= 3)),
+        ech AS (
+          SELECT DISTINCT chunk, chunk_val, fp AS fp_e
+          FROM sh LATERAL VIEW posexplode(transform(sequence(0, 7),
+            ch -> (fp >> (ch * 8)) & 255)) pe AS chunk, chunk_val),
+        fpp AS (
+          SELECT DISTINCT ech.fp_e, sc.simhash AS fp_i
+          FROM ech JOIN graft.py_sh__chunks sc
+            ON ech.chunk = sc.chunk AND ech.chunk_val = sc.chunk_val
+          WHERE bit_count(ech.fp_e ^ sc.simhash) <= 16)
+        SELECT e.doc_id AS test_doc, i.doc_id AS train_doc
+        FROM fpp JOIN sh e ON e.fp = fpp.fp_e
+                 JOIN graft.py_sh i ON i.simhash = fpp.fp_i
+        ORDER BY test_doc, train_doc""").collect()]
+    check("catalog-registered simhash index answers near-dup probe via SQL",
+          pairs == [(10, 1)], f"pairs={pairs}")
+
 spark.stop()
 if failures:
     sys.exit(f"{len(failures)} parity check(s) failed: {failures}")

@@ -174,6 +174,27 @@ public final class GraftJava {
         spark, name, events, k, "graft");
   }
 
+  /** The substring-search twin (the q179 pure-SQL serve path): the
+   *  corpus' character-trigram postings + gram frequencies registered
+   *  as {@code graft.<name>} / {@code graft.<name>__df}.
+   *  {@code docs} carries (doc_id, text). */
+  public static String registerTrigramIndex(SparkSession spark, String name,
+      Dataset<Row> docs) {
+    return graft.operators.TrigramIndex.registerCatalog(
+        spark, name, docs, "graft");
+  }
+
+  /** The near-dup-probe twin (the q180 pure-SQL serve path): the
+   *  corpus' doc→SimHash fingerprints + banded chunk postings
+   *  registered as {@code graft.<name>} / {@code graft.<name>__chunks}
+   *  (probe SQL uses the session-registered {@code simhash64}).
+   *  {@code docs} carries (doc_id, text). */
+  public static String registerSimhashIndex(SparkSession spark, String name,
+      Dataset<Row> docs) {
+    return graft.operators.SimhashIndex.registerCatalog(
+        spark, name, docs, "graft");
+  }
+
   /** Local keyed-parquet upsert sink (the KuduContext verb set behind
    *  one interface), constructed from Java. */
   public static UpsertSink parquetSink(SparkSession spark, String path, List<String> keys) {

@@ -169,6 +169,29 @@ def register_theta_store(spark: SparkSession, name: str, events: DataFrame,
         spark._jsparkSession, name, events._jdf, int(k), catalog)
 
 
+def register_trigram_index(spark: SparkSession, name: str, docs: DataFrame,
+                           catalog: str = "graft") -> str:
+    """The substring-search twin: the corpus' character-trigram
+    postings + gram document frequencies registered as
+    ``<catalog>.<name>`` / ``<catalog>.<name>__df`` (the q179 pure-SQL
+    LIKE-'%pat%' serve reads these by table name: rarest-K grams by
+    stored df, posting-list intersection, candidate-only verify).
+    ``docs`` carries ``(doc_id, text)``."""
+    return spark._jvm.graft.operators.TrigramIndex.registerCatalog(
+        spark._jsparkSession, name, docs._jdf, catalog)
+
+
+def register_simhash_index(spark: SparkSession, name: str, docs: DataFrame,
+                           catalog: str = "graft") -> str:
+    """The near-dup-probe twin: the corpus' doc→SimHash fingerprints +
+    banded chunk postings registered as ``<catalog>.<name>`` /
+    ``<catalog>.<name>__chunks`` (the q180 pure-SQL probe reads these
+    by table name, with ``simhash64`` from the session function
+    registry).  ``docs`` carries ``(doc_id, text)``."""
+    return spark._jvm.graft.operators.SimhashIndex.registerCatalog(
+        spark._jsparkSession, name, docs._jdf, catalog)
+
+
 # ------------------------------------------------------- upsert sink
 
 class UpsertSink:

@@ -309,6 +309,82 @@ object Dedup {
       .orderBy("test_doc", "train_doc")
   }
 
+  /** q176's near-dup probe in PURE SQL over the CATALOG-registered
+    * simhash store (VERDICT r14 #3) — the q106/q160/q175 idiom applied
+    * to the last derived-store family without a by-name SQL surface:
+    * [[SimhashIndex.registerCatalog]] exposes the doc→fingerprint
+    * table as `graft.<t>` and the banded chunk postings as
+    * `graft.<t>__chunks`, and the whole probe — shingle + `simhash64`
+    * the eval split (the custom expression is SQL-registered via
+    * [[graft.GraftFunctions]]), bucket-join the stored chunk postings,
+    * Hamming-prefilter with `bit_count`, exact-Jaccard verify on
+    * candidates via hashed-shingle `array_intersect`/`array_union` —
+    * is one SQL text an auditor can run by table name. Shares q176's
+    * brute-force cross-split oracle: catalog read + SQL-registered
+    * expressions + stored postings ≡ the Column-API serve,
+    * hash-proven. Scale shape is q176's: only buckets the eval set
+    * occupies join, and the verify re-shingles candidate docs alone
+    * (the shingle CTE is lazily evaluated per reference — Catalyst
+    * prunes the train-side shingle pass to candidate rows). */
+  val q180CatalogSimhashSql: QueryDef = sql(
+    "q180_catalog_simhash_sql", q176Sql) { (s, d) =>
+    if (!s.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.UpsertCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.path", graft.Scratch.dir("graft-catalog-wh"))
+    }
+    graft.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val cut = math.floor(0.8 * maxId).toLong
+    val t = s"sh_${PairGraph.dirKey64(d)}"
+    SimhashIndex.registerCatalog(s, t, docs.filter(col("doc_id") <= cut))
+    Tables.registerAll(s, d)
+    s.sql(
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |         transform(sh0, x -> xxhash64(x)) AS hsh,
+         |         simhash64(sh0) AS fp
+         |  FROM (
+         |    SELECT doc_id,
+         |           array_distinct(transform(sequence(1, size(toks) - 2),
+         |             i -> concat_ws(' ', element_at(toks, i),
+         |                  element_at(toks, i + 1), element_at(toks, i + 2)))) AS sh0
+         |    FROM (SELECT doc_id, split(lower(text), '\\\\s+') AS toks
+         |          FROM documents WHERE doc_id > $cut)
+         |    WHERE size(toks) >= 3)),
+         |ech AS (
+         |  SELECT DISTINCT chunk, chunk_val, fp AS fp_e
+         |  FROM sh LATERAL VIEW posexplode(transform(sequence(0, 7),
+         |    ch -> (fp >> (ch * 8)) & 255)) pe AS chunk, chunk_val),
+         |fpp AS (
+         |  SELECT DISTINCT ech.fp_e, sc.simhash AS fp_i
+         |  FROM ech JOIN graft.`${t}__chunks` sc
+         |    ON ech.chunk = sc.chunk AND ech.chunk_val = sc.chunk_val
+         |  WHERE bit_count(ech.fp_e ^ sc.simhash) <= 16),
+         |cand AS (
+         |  SELECT e.doc_id AS test_doc, i.doc_id AS train_doc
+         |  FROM fpp JOIN sh e ON e.fp = fpp.fp_e
+         |           JOIN graft.`$t` i ON i.simhash = fpp.fp_i),
+         |tsh AS (
+         |  SELECT doc_id,
+         |         transform(array_distinct(transform(sequence(1, size(toks) - 2),
+         |           i -> concat_ws(' ', element_at(toks, i),
+         |                element_at(toks, i + 1), element_at(toks, i + 2)))),
+         |           x -> xxhash64(x)) AS hsh
+         |  FROM (SELECT doc_id, split(lower(text), '\\\\s+') AS toks
+         |        FROM documents WHERE doc_id <= $cut)
+         |  WHERE size(toks) >= 3),
+         |ver AS (
+         |  SELECT cand.test_doc, cand.train_doc,
+         |         size(array_intersect(a.hsh, b.hsh))
+         |           / size(array_union(a.hsh, b.hsh)) AS j
+         |  FROM cand JOIN sh a ON a.doc_id = cand.test_doc
+         |            JOIN tsh b ON b.doc_id = cand.train_doc)
+         |SELECT test_doc, train_doc, ROUND(j, 4) AS jaccard
+         |FROM ver WHERE j >= 0.6
+         |ORDER BY test_doc, train_doc""".stripMargin)
+  }
+
   /** CTE chain computing exact-Jaccard pairs `jp(doc_a, doc_b, jac)`
     * at threshold `tau` over full (un-pruned) 3-gram shingle sets of
     * `src` — the shared ground-truth core of the q47/q48/q56 oracles
@@ -1342,6 +1418,7 @@ object Dedup {
   val all: Seq[QueryDef] = Seq(
     q45DedupExact, q46DedupNgramJaccard, q47DedupMinhash, q48DedupSimhash,
     q173SetSimPrefixJoin, q176SimhashIndexServe, q177SimhashMaintain,
+    q180CatalogSimhashSql,
     q56NearDupPipeline, q89DedupClusters, q91DedupRemovalPlan, q93PairGraphStore,
     q94PairGraphIncremental, q95ClusterIncremental, q99CatalogPairGraph,
     q117DuplicateSpans, q121DedupIngestGate, q128TriangleCount, q129PageRank,

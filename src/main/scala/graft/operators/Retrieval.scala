@@ -458,27 +458,83 @@ object Retrieval {
     * byte at every query; the index reads K short posting lists +
     * output-sized verify, and the stores advance per batch without
     * rescanning history. */
-  val q174TrigramSubstringServe: QueryDef = sql(
-    "q174_trigram_substring_serve",
+  /** The five q174 probe patterns (one absent from the corpus) and the
+    * raw-LIKE-scan oracle shared by every trigram-store serve path
+    * (q174 Column API, q179 pure catalog SQL, q184 maintained). */
+  private[operators] val trigramPatterns = Seq("key agg row",
+    "window spark order", "merge batch", "scan slow fast", "zz missing zz")
+  private[operators] val trigramServeSql: String =
     """WITH pats(query) AS (VALUES ('key agg row'), ('window spark order'),
       |                            ('merge batch'), ('scan slow fast'),
       |                            ('zz missing zz'))
       |SELECT p.query, d.doc_id
       |FROM pats p JOIN documents d ON d.text LIKE '%' || p.query || '%'
-      |ORDER BY query, doc_id""".stripMargin) { (s, d) =>
+      |ORDER BY query, doc_id""".stripMargin
+
+  val q174TrigramSubstringServe: QueryDef = sql(
+    "q174_trigram_substring_serve", trigramServeSql) { (s, d) =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val cut = math.floor(0.8 * docs.agg(max("doc_id")).head().getLong(0)).toLong
     val path = graft.Scratch.dir("graft_trigram") + "/index"
     TrigramIndex.build(s, docs.filter(col("doc_id") <= cut), path)
     TrigramIndex.extend(s, docs.filter(col("doc_id") > cut), path, Some(0L))
-    val pats = Seq("key agg row", "window spark order", "merge batch",
-      "scan slow fast", "zz missing zz")
     import s.implicits._
-    TrigramIndex.search(s, path, pats.toDF("query"), docs)
+    TrigramIndex.search(s, path, trigramPatterns.toDF("query"), docs)
       .orderBy("query", "doc_id")
+  }
+
+  /** q174's substring serve in PURE SQL over the CATALOG-registered
+    * trigram store (VERDICT r14 #3) — the q106/q160/q175 idiom applied
+    * to the substring index: [[TrigramIndex.registerCatalog]] exposes
+    * the gram postings as `graft.<t>` and the gram frequencies as
+    * `graft.<t>__df`, and the whole serve — explode the pattern's
+    * trigrams (same `substring` convention the index stores), rank by
+    * stored df for the rarest-4 selection, intersect posting lists via
+    * the count == nsel equi-join, verify candidates with `contains` —
+    * is one SQL text an auditor can run by table name, no Scala API in
+    * the read path. Shares q174's raw-LIKE-scan oracle: catalog read +
+    * SQL serve + stored postings ≡ the Column-API serve, hash-proven.
+    * Scale shape is q174's: the pattern side is metadata-sized, only
+    * the selected grams' posting lists join, and the verify touches
+    * candidates alone. */
+  val q179CatalogTrigramSql: QueryDef = sql(
+    "q179_catalog_trigram_sql", trigramServeSql) { (s, d) =>
+    if (!s.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.UpsertCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.path", graft.Scratch.dir("graft-catalog-wh"))
+    }
+    val t = s"tri_${PairGraph.dirKey64(d)}"
+    TrigramIndex.registerCatalog(s, t, Tables.documents(s, d).select("doc_id", "text"))
+    Tables.registerAll(s, d)
+    val patsValues = trigramPatterns.map(p => s"('$p')").mkString(", ")
+    s.sql(
+      s"""WITH pats(query) AS (VALUES $patsValues),
+         |pg AS (
+         |  SELECT DISTINCT query, gram
+         |  FROM pats LATERAL VIEW explode(transform(
+         |    sequence(1, greatest(length(query) - 2, 0)),
+         |    i -> substring(query, i, 3))) g AS gram),
+         |ranked AS (
+         |  SELECT pg.query, pg.gram, coalesce(d.df, 0L) AS df
+         |  FROM pg LEFT JOIN graft.`${t}__df` d ON pg.gram = d.gram),
+         |rk AS (
+         |  SELECT query, gram,
+         |         ROW_NUMBER() OVER (PARTITION BY query ORDER BY df, gram) AS r,
+         |         COUNT(*) OVER (PARTITION BY query) AS ng
+         |  FROM ranked),
+         |sel AS (SELECT query, gram, least(ng, 4) AS nsel FROM rk WHERE r <= 4),
+         |cand AS (
+         |  SELECT sel.query, p.doc_id
+         |  FROM sel JOIN graft.`$t` p ON sel.gram = p.gram
+         |  GROUP BY sel.query, p.doc_id
+         |  HAVING COUNT(*) = MAX(nsel))
+         |SELECT c.query, c.doc_id
+         |FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+         |WHERE contains(d.text, c.query)
+         |ORDER BY query, doc_id""".stripMargin)
   }
 
   val all: Seq[QueryDef] = Seq(q101Bm25TopK, q102HybridRrf, q104Bm25IndexServe,
     q105Bm25IndexIncremental, q106CatalogBm25, q107HybridStored,
-    q130RerankPipeline, q174TrigramSubstringServe)
+    q130RerankPipeline, q174TrigramSubstringServe, q179CatalogTrigramSql)
 }

@@ -67,9 +67,9 @@ object SimhashIndex {
     // for exactly this scope (the PqIndex input-caching discipline)
     val f = fps(docs).persist()
     try {
-      UpsertStore.replace(spark, s"$path/fps", f,
+      UpsertStore.replace(spark, s"$path", f,
         Seq("doc_id"), assumeKeyUnique = true)
-      UpsertStore.replace(spark, s"$path/chunks", chunks(f),
+      UpsertStore.replace(spark, s"${path}__chunks", chunks(f),
         Seq("chunk", "chunk_val", "simhash"), assumeKeyUnique = true)
     } finally f.unpersist()
   }
@@ -78,9 +78,9 @@ object SimhashIndex {
              txnId: Option[Long] = None): Unit = {
     val f = fps(docs).persist()
     try {
-      UpsertStore.upsert(spark, s"$path/fps", f,
+      UpsertStore.upsert(spark, s"$path", f,
         Seq("doc_id"), assumeKeyUnique = true, txnId = txnId)
-      UpsertStore.upsert(spark, s"$path/chunks", chunks(f),
+      UpsertStore.upsert(spark, s"${path}__chunks", chunks(f),
         Seq("chunk", "chunk_val", "simhash"), assumeKeyUnique = true, txnId = txnId)
     } finally f.unpersist()
   }
@@ -92,15 +92,46 @@ object SimhashIndex {
           "transform(sequence(0, 7), c -> (simhash >> (c * 8)) & 255)")))
       .select(col("pos").as("chunk"), col("col").as("chunk_val"), col("simhash"))
 
+  /** Register the simhash near-dup index under the `graft` catalog
+    * (the q106/q160/q175 idiom — VERDICT r14 #3): build-or-gate-serve
+    * AT the warehouse path, then `<catalog>.<name>` reads the live
+    * doc→fingerprint table and `<catalog>.<name>__chunks` the banded
+    * chunk postings, so the whole near-dup probe (q180) is one SQL
+    * text by table name (the `simhash64` expression is SQL-registered
+    * via [[graft.GraftFunctions]]). Fingerprint gate + meta-last crash
+    * rule as [[TrigramIndex.registerCatalog]]. Returns the store path
+    * for [[extend]]/[[serve]] against the registered tables. */
+  def registerCatalog(spark: SparkSession, name: String, docs: DataFrame,
+                      catalog: String = "graft"): String = {
+    // the by-name probe SQL needs `simhash64` in the session registry
+    // (the ThetaMaintainer.registerCatalog precedent)
+    graft.GraftFunctions.register(spark)
+    val path = s"${PairGraph.catalogWarehouse(spark, catalog)}/$name"
+    val (n, h) = PairGraph.corpusFingerprint(docs)
+    val fresh = UpsertStore.read(spark, s"${path}__meta").exists(
+      _.filter(col("corpus_n") === n && col("corpus_h") === h).count() == 1)
+    if (!fresh) {
+      build(spark, docs, path)
+      UpsertStore.replace(spark, s"${path}__meta",
+        spark.range(1).select(lit(1L).as("meta_id"),
+          lit(n).as("corpus_n"), lit(h).as("corpus_h")),
+        Seq("meta_id"), assumeKeyUnique = true)
+    }
+    PairGraph.ensureTable(spark, catalog, name, path, Seq("doc_id"))
+    PairGraph.ensureTable(spark, catalog, s"${name}__chunks", s"${path}__chunks",
+      Seq("chunk", "chunk_val", "simhash"))
+    path
+  }
+
   /** Near-dup probe of `evalDocs` against the stored index: pairs
     * (test_doc, train_doc, jaccard) with exact Jaccard ≥ `tau`.
     * `corpus` is the doc relation the verify reads indexed text from
     * (only candidate train docs are re-shingled). */
   def serve(spark: SparkSession, path: String, evalDocs: DataFrame,
             corpus: DataFrame, tau: Double = 0.6, hamming: Int = 16): DataFrame = {
-    val storedFps = UpsertStore.read(spark, s"$path/fps").getOrElse(
+    val storedFps = UpsertStore.read(spark, s"$path").getOrElse(
       sys.error(s"no simhash index at $path — build first"))
-    val storedChunks = UpsertStore.read(spark, s"$path/chunks").getOrElse(
+    val storedChunks = UpsertStore.read(spark, s"${path}__chunks").getOrElse(
       sys.error(s"no simhash chunk postings at $path — build first"))
     // eval-side shingle+fingerprint pass feeds the bucket probe AND
     // the verify. localCheckpoint, not persist (ADVICE r14): serve()

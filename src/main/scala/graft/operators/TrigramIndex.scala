@@ -51,9 +51,9 @@ object TrigramIndex {
     // df both read it, so it persists for exactly this scope
     val g = grams(docs).persist()
     try {
-      UpsertStore.replace(spark, s"$path/postings", g,
+      UpsertStore.replace(spark, s"$path", g,
         Seq("gram", "doc_id"), assumeKeyUnique = true)
-      UpsertStore.replace(spark, s"$path/df",
+      UpsertStore.replace(spark, s"${path}__df",
         g.groupBy("gram").agg(count(lit(1)).as("df")),
         Seq("gram"), assumeKeyUnique = true)
     } finally g.unpersist()
@@ -72,16 +72,46 @@ object TrigramIndex {
              txnId: Option[Long] = None): Unit = {
     val delta = grams(docs).persist()
     try {
-      UpsertStore.upsert(spark, s"$path/postings", delta,
+      UpsertStore.upsert(spark, s"$path", delta,
         Seq("gram", "doc_id"), assumeKeyUnique = true, txnId = txnId)
-      val postings = UpsertStore.read(spark, s"$path/postings").getOrElse(
+      val postings = UpsertStore.read(spark, s"$path").getOrElse(
         sys.error(s"trigram postings at $path unreadable after upsert"))
       val refreshed = postings
         .join(delta.select("gram").distinct(), Seq("gram"), "left_semi")
         .groupBy("gram").agg(count(lit(1)).as("df"))
-      UpsertStore.upsert(spark, s"$path/df", refreshed,
+      UpsertStore.upsert(spark, s"${path}__df", refreshed,
         Seq("gram"), assumeKeyUnique = true, txnId = txnId)
     } finally delta.unpersist()
+  }
+
+  private def metaRow(spark: SparkSession, n: Long, h: Long): DataFrame =
+    spark.range(1).select(lit(1L).as("meta_id"),
+      lit(n).as("corpus_n"), lit(h).as("corpus_h"))
+
+  /** Register the trigram index under the `graft` catalog (the
+    * q106/q160/q175 idiom — VERDICT r14 #3): build-or-gate-serve AT
+    * the warehouse path, then `<catalog>.<name>` reads the live gram
+    * postings and `<catalog>.<name>__df` the gram document
+    * frequencies, so the whole substring serve (q179) is one SQL text
+    * by table name. The fingerprint gate is the [[PairGraph]] rule:
+    * a corpus-matching meta row (committed LAST, after both data
+    * stores) skips the rebuild; any crash window leaves meta stale and
+    * degrades to a rebuild, never a stale serve. Returns the store
+    * path for [[extend]]/[[search]] against the registered tables. */
+  def registerCatalog(spark: SparkSession, name: String, docs: DataFrame,
+                      catalog: String = "graft"): String = {
+    val path = s"${PairGraph.catalogWarehouse(spark, catalog)}/$name"
+    val (n, h) = PairGraph.corpusFingerprint(docs)
+    val fresh = UpsertStore.read(spark, s"${path}__meta").exists(
+      _.filter(col("corpus_n") === n && col("corpus_h") === h).count() == 1)
+    if (!fresh) {
+      build(spark, docs, path)
+      UpsertStore.replace(spark, s"${path}__meta", metaRow(spark, n, h),
+        Seq("meta_id"), assumeKeyUnique = true)
+    }
+    PairGraph.ensureTable(spark, catalog, name, path, Seq("gram", "doc_id"))
+    PairGraph.ensureTable(spark, catalog, s"${name}__df", s"${path}__df", Seq("gram"))
+    path
   }
 
   /** Substring search over the stored index: `patterns` carries one
@@ -90,9 +120,9 @@ object TrigramIndex {
     * for every document whose text CONTAINS the pattern. */
   def search(spark: SparkSession, path: String,
              patterns: DataFrame, docs: DataFrame, rareK: Int = 4): DataFrame = {
-    val postings = UpsertStore.read(spark, s"$path/postings").getOrElse(
+    val postings = UpsertStore.read(spark, s"$path").getOrElse(
       sys.error(s"no trigram postings at $path — build first"))
-    val dfStore = UpsertStore.read(spark, s"$path/df").getOrElse(
+    val dfStore = UpsertStore.read(spark, s"${path}__df").getOrElse(
       sys.error(s"no trigram df store at $path — build first"))
     val pg = patterns.select(col("query"),
         explode(expr(

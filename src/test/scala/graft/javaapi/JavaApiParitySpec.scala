@@ -150,6 +150,58 @@ class JavaApiParitySpec extends AnyFunSuite {
       .as[(Double, Double, Double)].collect().toSeq
     assert(ops == Seq((10.0, 20.0, 50.0)),
       s"Java-registered theta store set ops via SQL: $ops")
+
+    // the substring-index twin (round 15: the q179 serve path) —
+    // 'alpha' (grams alp/lph/pha) is contained in docs 1 and 2 only
+    val tri = Seq(1L -> "alpha beta gamma", 2L -> "the alphabet soup",
+      3L -> "zzz qqq").toDF("doc_id", "text")
+    GraftJava.registerTrigramIndex(spark, "j_tri", tri)
+    val triHits = spark.sql(
+      """WITH pg AS (SELECT DISTINCT explode(transform(
+        |              sequence(1, length('alpha') - 2),
+        |              i -> substring('alpha', i, 3))) AS gram),
+        |cand AS (SELECT doc_id FROM pg JOIN graft.j_tri p USING (gram)
+        |         GROUP BY doc_id
+        |         HAVING COUNT(*) = (SELECT COUNT(*) FROM pg))
+        |SELECT doc_id FROM cand ORDER BY doc_id""".stripMargin)
+      .as[Long].collect().toSeq
+    assert(triHits == Seq(1L, 2L),
+      s"Java-registered trigram index served via SQL: $triHits")
+    val dfAlp = spark.sql("SELECT df FROM graft.j_tri__df WHERE gram = 'alp'")
+      .as[Long].collect().toSeq
+    assert(dfAlp == Seq(2L), s"trigram df store via SQL: $dfAlp")
+
+    // the near-dup-probe twin (round 15: the q180 serve path) — eval
+    // doc 10 near-duplicates train doc 1 (26/30 tokens shared) and
+    // shares nothing with train doc 2; simhash64 lands in the session
+    // registry as part of registration
+    GraftJava.registerSimhashIndex(spark, "j_sh", docs.filter($"doc_id" =!= 10L))
+    docs.filter($"doc_id" === 10L).createOrReplaceTempView("j_eval_sh")
+    val shPairs = spark.sql(
+      """WITH sh AS (
+        |  SELECT doc_id, simhash64(sh0) AS fp
+        |  FROM (SELECT doc_id,
+        |               array_distinct(transform(sequence(1, size(toks) - 2),
+        |                 i -> concat_ws(' ', element_at(toks, i),
+        |                      element_at(toks, i + 1), element_at(toks, i + 2)))) AS sh0
+        |        FROM (SELECT doc_id, split(lower(text), '\\s+') AS toks
+        |              FROM j_eval_sh)
+        |        WHERE size(toks) >= 3)),
+        |ech AS (
+        |  SELECT DISTINCT chunk, chunk_val, fp AS fp_e
+        |  FROM sh LATERAL VIEW posexplode(transform(sequence(0, 7),
+        |    ch -> (fp >> (ch * 8)) & 255)) pe AS chunk, chunk_val),
+        |fpp AS (
+        |  SELECT DISTINCT ech.fp_e, sc.simhash AS fp_i
+        |  FROM ech JOIN graft.j_sh__chunks sc
+        |    ON ech.chunk = sc.chunk AND ech.chunk_val = sc.chunk_val
+        |  WHERE bit_count(ech.fp_e ^ sc.simhash) <= 16)
+        |SELECT e.doc_id AS test_doc, i.doc_id AS train_doc
+        |FROM fpp JOIN sh e ON e.fp = fpp.fp_e
+        |         JOIN graft.j_sh i ON i.simhash = fpp.fp_i""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+    assert(shPairs == Set((10L, 1L)),
+      s"Java-registered simhash index probed via SQL: $shPairs")
   }
 
   test("Java-created catalog table time-travels with VERSION AS OF (q161 path)") {

@@ -56,6 +56,29 @@ class DerivedCatalogSpec extends AnyFunSuite {
       s"SQL read must see the extended cluster state: $after")
   }
 
+  test("trigram + simhash stores are SQL-addressable and gate-served (r15)") {
+    val docs = Seq(1L -> "alpha beta gamma", 2L -> "the alphabet soup",
+      3L -> textC).toDF("doc_id", "text")
+    val triPath = TrigramIndex.registerCatalog(spark, "tri_demo", docs)
+    val triDf = spark.sql("SELECT df FROM graft.tri_demo__df WHERE gram = 'alp'")
+      .as[Long].collect().toSeq
+    assert(triDf == Seq(2L), s"trigram df via SQL: $triDf")
+    val vTri = UpsertStore.latestVersion(spark, triPath)
+    assert(TrigramIndex.registerCatalog(spark, "tri_demo", docs) == triPath)
+    assert(UpsertStore.latestVersion(spark, triPath) == vTri,
+      "same-corpus trigram re-register must hit the fingerprint gate")
+
+    val shDocs = Seq(1L -> textA, 2L -> textC).toDF("doc_id", "text")
+    val shPath = SimhashIndex.registerCatalog(spark, "sh_demo", shDocs)
+    assert(spark.sql("SELECT count(*) FROM graft.sh_demo").as[Long].head() == 2L)
+    assert(spark.sql("SELECT count(DISTINCT chunk) FROM graft.sh_demo__chunks")
+      .as[Long].head() == 8L, "8 banded chunks per fingerprint")
+    val vSh = UpsertStore.latestVersion(spark, shPath)
+    assert(SimhashIndex.registerCatalog(spark, "sh_demo", shDocs) == shPath)
+    assert(UpsertStore.latestVersion(spark, shPath) == vSh,
+      "same-corpus simhash re-register must hit the fingerprint gate")
+  }
+
   test("vector index cells + centroids are SQL-addressable and gate-served") {
     val e = (i: Int) => Seq.tabulate(4)(j => if (j == i % 4) 1f else 0.05f * (i % 3))
     val emb = (0L to 9L).map(i => i -> e(i.toInt)).toDF("vec_id", "embedding")

@@ -46,17 +46,17 @@ class SimhashMaintainSpec extends AnyFunSuite {
     m.bootstrap(base.toDF())
     m.ingestBatch(batch1.toDF()) // no txnId: ledger skip unavailable
     def fpSnap(): Set[(Long, Long)] =
-      UpsertStore.read(spark, s"$dir/idx/fps").get
+      UpsertStore.read(spark, s"$dir/idx").get
         .as[(Long, Long)].collect().toSet
-    def chSnap(): Long = UpsertStore.read(spark, s"$dir/idx/chunks").get.count()
+    def chSnap(): Long = UpsertStore.read(spark, s"$dir/idx__chunks").get.count()
     val (f1, c1) = (fpSnap(), chSnap())
     m.ingestBatch(batch1.toDF()) // replay without the ledger
     assert(fpSnap() == f1 && chSnap() == c1,
       "replayed batch changed the index — keyed upserts not idempotent")
     m.ingestBatch(batch2.toDF(), Some(1L))
-    val v = UpsertStore.latestVersion(spark, s"$dir/idx/fps")
+    val v = UpsertStore.latestVersion(spark, s"$dir/idx")
     m.ingestBatch(batch2.toDF(), Some(1L)) // ledgered replay
-    assert(UpsertStore.latestVersion(spark, s"$dir/idx/fps") == v,
+    assert(UpsertStore.latestVersion(spark, s"$dir/idx") == v,
       "ledgered replay advanced the fps store")
     assert(servePairs(m) == expected, s"maintained serve: ${servePairs(m)}")
     // one-shot reference over the same corpus
