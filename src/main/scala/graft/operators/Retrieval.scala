@@ -534,7 +534,45 @@ object Retrieval {
          |ORDER BY query, doc_id""".stripMargin)
   }
 
+  /** REGEX search over the trigram index (VERDICT r14 #4 — Cox 2012's
+    * actual headline): six regexes compile to OR-over-branches /
+    * AND-over-required-trigram queries ([[TrigramIndex
+    * .requiredLiterals]]), candidates come from rarest-K posting-list
+    * intersection per branch, survivors pay the exact `rlike` verify.
+    * The pattern mix exercises every compiler rule with a live
+    * consequence: a mid-pattern alternation group (branch expansion),
+    * a `.*` fragment break (two AND-ed literals), a leading group, a
+    * group splicing INTO a literal run (`scan s(low|ort)` → branches
+    * `scan slow`/`scan sort`), a character class whose fragments are
+    * all < 3 chars (`ta[bc]le` — unprunable, served by the DECLARED
+    * full-scan fallback), and an absent-literal pattern that must come
+    * back empty through the index. Oracle = DuckDB `regexp_matches`
+    * raw scan (RLIKE ≡ regexp_matches partial-match semantics). Scale:
+    * five of six patterns read K short posting lists + candidate
+    * verify; the unprunable one pays exactly what a raw regex scan
+    * would — priced, not hidden. */
+  val q181TrigramRegexServe: QueryDef = sql(
+    "q181_trigram_regex_serve",
+    """WITH pats(query) AS (VALUES ('key (agg|value) row'),
+      |                            ('merge batch.*window'),
+      |                            ('(big|small) vector'),
+      |                            ('scan s(low|ort)'),
+      |                            ('ta[bc]le'),
+      |                            ('zz(missing|absent)zz'))
+      |SELECT p.query, d.doc_id
+      |FROM pats p JOIN documents d ON regexp_matches(d.text, p.query)
+      |ORDER BY query, doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val path = graft.Scratch.dir("graft_trigram_rx") + "/index"
+    TrigramIndex.build(s, docs, path)
+    TrigramIndex.regexSearch(s, path,
+      Seq("key (agg|value) row", "merge batch.*window", "(big|small) vector",
+        "scan s(low|ort)", "ta[bc]le", "zz(missing|absent)zz"), docs)
+      .orderBy("query", "doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q101Bm25TopK, q102HybridRrf, q104Bm25IndexServe,
     q105Bm25IndexIncremental, q106CatalogBm25, q107HybridStored,
-    q130RerankPipeline, q174TrigramSubstringServe, q179CatalogTrigramSql)
+    q130RerankPipeline, q174TrigramSubstringServe, q179CatalogTrigramSql,
+    q181TrigramRegexServe)
 }

@@ -114,6 +114,218 @@ object TrigramIndex {
     path
   }
 
+  // ---- regex → required-trigram compilation (Cox 2012 §"Regular
+  // Expression Matching with a Trigram Index", the actual headline of
+  // the paper behind this index) ----
+
+  /** Compile a regex into DNF branches of REQUIRED literal fragments:
+    * every string the regex matches contains, for at least one branch,
+    * ALL of that branch's fragments as contiguous substrings. The
+    * candidate query is then OR-over-branches of AND-over-fragment-
+    * trigrams — any superset of the true match set, never a subset
+    * (false candidates die in the `rlike` verify; a missed required
+    * literal would lose matches, so every reduction here weakens
+    * toward MORE candidates).
+    *
+    * Supported exactly: literals, top-level and embedded single-level
+    * alternation groups `(a|b)` of pure literals (incl. `(?:`),
+    * quantifiers `* + ? {m,n}`, wildcards `.` and classes `[...]`,
+    * escapes, anchors. Conservative rules (all sound):
+    *  - `X*` / `X?` / `X{..}`: X may be absent — X is dropped and the
+    *    literal run breaks around it;
+    *  - `X+`: X occurs but repetition breaks contiguity — X's last
+    *    atom is kept as a standalone fragment and the run breaks;
+    *  - `.`, `[...]`, class escapes (`\d` `\w` `\s` …): unknown char —
+    *    run breaks;
+    *  - group alternation multiplies branches (each alt continues the
+    *    run: `key (agg|value) row` → branches `key agg row` /
+    *    `key value row`); groups with nested groups, inner metas, an
+    *    empty alt, or a branch blow-up past 64 are treated as unknown
+    *    content — run breaks.
+    *
+    * Returns None when some branch ends with NO fragment of length
+    * ≥ 3: that branch's matches can sit in documents sharing no
+    * required trigram, so the index cannot prune and the caller must
+    * fall back to the honest full `rlike` scan for that pattern. */
+  private[graft] def requiredLiterals(pattern: String): Option[Seq[Seq[String]]] = {
+    val maxBranches = 64
+    // split on unescaped top-level '|' (alternation outside any group)
+    def splitTop(p: String): Seq[String] = {
+      val parts = scala.collection.mutable.ListBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0; var i = 0
+      while (i < p.length) {
+        val c = p(i)
+        if (c == '\\' && i + 1 < p.length) { cur.append(c).append(p(i + 1)); i += 1 }
+        else if (c == '(') { depth += 1; cur.append(c) }
+        else if (c == ')') { depth -= 1; cur.append(c) }
+        else if (c == '|' && depth == 0) { parts += cur.result(); cur.clear() }
+        else cur.append(c)
+        i += 1
+      }
+      parts += cur.result()
+      parts.toSeq
+    }
+    // one alternative → branches of (closed fragments, open run)
+    def parseAlt(alt: String): Seq[Seq[String]] = {
+      final case class B(frags: Vector[String], cur: String)
+      def flush(b: B): B =
+        if (b.cur.nonEmpty) B(b.frags :+ b.cur, "") else b
+      var branches = Vector(B(Vector.empty, ""))
+      var i = 0
+      def quantAfter(j: Int): Option[Char] =
+        if (j < alt.length && "*+?{".contains(alt(j))) Some(alt(j)) else None
+      def skipQuant(j: Int): Int = quantAfter(j) match {
+        case Some('{') =>
+          val close = alt.indexOf('}', j)
+          if (close < 0) j + 1 else close + 1
+        case Some(_) => j + 1
+        case None => j
+      }
+      while (i < alt.length) {
+        val c = alt(i)
+        c match {
+          case '\\' if i + 1 < alt.length =>
+            val n = alt(i + 1)
+            val isClassEscape = n.isLetterOrDigit // \d \w \s \b \1 …
+            i += 2
+            val q = quantAfter(i)
+            if (isClassEscape || q.isDefined) {
+              // unknown/optional char: break the run; for '+' the
+              // single literal char is still required once
+              if (!isClassEscape && q.contains('+'))
+                branches = branches.map(b => flush(B(b.frags, b.cur + n)))
+              else branches = branches.map(flush)
+              i = skipQuant(i)
+            } else branches = branches.map(b => B(b.frags, b.cur + n))
+          case '.' | '[' =>
+            if (c == '[') {
+              var j = i + 1
+              if (j < alt.length && alt(j) == '^') j += 1
+              if (j < alt.length && alt(j) == ']') j += 1 // literal ] first
+              while (j < alt.length && alt(j) != ']') {
+                if (alt(j) == '\\') j += 1
+                j += 1
+              }
+              i = j + 1
+            } else i += 1
+            branches = branches.map(flush)
+            i = skipQuant(i)
+          case '(' =>
+            var j = i + 1; var depth = 1
+            while (j < alt.length && depth > 0) {
+              if (alt(j) == '\\') j += 1
+              else if (alt(j) == '(') depth += 1
+              else if (alt(j) == ')') depth -= 1
+              j += 1
+            }
+            val rawBody = alt.substring(i + 1, j - 1)
+            val body = if (rawBody.startsWith("?:")) rawBody.drop(2) else rawBody
+            i = j
+            val q = quantAfter(i)
+            i = skipQuant(i)
+            val alts = body.split("\\|", -1).toSeq
+            val pureLiterals = alts.nonEmpty && alts.forall(a =>
+              a.nonEmpty && !a.exists("\\()[].*+?{}^$|".contains(_)))
+            val wouldBlowUp = branches.size * alts.size > maxBranches
+            if (!pureLiterals || wouldBlowUp || q.contains('?') ||
+                q.contains('*') || q.contains('{'))
+              branches = branches.map(flush) // unknown/optional content
+            else if (q.contains('+'))
+              // some alt occurs, but repetition breaks contiguity on
+              // both sides — each alt is a standalone fragment
+              branches = branches.flatMap(b =>
+                alts.map(a => B(flush(b).frags :+ a, "")))
+            else
+              branches = branches.flatMap(b => alts.map(a => B(b.frags, b.cur + a)))
+          case '*' | '?' => // applies to the previous literal char
+            branches = branches.map(b =>
+              flush(if (b.cur.nonEmpty) B(b.frags, b.cur.dropRight(1)) else b))
+            i += 1
+          case '{' =>
+            val close = alt.indexOf('}', i)
+            branches = branches.map(b =>
+              flush(if (b.cur.nonEmpty) B(b.frags, b.cur.dropRight(1)) else b))
+            i = if (close < 0) i + 1 else close + 1
+          case '+' => // previous char required once; run breaks after it
+            branches = branches.map(flush)
+            i += 1
+          case '^' | '$' => i += 1 // anchors constrain position, not content
+          case ')' => branches = branches.map(flush); i += 1 // unbalanced: unknown
+          case _ =>
+            branches = branches.map(b => B(b.frags, b.cur + c))
+            i += 1
+        }
+      }
+      branches.map(b => flush(b).frags.filter(_.length >= 3))
+    }
+    val all = splitTop(pattern).flatMap(parseAlt)
+    if (all.exists(_.isEmpty)) None else Some(all.map(_.toSeq))
+  }
+
+  /** REGEX search served from the stored index — the Cox-2012 serve:
+    * each pattern compiles ([[requiredLiterals]]) to OR-over-branches
+    * of AND-over-required-trigrams; candidates come from intersecting
+    * the rarest-`rareK` posting lists per branch (by stored df, the
+    * [[search]] refinement) and unioning branches; only candidates pay
+    * the exact `rlike` verify. A pattern the compiler cannot prune
+    * (no ≥ 3-char required literal on some branch) falls back to the
+    * honest full scan FOR THAT PATTERN ALONE — declared cost, not a
+    * silent wrong answer. Returns (query, doc_id) for every document
+    * whose text matches the regex anywhere (Spark RLIKE ≡ DuckDB
+    * regexp_matches partial-match semantics). */
+  def regexSearch(spark: SparkSession, path: String, patterns: Seq[String],
+                  docs: DataFrame, rareK: Int = 4): DataFrame = {
+    import spark.implicits._
+    val postings = UpsertStore.read(spark, s"$path").getOrElse(
+      sys.error(s"no trigram postings at $path — build first"))
+    val dfStore = UpsertStore.read(spark, s"${path}__df").getOrElse(
+      sys.error(s"no trigram df store at $path — build first"))
+    val compiled = patterns.map(p => p -> requiredLiterals(p))
+    // (query, branch, gram): the DISTINCT required trigrams per branch
+    val need = compiled.flatMap {
+      case (p, Some(branches)) => branches.zipWithIndex.flatMap {
+        case (frags, bi) => frags.flatMap(_.sliding(3)).distinct
+          .map(g => (p, bi, g))
+      }
+      case (_, None) => Seq.empty
+    }
+    val candIdx =
+      if (need.isEmpty) spark.emptyDataFrame
+        .withColumn("query", lit("")).withColumn("doc_id", lit(0L))
+        .select("query", "doc_id").limit(0)
+      else {
+        val pg = need.toDF("query", "branch", "gram")
+        val rankedAll = Distributed.groupedRowNumber(
+          pg.join(dfStore, Seq("gram"), "left")
+            .select(col("query"), col("branch"), col("gram"),
+              coalesce(col("df"), lit(0L)).as("df")),
+          Seq("query", "branch"), Seq("df", "gram"), "rk")
+        val nsel = rankedAll.groupBy("query", "branch")
+          .agg(least(count(lit(1)), lit(rareK)).cast("long").as("nsel"))
+        val sel = rankedAll.filter(col("rk") <= rareK)
+          .select("query", "branch", "gram")
+        sel.join(postings, Seq("gram"))
+          .groupBy("query", "branch", "doc_id").agg(count(lit(1)).as("hits"))
+          .join(broadcast(nsel), Seq("query", "branch"))
+          .filter(col("hits") === col("nsel"))
+          .select("query", "doc_id").distinct()
+      }
+    // unprunable patterns: the declared full-scan fallback (pattern
+    // list is metadata-sized; the scan is the same cost a raw RLIKE
+    // query would pay — the index just couldn't help)
+    val unprunable = compiled.collect { case (p, None) => p }
+    val cand =
+      if (unprunable.isEmpty) candIdx
+      else candIdx.unionByName(
+        docs.select(col("doc_id"))
+          .crossJoin(broadcast(unprunable.toDF("query")))
+          .select("query", "doc_id"))
+    cand.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(expr("rlike(text, query)"))
+      .select(col("query"), col("doc_id"))
+  }
+
   /** Substring search over the stored index: `patterns` carries one
     * string column `query` (the literal pattern, length ≥ 3); `docs`
     * is the corpus relation the verify reads. Returns (query, doc_id)

@@ -68,9 +68,13 @@ class PlanAuditSpec extends AnyFunSuite {
                                  // maintained count store (DsirMaintainer.serve)
     "q169_heavy_hitters",        // single-row token-total cross join (the
                                  // N/(k+1) bound denominator)
-    "q171_theta_overlap")        // four single-row sketch/count aggregates
+    "q171_theta_overlap",        // four single-row sketch/count aggregates
                                  // cross-joined into one measure row — every
                                  // BNLJ side is exactly one row at any SF
+    "q181_trigram_regex_serve")  // the DECLARED unprunable-pattern fallback:
+                                 // one broadcast pattern row vs the corpus —
+                                 // the honest full scan a raw regex query
+                                 // would pay (TrigramIndex.regexSearch doc)
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation

@@ -357,11 +357,12 @@ class RetrievalSpec extends AnyFunSuite {
     TrigramIndex.build(spark, docs.filter($"doc_id" <= 3), dir)
     TrigramIndex.extend(spark, docs.filter($"doc_id" > 3), dir, Some(0L))
     // replay with the same txn id: neither store may advance
-    val vP = graft.streaming.UpsertStore.latestVersion(spark, s"$dir/postings")
-    val vD = graft.streaming.UpsertStore.latestVersion(spark, s"$dir/df")
+    val vP = graft.streaming.UpsertStore.latestVersion(spark, dir)
+    val vD = graft.streaming.UpsertStore.latestVersion(spark, s"${dir}__df")
+    assert(vP.isDefined && vD.isDefined, "stores must exist at the suffix layout")
     TrigramIndex.extend(spark, docs.filter($"doc_id" > 3), dir, Some(0L))
-    assert(graft.streaming.UpsertStore.latestVersion(spark, s"$dir/postings") == vP &&
-      graft.streaming.UpsertStore.latestVersion(spark, s"$dir/df") == vD,
+    assert(graft.streaming.UpsertStore.latestVersion(spark, dir) == vP &&
+      graft.streaming.UpsertStore.latestVersion(spark, s"${dir}__df") == vD,
       "replayed extend advanced a trigram store")
     val truth = pats.flatMap(p => docs.filter($"text".contains(p))
       .select($"doc_id").as[Long].collect().map(p -> _)).toSet
@@ -372,5 +373,62 @@ class RetrievalSpec extends AnyFunSuite {
       assert(got == truth, s"rareK=$k diverged: got=$got truth=$truth")
     }
     assert(!truth.exists(_._1 == "purple cow"), "sanity: absent pattern must be empty")
+  }
+
+  test("regex→trigram compiler: required literals are sound for every supported construct") {
+    def req(p: String) = TrigramIndex.requiredLiterals(p)
+    // plain literal: one branch, one fragment
+    assert(req("quick brown") == Some(Seq(Seq("quick brown"))))
+    // top-level alternation → branch per alternative
+    assert(req("abc|defg") == Some(Seq(Seq("abc"), Seq("defg"))))
+    // embedded group splices into the run on both sides
+    assert(req("key (agg|value) row") ==
+      Some(Seq(Seq("key agg row"), Seq("key value row"))))
+    assert(req("scan s(low|ort)") == Some(Seq(Seq("scan slow"), Seq("scan sort"))))
+    // .* breaks the run into two AND-ed fragments
+    assert(req("merge batch.*window") == Some(Seq(Seq("merge batch", "window"))))
+    // X? / X* drop the optional atom and break around it
+    assert(req("colou?r box") == Some(Seq(Seq("colo", "r box"))))
+    // X+ keeps one occurrence but breaks contiguity after it
+    assert(req("ab+cde") == Some(Seq(Seq("cde"))))
+    // (..)+ requires some alt standalone, never spliced (x(ab|cd)+y
+    // can match xabcdy — splicing would demand xaby/xcdy and LOSE it)
+    assert(req("xxx(abc|def)+yyy") ==
+      Some(Seq(Seq("xxx", "abc", "yyy"), Seq("xxx", "def", "yyy"))))
+    // class / class-escape breaks; anchors don't
+    assert(req("ta[bc]le grande") == Some(Seq(Seq("le grande"))))
+    assert(req("^abc def$") == Some(Seq(Seq("abc def"))))
+    assert(req("abc\\d+def") == Some(Seq(Seq("abc", "def"))))
+    // escaped metachar is a literal char
+    assert(req("a\\.b\\.cdef") == Some(Seq(Seq("a.b.cdef"))))
+    // unprunable: every fragment under 3 chars
+    assert(req("ta[bc]le").isEmpty)
+    assert(req("(a|b)c").isEmpty)
+    // one unprunable branch poisons the pattern (matches may hide there)
+    assert(req("abcdef|xy").isEmpty)
+  }
+
+  test("regex serve == rlike scan (index path + declared fallback); empty through the index") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the table"),
+      (2L, "quick red foxes are rare at this tacle"),   // tacle: [bc] class hit
+      (3L, "a slow red panda sleeps on a bench"),
+      (4L, "the quick red panda jumps the queue"),
+      (5L, "brown bread and red wine on the table")).toDF("doc_id", "text")
+    val pats = Seq(
+      "quick (brown|red) fox",  // group splice, multi-branch
+      "quick.*panda",           // fragment break
+      "ta[bc]le",               // unprunable → declared full-scan fallback
+      "(purple|green) cow")     // absent → empty through the index
+    val dir = java.nio.file.Files.createTempDirectory("graft-trirx").toString + "/idx"
+    TrigramIndex.build(spark, docs, dir)
+    val got = TrigramIndex.regexSearch(spark, dir, pats, docs)
+      .as[(String, Long)].collect().toSet
+    val truth = pats.flatMap(p => docs.filter($"text".rlike(p))
+      .select($"doc_id").as[Long].collect().map(p -> _)).toSet
+    assert(got == truth, s"regex serve diverged: got=$got truth=$truth")
+    assert(truth.exists(_._1 == "ta[bc]le"), "sanity: fallback pattern has matches")
+    assert(!truth.exists(_._1 == "(purple|green) cow"), "sanity: absent pattern empty")
   }
 }
