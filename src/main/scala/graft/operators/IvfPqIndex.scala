@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TopKFunctions, VectorFunctions}
+import graft.streaming.UpsertStore
+
+/** IVF-PQ COMPOSED ANN index — the production serving shape (Jégou
+  * 2011 "Product Quantization for Nearest Neighbor Search" §V, the
+  * IVFADC system; FAISS's `IndexIVFPQ` is the public reference
+  * implementation): the repo has both halves as separate stores — IVF
+  * cells ([[VectorIndex]], q96) prune WHICH vectors a query looks at,
+  * PQ codes ([[PqIndex]], q122) shrink WHAT is read per looked-at
+  * vector — and this store composes them, which is what a 100 TB
+  * corpus actually deploys:
+  *
+  *  - coarse quantizer: the [[VectorIndex]] seed-centroid rule
+  *    (first `centroids` vectors by vec_id, cosine assignment, ties to
+  *    the higher centroid id) over UNIT vectors, so assignment is
+  *    deterministic and extend ≡ scratch;
+  *  - fine quantizer: [[PqIndex]]'s per-subspace codebooks (M=8
+  *    subspaces × K=32 entries, 2 deterministic Lloyd rounds) over the
+  *    same unit vectors — 8 bytes of code per 512-byte raw vector;
+  *  - one stored row per vector: (vec_id, cell, codes) keyed vec_id —
+  *    the cell id co-locates a cell's codes under parquet row-group
+  *    pruning at scale, the codes make a probed cell ~64× cheaper to
+  *    scan than raw embeddings.
+  *
+  * Serve = probe nProbe nearest cells (query × centroid broadcast,
+  * metadata-sized) → ADC-score ONLY the probed cells' codes from the
+  * broadcast per-query lookup table → exact-cosine re-rank of the
+  * top-`C` pool against raw vectors (point-lookup join on vec_id).
+  * Honesty contract (the q119/q122 recall-1.0 gate): the pool margin
+  * is [[PqIndex.C]] and measured recall vs q50's brute force is 1.0 on
+  * this corpus at nProbe = 10 (the q96-pinned IVF setting composed
+  * with the PqRecallSpec-pinned ADC margin — composition only SHRINKS
+  * the candidate set a true neighbor must out-rank, so each half's
+  * margin carries over), which is why q182 shares q50's oracle and the
+  * driver's hash compare IS the recall gate.
+  *
+  * Freshness/crash discipline is [[PqIndex]]'s verbatim: corpus
+  * fingerprint in a meta row committed LAST behind a dirty bracket;
+  * [[extend]] assigns + encodes the delta against the STORED
+  * centroids/codebooks (neither ever moves on extend — the
+  * centroid-pinning rule; a re-train is a gate-missed rebuild), and
+  * advances the fingerprint associatively. Replays self-skip via the
+  * txn ledger.
+  */
+object IvfPqIndex {
+
+  /** ADC pool size before exact re-rank — [[PqIndex.C]]'s margin
+    * argument applies unchanged: IVF pruning removes candidates, never
+    * adds them, so a true neighbor's pool rank within the probed cells
+    * is ≤ its rank in the full-corpus ADC scan. */
+  private val C = PqIndex.C
+
+  private def root: String =
+    sys.env.getOrElse("GRAFT_IVFPQ_INDEX_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft-${System.getProperty("user.name", "anon")}/ivfpq_index")
+
+  private[graft] def storePath(dataDir: String, centroids: Int): String =
+    s"$root/ivfpq_${PairGraph.dirKey64(dataDir)}_c$centroids"
+
+  private def metaRow(spark: SparkSession, n: Long, h: Long, centroids: Int,
+                      dirty: Boolean, txn: Long): DataFrame =
+    spark.range(1).select(
+      lit(1L).as("meta_id"), lit(n).as("corpus_n"), lit(h).as("corpus_h"),
+      lit(centroids).as("centroids"), lit(dirty).as("dirty"), lit(txn).as("txn"))
+
+  private def gateOk(m: DataFrame, n: Long, h: Long, centroids: Int): Boolean =
+    m.filter(col("corpus_n") === n && col("corpus_h") === h &&
+      col("centroids") === centroids && !col("dirty")).count() == 1
+
+  /** Deterministic nearest-centroid assignment over unit vectors —
+    * the [[VectorIndex.assignCells]] rule (cosine, ties to the higher
+    * centroid id; zero vectors pin to -1 similarity). */
+  private def assignCells(unit: DataFrame, cents: DataFrame): DataFrame =
+    unit.crossJoin(broadcast(cents))
+      .withColumn("csim", nanvl(
+        VectorFunctions.cosine_similarity(col("emb"), col("cemb")), lit(-1.0)))
+      .groupBy("vec_id")
+      .agg(max_by(col("centroid_id"), struct(col("csim"), col("centroid_id"))).as("cell"))
+
+  /** Build (or fingerprint-gate-serve) the composed index for `emb`
+    * ((vec_id, emb double[])): one row (vec_id, cell, codes) plus the
+    * centroid and codebook side tables, dirty → data → clean meta. */
+  def ensure(spark: SparkSession, emb: DataFrame, path: String,
+             centroids: Int = 16, fp: Option[(Long, Long)] = None): Unit = {
+    val metaPath = s"${path}__meta"
+    val (n, h) = fp.getOrElse(PqIndex.fingerprint(emb))
+    val prev = UpsertStore.read(spark, metaPath)
+    if (prev.exists(m => gateOk(m, n, h, centroids))) return
+    val prevTxn = prev.map(_.head().getAs[Long]("txn")).getOrElse(-1L)
+    if (prev.isDefined) UpsertStore.replace(spark, metaPath,
+      metaRow(spark, -1L, 0L, centroids, dirty = true, prevTxn), Seq("meta_id"),
+      assumeKeyUnique = true)
+    // the unit-normalize pass feeds the coarse assignment AND the PQ
+    // subvector explode — persist for exactly this scope
+    val unit = PqIndex.unitEmb(emb).persist()
+    try {
+      val cents = unit.orderBy("vec_id").limit(centroids)
+        .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"))
+      val cells = assignCells(unit, cents)
+      val parts = PqIndex.subParts(unit)
+      val (books, assigned) = PqIndex.trainCodebooks(spark, parts)
+      val codes = PqIndex.packCodes(assigned)
+      UpsertStore.replace(spark, path, cells.join(codes, Seq("vec_id")),
+        Seq("vec_id"), assumeKeyUnique = true)
+      parts.unpersist() // Lloyd-loop cache, released once codes commit
+      UpsertStore.replace(spark, s"${path}__centroids", cents,
+        Seq("centroid_id"), assumeKeyUnique = true)
+      UpsertStore.replace(spark, s"${path}__codebooks", books,
+        Seq("m", "cid"), assumeKeyUnique = true)
+      UpsertStore.replace(spark, metaPath,
+        metaRow(spark, n, h, centroids, dirty = false, prevTxn), Seq("meta_id"),
+        assumeKeyUnique = true)
+    } finally unit.unpersist()
+  }
+
+  /** Fold NEW vectors in: assign + encode the delta against the STORED
+    * centroids and codebooks (two delta-sized broadcast passes — the
+    * old corpus is never re-read), upsert the composed rows, advance
+    * the fingerprint associatively. Replay-safe via the txn ledger;
+    * crash-retry converges (last-writer-wins rows, dirty meta
+    * preserves the pre-extend fingerprint). */
+  def extend(spark: SparkSession, delta: DataFrame, path: String,
+             txnId: Option[Long] = None,
+             deltaFp: Option[(Long, Long)] = None): Unit = {
+    val metaPath = s"${path}__meta"
+    val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(
+      sys.error(s"no ivf-pq index at $path to extend — run ensure first"))
+    val mTxn = meta.getAs[Long]("txn")
+    if (txnId.exists(_ <= mTxn)) return
+    require(!(meta.getAs[Boolean]("dirty") && meta.getAs[Long]("corpus_n") < 0),
+      s"ivf-pq index at $path was left dirty by an interrupted REBUILD — rerun ensure")
+    val cents = UpsertStore.read(spark, s"${path}__centroids").getOrElse(
+      sys.error(s"ivf-pq index at $path has no centroid table"))
+    val books = UpsertStore.read(spark, s"${path}__codebooks").getOrElse(
+      sys.error(s"ivf-pq index at $path has no codebook table"))
+    val centroids = meta.getAs[Int]("centroids")
+    val (baseN, baseH) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
+    UpsertStore.replace(spark, metaPath,
+      metaRow(spark, baseN, baseH, centroids, dirty = true, mTxn), Seq("meta_id"),
+      assumeKeyUnique = true)
+    val unit = PqIndex.unitEmb(delta).persist()
+    try {
+      val cells = assignCells(unit, cents)
+      val codes = PqIndex.packCodes(
+        PqIndex.encodeParts(PqIndex.subParts(unit), books))
+      UpsertStore.upsert(spark, path, cells.join(codes, Seq("vec_id")),
+        Seq("vec_id"), assumeKeyUnique = true)
+    } finally unit.unpersist()
+    val (dn, dh) = deltaFp.getOrElse(PqIndex.fingerprint(delta))
+    UpsertStore.replace(spark, metaPath,
+      metaRow(spark, baseN + dn, baseH ^ dh, centroids, dirty = false,
+        txnId.getOrElse(mTxn)), Seq("meta_id"), assumeKeyUnique = true)
+  }
+
+  /** IVFADC top-k from the STORED index for corpus-member queries
+    * (`queryPred` over vec_id): probe → ADC over probed cells only →
+    * exact re-rank of the top-C pool. `emb` supplies raw vectors for
+    * the query side and the ≤ C re-rank fetches. Output (query_id, rk,
+    * neighbor_id) — the q50 contract (rank ties to the lower neighbor
+    * id inside the bounded heap). */
+  def search(spark: SparkSession, emb: DataFrame, path: String,
+             queryPred: Column, nProbe: Int = 10, k: Int = 3): DataFrame = {
+    val stored = UpsertStore.read(spark, path).getOrElse(
+      sys.error(s"no ivf-pq index at $path — run ensure first"))
+    val cents = UpsertStore.read(spark, s"${path}__centroids").getOrElse(
+      sys.error(s"ivf-pq index at $path has no centroid table"))
+    val books = UpsertStore.read(spark, s"${path}__codebooks").getOrElse(
+      sys.error(s"ivf-pq index at $path has no codebook table"))
+    val qunit = PqIndex.unitEmb(emb.filter(queryPred))
+    // coarse probe: |queries| × centroids, both metadata-sized
+    val probes = qunit.crossJoin(broadcast(cents))
+      .withColumn("csim", nanvl(
+        VectorFunctions.cosine_similarity(col("emb"), col("cemb")), lit(-1.0)))
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(TopKFunctions.top_k_by_score(col("csim"), col("centroid_id"), nProbe).as("cells"))
+      .select(col("query_id"), explode(col("cells.id")).as("cell"))
+    // candidates: probed cells' code rows only — the IVF prune
+    val cand = probes.join(stored.select(col("cell"), col("vec_id"), col("codes")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("codes"))
+    // ADC: per-query (m, cid) → squared-L2 lookup table, broadcast
+    // (|queries| × M × K rows); candidate distance = Σ_m lut entries
+    val qparts = PqIndex.subParts(qunit)
+      .select(col("vec_id").as("query_id"), col("m"), col("sub").as("qsub"))
+    val lut = qparts.join(broadcast(books), Seq("m"))
+      .select(col("query_id").as("lq"), col("m").as("lm"), col("cid").as("lcode"),
+        pow(VectorFunctions.l2_distance(col("qsub"), col("cemb")), 2).as("d2"))
+    val pool = cand
+      .select(col("query_id"), col("vec_id"), posexplode(col("codes")))
+      .select(col("query_id"), col("vec_id"),
+        col("pos").cast("int").as("cm"), col("col").as("code"))
+      .join(broadcast(lut), col("query_id") === col("lq") &&
+        col("cm") === col("lm") && col("code") === col("lcode"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("d2")).as("adist"))
+      .groupBy("query_id")
+      .agg(TopKFunctions.top_k_by_score(-col("adist"), col("vec_id"), C).as("cand"))
+      .select(col("query_id"), explode(expr("transform(cand, x -> x.id)")).as("neighbor_id"))
+    // exact re-rank on raw vectors: ≤ C point lookups per query
+    pool
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("emb").as("ce")),
+        Seq("neighbor_id"))
+      .join(broadcast(emb.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"))), Seq("query_id"))
+      .withColumn("sim",
+        nanvl(VectorFunctions.cosine_similarity(col("qe"), col("ce")), lit(-1.0)))
+      .groupBy("query_id")
+      .agg(TopKFunctions.top_k_by_score(col("sim"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("neighbor_id"))
+      .orderBy("query_id", "rk")
+  }
+}
