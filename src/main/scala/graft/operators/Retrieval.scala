@@ -571,8 +571,35 @@ object Retrieval {
       .orderBy("query", "doc_id")
   }
 
+  /** q174's index maintained CONTINUOUSLY — the FOURTEENTH maintainer
+    * ([[graft.streaming.TrigramMaintainer]], VERDICT r14 #7):
+    * bootstrap on the first 60% of the corpus, fold the next 40% in as
+    * two delta batches (`ingestBatch` IS the foreachBatch body; the
+    * streaming-harness variant with checkpoint restart is
+    * TrigramMaintainSpec's job), then serve the five q174 patterns
+    * from the committed stores. Postings are idempotent by key and df
+    * is recounted from the stored postings, so replay safety needs no
+    * ledger (the SimhashMaintainer discipline — contrast the additive
+    * MG/DSIR folds). Shares q174's raw-LIKE-scan oracle: streamed
+    * extends ≡ one-shot build, hash-proven by the driver. */
+  val q184TrigramMaintain: QueryDef = sql(
+    "q184_trigram_maintain", trigramServeSql) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val cutA = math.floor(0.6 * maxId).toLong
+    val cutM = math.floor(0.8 * maxId).toLong
+    val store = graft.Scratch.dir("graft_trigram_maint") + "/index"
+    val m = new graft.streaming.TrigramMaintainer(s, store)
+    m.bootstrap(docs.filter(col("doc_id") <= cutA))
+    m.ingestBatch(docs.filter(col("doc_id") > cutA && col("doc_id") <= cutM), Some(0L))
+    m.ingestBatch(docs.filter(col("doc_id") > cutM), Some(1L))
+    m.serve(trigramPatterns.toDF("query"), docs)
+      .orderBy("query", "doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q101Bm25TopK, q102HybridRrf, q104Bm25IndexServe,
     q105Bm25IndexIncremental, q106CatalogBm25, q107HybridStored,
     q130RerankPipeline, q174TrigramSubstringServe, q179CatalogTrigramSql,
-    q181TrigramRegexServe)
+    q181TrigramRegexServe, q184TrigramMaintain)
 }
