@@ -195,7 +195,17 @@ object ScaleProbe {
     // join's fan-in grows with corpus density — the ratio to watch)
     "q176_simhash_index_serve", "q177_simhash_maintain",
     // top-gram coverage: tokenize + 3-way explode + two aggs — linear
-    "q178_topgram_coverage")
+    "q178_topgram_coverage",
+    // round 15: the catalog SQL serves re-plan their Column-API twins
+    // by table name (expect the q174/q176 shapes + the store build);
+    // the regex serve adds the unprunable-pattern full scan (linear by
+    // declaration) on top of K posting-list reads; the composed IVF-PQ
+    // lifecycle is assign+train+encode linear, serve candidate-bounded;
+    // the scorer seam is one map pass (expect ~linear); the maintained
+    // trigram serve re-prices q174 through two extends
+    "q179_catalog_trigram_sql", "q180_catalog_simhash_sql",
+    "q181_trigram_regex_serve", "q182_ann_ivfpq", "q183_doc_scorer",
+    "q184_trigram_maintain")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */
