@@ -205,7 +205,10 @@ object ScaleProbe {
     // trigram serve re-prices q174 through two extends
     "q179_catalog_trigram_sql", "q180_catalog_simhash_sql",
     "q181_trigram_regex_serve", "q182_ann_ivfpq", "q183_doc_scorer",
-    "q184_trigram_maintain")
+    "q184_trigram_maintain",
+    // the scored manifest composes q156's stages with the scorer's one
+    // extra map pass — expect q156's ratio
+    "q185_manifest_scored")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

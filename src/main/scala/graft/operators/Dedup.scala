@@ -1387,6 +1387,97 @@ object Dedup {
         .otherwise("test").as("split"))
   }
 
+  /** THE MANIFEST WITH A MODEL-SCORED QUALITY STAGE — q156 with the
+    * [[DocScore.DocScorer]] seam swapped in for the rule stack
+    * (VERDICT r14 #6's "alternative verdict column", composed
+    * end-to-end): exact dedup → the per-partition-bound scorer's
+    * keep/drop (drop relabeled `low_quality` — one reason, the
+    * classifier shape, vs q70's four attributed rules) → near-dup rep
+    * promotion → cluster-keyed split. Everything downstream of the
+    * verdict column ([[manifestRows]]) is shared code, which is the
+    * point: the quality stage is a SEAM, and the oracle re-proves the
+    * whole composed artifact when a different scorer sits in it.
+    * Scale shape is q156's — the scorer adds one shuffle-free
+    * mapPartitions pass. */
+  val q185ManifestScored: QueryDef = sql(
+    "q185_manifest_scored",
+    s"""WITH RECURSIVE ${pairsCtes(0.6, "documents")},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jp
+       |  UNION ALL SELECT doc_b, doc_a FROM jp),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src),
+       |firsts AS (
+       |  SELECT sha256(text) AS h, MIN(doc_id) AS keep_doc
+       |  FROM documents GROUP BY 1),
+       |m AS (
+       |  SELECT doc_id,
+       |         len(string_split_regex(lower(text), '\\s+')) AS nt,
+       |         CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS DOUBLE)
+       |           / len(string_split_regex(lower(text), '\\s+')) AS dr,
+       |         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                              x -> x IN ('the', 'a'))) AS DOUBLE)
+       |           / len(string_split_regex(lower(text), '\\s+')) AS sr,
+       |         CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+       |           / len(string_split_regex(lower(text), '\\s+')) AS atl
+       |  FROM documents),
+       |staged AS (
+       |  SELECT d.doc_id,
+       |         (d.doc_id <> f.keep_doc) AS is_exact_dup,
+       |         CASE WHEN 4.0 * m.dr - 6.0 * m.sr + 0.01 * least(m.nt, 100)
+       |                   - 0.2 * m.atl - 1.2 >= 0
+       |              THEN 'keep' ELSE 'low_quality' END AS verdict,
+       |         COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d
+       |  JOIN firsts f ON sha256(d.text) = f.h
+       |  JOIN m ON d.doc_id = m.doc_id
+       |  LEFT JOIN comp c ON d.doc_id = c.doc_id),
+       |reps AS (
+       |  SELECT cluster_id, MIN(doc_id) AS rep FROM staged
+       |  WHERE NOT is_exact_dup AND verdict = 'keep' GROUP BY cluster_id),
+       |reasons AS (
+       |  SELECT s.doc_id, s.cluster_id,
+       |         CASE WHEN s.is_exact_dup THEN 'exact_dup'
+       |              WHEN s.verdict <> 'keep' THEN s.verdict
+       |              WHEN s.doc_id <> r.rep THEN 'near_dup'
+       |              ELSE 'kept' END AS reason
+       |  FROM staged s LEFT JOIN reps r ON s.cluster_id = r.cluster_id)
+       |SELECT doc_id, (reason = 'kept') AS keep, reason,
+       |       CASE WHEN reason <> 'kept' THEN 'none'
+       |            WHEN (((cluster_id % 268435456) * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+       |            WHEN (((cluster_id % 268435456) * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM reasons ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val firsts = docs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("keep_doc"))
+    val clusters = PairGraph.clusters(s, docs, d, 0.6)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+    val verdicts = DocScore.scoreDocs(
+        parallelized(docs.select("doc_id", "text")).as[(Long, String)],
+        DocScore.HeuristicBlendScorer)
+      .select(col("doc_id"),
+        when(col("verdict") === "keep", "keep")
+          .otherwise("low_quality").as("verdict"))
+    val facts = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(firsts, "h")
+      .join(verdicts, Seq("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("doc_id") =!= col("keep_doc")).as("is_exact_dup"),
+        col("verdict"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    manifestRows(facts)
+      .select("doc_id", "keep", "reason", "split")
+      .orderBy("doc_id")
+  }
+
   /** q156's CONTINUOUS twin, declared end-to-end (VERDICT r12 #2):
     * bootstrap the [[graft.streaming.ManifestMaintainer]] — gate +
     * cluster + facts + manifest stores — on the first 80% of the
@@ -1422,5 +1513,6 @@ object Dedup {
     q56NearDupPipeline, q89DedupClusters, q91DedupRemovalPlan, q93PairGraphStore,
     q94PairGraphIncremental, q95ClusterIncremental, q99CatalogPairGraph,
     q117DuplicateSpans, q121DedupIngestGate, q128TriangleCount, q129PageRank,
-    q154ClusterSplit, q156TrainingManifest, q159ManifestMaintain)
+    q154ClusterSplit, q156TrainingManifest, q159ManifestMaintain,
+    q185ManifestScored)
 }
