@@ -245,6 +245,23 @@ with tempfile.TemporaryDirectory() as td:
     check("catalog-registered theta store answers set ops via SQL",
           got == (10.0, 20.0, 50.0), f"got={got}")
 
+    # 12b/16: round-15 composed-ANN serve path (the q186 surface) --
+    # register the IVF-PQ index from Python and read all three tables
+    # by name.  Reuses check #8's 64-dim corpus shape.
+    g.register_ivfpq_index(spark, "py_ivfpq", pq_emb, 8)
+    n_rows = spark.sql("SELECT count(*) AS n FROM graft.py_ivfpq").collect()[0].n
+    w = spark.sql("SELECT size(codes) AS w FROM graft.py_ivfpq LIMIT 1").collect()[0].w
+    n_cells = spark.sql("SELECT count(DISTINCT cell) AS n FROM graft.py_ivfpq"
+                        ).collect()[0].n
+    n_cents = spark.sql("SELECT count(*) AS n FROM graft.py_ivfpq__centroids"
+                        ).collect()[0].n
+    n_books = spark.sql("SELECT count(DISTINCT m) AS n FROM graft.py_ivfpq__codebooks"
+                        ).collect()[0].n
+    check("catalog-registered IVF-PQ index readable via SQL from Python",
+          n_rows == 40 and w == 8 and n_cents == 8
+          and 1 <= n_cells <= 8 and n_books == 8,
+          f"rows={n_rows} width={w} cells={n_cells} cents={n_cents} books={n_books}")
+
     # 12: round-15 substring-index serve path (the q179 surface) --
     # register the trigram store from Python and intersect posting
     # lists in PLAIN SQL by table name.  'alpha' (grams alp/lph/pha)

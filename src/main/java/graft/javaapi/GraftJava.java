@@ -174,6 +174,17 @@ public final class GraftJava {
         spark, name, events, k, "graft");
   }
 
+  /** The composed-ANN twin (the q186 pure-SQL IVFADC serve path):
+   *  one (vec_id, cell, codes) row per vector registered as
+   *  {@code graft.<name>} with {@code graft.<name>__centroids} /
+   *  {@code graft.<name>__codebooks}. {@code emb} carries
+   *  (vec_id, emb double[]). */
+  public static String registerIvfPqIndex(SparkSession spark, String name,
+      Dataset<Row> emb, int centroids) {
+    return graft.operators.IvfPqIndex.registerCatalog(
+        spark, name, emb, centroids, "graft");
+  }
+
   /** The substring-search twin (the q179 pure-SQL serve path): the
    *  corpus' character-trigram postings + gram frequencies registered
    *  as {@code graft.<name>} / {@code graft.<name>__df}.

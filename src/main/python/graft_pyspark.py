@@ -169,6 +169,17 @@ def register_theta_store(spark: SparkSession, name: str, events: DataFrame,
         spark._jsparkSession, name, events._jdf, int(k), catalog)
 
 
+def register_ivfpq_index(spark: SparkSession, name: str, emb: DataFrame,
+                         centroids: int = 16, catalog: str = "graft") -> str:
+    """The composed-ANN twin: IVF cell + 8-byte PQ code per vector
+    registered as ``<catalog>.<name>`` (vec_id, cell, codes) with
+    ``<catalog>.<name>__centroids`` / ``<catalog>.<name>__codebooks``
+    (the q186 pure-SQL IVFADC serve reads all three by table name).
+    ``emb`` carries ``(vec_id, emb: array<double>)``."""
+    return spark._jvm.graft.operators.IvfPqIndex.registerCatalog(
+        spark._jsparkSession, name, emb._jdf, int(centroids), catalog)
+
+
 def register_trigram_index(spark: SparkSession, name: str, docs: DataFrame,
                            catalog: str = "graft") -> str:
     """The substring-search twin: the corpus' character-trigram

@@ -208,7 +208,10 @@ object ScaleProbe {
     "q184_trigram_maintain",
     // the scored manifest composes q156's stages with the scorer's one
     // extra map pass — expect q156's ratio
-    "q185_manifest_scored")
+    "q185_manifest_scored",
+    // the composed-store SQL serve and its maintainer re-price q182's
+    // build+serve by table name / through the batch lifecycle
+    "q186_catalog_ivfpq_sql", "q187_ivfpq_maintain")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

@@ -118,6 +118,28 @@ object IvfPqIndex {
     } finally unit.unpersist()
   }
 
+  /** Register the composed index under the `graft` catalog (the
+    * q100/q127 idiom united): build or gate-serve AT the warehouse
+    * path, then `<catalog>.<name>` reads the (vec_id, cell, codes)
+    * rows, `<catalog>.<name>__centroids` the coarse quantizer, and
+    * `<catalog>.<name>__codebooks` the PQ codebooks — the whole IVFADC
+    * serve (q186) is one SQL text by table name. Returns the store
+    * path for [[extend]]/[[search]] against the registered tables. */
+  def registerCatalog(spark: SparkSession, name: String, emb: DataFrame,
+                      centroids: Int = 16, catalog: String = "graft"): String = {
+    // the by-name serve SQL needs cosine_similarity / l2_distance /
+    // top_k_by_score in the session registry
+    graft.GraftFunctions.register(spark)
+    val path = s"${PairGraph.catalogWarehouse(spark, catalog)}/$name"
+    ensure(spark, emb, path, centroids)
+    PairGraph.ensureTable(spark, catalog, name, path, Seq("vec_id"))
+    PairGraph.ensureTable(spark, catalog, s"${name}__centroids",
+      s"${path}__centroids", Seq("centroid_id"))
+    PairGraph.ensureTable(spark, catalog, s"${name}__codebooks",
+      s"${path}__codebooks", Seq("m", "cid"))
+    path
+  }
+
   /** Fold NEW vectors in: assign + encode the delta against the STORED
     * centroids and codebooks (two delta-sized broadcast passes — the
     * old corpus is never re-read), upsert the composed rows, advance

@@ -75,8 +75,13 @@ class PlanAuditSpec extends AnyFunSuite {
                                  // one broadcast pattern row vs the corpus —
                                  // the honest full scan a raw regex query
                                  // would pay (TrigramIndex.regexSearch doc)
-    "q182_ann_ivfpq")            // q96's broadcast 16-centroid coarse probe
+    "q182_ann_ivfpq",            // q96's broadcast 16-centroid coarse probe
                                  // (query side only; cells+codes are stored)
+    "q186_catalog_ivfpq_sql",    // the same 16-centroid probe, hinted in SQL
+                                 // (catalog tables carry no stats — the q100
+                                 // rationale applied to the composed index)
+    "q187_ivfpq_maintain")       // q182's centroid broadcast via the
+                                 // maintained-store serve
 
   private val mayLackCodegen = Set(
     "q06_customers_without_orders", // empty result → AQE empty-relation propagation

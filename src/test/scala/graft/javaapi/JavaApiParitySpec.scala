@@ -151,6 +151,17 @@ class JavaApiParitySpec extends AnyFunSuite {
     assert(ops == Seq((10.0, 20.0, 50.0)),
       s"Java-registered theta store set ops via SQL: $ops")
 
+    // the composed-ANN twin (round 15: the q186 serve path) — reuses
+    // the PQ corpus; 8 coarse cells over 40 vectors
+    GraftJava.registerIvfPqIndex(spark, "j_ivfpq", pq, 8)
+    assert(spark.sql("SELECT count(*) FROM graft.j_ivfpq").head().getLong(0) == 40L)
+    assert(spark.sql("SELECT size(codes) FROM graft.j_ivfpq LIMIT 1")
+      .head().getInt(0) == 8)
+    assert(spark.sql("SELECT count(*) FROM graft.j_ivfpq__centroids")
+      .head().getLong(0) == 8L)
+    assert(spark.sql("SELECT count(DISTINCT m) FROM graft.j_ivfpq__codebooks")
+      .head().getLong(0) == 8L)
+
     // the substring-index twin (round 15: the q179 serve path) —
     // 'alpha' (grams alp/lph/pha) is contained in docs 1 and 2 only
     val tri = Seq(1L -> "alpha beta gamma", 2L -> "the alphabet soup",
