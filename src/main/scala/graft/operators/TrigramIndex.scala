@@ -311,19 +311,28 @@ object TrigramIndex {
           .filter(col("hits") === col("nsel"))
           .select("query", "doc_id").distinct()
       }
-    // unprunable patterns: the declared full-scan fallback (pattern
-    // list is metadata-sized; the scan is the same cost a raw RLIKE
-    // query would pay — the index just couldn't help)
-    val unprunable = compiled.collect { case (p, None) => p }
-    val cand =
-      if (unprunable.isEmpty) candIdx
-      else candIdx.unionByName(
-        docs.select(col("doc_id"))
-          .crossJoin(broadcast(unprunable.toDF("query")))
-          .select("query", "doc_id"))
-    cand.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .filter(expr("rlike(text, query)"))
-      .select(col("query"), col("doc_id"))
+    // exact verify on candidates: a LITERAL rlike per driver-known
+    // pattern, OR-chained behind a query-name guard — each regex
+    // compiles once per task (codegen hoists foldable patterns) where
+    // a column-valued rlike(text, query) would re-compile per ROW, a
+    // constant-factor tax that matters when the candidate set is
+    // output-sized at corpus scale
+    val indexable = compiled.collect { case (p, Some(_)) => p }
+    val verified =
+      if (indexable.isEmpty) candIdx
+      else candIdx.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .filter(indexable.map(p =>
+          col("query") === lit(p) && col("text").rlike(p)).reduce(_ || _))
+        .select(col("query"), col("doc_id"))
+    // unprunable patterns: the declared full-scan fallback — one
+    // literal-rlike corpus filter per pattern (exactly what a raw
+    // regex query would pay; the index just couldn't help), unioned
+    // in with its pattern tag
+    val scans = compiled.collect { case (p, None) =>
+      docs.filter(col("text").rlike(p))
+        .select(lit(p).as("query"), col("doc_id"))
+    }
+    scans.foldLeft(verified)(_ unionByName _)
   }
 
   /** Substring search over the stored index: `patterns` carries one

@@ -71,10 +71,6 @@ class PlanAuditSpec extends AnyFunSuite {
     "q171_theta_overlap",        // four single-row sketch/count aggregates
                                  // cross-joined into one measure row — every
                                  // BNLJ side is exactly one row at any SF
-    "q181_trigram_regex_serve",  // the DECLARED unprunable-pattern fallback:
-                                 // one broadcast pattern row vs the corpus —
-                                 // the honest full scan a raw regex query
-                                 // would pay (TrigramIndex.regexSearch doc)
     "q182_ann_ivfpq",            // q96's broadcast 16-centroid coarse probe
                                  // (query side only; cells+codes are stored)
     "q186_catalog_ivfpq_sql",    // the same 16-centroid probe, hinted in SQL
