@@ -211,7 +211,10 @@ object ScaleProbe {
     "q185_manifest_scored",
     // the composed-store SQL serve and its maintainer re-price q182's
     // build+serve by table name / through the batch lifecycle
-    "q186_catalog_ivfpq_sql", "q187_ivfpq_maintain")
+    "q186_catalog_ivfpq_sql", "q187_ivfpq_maintain",
+    // the optimizer-rule serve: index build (linear) + three rewritten
+    // naive filters (posting-bounded candidates + candidate verify)
+    "q188_trigram_accel_rule")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

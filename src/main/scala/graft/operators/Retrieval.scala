@@ -598,8 +598,44 @@ object Retrieval {
       .orderBy("query", "doc_id")
   }
 
+  /** TRANSPARENT index acceleration via the CATALYST RULE
+    * ([[graft.plans.TrigramContainsRewrite]]): the user writes the
+    * NAIVE plans — three plain `contains(text, literal)` filters, one
+    * for an absent pattern — and the optimizer splices the trigram
+    * candidate semi-join under each untouched filter (index selection
+    * as the planner's job, the one capability a function API cannot
+    * express). The frames are materialized INSIDE the enable/disable
+    * scope (`localCheckpoint` forces optimization + execution while
+    * the rule is installed — a lazily-returned plan would optimize
+    * after the finally), so the rule's session mutation never leaks
+    * to other declared queries. Shares the raw-LIKE-scan oracle shape:
+    * accelerated naive plan ≡ raw scan, hash-proven. TrigramRewriteSpec
+    * pins the plan-level facts (semi-join spliced, LIKE lowering
+    * covered, every narrowing guard). */
+  val q188TrigramAccelRule: QueryDef = sql(
+    "q188_trigram_accel_rule",
+    """WITH pats(query) AS (VALUES ('key agg row'), ('merge batch'),
+      |                            ('zz missing zz'))
+      |SELECT p.query, d.doc_id
+      |FROM pats p JOIN documents d ON d.text LIKE '%' || p.query || '%'
+      |ORDER BY query, doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val path = graft.Scratch.dir("graft_trigram_accel") + "/index"
+    TrigramIndex.build(s, docs, path)
+    val rule = graft.plans.TrigramAcceleration.enable(s, path, s"$d/documents.parquet")
+    try {
+      Seq("key agg row", "merge batch", "zz missing zz").map { p =>
+        Tables.documents(s, d)
+          .filter(col("text").contains(p)) // the naive spelling — no index API
+          .select(lit(p).as("query"), col("doc_id"))
+      }.reduce(_ unionByName _)
+        .orderBy("query", "doc_id")
+        .localCheckpoint()
+    } finally graft.plans.TrigramAcceleration.disable(s, rule)
+  }
+
   val all: Seq[QueryDef] = Seq(q101Bm25TopK, q102HybridRrf, q104Bm25IndexServe,
     q105Bm25IndexIncremental, q106CatalogBm25, q107HybridStored,
     q130RerankPipeline, q174TrigramSubstringServe, q179CatalogTrigramSql,
-    q181TrigramRegexServe, q184TrigramMaintain)
+    q181TrigramRegexServe, q184TrigramMaintain, q188TrigramAccelRule)
 }
