@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Contains, EqualTo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Contains, EqualTo, Literal, RLike}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -74,32 +74,48 @@ final class TrigramContainsRewrite(spark: SparkSession, storePath: String,
     case _ => false
   }
 
-  /** Candidate doc_ids holding ALL the pattern's trigrams, as an
-    * optimized logical plan ready to splice. */
-  private def candidates(pat: String): Option[LogicalPlan] = {
-    val grams = pat.sliding(3).toSeq.distinct
+  /** Candidate doc_ids for a compiled requirement (OR over branches of
+    * AND over each branch's fragment trigrams — the
+    * [[graft.operators.TrigramIndex.regexSearch]] shape), as an
+    * optimized logical plan ready to splice. A plain `contains`
+    * pattern is the one-branch/one-fragment case. */
+  private def candidates(required: Seq[Seq[String]]): Option[LogicalPlan] =
     UpsertStore.read(spark, storePath).map { postings =>
-      postings.filter(col("gram").isin(grams: _*))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("__tri_hits"))
-        .filter(col("__tri_hits") === grams.size)
+      required.map { frags =>
+        val grams = frags.flatMap(_.sliding(3)).distinct
+        postings.filter(col("gram").isin(grams: _*))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("__tri_hits"))
+          .filter(col("__tri_hits") === grams.size)
+          .select(col("doc_id"))
+      }.reduce(_ unionByName _).distinct()
         .select(col("doc_id").as(marker))
         .queryExecution.optimizedPlan
     }
-  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child)
         if !alreadyPruned(child) && child.output.exists(_.name == "doc_id") &&
           readsCorpus(child) =>
-      val pat = cond.collectFirst {
+      // first index-answerable predicate in the condition: a literal
+      // contains (one required fragment), or a literal RLIKE whose
+      // regex compiles to required literals (the q181 compiler — a
+      // None compilation means the index cannot prune, so the filter
+      // stays a plain scan, still correct)
+      val required = cond.collectFirst {
         case Contains(a: AttributeReference, Literal(p: UTF8String, StringType))
             if a.name == "text" && p != null && p.toString.length >= 3 &&
-              child.outputSet.contains(a) => p.toString
+              child.outputSet.contains(a) =>
+          Seq(Seq(p.toString))
+        case RLike(a: AttributeReference, Literal(p: UTF8String, StringType))
+            if a.name == "text" && p != null &&
+              child.outputSet.contains(a) &&
+              graft.operators.TrigramIndex.requiredLiterals(p.toString).isDefined =>
+          graft.operators.TrigramIndex.requiredLiterals(p.toString).get
       }
       (for {
-        p <- pat
-        cand <- candidates(p)
+        req <- required
+        cand <- candidates(req)
         docId <- child.output.find(_.name == "doc_id")
       } yield Filter(cond, Join(child, cand, LeftSemi,
           Some(EqualTo(docId, cand.output.head)), JoinHint.NONE)))

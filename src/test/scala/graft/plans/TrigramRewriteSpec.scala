@@ -74,6 +74,26 @@ class TrigramRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("literal RLIKE rewrites through the regex compiler; unprunable regexes stay plain scans") {
+    withRule {
+      val rx = corpus.filter($"text".rlike("(quick|slow) (brown|red)")).select("doc_id")
+      assert(rx.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        s"literal rlike did not rewrite:\n${rx.queryExecution.optimizedPlan}")
+      assert(rx.as[Long].collect().toSet == Set(1L, 2L, 3L),
+        "accelerated regex result diverged from the raw scan")
+      // no >=3-char required literal on some branch → index can't
+      // prune; the filter must stay a plain (correct) scan
+      val unprunable = corpus.filter($"text".rlike("q[uw]i"))
+      assert(!unprunable.queryExecution.optimizedPlan.toString
+        .contains("__tri_cand_doc_id"), "unprunable regex must not rewrite")
+      assert(unprunable.count() == 2)
+      // column-valued regex: no driver-known trigrams
+      val colRx = corpus.filter(expr("text RLIKE text"))
+      assert(!colRx.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "column-valued regex must not rewrite")
+    }
+  }
+
   test("SQL LIKE '%pat%' plans through the same rewrite; disable restores the plain plan") {
     corpus.createOrReplaceTempView("trirw_docs")
     withRule {
