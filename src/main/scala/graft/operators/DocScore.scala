@@ -46,13 +46,19 @@ object DocScore {
     * the [[Retrieval.LexicalJaccardScorer]] parity discipline. */
   object HeuristicBlendScorer extends DocScorer {
     override def score(text: String): Double = {
-      val toks = text.toLowerCase.split("\\s+")
+      // Locale.ROOT + code-point length (ADVICE r15): the DuckDB oracle
+      // lowercases locale-free and LENGTH() counts CHARACTERS — Java's
+      // default-locale toLowerCase (tr-TR dotted I) and UTF-16-unit
+      // String.length (surrogate pairs count 2) would desync the
+      // hash-compare parity on non-BMP / locale-sensitive text
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
       val nt = toks.length
       if (nt == 0) 0.0
       else {
         val dr = toks.distinct.length.toDouble / nt
         val sr = toks.count(t => t == "the" || t == "a").toDouble / nt
-        val atl = text.replace(" ", "").length.toDouble / nt
+        val noSpace = text.replace(" ", "")
+        val atl = noSpace.codePointCount(0, noSpace.length).toDouble / nt
         val z = 4.0 * dr - 6.0 * sr + 0.01 * math.min(nt, 100) - 0.2 * atl - 1.2
         0.5 + z / (2.0 * (1.0 + math.abs(z)))
       }

@@ -111,7 +111,40 @@ object TrigramIndex {
     }
     PairGraph.ensureTable(spark, catalog, name, path, Seq("gram", "doc_id"))
     PairGraph.ensureTable(spark, catalog, s"${name}__df", s"${path}__df", Seq("gram"))
+    // transparent acceleration (VERDICT r15 #3): when the registered
+    // corpus is the WHOLE of one parquet location (a row-preserving
+    // plan over a single relation — a filtered subset would make the
+    // rule prune docs the store never indexed), install the optimizer
+    // rule so naive LIKE/contains/RLIKE SQL over that relation serves
+    // from this index with no session plumbing. ensureEnabled retakes
+    // the freshness snapshot, so a rebuild re-pins the file listing.
+    wholeCorpusLocation(docs).foreach { loc =>
+      graft.plans.TrigramAcceleration.ensureEnabled(spark, path, loc)
+    }
     path
+  }
+
+  /** The single parquet location `docs` scans, IF the plan is
+    * row-preserving over exactly one file relation (projection /
+    * aliasing / repartition only — anything that can drop or add rows
+    * means the index holds a different document set than the raw
+    * scan and transparent acceleration would be unsound). */
+  private[graft] def wholeCorpusLocation(docs: DataFrame): Option[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = docs.queryExecution.analyzed
+    val rowPreserving = plan.collect {
+      case _: Project | _: SubqueryAlias | _: Repartition |
+           _: RepartitionByExpression | _: LogicalRelation => ()
+    }.size == plan.collect { case _ => () }.size
+    plan.collectLeaves() match {
+      case Seq(lr: LogicalRelation) if rowPreserving => lr.relation match {
+        case fs: HadoopFsRelation if fs.location.rootPaths.size == 1 =>
+          Some(fs.location.rootPaths.head.toString)
+        case _ => None
+      }
+      case _ => None
+    }
   }
 
   // ---- regex → required-trigram compilation (Cox 2012 §"Regular
@@ -146,17 +179,47 @@ object TrigramIndex {
     * Returns None when some branch ends with NO fragment of length
     * ≥ 3: that branch's matches can sit in documents sharing no
     * required trigram, so the index cannot prune and the caller must
-    * fall back to the honest full `rlike` scan for that pattern. */
+    * fall back to the honest full `rlike` scan for that pattern.
+    *
+    * Returns None EAGERLY (ADVICE r15) on constructs whose presence
+    * anywhere changes what "literal" means — inline flag / lookaround
+    * / named groups (`(?` not followed by `:`, e.g. `(?i)` makes the
+    * case-sensitive gram store lose `FOO` for required `foo`) and
+    * `\Q...\E` quoting (quoted metachars would otherwise be parsed as
+    * live syntax) — rather than risking a required fragment the match
+    * text need not contain. */
   private[graft] def requiredLiterals(pattern: String): Option[Seq[Seq[String]]] = {
     val maxBranches = 64
-    // split on unescaped top-level '|' (alternation outside any group)
+    // constructs the compiler does not model — honest full-scan
+    // fallback for the whole pattern (the scan is deliberately NOT
+    // char-class-aware: bailing on `[(?i)]` too is conservative and
+    // only costs prune power, never correctness)
+    def unsupported(p: String): Boolean = {
+      var i = 0
+      while (i < p.length) {
+        val c = p(i)
+        if (c == '\\' && i + 1 < p.length) {
+          if (p(i + 1) == 'Q' || p(i + 1) == 'E') return true
+          i += 2
+        } else if (c == '(' && i + 1 < p.length && p(i + 1) == '?' &&
+                   (i + 2 >= p.length || p(i + 2) != ':')) {
+          return true
+        } else i += 1
+      }
+      false
+    }
+    if (unsupported(pattern)) return None
+    // split on unescaped top-level '|' (alternation outside any group
+    // AND outside any [...] class, where '|' '(' ')' are literals)
     def splitTop(p: String): Seq[String] = {
       val parts = scala.collection.mutable.ListBuffer.empty[String]
       val cur = new StringBuilder
-      var depth = 0; var i = 0
+      var depth = 0; var inClass = false; var i = 0
       while (i < p.length) {
         val c = p(i)
         if (c == '\\' && i + 1 < p.length) { cur.append(c).append(p(i + 1)); i += 1 }
+        else if (inClass) { if (c == ']') inClass = false; cur.append(c) }
+        else if (c == '[') { inClass = true; cur.append(c) }
         else if (c == '(') { depth += 1; cur.append(c) }
         else if (c == ')') { depth -= 1; cur.append(c) }
         else if (c == '|' && depth == 0) { parts += cur.result(); cur.clear() }
@@ -166,13 +229,17 @@ object TrigramIndex {
       parts += cur.result()
       parts.toSeq
     }
-    // one alternative → branches of (closed fragments, open run)
-    def parseAlt(alt: String): Seq[Seq[String]] = {
+    // one alternative → branches of (closed fragments, open run);
+    // None = a shape the parser cannot have reached from a valid
+    // class-aware top-level split (stray '|' / unbalanced parens) —
+    // the whole compile bails to the full-scan fallback
+    def parseAlt(alt: String): Option[Seq[Seq[String]]] = {
       final case class B(frags: Vector[String], cur: String)
       def flush(b: B): B =
         if (b.cur.nonEmpty) B(b.frags :+ b.cur, "") else b
       var branches = Vector(B(Vector.empty, ""))
       var i = 0
+      var bail = false
       def quantAfter(j: Int): Option[Char] =
         if (j < alt.length && "*+?{".contains(alt(j))) Some(alt(j)) else None
       def skipQuant(j: Int): Int = quantAfter(j) match {
@@ -182,7 +249,7 @@ object TrigramIndex {
         case Some(_) => j + 1
         case None => j
       }
-      while (i < alt.length) {
+      while (i < alt.length && !bail) {
         val c = alt(i)
         c match {
           case '\\' if i + 1 < alt.length =>
@@ -212,13 +279,20 @@ object TrigramIndex {
             branches = branches.map(flush)
             i = skipQuant(i)
           case '(' =>
-            var j = i + 1; var depth = 1
+            // class-aware boundary scan: a ')' or '(' inside [...] is a
+            // literal, not a group delimiter (ADVICE r15 — '([)]abc)'
+            // must not end the group at the class's ')', which would
+            // leave ']abc' parsed as required literal text)
+            var j = i + 1; var depth = 1; var cls = false
             while (j < alt.length && depth > 0) {
               if (alt(j) == '\\') j += 1
+              else if (cls) { if (alt(j) == ']') cls = false }
+              else if (alt(j) == '[') cls = true
               else if (alt(j) == '(') depth += 1
               else if (alt(j) == ')') depth -= 1
               j += 1
             }
+            if (depth > 0) bail = true // unbalanced '(' — not a valid split
             val rawBody = alt.substring(i + 1, j - 1)
             val body = if (rawBody.startsWith("?:")) rawBody.drop(2) else rawBody
             i = j
@@ -252,14 +326,18 @@ object TrigramIndex {
             i += 1
           case '^' | '$' => i += 1 // anchors constrain position, not content
           case ')' => branches = branches.map(flush); i += 1 // unbalanced: unknown
+          case '|' => bail = true // a class-aware splitTop left no top-level '|'
           case _ =>
             branches = branches.map(b => B(b.frags, b.cur + c))
             i += 1
         }
       }
-      branches.map(b => flush(b).frags.filter(_.length >= 3))
+      if (bail) None
+      else Some(branches.map(b => flush(b).frags.filter(_.length >= 3)))
     }
-    val all = splitTop(pattern).flatMap(parseAlt)
+    val parsed = splitTop(pattern).map(parseAlt)
+    if (parsed.exists(_.isEmpty)) return None
+    val all = parsed.flatMap(_.get)
     if (all.exists(_.isEmpty)) None else Some(all.map(_.toSeq))
   }
 

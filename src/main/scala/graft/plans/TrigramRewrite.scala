@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Contains, EqualTo, Literal, RLike}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Contains, EqualTo, Literal, PredicateHelper, RLike}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -28,20 +28,36 @@ import graft.streaming.UpsertStore
   * Semantics preservation is BY CONSTRUCTION, the Cox property: a doc
   * containing `pat` contains every trigram of `pat`, so the semi-join
   * (ALL pattern trigrams present) keeps a candidate SUPERSET of the
-  * true matches, and the original `Contains` filter stays on top —
+  * true matches, and the original filter condition stays on top —
   * the rewrite can only remove rows the filter would drop anyway.
   * Firing is deliberately narrow (every guard load-bearing):
   *
-  *  - the filter's child must SCAN THE INDEXED CORPUS — matched by
-  *    file path against the parquet location recorded at
-  *    [[TrigramAcceleration.enable]] time (pruning any OTHER relation
-  *    would silently drop rows: the store only answers for documents
-  *    it indexed);
+  *  - only POSITIVE TOP-LEVEL CONJUNCTS of the filter condition are
+  *    index-answerable (ADVICE r15): a `Contains`/`RLike` nested under
+  *    `NOT`, `OR`, or a conditional does NOT imply its trigrams are
+  *    required of every kept row, so the rule never descends into the
+  *    condition — it splits the conjunction and matches each conjunct
+  *    whole. ALL answerable conjuncts contribute (VERDICT r15 #3):
+  *    single-branch requirements merge into one AND of grams,
+  *    multi-branch (regex-alternation) requirements intersect as
+  *    candidate sets, so `contains(a) AND contains(b)` prunes on both;
+  *  - the filter's child must scan the indexed corpus AND NOTHING
+  *    ELSE — every leaf of the child subtree must be the corpus scan
+  *    (ADVICE r15: an `exists`-style check would let
+  *    `corpus.union(other).filter(...)` through and silently drop the
+  *    non-indexed source's rows), matched by file path against the
+  *    parquet location recorded at [[TrigramAcceleration.enable]];
+  *  - the scanned relation must still be the EXACT file set
+  *    snapshotted at enable time (ADVICE r15: an appended/overwritten
+  *    corpus has documents the store never indexed — the rule skips,
+  *    honest full scan, rather than silently omitting new docs);
   *  - the pattern must be a ≥ 3-char string LITERAL over the `text`
   *    attribute (a column-valued pattern has no driver-known trigrams);
   *  - the child must still expose `doc_id` (the semi-join key);
   *  - an already-pruned child (marker alias on the semi-join's right
-  *    side) never re-fires — the fixpoint guard.
+  *    side) never re-fires — the fixpoint guard (the leaf-only corpus
+  *    check independently stops re-firing: the spliced subtree's
+  *    leaves include the postings store).
   *
   * The spliced candidate subtree is the candidate DF's OPTIMIZED plan
   * (this rule runs in the user-provided batch at the tail of the
@@ -49,24 +65,58 @@ import graft.streaming.UpsertStore
   * candidate scan — the `gram IN (...)` filter must reach the postings
   * parquet reader for the rewrite to be worth anything).
   */
-final class TrigramContainsRewrite(spark: SparkSession, storePath: String,
-                                   corpusPath: String) extends Rule[LogicalPlan] {
+final class TrigramContainsRewrite(spark: SparkSession, val storePath: String,
+                                   val corpusPath: String)
+    extends Rule[LogicalPlan] with PredicateHelper {
 
   private val marker = "__tri_cand_doc_id"
   private val corpusTail = normalize(corpusPath)
 
+  /** Enable-time corpus snapshot (data-file paths + total bytes): the
+    * freshness gate. Hidden files (`_SUCCESS`, `.crc`) are excluded
+    * with the same rule Spark's file index applies. */
+  private val snapshot: (Set[String], Long) = {
+    val p = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = scala.collection.mutable.Set.empty[String]
+    var bytes = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        files += st.getPath.toUri.getPath
+        bytes += st.getLen
+      }
+    }
+    (files.toSet, bytes)
+  }
+
   private def normalize(p: String): String =
     p.stripSuffix("/").replaceFirst("^file:", "")
 
-  private def readsCorpus(plan: LogicalPlan): Boolean = plan.exists {
-    case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location.rootPaths.exists(rp =>
-          normalize(rp.toUri.getPath) == corpusTail ||
-            normalize(rp.toString) == corpusTail)
+  private def corpusScan(lr: LogicalRelation): Boolean = lr.relation match {
+    case fs: HadoopFsRelation =>
+      fs.location.rootPaths.exists(rp =>
+        normalize(rp.toUri.getPath) == corpusTail ||
+          normalize(rp.toString) == corpusTail) && {
+        // freshness: the relation must scan exactly the snapshotted
+        // file set — a grown/replaced corpus has unindexed docs
+        val seen = fs.location.inputFiles
+          .map(s => new org.apache.hadoop.fs.Path(s).toUri.getPath).toSet
+        seen == snapshot._1 && fs.location.sizeInBytes == snapshot._2
+      }
+    case _ => false
+  }
+
+  /** EVERY leaf of the subtree is the (fresh) corpus scan — never a
+    * mere `exists` over the tree (ADVICE r15). */
+  private def onlyScansCorpus(plan: LogicalPlan): Boolean = {
+    val leaves = plan.collectLeaves()
+    leaves.nonEmpty && leaves.forall {
+      case lr: LogicalRelation => corpusScan(lr)
       case _ => false
     }
-    case _ => false
   }
 
   private def alreadyPruned(child: LogicalPlan): Boolean = child match {
@@ -74,21 +124,31 @@ final class TrigramContainsRewrite(spark: SparkSession, storePath: String,
     case _ => false
   }
 
-  /** Candidate doc_ids for a compiled requirement (OR over branches of
-    * AND over each branch's fragment trigrams — the
-    * [[graft.operators.TrigramIndex.regexSearch]] shape), as an
-    * optimized logical plan ready to splice. A plain `contains`
-    * pattern is the one-branch/one-fragment case. */
-  private def candidates(required: Seq[Seq[String]]): Option[LogicalPlan] =
+  /** Candidate doc_ids for the collected requirements, as an optimized
+    * logical plan ready to splice. Each requirement is a DNF (OR over
+    * branches of AND over each branch's fragment trigrams — the
+    * [[graft.operators.TrigramIndex.regexSearch]] shape; a plain
+    * `contains` pattern is the one-branch/one-fragment case).
+    * Single-branch requirements merge into ONE gram-intersection scan;
+    * each multi-branch requirement contributes its own OR-union plan;
+    * the conjunction of requirements is an inner join of the candidate
+    * sets — one pass over the postings store per term, all terms
+    * rarest-list-sized. */
+  private def candidates(reqs: Seq[Seq[Seq[String]]]): Option[LogicalPlan] =
     UpsertStore.read(spark, storePath).map { postings =>
-      required.map { frags =>
-        val grams = frags.flatMap(_.sliding(3)).distinct
-        postings.filter(col("gram").isin(grams: _*))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("__tri_hits"))
-          .filter(col("__tri_hits") === grams.size)
-          .select(col("doc_id"))
-      }.reduce(_ unionByName _).distinct()
+      def one(required: Seq[Seq[String]]): DataFrame =
+        required.map { frags =>
+          val grams = frags.flatMap(_.sliding(3)).distinct
+          postings.filter(col("gram").isin(grams: _*))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("__tri_hits"))
+            .filter(col("__tri_hits") === grams.size)
+            .select(col("doc_id"))
+        }.reduce(_ unionByName _).distinct()
+      val (single, multi) = reqs.partition(_.size == 1)
+      val merged =
+        (if (single.nonEmpty) Seq(Seq(single.flatMap(_.head).distinct)) else Nil) ++ multi
+      merged.map(one).reduce((a, b) => a.join(b, Seq("doc_id")))
         .select(col("doc_id").as(marker))
         .queryExecution.optimizedPlan
     }
@@ -96,26 +156,26 @@ final class TrigramContainsRewrite(spark: SparkSession, storePath: String,
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child)
         if !alreadyPruned(child) && child.output.exists(_.name == "doc_id") &&
-          readsCorpus(child) =>
-      // first index-answerable predicate in the condition: a literal
+          onlyScansCorpus(child) =>
+      // index-answerable POSITIVE TOP-LEVEL CONJUNCTS only: a literal
       // contains (one required fragment), or a literal RLIKE whose
-      // regex compiles to required literals (the q181 compiler — a
-      // None compilation means the index cannot prune, so the filter
-      // stays a plain scan, still correct)
-      val required = cond.collectFirst {
+      // regex compiles to required literals (the q181 compiler,
+      // compiled ONCE per conjunct — a None compilation means the
+      // index cannot prune that conjunct, so it simply doesn't
+      // contribute; the untouched filter keeps it correct)
+      val reqs: Seq[Seq[Seq[String]]] = splitConjunctivePredicates(cond).flatMap {
         case Contains(a: AttributeReference, Literal(p: UTF8String, StringType))
             if a.name == "text" && p != null && p.toString.length >= 3 &&
               child.outputSet.contains(a) =>
-          Seq(Seq(p.toString))
+          Some(Seq(Seq(p.toString)))
         case RLike(a: AttributeReference, Literal(p: UTF8String, StringType))
-            if a.name == "text" && p != null &&
-              child.outputSet.contains(a) &&
-              graft.operators.TrigramIndex.requiredLiterals(p.toString).isDefined =>
-          graft.operators.TrigramIndex.requiredLiterals(p.toString).get
+            if a.name == "text" && p != null && child.outputSet.contains(a) =>
+          graft.operators.TrigramIndex.requiredLiterals(p.toString)
+        case _ => None
       }
       (for {
-        req <- required
-        cand <- candidates(req)
+        _ <- Option.when(reqs.nonEmpty)(())
+        cand <- candidates(reqs)
         docId <- child.output.find(_.name == "doc_id")
       } yield Filter(cond, Join(child, cand, LeftSemi,
           Some(EqualTo(docId, cand.output.head)), JoinHint.NONE)))
@@ -139,6 +199,22 @@ object TrigramAcceleration {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ r
     r
+  }
+
+  /** Idempotent install (the [[graft.operators.TrigramIndex.registerCatalog]]
+    * path — VERDICT r15 #3): replaces any prior handle for the same
+    * (store, corpus) pair so the enable-time corpus snapshot is
+    * RETAKEN — a rebuild through registerCatalog must not leave a rule
+    * pinned to the pre-rebuild file listing. */
+  def ensureEnabled(spark: SparkSession, storePath: String,
+                    corpusPath: String): TrigramContainsRewrite = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot {
+        case r: TrigramContainsRewrite =>
+          r.storePath == storePath && r.corpusPath == corpusPath
+        case _ => false
+      }
+    enable(spark, storePath, corpusPath)
   }
 
   /** Remove exactly the handle [[enable]] returned. */

@@ -31,8 +31,15 @@ object TrigramRegexProps extends Properties("TrigramRegexCompiler") {
   private val wildGen: Gen[String] =
     Gen.oneOf(".", ".*", ".+", "[ab]", "[^c]", "a*", "b?", "c+", "\\d*", "a{1,2}")
 
+  // ADVICE r15 adversarial shapes: inline flags, \Q quoting, and
+  // metachars hidden inside [...] classes — the compiler must either
+  // bail (None) or still satisfy the superset property
+  private val advGen: Gen[String] =
+    Gen.oneOf("(?i)", "\\Qa|c\\E", "\\Qa.c\\E", "[)]a", "[(|)]", "[|]",
+      "(a[)]|bb)", "([(]ab)", "[)]a|bb")
+
   private val segmentGen: Gen[String] =
-    Gen.frequency(5 -> literalGen, 2 -> groupGen, 2 -> wildGen)
+    Gen.frequency(5 -> literalGen, 2 -> groupGen, 2 -> wildGen, 1 -> advGen)
 
   private val patternGen: Gen[String] = for {
     n <- Gen.chooseNum(1, 4)
@@ -65,6 +72,24 @@ object TrigramRegexProps extends Properties("TrigramRegexCompiler") {
         }
       }
     }
+
+  property("ADVICE r15 regressions: flags/quoting/class-hidden metachars never lose matches") = {
+    val cases = Seq(
+      "(?i)foo" -> "FOO bar",          // inline flag: gram store is case-sensitive → must bail
+      "\\Qabc.def\\E" -> "xabc.defy",  // quoted '.' is literal, not wildcard → must bail
+      "[)]abc|bbb" -> ")abc here",     // '|' after a class: class-aware top split
+      "([)]abc)" -> "x)abcy",          // ')' inside class must not end the group
+      "a[|]bcd" -> "xa|bcdz",          // '|' inside class is a literal
+      "[(]abcd" -> "z(abcd",           // '(' inside class must not open a group
+      "(?i:ab)cde" -> "ABcde")         // flagged group: must bail
+    Prop.all(cases.map { case (pat, doc) =>
+      val rx = java.util.regex.Pattern.compile(pat)
+      Prop(rx.matcher(doc).find() && (TrigramIndex.requiredLiterals(pat) match {
+        case None => true // honest full-scan fallback
+        case Some(bs) => bs.exists(_.forall(doc.contains))
+      })) :| s"pattern <$pat> vs doc <$doc>"
+    }: _*)
+  }
 
   property("a pure literal compiles to itself (no weakening on the easy case)") =
     Prop.forAll(literalGen) { s =>

@@ -94,6 +94,127 @@ class TrigramRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("ADVICE r15: NOT / OR / CaseWhen-nested predicates never rewrite (top-level conjuncts only)") {
+    withRule {
+      val not = corpus.filter(!$"text".contains("quick brown"))
+      assert(!not.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "negated contains must not prune — its matches are the rows to DROP")
+      assert(not.count() == 2, "NOT contains lost rows")
+
+      val or = corpus.filter($"text".contains("quick") || $"text".contains("wine"))
+      assert(!or.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "a disjunct must not prune alone — the other disjunct keeps other rows")
+      assert(or.count() == 3, "OR of contains lost rows")
+
+      val cw = corpus.filter(
+        when($"text".contains("quick brown"), lit(false)).otherwise(lit(true)))
+      assert(!cw.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "a contains under CaseWhen must not prune")
+      assert(cw.count() == 2, "CaseWhen-guarded filter lost rows")
+    }
+  }
+
+  test("VERDICT r15 #3: ALL answerable conjuncts prune together; mixed conjuncts keep the rest") {
+    withRule {
+      val and = corpus.filter($"text".contains("quick") && $"text".contains("brown"))
+        .select("doc_id")
+      val opt = and.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__tri_cand_doc_id"), s"conjunction did not rewrite:\n$opt")
+      assert(and.as[Long].collect().toSet == Set(1L, 2L))
+
+      // contains + rlike conjuncts intersect; the non-answerable
+      // length() conjunct stays in the kept filter
+      val mixed = corpus.filter($"text".contains("brown") &&
+        $"text".rlike("(fox|bread)") && length($"text") > 10).select("doc_id")
+      assert(mixed.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"))
+      assert(mixed.as[Long].collect().toSet == Set(1L, 2L, 4L))
+    }
+  }
+
+  test("ADVICE r15: a union containing the corpus is never pruned as a whole (leaf-only corpus check)") {
+    withRule {
+      val other = spark.read.parquet(s"$env/other.parquet")
+      val u = corpus.unionByName(other).filter($"text".contains("quick brown"))
+        .select("doc_id")
+      // the core optimizer pushes the filter through the union BEFORE
+      // this rule runs, so the corpus branch alone may (correctly)
+      // rewrite — what must never happen is a semi-join spliced above
+      // a subtree whose leaves include the OTHER relation. Pinned two
+      // ways: the non-indexed source's matching row survives, and at
+      // most the corpus branch carries the marker (a whole-union
+      // splice would put a Union under the semi-join's left side)
+      val opt = u.queryExecution.optimizedPlan
+      val badSplice = opt.collect {
+        case j @ org.apache.spark.sql.catalyst.plans.logical.Join(left, right,
+            org.apache.spark.sql.catalyst.plans.LeftSemi, _, _)
+            if right.output.exists(_.name == "__tri_cand_doc_id") &&
+              left.collectLeaves().size > 1 => j
+      }
+      assert(badSplice.isEmpty, s"semi-join spliced above a multi-leaf subtree:\n$opt")
+      assert(u.as[Long].collect().toSet == Set(1L, 2L, 9L),
+        "union lost the non-indexed source's matching row")
+    }
+  }
+
+  test("ADVICE r15: inline-flag and \\Q regexes never rewrite; matches survive") {
+    withRule {
+      val ci = corpus.filter($"text".rlike("(?i)QUICK BROWN")).select("doc_id")
+      assert(!ci.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "case-insensitive regex must not serve from the case-sensitive gram store")
+      assert(ci.as[Long].collect().toSet == Set(1L, 2L), "(?i) matches lost")
+
+      val quoted = corpus.filter($"text".rlike("\\Qred panda\\E")).select("doc_id")
+      assert(!quoted.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "\\Q-quoted regex must bail to the full scan")
+      assert(quoted.as[Long].collect().toSet == Set(3L))
+    }
+  }
+
+  test("ADVICE r15: a corpus appended after enable stops the rewrite (freshness snapshot)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-trirw-fresh").toString
+    val docs = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/docs.parquet")
+    TrigramIndex.build(spark, docs, s"$dir/idx")
+    val r = TrigramAcceleration.enable(spark, s"$dir/idx", s"$dir/docs.parquet")
+    try {
+      def scan = spark.read.parquet(s"$dir/docs.parquet")
+        .filter($"text".contains("quick brown")).select("doc_id")
+      assert(scan.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "rule should fire on the snapshotted corpus")
+      // append a doc the index never saw — the rule must now skip
+      Seq((2L, "another quick brown row")).toDF("doc_id", "text")
+        .write.mode("append").parquet(s"$dir/docs.parquet")
+      val after = scan
+      assert(!after.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "rule fired on a corpus that grew after the enable-time snapshot")
+      assert(after.as[Long].collect().toSet == Set(1L, 2L),
+        "appended doc lost — stale-index acceleration")
+    } finally TrigramAcceleration.disable(spark, r)
+  }
+
+  test("VERDICT r15 #3: registerCatalog auto-installs the rule for its corpus") {
+    if (!spark.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.path", graft.Scratch.dir("graft-catalog-wh"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-trirw-auto").toString
+    Seq((1L, "gamma delta epsilon"), (2L, "delta zeta eta"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs.parquet")
+    val corpus2 = spark.read.parquet(s"$dir/docs.parquet")
+    val store = TrigramIndex.registerCatalog(spark, "trirw_auto_idx", corpus2)
+    try {
+      val q = corpus2.filter($"text".contains("delta zeta")).select("doc_id")
+      assert(q.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "registerCatalog did not install transparent acceleration for its corpus")
+      assert(q.as[Long].collect().toSet == Set(2L))
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot {
+        case rr: TrigramContainsRewrite => rr.storePath == store
+        case _ => false
+      }
+  }
+
   test("SQL LIKE '%pat%' plans through the same rewrite; disable restores the plain plan") {
     corpus.createOrReplaceTempView("trirw_docs")
     withRule {
