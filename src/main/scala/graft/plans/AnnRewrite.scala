@@ -1,0 +1,206 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Descending, EqualTo, Expression, IntegerLiteral, Literal, NaNvl, SortOrder}
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, JoinHint, Limit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.functions.CosineSimilarity
+import graft.streaming.UpsertStore
+
+/** CATALYST OPTIMIZER RULE: transparent ANN acceleration through the
+  * IVF-PQ composed index ([[graft.operators.IvfPqIndex]]) — the q188
+  * idiom applied to the dense family (VERDICT r15 #1). A user writes
+  * the NAIVE top-k plan —
+  * `ORDER BY cosine_similarity(embedding, <literal vector>) DESC
+  * LIMIT k` over the indexed corpus (DataFrame or SQL spelling) — and
+  * the optimizer splices a candidate LEFT-SEMI join against the
+  * index's PROBED CELLS under the untouched sort+limit, so the
+  * full-corpus similarity scan becomes: read the vectors of the
+  * nProbe nearest inverted cells, exact-cosine re-rank them, take k.
+  * Index selection stays the planner's job; the query author never
+  * calls an index API.
+  *
+  * Semantics contract: the spliced semi-join restricts the sort input
+  * to the probed cells' members — the IVF prune, EXACTLY the
+  * candidate set [[graft.operators.VectorIndex]]/q96 serves with, at
+  * the same pinned setting (nProbe = 10 of 16 cells) whose recall
+  * against q50's brute force is measured 1.0 on this corpus; the
+  * preserved Sort is the exact re-rank (raw vectors, full cosine), so
+  * the rewrite's output ≡ brute force whenever the true top-k lives
+  * in the probed cells. This is a DECLARED approximate-serve
+  * contract, not the trigram rule's by-construction superset — which
+  * is why the rewrite is opt-in per (store, corpus) via
+  * [[AnnAcceleration.enable]] and q189's driver-hash compare against
+  * the brute-force oracle IS its recall gate. The PQ codes are
+  * deliberately NOT used here: ADC ordering would need the lookup
+  * table under the sort, and the cell members already fit the
+  * re-rank budget — the prune is the win, the codes stay a
+  * [[graft.operators.IvfPqIndex.search]] optimization.
+  *
+  * Firing guards (each load-bearing):
+  *  - the plan is `Limit(k, Sort(global, first order DESC))` whose
+  *    first sort key is `cosine_similarity(vec, literal)` (bare or
+  *    NaNvl-wrapped, either argument order, or an alias of one
+  *    produced by a Project inside the child) — any other first key
+  *    means top-k-by-something-else;
+  *  - the literal's dimension equals the stored centroids' (a
+  *    mismatched query vector scores null/NaN everywhere — the naive
+  *    plan's own degenerate output must not be "accelerated" into a
+  *    different degenerate output);
+  *  - k ≤ `maxK` (the probed-cell pool must dwarf k for the recall
+  *    argument to carry — at k approaching cell population the
+  *    honest answer is the full scan);
+  *  - the sort child scans the indexed corpus AND NOTHING ELSE, at
+  *    the enable-time file snapshot, and still exposes `vec_id` (the
+  *    [[ScanGuard]] discipline shared with the trigram rule);
+  *  - an already-pruned child (marker alias on the semi-join's right
+  *    side) never re-fires.
+  */
+final class AnnTopKRewrite(spark: SparkSession, val storePath: String,
+                           val corpusPath: String, nProbe: Int = 10,
+                           maxK: Int = 1000) extends Rule[LogicalPlan] {
+
+  private val marker = "__ann_cand_vec_id"
+  private val guard = new ScanGuard(spark, corpusPath)
+
+  private def alreadyPruned(child: LogicalPlan): Boolean = child match {
+    case Join(_, right, LeftSemi, _, _) => right.output.exists(_.name == marker)
+    case _ => false
+  }
+
+  private def vecOf(l: Literal): Option[Array[Double]] = l match {
+    case Literal(a: ArrayData, ArrayType(DoubleType, _)) if a != null =>
+      Some(a.toDoubleArray())
+    case Literal(a: ArrayData, ArrayType(FloatType, _)) if a != null =>
+      Some(a.toFloatArray().map(_.toDouble))
+    case _ => None
+  }
+
+  /** The (vector attribute, literal query vector) of a cosine-similarity
+    * sort key — bare, NaNvl-wrapped, either argument order. */
+  private def unwrap(e: Expression): Option[(AttributeReference, Array[Double])] =
+    e match {
+      case CosineSimilarity(a: AttributeReference, l: Literal) =>
+        vecOf(l).map((a, _))
+      case CosineSimilarity(l: Literal, a: AttributeReference) =>
+        vecOf(l).map((a, _))
+      case NaNvl(inner, _: Literal) => unwrap(inner)
+      case _ => None
+    }
+
+  /** Resolve the first sort key: inline expression (the attribute must
+    * come from the child's output), or an attribute defined by a
+    * Project alias inside the child subtree (the leaf-only corpus
+    * guard already pins where that alias's inputs can originate). */
+  private def queryVecOf(order: SortOrder, child: LogicalPlan): Option[Array[Double]] = {
+    val resolved = order.child match {
+      case a: AttributeReference =>
+        child.collect { case p: Project => p.projectList }.flatten
+          .collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
+          .flatMap(unwrap)
+      case other => unwrap(other).filter { case (attr, _) =>
+        child.outputSet.contains(attr) }
+    }
+    resolved.collect {
+      case (attr, q) if attr.name == "embedding" || attr.name == "emb" => q
+    }
+  }
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) -1.0 else dot / d
+  }
+
+  /** Probed-cell membership for the literal query vector, as an
+    * optimized logical plan ready to splice: the nProbe nearest stored
+    * centroids (driver-side cosine over the metadata-sized centroid
+    * table — the same probe [[graft.operators.IvfPqIndex.search]]
+    * computes distributively for corpus-member query SETS; here the
+    * query is ONE driver-known literal, so the broadcast would cost
+    * more than the arithmetic) select their cells' vec_ids from the
+    * stored index with the `cell IN (...)` filter reaching the
+    * parquet reader. Returns None when the store is missing or the
+    * query dimension does not match — no rewrite, honest scan. */
+  private def candidates(q: Array[Double]): Option[LogicalPlan] =
+    for {
+      cents <- UpsertStore.read(spark, s"${storePath}__centroids")
+      stored <- UpsertStore.read(spark, storePath)
+      rows = cents.select(col("centroid_id"), col("cemb")).collect()
+      if rows.nonEmpty && rows.forall(_.getSeq[Double](1).length == q.length)
+    } yield {
+      val cells = rows
+        .map(r => (cosine(q, r.getSeq[Double](1).toArray), r.getLong(0)))
+        .sortBy { case (s, cid) => (-s, -cid) } // ties to the higher cell id — the assignCells rule
+        .take(nProbe).map(_._2).toSeq
+      stored.filter(col("cell").isin(cells: _*))
+        .select(col("vec_id").as(marker))
+        .queryExecution.optimizedPlan
+    }
+
+  /** Rewrite the global Sort under a (possibly Project-wrapped — the
+    * column pruner parks the output projection between the limit and
+    * the sort) top-k chain; None when any guard fails. */
+  private def rewriteSort(p: LogicalPlan): Option[LogicalPlan] = p match {
+    case pr: Project => rewriteSort(pr.child).map(c => pr.copy(child = c))
+    case s: Sort
+        if s.global && s.order.nonEmpty &&
+          s.order.head.direction == Descending &&
+          !alreadyPruned(s.child) &&
+          s.child.output.exists(_.name == "vec_id") &&
+          guard.onlyScansCorpus(s.child) =>
+      for {
+        q <- queryVecOf(s.order.head, s.child)
+        cand <- candidates(q)
+        vid <- s.child.output.find(_.name == "vec_id")
+      } yield s.copy(child = Join(s.child, cand, LeftSemi,
+        Some(EqualTo(vid, cand.output.head)), JoinHint.NONE))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case lim @ Limit(IntegerLiteral(k), inner) if k <= maxK =>
+      rewriteSort(inner).map(Limit(Literal(k), _)).getOrElse(lim)
+  }
+}
+
+/** Session wiring for [[AnnTopKRewrite]] — the
+  * [[TrigramAcceleration]] contract for the dense family. */
+object AnnAcceleration {
+
+  /** Install the rewrite for (IVF-PQ store, embeddings parquet path).
+    * Returns the rule handle for [[disable]]. */
+  def enable(spark: SparkSession, storePath: String, corpusPath: String,
+             nProbe: Int = 10, maxK: Int = 1000): AnnTopKRewrite = {
+    val r = new AnnTopKRewrite(spark, storePath, corpusPath, nProbe, maxK)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ r
+    r
+  }
+
+  /** Idempotent install (the [[graft.operators.IvfPqIndex.registerCatalog]]
+    * path): replaces any prior handle for the same (store, corpus)
+    * pair so the enable-time corpus snapshot is retaken after a
+    * rebuild. */
+  def ensureEnabled(spark: SparkSession, storePath: String,
+                    corpusPath: String): AnnTopKRewrite = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot {
+        case r: AnnTopKRewrite =>
+          r.storePath == storePath && r.corpusPath == corpusPath
+        case _ => false
+      }
+    enable(spark, storePath, corpusPath)
+  }
+
+  /** Remove exactly the handle [[enable]] returned. */
+  def disable(spark: SparkSession, rule: AnnTopKRewrite): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq rule)
+}

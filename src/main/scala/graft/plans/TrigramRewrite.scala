@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Contains, 
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
@@ -70,54 +69,7 @@ final class TrigramContainsRewrite(spark: SparkSession, val storePath: String,
     extends Rule[LogicalPlan] with PredicateHelper {
 
   private val marker = "__tri_cand_doc_id"
-  private val corpusTail = normalize(corpusPath)
-
-  /** Enable-time corpus snapshot (data-file paths + total bytes): the
-    * freshness gate. Hidden files (`_SUCCESS`, `.crc`) are excluded
-    * with the same rule Spark's file index applies. */
-  private val snapshot: (Set[String], Long) = {
-    val p = new org.apache.hadoop.fs.Path(corpusPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val files = scala.collection.mutable.Set.empty[String]
-    var bytes = 0L
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) {
-        files += st.getPath.toUri.getPath
-        bytes += st.getLen
-      }
-    }
-    (files.toSet, bytes)
-  }
-
-  private def normalize(p: String): String =
-    p.stripSuffix("/").replaceFirst("^file:", "")
-
-  private def corpusScan(lr: LogicalRelation): Boolean = lr.relation match {
-    case fs: HadoopFsRelation =>
-      fs.location.rootPaths.exists(rp =>
-        normalize(rp.toUri.getPath) == corpusTail ||
-          normalize(rp.toString) == corpusTail) && {
-        // freshness: the relation must scan exactly the snapshotted
-        // file set — a grown/replaced corpus has unindexed docs
-        val seen = fs.location.inputFiles
-          .map(s => new org.apache.hadoop.fs.Path(s).toUri.getPath).toSet
-        seen == snapshot._1 && fs.location.sizeInBytes == snapshot._2
-      }
-    case _ => false
-  }
-
-  /** EVERY leaf of the subtree is the (fresh) corpus scan — never a
-    * mere `exists` over the tree (ADVICE r15). */
-  private def onlyScansCorpus(plan: LogicalPlan): Boolean = {
-    val leaves = plan.collectLeaves()
-    leaves.nonEmpty && leaves.forall {
-      case lr: LogicalRelation => corpusScan(lr)
-      case _ => false
-    }
-  }
+  private val guard = new ScanGuard(spark, corpusPath)
 
   private def alreadyPruned(child: LogicalPlan): Boolean = child match {
     case Join(_, right, LeftSemi, _, _) => right.output.exists(_.name == marker)
@@ -156,7 +108,7 @@ final class TrigramContainsRewrite(spark: SparkSession, val storePath: String,
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child)
         if !alreadyPruned(child) && child.output.exists(_.name == "doc_id") &&
-          onlyScansCorpus(child) =>
+          guard.onlyScansCorpus(child) =>
       // index-answerable POSITIVE TOP-LEVEL CONJUNCTS only: a literal
       // contains (one required fragment), or a literal RLIKE whose
       // regex compiles to required literals (the q181 compiler,
