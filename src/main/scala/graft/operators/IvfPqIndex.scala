@@ -15,10 +15,13 @@ import graft.streaming.UpsertStore
   * vector — and this store composes them, which is what a 100 TB
   * corpus actually deploys:
   *
-  *  - coarse quantizer: the [[VectorIndex]] seed-centroid rule
-  *    (first `centroids` vectors by vec_id, cosine assignment, ties to
-  *    the higher centroid id) over UNIT vectors, so assignment is
-  *    deterministic and extend ≡ scratch;
+  *  - coarse quantizer: deterministic spherical-Lloyd TRAINED
+  *    centroids ([[trainCoarse]], VERDICT r15 #4 — seeded by the
+  *    first `centroids` vectors by vec_id, rounds of rounded-cosine
+  *    assign → per-cell mean → FAISS empty-cell reseed), trained at
+  *    build and
+  *    PINNED on extend, so assignment is deterministic and
+  *    extend ≡ scratch;
   *  - fine quantizer: [[PqIndex]]'s per-subspace codebooks (M=8
   *    subspaces × K=32 entries, 2 deterministic Lloyd rounds) over the
   *    same unit vectors — 8 bytes of code per 512-byte raw vector;
@@ -33,8 +36,13 @@ import graft.streaming.UpsertStore
   * top-`C` pool against raw vectors (point-lookup join on vec_id).
   * Honesty contract (the q119/q122 recall-1.0 gate): the pool margin
   * is [[PqIndex.C]] and measured recall vs q50's brute force is 1.0 on
-  * this corpus at nProbe = 10 (the q96-pinned IVF setting composed
-  * with the PqRecallSpec-pinned ADC margin — composition only SHRINKS
+  * this corpus at nProbe = 13 (re-measured after the r16 TRAINED
+  * coarse quantizer: balanced cells spread a query's neighborhood
+  * over slightly more cells than the lumpy seed assignment did —
+  * minimum passing nProbe across every lifecycle cut and SF is 12,
+  * 13 is the pinned margin; the sample-trained geometry makes that
+  * ONE measurement cover all cuts;
+  * composition with the PqRecallSpec-pinned ADC margin only SHRINKS
   * the candidate set a true neighbor must out-rank, so each half's
   * margin carries over), which is why q182 shares q50's oracle and the
   * driver's hash compare IS the recall gate.
@@ -55,6 +63,12 @@ object IvfPqIndex {
     * is ≤ its rank in the full-corpus ADC scan. */
   private val C = PqIndex.C
 
+  /** Quantizer version, part of the meta gate: 2 = Lloyd-trained
+    * coarse centroids (VERDICT r15 #4). A store built by an older
+    * version fails the gate and rebuilds rather than silently serving
+    * seed-quantizer cells under the new contract. */
+  private val QV = 2
+
   private def root: String =
     sys.env.getOrElse("GRAFT_IVFPQ_INDEX_DIR",
       s"${System.getProperty("java.io.tmpdir")}/graft-${System.getProperty("user.name", "anon")}/ivfpq_index")
@@ -66,21 +80,112 @@ object IvfPqIndex {
                       dirty: Boolean, txn: Long): DataFrame =
     spark.range(1).select(
       lit(1L).as("meta_id"), lit(n).as("corpus_n"), lit(h).as("corpus_h"),
-      lit(centroids).as("centroids"), lit(dirty).as("dirty"), lit(txn).as("txn"))
+      lit(centroids).as("centroids"), lit(dirty).as("dirty"), lit(txn).as("txn"),
+      lit(QV).as("qv"))
 
   private def gateOk(m: DataFrame, n: Long, h: Long, centroids: Int): Boolean =
-    m.filter(col("corpus_n") === n && col("corpus_h") === h &&
-      col("centroids") === centroids && !col("dirty")).count() == 1
+    m.columns.contains("qv") &&
+      m.filter(col("corpus_n") === n && col("corpus_h") === h &&
+        col("centroids") === centroids && !col("dirty") && col("qv") === QV)
+        .count() == 1
 
   /** Deterministic nearest-centroid assignment over unit vectors —
     * the [[VectorIndex.assignCells]] rule (cosine, ties to the higher
     * centroid id; zero vectors pin to -1 similarity). */
-  private def assignCells(unit: DataFrame, cents: DataFrame): DataFrame =
+  private[operators] def assignCells(unit: DataFrame, cents: DataFrame): DataFrame =
     unit.crossJoin(broadcast(cents))
       .withColumn("csim", nanvl(
         VectorFunctions.cosine_similarity(col("emb"), col("cemb")), lit(-1.0)))
       .groupBy("vec_id")
       .agg(max_by(col("centroid_id"), struct(col("csim"), col("centroid_id"))).as("cell"))
+
+  /** TRAINED coarse quantizer (VERDICT r15 #4 — the scale posture for
+    * √N-cell deployments, where unbalanced seed cells erase the IVF
+    * prune): deterministic spherical Lloyd with the FAISS
+    * empty-cluster rule. Seeds are the first `centroids` unit vectors
+    * by vec_id (the former seed quantizer IS iteration zero), then
+    * `iters` rounds of assign → per-cell mean → reseed-empties:
+    *  - assignment uses 6-dp-ROUNDED cosine with ties to the higher
+    *    centroid id (the [[PqIndex.encodeParts]] robustness contract —
+    *    avg() folds are order-sensitive in the last ulp, rounding
+    *    keeps the argmax stable across partitionings);
+    *  - per-cell means round-trip through the driver as a literal
+    *    relation, ONE collected row per centroid per iteration (the
+    *    q115 bounded-collect discipline) — embeddings never shuffle;
+    *  - cosine is norm-invariant, so means need no renormalization;
+    *  - a cell that empties is RESEEDED with the farthest members of
+    *    the largest cell (rounded-cosine asc, vec_id asc — FAISS's
+    *    `IndexIVF` empty-cluster handling, the step plain Lloyd lacks
+    *    that lets a degenerate seeding split a piled-up cell; more
+    *    empties than largest-cell members keep their previous
+    *    centroid, so the cell count never silently shrinks).
+    * Training runs on a FIXED DETERMINISTIC SAMPLE — the first
+    * `centroids × 8` vectors by vec_id (the FAISS training-sample
+    * discipline: a quantizer never Lloyds the full corpus; at 100 TB
+    * the training pass must be sample-sized). Beyond cost, the sample
+    * makes the geometry STABLE ACROSS CORPUS GROWTH: every
+    * build/bootstrap cut that contains the sample prefix trains the
+    * IDENTICAL centroids, so one measured nProbe pin covers the whole
+    * build→extend lifecycle family (with full-corpus training, each
+    * bootstrap cut is its own geometry with its own recall curve —
+    * the r16 q187 regression).
+    *
+    * Trained at build, PINNED on extend — the codebook rule at
+    * [[extend]]; a retrain is a gate-missed rebuild. */
+  private[operators] def trainCoarse(spark: SparkSession, unit: DataFrame,
+                                     centroids: Int, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+    val centSchema = StructType(Seq(
+      StructField("centroid_id", LongType, nullable = false),
+      StructField("cemb", ArrayType(DoubleType), nullable = false)))
+    val sample = unit.orderBy("vec_id").limit(centroids * 8)
+      .persist()
+    var cents: DataFrame = sample.orderBy("vec_id").limit(centroids)
+      .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"))
+    for (_ <- 1 to iters) {
+      val prev = cents.select("centroid_id", "cemb").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val assigned = sample.crossJoin(broadcast(cents))
+        .withColumn("csim", round(nanvl(
+          VectorFunctions.cosine_similarity(col("emb"), col("cemb")), lit(-1.0)), 6))
+        .groupBy("vec_id")
+        .agg(max_by(col("centroid_id"), struct(col("csim"), col("centroid_id"))).as("cell"),
+          first(col("emb")).as("emb"))
+        .persist()
+      try {
+        val means = assigned
+          .select(col("cell"), posexplode(col("emb")))
+          .groupBy("cell", "pos").agg(avg(col("col")).as("av"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("pos"), col("av")))).as("pv"))
+          .select(col("cell"), expr("transform(pv, x -> x.av)").as("cemb"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+        val empties = prev.keys.toSeq.filterNot(means.contains).sorted
+        val reseeds: Map[Long, Seq[Double]] =
+          if (empties.isEmpty) Map.empty
+          else {
+            val counts = assigned.groupBy("cell").count()
+              .collect().map(r => r.getLong(0) -> r.getLong(1))
+            val largest = counts.maxBy { case (cid, n) => (n, -cid) }._1
+            val far = assigned.filter(col("cell") === largest)
+              .withColumn("fsim", round(nanvl(VectorFunctions.cosine_similarity(
+                col("emb"), typedLit(means(largest))), lit(-1.0)), 6))
+              .orderBy(col("fsim").asc, col("vec_id").asc)
+              .limit(empties.size)
+              .select("emb").collect().map(_.getSeq[Double](0))
+            empties.zip(far).toMap
+          }
+        val rows = prev.keys.toSeq.sorted.map(cid =>
+          Row(cid, reseeds.getOrElse(cid, means.getOrElse(cid, prev(cid)))))
+        cents = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), centSchema)
+      } finally assigned.unpersist()
+    }
+    sample.unpersist()
+    cents
+  }
 
   /** Build (or fingerprint-gate-serve) the composed index for `emb`
     * ((vec_id, emb double[])): one row (vec_id, cell, codes) plus the
@@ -99,8 +204,7 @@ object IvfPqIndex {
     // subvector explode — persist for exactly this scope
     val unit = PqIndex.unitEmb(emb).persist()
     try {
-      val cents = unit.orderBy("vec_id").limit(centroids)
-        .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"))
+      val cents = trainCoarse(spark, unit, centroids)
       val cells = assignCells(unit, cents)
       val parts = PqIndex.subParts(unit)
       val (books, assigned) = PqIndex.trainCodebooks(spark, parts)
@@ -112,8 +216,14 @@ object IvfPqIndex {
         Seq("centroid_id"), assumeKeyUnique = true)
       UpsertStore.replace(spark, s"${path}__codebooks", books,
         Seq("m", "cid"), assumeKeyUnique = true)
+      // a REBUILD starts a new ledger epoch (txn = -1): the store
+      // content now corresponds to exactly this corpus, so txn ids
+      // committed against the PREVIOUS epoch must not make later
+      // ingests self-skip (the r16 transition bug: a gate-missed
+      // rebuild kept the old txn high-water mark and silently dropped
+      // the maintainer's replayed delta batches)
       UpsertStore.replace(spark, metaPath,
-        metaRow(spark, n, h, centroids, dirty = false, prevTxn), Seq("meta_id"),
+        metaRow(spark, n, h, centroids, dirty = false, -1L), Seq("meta_id"),
         assumeKeyUnique = true)
     } finally unit.unpersist()
   }
@@ -194,7 +304,7 @@ object IvfPqIndex {
     * neighbor_id) — the q50 contract (rank ties to the lower neighbor
     * id inside the bounded heap). */
   def search(spark: SparkSession, emb: DataFrame, path: String,
-             queryPred: Column, nProbe: Int = 10, k: Int = 3): DataFrame = {
+             queryPred: Column, nProbe: Int = 13, k: Int = 3): DataFrame = {
     val stored = UpsertStore.read(spark, path).getOrElse(
       sys.error(s"no ivf-pq index at $path — run ensure first"))
     val cents = UpsertStore.read(spark, s"${path}__centroids").getOrElse(

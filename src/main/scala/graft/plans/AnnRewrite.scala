@@ -28,7 +28,7 @@ import graft.streaming.UpsertStore
   * Semantics contract: the spliced semi-join restricts the sort input
   * to the probed cells' members — the IVF prune, EXACTLY the
   * candidate set [[graft.operators.VectorIndex]]/q96 serves with, at
-  * the same pinned setting (nProbe = 10 of 16 cells) whose recall
+  * the same pinned setting (nProbe = 13 of 16 cells) whose recall
   * against q50's brute force is measured 1.0 on this corpus; the
   * preserved Sort is the exact re-rank (raw vectors, full cosine), so
   * the rewrite's output ≡ brute force whenever the true top-k lives
@@ -62,7 +62,7 @@ import graft.streaming.UpsertStore
   *    side) never re-fires.
   */
 final class AnnTopKRewrite(spark: SparkSession, val storePath: String,
-                           val corpusPath: String, nProbe: Int = 10,
+                           val corpusPath: String, nProbe: Int = 13,
                            maxK: Int = 1000) extends Rule[LogicalPlan] {
 
   private val marker = "__ann_cand_vec_id"
@@ -177,7 +177,7 @@ object AnnAcceleration {
   /** Install the rewrite for (IVF-PQ store, embeddings parquet path).
     * Returns the rule handle for [[disable]]. */
   def enable(spark: SparkSession, storePath: String, corpusPath: String,
-             nProbe: Int = 10, maxK: Int = 1000): AnnTopKRewrite = {
+             nProbe: Int = 13, maxK: Int = 1000): AnnTopKRewrite = {
     val r = new AnnTopKRewrite(spark, storePath, corpusPath, nProbe, maxK)
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ r

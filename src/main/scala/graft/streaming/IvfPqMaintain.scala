@@ -44,7 +44,7 @@ final class IvfPqMaintainer(spark: SparkSession, storePath: String,
     * committed store. `emb` supplies raw vectors (query side + the
     * ≤ C re-rank fetches). */
   def serve(emb: DataFrame, queryPred: Column,
-            nProbe: Int = 10, k: Int = 3): DataFrame =
+            nProbe: Int = 13, k: Int = 3): DataFrame =
     IvfPqIndex.search(spark, emb, storePath, queryPred, nProbe, k)
 
   /** Wire into a streaming query: every micro-batch extends the

@@ -22,18 +22,18 @@ class IvfPqIndexSpec extends AnyFunSuite {
   private def freshDir(): String =
     java.nio.file.Files.createTempDirectory("ivfpq_spec").toString + "/store"
 
-  private def searchSet(path: String, nProbe: Int = 10) =
+  private def searchSet(path: String, nProbe: Int = 13) =
     IvfPqIndex.search(spark, emb, path, col("vec_id") < 5, nProbe = nProbe)
       .as[(Long, Long, Long)].collect().toSeq
 
   private lazy val brute =
     Similarity.q50AnnBruteForce.fn(spark, sf).as[(Long, Long, Long)].collect().toSeq
 
-  test("composed serve equals brute force at nProbe=10 AND exhaustive nProbe; gate skips rebuild") {
+  test("composed serve equals brute force at the pinned nProbe AND exhaustive nProbe; gate skips rebuild") {
     val path = freshDir()
     IvfPqIndex.ensure(spark, emb, path)
     assert(searchSet(path) == brute,
-      "IVF-PQ serve at the q96-pinned nProbe must match brute force")
+      "IVF-PQ serve at the pinned nProbe must match brute force")
     assert(searchSet(path, nProbe = 16) == brute,
       "exhaustive probe must match brute force (losslessness baseline)")
     // every corpus vector holds exactly one composed row with 8 codes
@@ -66,22 +66,62 @@ class IvfPqIndexSpec extends AnyFunSuite {
       "the extended lifecycle must stay recall-1.0 vs brute force")
   }
 
-  test("delta assignment matches what a member of the base corpus would get") {
-    // extend ≡ scratch at the ASSIGNMENT level: the same vector folded
-    // in later must land in the same cell the base build gives it
-    // (deterministic seed centroids + tie rule — the VectorIndex
-    // contract carried over)
-    val pathAll = freshDir(); val pathInc = freshDir()
+  test("trained quantizer is build-deterministic; delta assignment ≡ scratch under the pinned centroids") {
+    // the quantizer is now TRAINED on the build corpus (r16), so two
+    // builds from the SAME corpus must agree cell-for-cell, and a
+    // vector folded in by extend must land exactly where a fresh
+    // assignment against the store's PINNED centroids puts it
+    val pathA = freshDir(); val pathB = freshDir()
     val cut = emb.selectExpr("percentile(vec_id, 0.6)").head().getDouble(0).toLong
-    IvfPqIndex.ensure(spark, emb, pathAll)
-    IvfPqIndex.ensure(spark, emb.filter($"vec_id" <= cut), pathInc)
-    IvfPqIndex.extend(spark, emb.filter($"vec_id" > cut), pathInc)
-    val cellsAll = UpsertStore.read(spark, pathAll).get
+    val base = emb.filter($"vec_id" <= cut)
+    IvfPqIndex.ensure(spark, base, pathA)
+    IvfPqIndex.ensure(spark, base, pathB)
+    val cellsA = UpsertStore.read(spark, pathA).get
       .select("vec_id", "cell").as[(Long, Long)].collect().toMap
-    val cellsInc = UpsertStore.read(spark, pathInc).get
+    val cellsB = UpsertStore.read(spark, pathB).get
       .select("vec_id", "cell").as[(Long, Long)].collect().toMap
-    assert(cellsAll == cellsInc,
-      "delta cell assignment must equal the from-scratch assignment")
+    assert(cellsA == cellsB, "same corpus must train to the same cells")
+    IvfPqIndex.extend(spark, emb.filter($"vec_id" > cut), pathA)
+    val cents = UpsertStore.read(spark, s"${pathA}__centroids").get
+    val expected = IvfPqIndex.assignCells(
+        PqIndex.unitEmb(emb.filter($"vec_id" > cut)), cents)
+      .as[(Long, Long)].collect().toMap
+    val got = UpsertStore.read(spark, pathA).get.filter($"vec_id" > cut)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(got == expected,
+      "delta cell assignment must equal a fresh assignment against the pinned centroids")
+  }
+
+  test("VERDICT r15 #4: trained centroids rebalance a piled-up seeding (FAISS empty-cell reseed)") {
+    // adversarial corpus: the first 8 vectors (the seeds) all sit in
+    // cluster 0, with DUPLICATE wiggles so the rounded-cosine tie rule
+    // empties three seed cells; clusters 1-3 (58 vectors each) share
+    // no nonzero dimension with cluster 0, so the raw seeding piles
+    // all 174 of them onto one cell. The reseed step must hand the
+    // emptied cells to far members of that pile, splitting it.
+    def cvec(axis: Int, i: Int): Seq[Double] =
+      (0 until 8).map(j =>
+        if (j == axis) 1.0 else if (j == axis + 4) 0.02 * (i % 5) else 0.0)
+    val rows = (0L until 240L).map { i =>
+      val axis = if (i < 8) 0 else (i % 4).toInt
+      (i, cvec(axis, i.toInt))
+    }
+    val unit = PqIndex.unitEmb(rows.toDF("vec_id", "emb"))
+    def maxCell(cents: org.apache.spark.sql.DataFrame): Long =
+      IvfPqIndex.assignCells(unit, cents)
+        .groupBy("cell").count().agg(max("count")).head().getLong(0)
+    val seedCents = unit.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"))
+    val seedMax = maxCell(seedCents)
+    val trained2 = IvfPqIndex.trainCoarse(spark, unit, 8, iters = 2)
+    val trained3 = IvfPqIndex.trainCoarse(spark, unit, 8, iters = 3)
+    val max2 = maxCell(trained2); val max3 = maxCell(trained3)
+    assert(trained3.count() == 8, "cell count must never shrink")
+    assert(seedMax >= 170, s"construction check: seeding should pile up (got $seedMax)")
+    assert(max2 < seedMax,
+      s"round 2 must already improve: seed max=$seedMax, trained max=$max2")
+    assert(max3 < seedMax / 2,
+      s"training must split the pile: seed max=$seedMax, 3-round max=$max3")
   }
 
   test("committed-txn replay self-skips; changed corpus misses the gate; extend-first fails loudly") {
