@@ -312,7 +312,7 @@ object Retrieval {
          |  SELECT DISTINCT doc_id AS query_id, term
          |  FROM graft.`$t` WHERE doc_id < 3),
          |contrib AS (
-         |  SELECT /*+ BROADCAST(q, d, s) */
+         |  SELECT /*+ BROADCAST(s) */
          |         q.query_id, p.doc_id,
          |         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
          |           * p.tf * 2.2

@@ -213,8 +213,20 @@ class UpsertV2Table(tableName: String, path: String, keys: Seq[String],
         // relation must still produce rows
         if (requiredSchema.nonEmpty) pruned = Some(requiredSchema)
 
-      override def build(): Scan = new V1Scan {
+      // SupportsReportStatistics (VERDICT r15 #7): the optimized plan's
+      // DataSourceV2ScanRelation takes its stats from the SCAN, so the
+      // join planner sees the store's true (manifest-listed) size and
+      // broadcasts metadata-sized catalog tables without SQL hints
+      override def build(): Scan = new V1Scan
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
         override def readSchema(): StructType = pruned.getOrElse(tableSchema)
+        override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+          new org.apache.spark.sql.connector.read.Statistics {
+            override def sizeInBytes(): util.OptionalLong =
+              UpsertStore.sizeInBytes(SparkSession.active, path)
+                .map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
+            override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+          }
         override def toV1TableScan[T <: BaseRelation with TableScan](ctx: SQLContext): T =
           UpsertRelation(ctx.sparkSession, path, keys, Some(tableSchema), versionAsOf,
             pushed.toIndexedSeq, pruned)

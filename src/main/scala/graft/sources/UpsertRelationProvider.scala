@@ -136,6 +136,16 @@ case class UpsertRelation(
   override def schema: StructType =
     prunedTo.getOrElse(providedSchema.getOrElse(current.schema))
 
+  /** Planner statistics from the store manifest (VERDICT r15 #7):
+    * live-part file bytes, so joins against metadata-sized stores
+    * broadcast without hints. Parquet bytes UNDERSTATE in-memory row
+    * size, but the stores this matters for (centroids, codebooks,
+    * probe tables) sit orders of magnitude below the broadcast
+    * threshold; a missing manifest falls back to Spark's default
+    * (never-broadcast) size. */
+  override def sizeInBytes: Long =
+    UpsertStore.sizeInBytes(spark, path).getOrElse(super.sizeInBytes)
+
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters.filter(f => UpsertRelation.translate(f).isEmpty)
 

@@ -101,4 +101,33 @@ class DerivedCatalogSpec extends AnyFunSuite {
     val n = spark.sql("SELECT COUNT(*) AS n FROM graft.vx_demo").as[Long].head()
     assert(n == 11L, s"SQL read must see the extended cell table: $n")
   }
+
+  test("VERDICT r15 #7: catalog stores report stats — hint-free serves still broadcast every probe join") {
+    // the four catalog SQL serves carried 11 /*+ BROADCAST */ hints
+    // until r16; stores now surface manifest-listed sizes
+    // (BaseRelation.sizeInBytes on the V1 path; SupportsReportStatistics
+    // on the V2 scan), which lets AQE's runtime re-plan broadcast every
+    // EQUI-join without a hint — those 8 hints are deleted. Spark's
+    // V1ScanWrapper hides scan-level stats from the STATIC planner
+    // (V2ScanRelationPushDown wraps the V1Scan in a plain Scan), and
+    // AQE never rewrites a CartesianProduct, so the 3 CROSS JOINs
+    // (q100 centroids, q186 centroids, q106 single-row stats) keep
+    // their BROADCAST hint — deleting those demotes BroadcastNestedLoop
+    // to the spec-banned CartesianProduct. The pin below is on the
+    // FINAL adaptive plan, which is what executes.
+    val sf = graft.SharedSpark.sf0001
+    for ((name, q) <- Seq(
+        "q100" -> Similarity.q100CatalogAnn, "q106" -> Retrieval.q106CatalogBm25,
+        "q127" -> Similarity.q127CatalogPqSql, "q186" -> Similarity.q186CatalogIvfPqSql)) {
+      val df = q.fn(spark, sf)
+      assert(df.collect().nonEmpty, s"$name returned nothing")
+      val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(finalPlan.contains("Broadcast"), s"$name lost its broadcasts:\n$finalPlan")
+      assert(!finalPlan.contains("SortMergeJoin"),
+        s"$name's final plan sort-merges a join the stats should broadcast:\n$finalPlan")
+      assert(!finalPlan.contains("CartesianProduct"),
+        s"$name's final plan has an unbroadcast cartesian:\n$finalPlan")
+    }
+  }
 }
