@@ -101,4 +101,116 @@ class DerivedStoreCompactionSpec extends AnyFunSuite {
     assert(UpsertStore.latestVersion(spark, path) == v,
       "index gate must survive compaction")
   }
+
+  // ---- r14/r15 store families (VERDICT r15 #5): each takes perpetual
+  // maintainer extends — the same bounded-delta-dirs + gates-survive
+  // proof the pair/sigs/cells tables above have ----
+
+  test("trigram postings + df stores compact across 2x maxDeltas extends; serve stays exact") {
+    val path = java.nio.file.Files.createTempDirectory("graft-tricompact").toString + "/store"
+    val docs = Seq(1L -> "alpha bravo charlie needle", 2L -> "delta echo foxtrot")
+      .toDF("doc_id", "text")
+    TrigramIndex.build(spark, docs, path)
+    var corpus = docs
+    val n = UpsertStore.DefaultMaxDeltas * 2
+    (1 to n).foreach { i =>
+      val text = if (i == n) s"golf hotel needle batch$i" else s"golf hotel batch$i"
+      val delta = Seq((100L + i) -> text).toDF("doc_id", "text")
+      TrigramIndex.extend(spark, delta, path)
+      corpus = corpus.unionByName(delta)
+    }
+    assert(deltaDirs(path) <= UpsertStore.DefaultMaxDeltas,
+      s"postings deltas unbounded: ${deltaDirs(path)}")
+    assert(deltaDirs(s"${path}__df") <= UpsertStore.DefaultMaxDeltas,
+      s"df deltas unbounded: ${deltaDirs(s"${path}__df")}")
+    // serve across the compacted lifecycle finds the first AND the
+    // last doc carrying the pattern — nothing was folded away
+    val hits = TrigramIndex.search(spark, path, Seq("needle").toDF("query"), corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 100L + n), s"compacted serve lost matches: $hits")
+  }
+
+  test("simhash fp + chunk stores compact across 2x maxDeltas extends; rows stay current") {
+    val path = java.nio.file.Files.createTempDirectory("graft-shcompact").toString + "/store"
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    var corpus = Seq(1L -> base).toDF("doc_id", "text")
+    SimhashIndex.build(spark, corpus, path)
+    val n = UpsertStore.DefaultMaxDeltas * 2
+    (1 to n).foreach { i =>
+      val delta = Seq((100L + i) ->
+        ((1 to 25).map(j => s"w$j") ++ (26 to 30).map(j => s"v$i$j")).mkString(" "))
+        .toDF("doc_id", "text")
+      SimhashIndex.extend(spark, delta, path)
+      corpus = corpus.unionByName(delta)
+    }
+    assert(deltaDirs(path) <= UpsertStore.DefaultMaxDeltas,
+      s"fp deltas unbounded: ${deltaDirs(path)}")
+    assert(deltaDirs(s"${path}__chunks") <= UpsertStore.DefaultMaxDeltas,
+      s"chunk deltas unbounded: ${deltaDirs(s"${path}__chunks")}")
+    assert(UpsertStore.read(spark, path).get.count() == corpus.count(),
+      "fp store must hold one row per ingested doc after compaction")
+  }
+
+  test("theta day-sketch store compacts across 2x maxDeltas ingests; estimates stay exact-k") {
+    val path = java.nio.file.Files.createTempDirectory("graft-thcompact").toString + "/store"
+    val m = new graft.streaming.ThetaMaintainer(spark, path, k = 64)
+    def day(d: Int, users: Range) = users.map(u =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${d}%02d 10:00:00"), u.toLong))
+      .toDF("ts", "user_id")
+    m.bootstrap(day(1, 1 to 20))
+    val n = UpsertStore.DefaultMaxDeltas * 2
+    (1 to n).foreach { i => m.ingestBatch(day(1 + (i % 3), (i * 3) to (i * 3 + 5)), Some(i.toLong)) }
+    assert(deltaDirs(path) <= UpsertStore.DefaultMaxDeltas,
+      s"theta deltas unbounded: ${deltaDirs(path)}")
+    // the store still holds one mergeable sketch per touched day and
+    // serves the consecutive-day contract
+    assert(UpsertStore.read(spark, path).get.count() == 3)
+    val served = m.serve(day(1, 1 to 20)
+      .unionByName((1 to n).map(i => day(1 + (i % 3), (i * 3) to (i * 3 + 5))).reduce(_ unionByName _)))
+    assert(served.count() > 0, "theta serve must produce day pairs after compaction")
+  }
+
+  test("Misra-Gries per-lang store compacts across 2x maxDeltas ingests; bounds survive") {
+    val path = java.nio.file.Files.createTempDirectory("graft-mgcompact").toString + "/store"
+    val m = new graft.streaming.HeavyMaintainer(spark, path, k = 32)
+    def batch(i: Int) = Seq(
+      (i.toLong * 2, "en", s"the the the common word$i"),
+      (i.toLong * 2 + 1, "fr", s"le le rare mot$i")).toDF("doc_id", "lang", "text")
+    m.bootstrap(batch(0))
+    val n = UpsertStore.DefaultMaxDeltas * 2
+    var corpus = batch(0)
+    (1 to n).foreach { i => m.ingestBatch(batch(i), Some(i.toLong)); corpus = corpus.unionByName(batch(i)) }
+    assert(deltaDirs(path) <= UpsertStore.DefaultMaxDeltas,
+      s"mg deltas unbounded: ${deltaDirs(path)}")
+    val served = m.serve(corpus)
+    assert(served.count() > 0)
+    // the MG detection guarantee survives arbitrary compaction: 'the'
+    // dominates en and must be detected by the maintained summary
+    val theRow = served.filter($"lang" === "en" && $"term" === "the")
+    assert(theRow.count() == 1 && theRow.head().getAs[Boolean]("detected"),
+      "majority term must stay detected after compacted merges")
+  }
+
+  test("IVF-PQ composed store compacts across 2x maxDeltas extends; fingerprint gate survives") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpqcompact").toString + "/store"
+    def vec(i: Int): Seq[Double] =
+      (0 until 8).map(j => if (j == i % 4) 1.0 else 0.01 * (i % 7))
+    var corpus = (0L until 16L).map(i => (i, vec(i.toInt))).toDF("vec_id", "emb")
+    IvfPqIndex.ensure(spark, corpus, path, centroids = 4)
+    val n = UpsertStore.DefaultMaxDeltas * 2
+    (1 to n).foreach { i =>
+      val delta = Seq((100L + i, vec(i))).toDF("vec_id", "emb")
+      IvfPqIndex.extend(spark, delta, path)
+      corpus = corpus.unionByName(delta)
+    }
+    assert(deltaDirs(path) <= UpsertStore.DefaultMaxDeltas,
+      s"ivfpq deltas unbounded: ${deltaDirs(path)}")
+    // associatively-folded fingerprint still gates: an ensure over the
+    // grown corpus must SERVE, not retrain
+    val v = UpsertStore.latestVersion(spark, path)
+    IvfPqIndex.ensure(spark, corpus, path, centroids = 4)
+    assert(UpsertStore.latestVersion(spark, path) == v,
+      "gate must survive compaction — serve, don't rebuild")
+    assert(UpsertStore.read(spark, path).get.count() == corpus.count())
+  }
 }
