@@ -177,3 +177,94 @@ object ManifestServeProbe {
     spark.stop()
   }
 }
+
+/** Serve-under-ingest for the SUBSTRING (trigram) index (VERDICT r15
+  * #6): [[ClusterServeProbe]]/[[ManifestServeProbe]]'s discipline
+  * applied to the 14th maintainer — q174-shaped substring serves
+  * (rarest-K posting intersection + contains verify) issued
+  * concurrently with running [[graft.streaming.TrigramMaintainer
+  * .ingestBatch]] lifecycles, at the base and 10× batch protocol.
+  * The postings/df stores are plain [[graft.streaming.UpsertStore]]s,
+  * so readers see the last committed manifest and an in-flight
+  * ingest's delta dirs stay invisible until the atomic pointer swap —
+  * under-load read latency should sit near idle.
+  *
+  * Usage: `sbt "runMain graft.TrigramServeProbe"`.
+  */
+object TrigramServeProbe {
+  import graft.streaming.TrigramMaintainer
+
+  /** [[ClusterServeProbe.batchDf]]'s deterministic corpus: the 'alt'
+    * token every 10th doc gives the probe patterns a hit set that
+    * grows with ingested batches, the hashed tokens give misses. */
+  private def batchDf(spark: SparkSession, batchIdx: Long, n: Long) =
+    spark.range(batchIdx * n, (batchIdx + 1) * n).selectExpr(
+      "id AS doc_id",
+      """concat_ws(' ', transform(sequence(0, 49), w ->
+        |  CASE WHEN id % 10 = 0 AND w < 49 THEN concat('tok', pmod(hash(id - 1, w), 50000))
+        |       WHEN id % 10 = 0 THEN concat('alt', id)
+        |       ELSE concat('tok', pmod(hash(id, w), 50000)) END)) AS text""".stripMargin)
+
+  /** One q174-shaped serve: three patterns (one growing hit family,
+    * one narrow hit, one absent) against the committed stores. */
+  private def serveOnce(spark: SparkSession, tm: TrigramMaintainer,
+                        corpus: org.apache.spark.sql.DataFrame): Double = {
+    import spark.implicits._
+    val pats = Seq("alt", "alt10", "zzz-absent").toDF("query")
+    val t0 = System.nanoTime()
+    tm.serve(pats, corpus).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def run(spark: SparkSession, n: Long, batches: Int): (Double, Double, Double, Int) = {
+    val dir = java.nio.file.Files.createTempDirectory("trigram-serve-probe").toString
+    val tm = new TrigramMaintainer(spark, s"$dir/store")
+    tm.bootstrap(batchDf(spark, 0, n))
+    // verify side: the full planned corpus (reads only join committed
+    // candidates against it, so not-yet-ingested docs never surface)
+    val corpus = (0 to batches).map(i => batchDf(spark, i.toLong, n))
+      .reduce(_ unionByName _)
+    val idle = {
+      serveOnce(spark, tm, corpus) // warm plans
+      Seq.fill(3)(serveOnce(spark, tm, corpus)).sorted.apply(1)
+    }
+    val ingesting = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val reads = scala.collection.mutable.ListBuffer.empty[Double]
+    val reader = new Thread(() => {
+      while (ingesting.get()) reads += serveOnce(spark, tm, corpus)
+    })
+    reader.start()
+    try (1 to batches).foreach { i =>
+      tm.ingestBatch(batchDf(spark, i.toLong, n), txnId = Some(i.toLong))
+    } finally {
+      ingesting.set(false)
+      reader.join()
+    }
+    val sorted = reads.toSeq.sorted
+    (idle, sorted(sorted.size / 2), sorted.last, sorted.size)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-trigram-serve-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (idleB, medB, maxB, nB) = run(spark, n = 500, batches = 5)
+    System.err.println(f"[triserve] base 500/batch  idle=${idleB}%.3fs " +
+      f"median=${medB}%.3fs max=${maxB}%.3fs reads=$nB")
+    val (idleX, medX, maxX, nX) = run(spark, n = 5000, batches = 5)
+    System.err.println(f"[triserve] 10x 5000/batch  idle=${idleX}%.3fs " +
+      f"median=${medX}%.3fs max=${maxX}%.3fs reads=$nX")
+    println(s"""{"metric":"trigram_serve_probe","idle_base":$idleB,""" +
+      s""""underload_median_base":$medB,"underload_max_base":$maxB,""" +
+      s""""idle_10x":$idleX,"underload_median_10x":$medX,""" +
+      s""""underload_max_10x":$maxX,"reads_base":$nB,"reads_10x":$nX}""")
+    spark.stop()
+  }
+}

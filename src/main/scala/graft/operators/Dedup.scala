@@ -1255,10 +1255,12 @@ object Dedup {
     * already priced by its standalone query; Catalyst fuses the
     * scans. */
   /** The manifest contract's DuckDB replay — shared verbatim by q156
-    * (one-shot) and q159 (streamed lifecycle): both must hash-match
-    * the same from-scratch recursive-CTE computation. */
-  private val manifestSql: String =
-    s"""WITH RECURSIVE ${pairsCtes(0.6, "documents")},
+    * (one-shot), q159 (streamed lifecycle), and composed into q190's
+    * crawl-day oracle: all must hash-match the same from-scratch
+    * recursive-CTE computation. [[manifestCtes]] is the WITH body
+    * through `reasons` so composers can stack further CTEs on top. */
+  private[operators] val manifestCtes: String =
+    s"""${pairsCtes(0.6, "documents")},
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM jp
        |  UNION ALL SELECT doc_b, doc_a FROM jp),
@@ -1305,7 +1307,10 @@ object Dedup {
        |              WHEN s.verdict <> 'keep' THEN s.verdict
        |              WHEN s.doc_id <> r.rep THEN 'near_dup'
        |              ELSE 'kept' END AS reason
-       |  FROM staged s LEFT JOIN reps r ON s.cluster_id = r.cluster_id)
+       |  FROM staged s LEFT JOIN reps r ON s.cluster_id = r.cluster_id)""".stripMargin
+
+  private val manifestSql: String =
+    s"""WITH RECURSIVE $manifestCtes
        |SELECT doc_id, (reason = 'kept') AS keep, reason,
        |       CASE WHEN reason <> 'kept' THEN 'none'
        |            WHEN (((cluster_id % 268435456) * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
