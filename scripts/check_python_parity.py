@@ -320,6 +320,33 @@ with tempfile.TemporaryDirectory() as td:
     check("catalog-registered simhash index answers near-dup probe via SQL",
           pairs == [(10, 1)], f"pairs={pairs}")
 
+    # 17: round-16 exact-phrase serve path (the q193 surface) --
+    # register the positional store from Python and run the phrase
+    # intersection in PLAIN SQL by table name.  'quick brown' occurs
+    # once in doc 1, twice in doc 2 (overlap-free), never in doc 3;
+    # doc 3's reversed 'brown quick' must not match.
+    ph_docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "quick brown quick brown"),
+         (3, "brown quick zzz")],
+        "doc_id long, text string")
+    g.register_phrase_index(spark, "py_phr", ph_docs)
+    ph = [(r.doc_id, r.n_hits) for r in spark.sql("""
+        WITH qt AS (
+          SELECT t.qi, t.term
+          FROM (SELECT 1) LATERAL VIEW posexplode(split('quick brown', '\\\\s+')) t AS qi, term),
+        votes AS (
+          SELECT p.doc_id, e.pos - qt.qi AS start
+          FROM qt JOIN graft.py_phr p ON qt.term = p.term
+          LATERAL VIEW explode(p.positions) e AS pos),
+        starts AS (
+          SELECT doc_id, start FROM votes
+          GROUP BY doc_id, start
+          HAVING COUNT(*) = (SELECT COUNT(*) FROM qt))
+        SELECT doc_id, COUNT(*) AS n_hits FROM starts
+        GROUP BY doc_id ORDER BY doc_id""").collect()]
+    check("catalog-registered phrase index answers positional phrase SQL",
+          ph == [(1, 1), (2, 2)], f"phrase hits={ph}")
+
 spark.stop()
 if failures:
     sys.exit(f"{len(failures)} parity check(s) failed: {failures}")

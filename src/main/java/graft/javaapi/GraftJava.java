@@ -195,6 +195,15 @@ public final class GraftJava {
         spark, name, docs, "graft");
   }
 
+  /** The exact-phrase twin (the q193 pure-SQL serve path): the
+   *  corpus' positional postings (term, doc_id, positions) registered
+   *  as {@code graft.<name>}. {@code docs} carries (doc_id, text). */
+  public static String registerPhraseIndex(SparkSession spark, String name,
+      Dataset<Row> docs) {
+    return graft.operators.PhraseIndex.registerCatalog(
+        spark, name, docs, "graft");
+  }
+
   /** The near-dup-probe twin (the q180 pure-SQL serve path): the
    *  corpus' doc→SimHash fingerprints + banded chunk postings
    *  registered as {@code graft.<name>} / {@code graft.<name>__chunks}

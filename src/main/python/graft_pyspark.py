@@ -192,6 +192,18 @@ def register_trigram_index(spark: SparkSession, name: str, docs: DataFrame,
         spark._jsparkSession, name, docs._jdf, catalog)
 
 
+def register_phrase_index(spark: SparkSession, name: str, docs: DataFrame,
+                          catalog: str = "graft") -> str:
+    """The exact-phrase twin: the corpus' positional postings
+    (term, doc_id, positions) registered as ``<catalog>.<name>`` (the
+    q193 pure-SQL phrase serve reads it by table name: phrase offsets
+    via ``posexplode``, matched-posting join, start votes, the
+    all-offsets-present group, overlap-aware hit counts).  ``docs``
+    carries ``(doc_id, text)``."""
+    return spark._jvm.graft.operators.PhraseIndex.registerCatalog(
+        spark._jsparkSession, name, docs._jdf, catalog)
+
+
 def register_simhash_index(spark: SparkSession, name: str, docs: DataFrame,
                            catalog: str = "graft") -> str:
     """The near-dup-probe twin: the corpus' doc→SimHash fingerprints +

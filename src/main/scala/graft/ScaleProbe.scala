@@ -214,7 +214,18 @@ object ScaleProbe {
     "q186_catalog_ivfpq_sql", "q187_ivfpq_maintain",
     // the optimizer-rule serve: index build (linear) + three rewritten
     // naive filters (posting-bounded candidates + candidate verify)
-    "q188_trigram_accel_rule")
+    "q188_trigram_accel_rule",
+    // round 16: the ANN-rule serve is the composed-store build (the
+    // linear term) + five REWRITTEN naive top-k plans (probed-cell
+    // semi-join + exact re-rank, candidate-bounded); the crawl-day
+    // composition is the sum of its stages' standing shapes — the only
+    // inter-stage edge is the keep-fraction-sized manifest semi-join
+    "q189_ann_accel_rule", "q190_crawl_day",
+    // the positional phrase family: build is one tokenize + keyed
+    // groupBy (linear); serve reads matched postings only and the
+    // start-vote shuffle is Σ-matched-tf-sized — the ratio prices the
+    // build plus the probes' posting growth
+    "q191_phrase_search", "q192_phrase_maintain", "q193_catalog_phrase_sql")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

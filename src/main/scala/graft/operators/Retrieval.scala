@@ -634,8 +634,129 @@ object Retrieval {
     } finally graft.plans.TrigramAcceleration.disable(s, rule)
   }
 
+  /** EXACT PHRASE SEARCH over the positional postings store
+    * ([[PhraseIndex]], round 16) — the inverted-index capability the
+    * bag-of-words BM25 postings can't express: tokens ADJACENT and in
+    * order. Lifecycle shape is q104/q105's: build on the first 80% of
+    * docs, fold the rest in with an extend (idempotent by
+    * (term, doc_id) — a replayed doc recomputes the identical sorted
+    * position array), then serve five probes from the stored index:
+    * a 3-term phrase, a 2-term phrase, a REPEATED-term phrase ('a a',
+    * whose overlapping occurrences in 'a a a' count as two — the case
+    * a replace-and-measure string check gets wrong, which is why the
+    * oracle replays POSITIONS), a single term (n_hits ≡ tf), and an
+    * absent phrase. Oracle = DuckDB rebuilding the same 0-based token
+    * positions (`generate_subscripts - 1` zipped with `unnest`) and
+    * counting starts where every phrase offset matches — engine
+    * positional intersection ≡ relational replay, hash-proven.
+    * Scale shape: the `term IN (query terms)` filter reaches the
+    * postings reader (matched-posting-sized scan), start votes are
+    * Σ-matched-tf-sized, the query table broadcasts. */
+  val q191PhraseSearch: QueryDef = sql(
+    "q191_phrase_search",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS lst FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(lst) AS term, generate_subscripts(lst, 1) - 1 AS p FROM toks),
+      |pats(query) AS (VALUES ('key agg row'), ('merge batch'), ('a a'),
+      |                       ('vector'), ('zz missing zz')),
+      |qt AS (
+      |  SELECT query, unnest(ql) AS term, generate_subscripts(ql, 1) - 1 AS qi,
+      |         len(ql) AS nq
+      |  FROM (SELECT query, string_split_regex(lower(query), '\s+') AS ql FROM pats) q),
+      |cand AS (
+      |  SELECT qt.query, pos.doc_id, pos.p - qt.qi AS start, qt.nq
+      |  FROM qt JOIN pos USING (term)),
+      |starts AS (
+      |  SELECT query, doc_id, start
+      |  FROM cand GROUP BY query, doc_id, start, nq
+      |  HAVING COUNT(*) = nq)
+      |SELECT query, doc_id, COUNT(*) AS n_hits
+      |FROM starts GROUP BY query, doc_id
+      |ORDER BY query, doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val cut = math.floor(0.8 * docs.agg(max("doc_id")).head().getLong(0)).toLong
+    val path = graft.Scratch.dir("graft_phrase") + "/index"
+    PhraseIndex.build(s, docs.filter(col("doc_id") <= cut), path)
+    PhraseIndex.extend(s, docs.filter(col("doc_id") > cut), path, Some(0L))
+    PhraseIndex.search(s, path,
+      Seq("key agg row", "merge batch", "a a", "vector", "zz missing zz").toDF("query"))
+      .orderBy("query", "doc_id")
+  }
+
+  /** CONTINUOUS PHRASE INDEXING — the SIXTEENTH maintainer
+    * ([[graft.streaming.PhraseMaintainer]]): q191's positional store
+    * kept current per micro-batch (bootstrap 60%, two ingests of 20%
+    * each — the q184 lifecycle shape), then the same five probes
+    * served from the maintained store. Shares q191's positional
+    * oracle: streamed extends ≡ the one-shot build, hash-proven —
+    * the content-idempotence argument is the simplest in the family
+    * (each (term, doc_id) row is a pure function of that doc's text,
+    * so replays recompute byte-identical arrays; no recount pass, no
+    * load-bearing ledger). */
+  val q192PhraseMaintain: QueryDef = sql(
+    "q192_phrase_maintain", q191PhraseSearch.oracle.get) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val cutA = math.floor(0.6 * maxId).toLong
+    val cutM = math.floor(0.8 * maxId).toLong
+    val store = graft.Scratch.dir("graft_phrase_maint") + "/index"
+    val m = new graft.streaming.PhraseMaintainer(s, store)
+    m.bootstrap(docs.filter(col("doc_id") <= cutA))
+    m.ingestBatch(docs.filter(col("doc_id") > cutA && col("doc_id") <= cutM), Some(0L))
+    m.ingestBatch(docs.filter(col("doc_id") > cutM), Some(1L))
+    m.serve(Seq("key agg row", "merge batch", "a a", "vector", "zz missing zz")
+        .toDF("query"))
+      .orderBy("query", "doc_id")
+  }
+
+  /** q191's phrase serve in PURE SQL over the CATALOG-registered
+    * positional store — the q179/q180/q186 idiom applied to the
+    * phrase index: [[PhraseIndex.registerCatalog]] exposes the
+    * (term, doc_id, positions) postings as `graft.<t>`, and the whole
+    * serve — phrase tokens with 0-based offsets via `posexplode`,
+    * matched-posting join, position explode to start votes, the
+    * all-offsets-present group, the overlap-aware hit count — is one
+    * SQL text an auditor can run by table name, no Scala API in the
+    * read path. Shares q191's positional oracle: catalog read + SQL
+    * surface ≡ the Column-API serve, hash-proven. */
+  val q193CatalogPhraseSql: QueryDef = sql(
+    "q193_catalog_phrase_sql", q191PhraseSearch.oracle.get) { (s, d) =>
+    if (!s.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.UpsertCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.path", graft.Scratch.dir("graft-catalog-wh"))
+    }
+    val t = s"phr_${PairGraph.dirKey64(d)}"
+    PhraseIndex.registerCatalog(s, t, Tables.documents(s, d).select("doc_id", "text"))
+    val patsValues = Seq("key agg row", "merge batch", "a a", "vector", "zz missing zz")
+      .map(p => s"('$p')").mkString(", ")
+    s.sql(
+      s"""WITH pats(query) AS (VALUES $patsValues),
+         |qt AS (
+         |  SELECT query, t.qi, t.term
+         |  FROM pats LATERAL VIEW posexplode(split(lower(query), '\\\\s+')) t AS qi, term),
+         |nq AS (SELECT query, COUNT(*) AS nq FROM qt GROUP BY query),
+         |matched AS (
+         |  SELECT qt.query, qt.qi, p.doc_id, p.positions
+         |  FROM qt JOIN graft.`$t` p ON qt.term = p.term),
+         |votes AS (
+         |  SELECT query, doc_id, e.pos - qi AS start
+         |  FROM matched LATERAL VIEW explode(positions) e AS pos),
+         |starts AS (
+         |  SELECT v.query, v.doc_id, v.start
+         |  FROM votes v JOIN nq ON v.query = nq.query
+         |  GROUP BY v.query, v.doc_id, v.start, nq.nq
+         |  HAVING COUNT(*) = nq.nq)
+         |SELECT query, doc_id, COUNT(*) AS n_hits
+         |FROM starts GROUP BY query, doc_id
+         |ORDER BY query, doc_id""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(q101Bm25TopK, q102HybridRrf, q104Bm25IndexServe,
     q105Bm25IndexIncremental, q106CatalogBm25, q107HybridStored,
     q130RerankPipeline, q174TrigramSubstringServe, q179CatalogTrigramSql,
-    q181TrigramRegexServe, q184TrigramMaintain, q188TrigramAccelRule)
+    q181TrigramRegexServe, q184TrigramMaintain, q188TrigramAccelRule,
+    q191PhraseSearch, q192PhraseMaintain, q193CatalogPhraseSql)
 }

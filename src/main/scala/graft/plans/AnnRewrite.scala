@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Descending, EqualTo, Expression, IntegerLiteral, Literal, NaNvl, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Descending, EqualTo, Expression, IntegerLiteral, IsNotNull, Literal, NaNvl, Not, PredicateHelper, SortOrder}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
-import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, JoinHint, Limit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Join, JoinHint, Limit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -58,18 +58,56 @@ import graft.streaming.UpsertStore
   *  - the sort child scans the indexed corpus AND NOTHING ELSE, at
   *    the enable-time file snapshot, and still exposes `vec_id` (the
   *    [[ScanGuard]] discipline shared with the trigram rule);
+  *  - the sort child is a PROJECT/SCAN chain — the only Filter shape
+  *    allowed through is SELF-EXCLUSION (`vec_id != <literal>`
+  *    conjuncts, plus their inferred IsNotNull): that is the shape
+  *    q50's oracle measures recall 1.0 WITH, and it removes at most
+  *    the identified points themselves from every cell. Any other
+  *    predicate (`category = X`, `vec_id >= n`, …) changes which
+  *    vectors compete for the top-k — FILTERED ANN: the survivors'
+  *    true top-k can live outside the cells the query vector probes,
+  *    so the unfiltered recall measurement does not transfer. The
+  *    rule declines (honest full scan) rather than silently extending
+  *    the approximate contract to an ungated shape;
   *  - an already-pruned child (marker alias on the semi-join's right
   *    side) never re-fires.
   */
 final class AnnTopKRewrite(spark: SparkSession, val storePath: String,
                            val corpusPath: String, nProbe: Int = 13,
-                           maxK: Int = 1000) extends Rule[LogicalPlan] {
+                           maxK: Int = 1000)
+    extends Rule[LogicalPlan] with PredicateHelper {
 
   private val marker = "__ann_cand_vec_id"
   private val guard = new ScanGuard(spark, corpusPath)
 
   private def alreadyPruned(child: LogicalPlan): Boolean = child match {
     case Join(_, right, LeftSemi, _, _) => right.output.exists(_.name == marker)
+    case _ => false
+  }
+
+  /** A conjunct the recall contract is measured with: `vec_id !=
+    * <literal>` (either argument order) — the q50/q189 self-exclusion
+    * shape, which removes at most the identified point itself from
+    * every cell — or the `IsNotNull(vec_id)` the optimizer infers
+    * from it (a null-id row is equally dropped by the kept filter in
+    * the plain plan). */
+  private def selfExclusion(e: Expression): Boolean = e match {
+    case Not(EqualTo(a: AttributeReference, _: Literal)) => a.name == "vec_id"
+    case Not(EqualTo(_: Literal, a: AttributeReference)) => a.name == "vec_id"
+    case IsNotNull(a: AttributeReference) => a.name == "vec_id"
+    case _ => false
+  }
+
+  /** The sort child must be a Project/Scan chain; Filters pass only
+    * when every conjunct is [[selfExclusion]]-shaped. Anything else —
+    * joins, aggregates, arbitrary predicates — is a plan whose
+    * filtered top-k the unfiltered recall gate never measured. */
+  private def rerankChainOk(p: LogicalPlan): Boolean = p match {
+    case pr: Project => rerankChainOk(pr.child)
+    case f: Filter =>
+      splitConjunctivePredicates(f.condition).forall(selfExclusion) &&
+        rerankChainOk(f.child)
+    case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
     case _ => false
   }
 
@@ -154,6 +192,7 @@ final class AnnTopKRewrite(spark: SparkSession, val storePath: String,
           s.order.head.direction == Descending &&
           !alreadyPruned(s.child) &&
           s.child.output.exists(_.name == "vec_id") &&
+          rerankChainOk(s.child) &&
           guard.onlyScansCorpus(s.child) =>
       for {
         q <- queryVecOf(s.order.head, s.child)

@@ -56,7 +56,23 @@ import graft.streaming.UpsertStore
   *  - an already-pruned child (marker alias on the semi-join's right
   *    side) never re-fires — the fixpoint guard (the leaf-only corpus
   *    check independently stops re-firing: the spliced subtree's
-  *    leaves include the postings store).
+  *    leaves include the postings store);
+  *  - SELECTIVITY (round 16 — access-path selection by statistics,
+  *    what a planner's index choice actually is): the stored gram→df
+  *    table prices the candidate set before the rewrite commits to
+  *    it — a branch's candidates are bounded above by its rarest
+  *    required gram's df, branches add, conjoined requirements take
+  *    the tightest bound — and when that bound exceeds
+  *    `maxSelectivity` × corpus rows (default 0.5) the rule declines:
+  *    a semi-join that admits half the corpus costs a join + posting
+  *    scan and prunes almost nothing, so the full scan IS the better
+  *    access path. The df probe is a plan-time lookup of ≤ pattern-
+  *    gram-count rows against the df store (the [[AnnTopKRewrite]]
+  *    bounded-plan-time-collect precedent); corpus row count is read
+  *    once per enable (parquet footer metadata) and stays valid under
+  *    the [[ScanGuard]] freshness snapshot. The bound is an upper
+  *    bound (intersection ≤ min), so a decline can only forgo a win,
+  *    never wrongly commit to a useless index path.
   *
   * The spliced candidate subtree is the candidate DF's OPTIMIZED plan
   * (this rule runs in the user-provided batch at the tail of the
@@ -65,11 +81,51 @@ import graft.streaming.UpsertStore
   * parquet reader for the rewrite to be worth anything).
   */
 final class TrigramContainsRewrite(spark: SparkSession, val storePath: String,
-                                   val corpusPath: String)
+                                   val corpusPath: String,
+                                   maxSelectivity: Double = 0.5)
     extends Rule[LogicalPlan] with PredicateHelper {
 
   private val marker = "__tri_cand_doc_id"
   private val guard = new ScanGuard(spark, corpusPath)
+
+  /** Corpus row count for the selectivity gate — parquet footer
+    * metadata, read lazily once per enable (the ScanGuard snapshot
+    * pins the file set, so the count cannot drift while the rule is
+    * installed). */
+  private lazy val corpusRows: Long =
+    try spark.read.parquet(corpusPath).count()
+    catch { case _: Exception => Long.MaxValue } // unreadable → never decline
+
+  /** Upper bound on the candidate count for the collected
+    * requirements, from the stored df: a branch's AND-intersection is
+    * ≤ its rarest gram's df (an unseen gram bounds it at 0), a
+    * requirement's OR-union is ≤ the sum of its branches, and the
+    * conjunction of requirements is ≤ the tightest requirement. One
+    * plan-time lookup of ≤ pattern-gram-count df rows. */
+  private def candidateBound(reqs: Seq[Seq[Seq[String]]]): Long = {
+    val grams = reqs.flatten.flatten.flatMap(_.sliding(3)).distinct
+    if (grams.isEmpty) return Long.MaxValue
+    val dfMap: Map[String, Long] =
+      UpsertStore.read(spark, s"${storePath}__df") match {
+        case Some(dfStore) =>
+          dfStore.filter(col("gram").isin(grams: _*))
+            .select("gram", "df").collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        case None => return 0L // no df store (theoretical — ensure
+          // writes both stores) → keep the pre-stats behavior, rewrite
+      }
+    def branchBound(frags: Seq[String]): Long = {
+      val gs = frags.flatMap(_.sliding(3)).distinct
+      if (gs.isEmpty) Long.MaxValue
+      else gs.map(g => dfMap.getOrElse(g, 0L)).min
+    }
+    def reqBound(branches: Seq[Seq[String]]): Long = {
+      val bs = branches.map(branchBound)
+      if (bs.exists(_ == Long.MaxValue)) Long.MaxValue
+      else bs.sum
+    }
+    reqs.map(reqBound).min
+  }
 
   private def alreadyPruned(child: LogicalPlan): Boolean = child match {
     case Join(_, right, LeftSemi, _, _) => right.output.exists(_.name == marker)
@@ -127,6 +183,10 @@ final class TrigramContainsRewrite(spark: SparkSession, val storePath: String,
       }
       (for {
         _ <- Option.when(reqs.nonEmpty)(())
+        // access-path selection: decline when even the df upper bound
+        // says the index admits more than maxSelectivity of the corpus
+        _ <- Option.when(candidateBound(reqs) <=
+          (maxSelectivity * corpusRows).toLong)(())
         cand <- candidates(reqs)
         docId <- child.output.find(_.name == "doc_id")
       } yield Filter(cond, Join(child, cand, LeftSemi,
@@ -145,9 +205,9 @@ object TrigramAcceleration {
     * Returns the rule handle for [[disable]]. Idempotence is the
     * caller's concern — enabling twice would double-splice nothing
     * (the marker guard stops the second fire) but costs a plan walk. */
-  def enable(spark: SparkSession, storePath: String,
-             corpusPath: String): TrigramContainsRewrite = {
-    val r = new TrigramContainsRewrite(spark, storePath, corpusPath)
+  def enable(spark: SparkSession, storePath: String, corpusPath: String,
+             maxSelectivity: Double = 0.5): TrigramContainsRewrite = {
+    val r = new TrigramContainsRewrite(spark, storePath, corpusPath, maxSelectivity)
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ r
     r
@@ -158,15 +218,15 @@ object TrigramAcceleration {
     * (store, corpus) pair so the enable-time corpus snapshot is
     * RETAKEN — a rebuild through registerCatalog must not leave a rule
     * pinned to the pre-rebuild file listing. */
-  def ensureEnabled(spark: SparkSession, storePath: String,
-                    corpusPath: String): TrigramContainsRewrite = {
+  def ensureEnabled(spark: SparkSession, storePath: String, corpusPath: String,
+                    maxSelectivity: Double = 0.5): TrigramContainsRewrite = {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot {
         case r: TrigramContainsRewrite =>
           r.storePath == storePath && r.corpusPath == corpusPath
         case _ => false
       }
-    enable(spark, storePath, corpusPath)
+    enable(spark, storePath, corpusPath, maxSelectivity)
   }
 
   /** Remove exactly the handle [[enable]] returned. */

@@ -182,6 +182,30 @@ class JavaApiParitySpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(dfAlp == Seq(2L), s"trigram df store via SQL: $dfAlp")
 
+    // the exact-phrase twin (round 16: the q193 serve path) — 'quick
+    // brown' occurs once in doc 1, twice in doc 2; doc 3's reversed
+    // 'brown quick' must not match
+    val phr = Seq(1L -> "the quick brown fox", 2L -> "quick brown quick brown",
+      3L -> "brown quick zzz").toDF("doc_id", "text")
+    GraftJava.registerPhraseIndex(spark, "j_phr", phr)
+    val phrHits = spark.sql(
+      """WITH qt AS (
+        |  SELECT t.qi, t.term
+        |  FROM (SELECT 1) LATERAL VIEW posexplode(split('quick brown', '\\s+')) t AS qi, term),
+        |votes AS (
+        |  SELECT p.doc_id, e.pos - qt.qi AS start
+        |  FROM qt JOIN graft.j_phr p ON qt.term = p.term
+        |  LATERAL VIEW explode(p.positions) e AS pos),
+        |starts AS (
+        |  SELECT doc_id, start FROM votes
+        |  GROUP BY doc_id, start
+        |  HAVING COUNT(*) = (SELECT COUNT(*) FROM qt))
+        |SELECT doc_id, COUNT(*) AS n_hits FROM starts
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    assert(phrHits == Seq(1L -> 1L, 2L -> 2L),
+      s"Java-registered phrase index served via SQL: $phrHits")
+
     // the near-dup-probe twin (round 15: the q180 serve path) — eval
     // doc 10 near-duplicates train doc 1 (26/30 tokens shared) and
     // shares nothing with train doc 2; simhash64 lands in the session

@@ -191,6 +191,26 @@ class DerivedStoreCompactionSpec extends AnyFunSuite {
       "majority term must stay detected after compacted merges")
   }
 
+  test("phrase positional store compacts across 2x maxDeltas extends; overlap counts stay exact") {
+    val path = java.nio.file.Files.createTempDirectory("graft-phrcompact").toString + "/store"
+    val docs = Seq(1L -> "alpha needle point beta", 2L -> "gamma delta")
+      .toDF("doc_id", "text")
+    PhraseIndex.build(spark, docs, path)
+    val n = UpsertStore.DefaultMaxDeltas * 2
+    (1 to n).foreach { i =>
+      val text = if (i == n) s"needle point needle point batch$i" else s"golf hotel batch$i"
+      PhraseIndex.extend(spark, Seq((100L + i) -> text).toDF("doc_id", "text"), path)
+    }
+    assert(deltaDirs(path) <= UpsertStore.DefaultMaxDeltas,
+      s"phrase deltas unbounded: ${deltaDirs(path)}")
+    // the first and last carriers survive, with the last doc's TWO
+    // occurrences counted — position arrays merged, not folded away
+    val hits = PhraseIndex.search(spark, path, Seq("needle point").toDF("query"))
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toSet
+    assert(hits == Set(1L -> 1L, (100L + n) -> 2L),
+      s"compacted phrase serve lost matches: $hits")
+  }
+
   test("IVF-PQ composed store compacts across 2x maxDeltas extends; fingerprint gate survives") {
     val path = java.nio.file.Files.createTempDirectory("graft-ivfpqcompact").toString + "/store"
     def vec(i: Int): Seq[Double] =

@@ -130,6 +130,40 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered ANN: arbitrary predicates decline; the gated self-exclusion shape fires") {
+    def marker(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("__ann_cand_vec_id")
+    def filtered = corpus.filter(col("vec_id") >= 20)
+      .withColumn("sim", nanvl(VectorFunctions.cosine_similarity(
+        col("emb"), typedLit(q0)), lit(-1.0)))
+      .orderBy(col("sim").desc, col("vec_id")).limit(3).select("vec_id")
+    def selfEx = corpus.filter(col("vec_id") =!= 3L)
+      .withColumn("sim", nanvl(VectorFunctions.cosine_similarity(
+        col("emb"), typedLit(q0)), lit(-1.0)))
+      .orderBy(col("sim").desc, col("vec_id")).limit(3).select("vec_id")
+    val filteredPlain = filtered.as[Long].collect().toSeq
+    val selfExPlain = selfEx.as[Long].collect().toSeq
+
+    withRule(nProbe = 2) {
+      // an arbitrary filter changes WHICH vectors compete for the
+      // top-k: with q0 in cluster A and the filter keeping only
+      // cluster B, the filtered top-k lives in cells the query vector
+      // does NOT probe at nProbe=2 — the unfiltered recall-1.0
+      // measurement does not transfer, so the rule must decline
+      assert(!marker(filtered),
+        "rule fired on a filter shape the recall gate never measured")
+      assert(filtered.as[Long].collect().toSeq == filteredPlain,
+        "declined plan must answer exactly as the plain filtered scan")
+
+      // the SELF-EXCLUSION shape (vec_id != literal — q189/q50's own
+      // filter, which the oracle gate measures recall WITH) still
+      // accelerates, and agrees with the plain plan
+      assert(marker(selfEx), "self-exclusion filter must still rewrite")
+      assert(selfEx.as[Long].collect().toSeq == selfExPlain,
+        "accelerated self-exclusion top-k diverged from the plain plan")
+    }
+  }
+
   test("freshness: a corpus appended after enable stops the rewrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft-annrw-fresh").toString
     (0L until 16L).map(i => (i, vec(0, i.toInt))).toDF("vec_id", "emb")

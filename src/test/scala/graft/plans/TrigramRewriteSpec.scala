@@ -35,8 +35,13 @@ class TrigramRewriteSpec extends AnyFunSuite {
 
   private def corpus = spark.read.parquet(s"$env/docs.parquet")
 
+  // maxSelectivity = 1.0: on a 4-doc fixture every pattern is
+  // "common" by fraction, which would trip the round-16 access-path
+  // gate — these tests pin the REWRITE machinery; the gate has its
+  // own test at the 0.5 default below
   private def withRule[A](f: => A): A = {
-    val r = TrigramAcceleration.enable(spark, s"$env/idx", s"$env/docs.parquet")
+    val r = TrigramAcceleration.enable(spark, s"$env/idx", s"$env/docs.parquet",
+      maxSelectivity = 1.0)
     try f finally TrigramAcceleration.disable(spark, r)
   }
 
@@ -175,7 +180,8 @@ class TrigramRewriteSpec extends AnyFunSuite {
     val docs = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
     docs.write.parquet(s"$dir/docs.parquet")
     TrigramIndex.build(spark, docs, s"$dir/idx")
-    val r = TrigramAcceleration.enable(spark, s"$dir/idx", s"$dir/docs.parquet")
+    val r = TrigramAcceleration.enable(spark, s"$dir/idx", s"$dir/docs.parquet",
+      maxSelectivity = 1.0) // 1-doc fixture: every pattern is "common"
     try {
       def scan = spark.read.parquet(s"$dir/docs.parquet")
         .filter($"text".contains("quick brown")).select("doc_id")
@@ -213,6 +219,39 @@ class TrigramRewriteSpec extends AnyFunSuite {
         case rr: TrigramContainsRewrite => rr.storePath == store
         case _ => false
       }
+  }
+
+  test("round 16: selectivity gate — a common pattern declines the index path, a rare one takes it") {
+    // 20 docs, every one containing 'common marker'; exactly one
+    // containing 'rareneedle' — the df upper bound prices the two
+    // patterns at 20/20 and 1/20 of the corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft-trirw-sel").toString
+    val docs = (1L to 20L).map(i =>
+      (i, s"common marker row $i" + (if (i == 7) " rareneedle" else "")))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/docs.parquet")
+    TrigramIndex.build(spark, docs, s"$dir/idx")
+    val r = TrigramAcceleration.enable(spark, s"$dir/idx", s"$dir/docs.parquet") // 0.5 default
+    try {
+      def scan(pat: String) = spark.read.parquet(s"$dir/docs.parquet")
+        .filter($"text".contains(pat)).select("doc_id")
+      val common = scan("common marker")
+      assert(!common.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "a pattern in every doc must decline — the semi-join would prune nothing")
+      assert(common.count() == 20, "declined plan lost rows")
+      val rare = scan("rareneedle")
+      assert(rare.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "a 1-in-20 pattern must take the index path")
+      assert(rare.as[Long].collect().toSeq == Seq(7L))
+      // a conjunction with one rare conjunct takes the TIGHTEST bound:
+      // the rare side prunes, the common side rides the kept filter
+      val mixed = spark.read.parquet(s"$dir/docs.parquet")
+        .filter($"text".contains("common marker") && $"text".contains("rareneedle"))
+        .select("doc_id")
+      assert(mixed.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "a conjunction with a rare conjunct must still take the index path")
+      assert(mixed.as[Long].collect().toSeq == Seq(7L))
+    } finally TrigramAcceleration.disable(spark, r)
   }
 
   test("SQL LIKE '%pat%' plans through the same rewrite; disable restores the plain plan") {

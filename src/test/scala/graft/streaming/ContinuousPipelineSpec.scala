@@ -106,7 +106,7 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     assert(finalHits.contains(21L),
       s"post-restart index read must see the post-restart vec 21: $finalHits")
   }
-  test("ten maintainers share one restart: postings, grams, gate, pq, quantile, distinct, rollup, manifest, trigram, ivfpq stay consistent") {
+  test("eleven maintainers share one restart: postings, grams, gate, pq, quantile, distinct, rollup, manifest, trigram, phrase, ivfpq stay consistent") {
     // VERDICT r11 #7 (+ r12 #2's manifest maintainer): the
     // derived-store layer survives a restart TOGETHER — every
     // maintainer behind its own MemoryStream + checkpoint, stopped
@@ -138,12 +138,14 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     val rm = new RollupMaintainer(spark, s"$dir/rollup")
     val fm = new ManifestMaintainer(spark, "eightway", s"$dir/manifest")
     val tm = new TrigramMaintainer(spark, s"$dir/trigram")
+    val hm = new PhraseMaintainer(spark, s"$dir/phrase")
     val im = new IvfPqMaintainer(spark, s"$dir/ivfpq", centroids = 4)
     pm.bootstrap(histDocs)
     sm.bootstrap(histDocs)
     gm.bootstrap(histDocs)
     fm.bootstrap(histDocs)
     tm.bootstrap(histDocs)
+    hm.bootstrap(histDocs)
     qm.bootstrap((0L until 30L).map(i => (i, dvec(i.toInt))).toDF("vec_id", "emb"))
     im.bootstrap((0L until 30L).map(i => (i, dvec(i.toInt))).toDF("vec_id", "emb"))
     mm.bootstrap(Seq(("a", 1.0), ("a", 2.0)).toDF("grp", "v"))
@@ -156,6 +158,7 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     val docsG = MemoryStream[StreamingOpsSpec.Doc]
     val docsF = MemoryStream[StreamingOpsSpec.Doc]
     val docsT = MemoryStream[StreamingOpsSpec.Doc]
+    val docsH = MemoryStream[StreamingOpsSpec.Doc]
     val vecs = MemoryStream[ContinuousPipelineSpec.DVec]
     val vecsI = MemoryStream[ContinuousPipelineSpec.DVec]
     val obs = MemoryStream[MonitorMaintainSpec.Obs]
@@ -171,11 +174,12 @@ class ContinuousPipelineSpec extends AnyFunSuite {
       rm.run(evs.toDF(), s"$dir/ck-r", Trigger.ProcessingTime(0)),
       fm.run(docsF.toDF(), s"$dir/ck-f", Trigger.ProcessingTime(0)),
       tm.run(docsT.toDF().select(col("doc_id"), col("text")), s"$dir/ck-t", Trigger.ProcessingTime(0)),
+      hm.run(docsH.toDF().select(col("doc_id"), col("text")), s"$dir/ck-h", Trigger.ProcessingTime(0)),
       im.run(vecsI.toDF(), s"$dir/ck-i", Trigger.ProcessingTime(0)))
     val qs1 = startAll()
     val b1 = Seq(StreamingOpsSpec.Doc(10L, ts(1), textA),   // exact dup of doc 1
       StreamingOpsSpec.Doc(11L, ts(2), uniq("u")))
-    Seq(docsP, docsS, docsG, docsF, docsT).foreach(_.addData(b1: _*))
+    Seq(docsP, docsS, docsG, docsF, docsT, docsH).foreach(_.addData(b1: _*))
     Seq(vecs, vecsI).foreach(_.addData(
       (30L until 35L).map(i => ContinuousPipelineSpec.DVec(i, dvec(i.toInt))): _*))
     obs.addData((1 to 50).map(i => MonitorMaintainSpec.Obs("a", ts(0), i.toDouble)): _*)
@@ -195,7 +199,7 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     val qs2 = startAll()
     val b2 = Seq(StreamingOpsSpec.Doc(12L, ts(3), textC),   // exact dup of doc 2
       StreamingOpsSpec.Doc(13L, ts(4), uniq("w")))
-    Seq(docsP, docsS, docsG, docsF, docsT).foreach(_.addData(b2: _*))
+    Seq(docsP, docsS, docsG, docsF, docsT, docsH).foreach(_.addData(b2: _*))
     Seq(vecs, vecsI).foreach(_.addData(
       (35L until 40L).map(i => ContinuousPipelineSpec.DVec(i, dvec(i.toInt))): _*))
     obs.addData((1 to 30).map(i => MonitorMaintainSpec.Obs("b", ts(0), i.toDouble)): _*)
@@ -272,6 +276,22 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     val triTruth = allDocs.collect().flatMap(r =>
       triPats.filter(r.getString(1).contains).map(_ -> r.getLong(0))).toSet
     assert(triGot == triTruth, s"trigram: $triGot vs $triTruth")
+
+    // phrase: maintained positional serve ≡ brute-force phrase truth
+    // (starts counted, overlap-aware) over the full ingested history
+    val phrPats = Seq("a1 a2 a3", "u1 u2 u3", "w1 w2 w3", "qq missing")
+    val phrGot = hm.serve(phrPats.toDF("query"))
+      .as[(String, Long, Long)].collect().toSet
+    val phrTruth = allDocs.collect().flatMap { r =>
+      val ts2 = r.getString(1).toLowerCase.split("\\s+").toSeq
+      phrPats.flatMap { p =>
+        val ps = p.toLowerCase.split("\\s+").toSeq
+        val nHits = (0 to ts2.length - ps.length)
+          .count(s2 => ps.indices.forall(i => ts2(s2 + i) == ps(i)))
+        if (nHits > 0) Some((p, r.getLong(0), nHits.toLong)) else None
+      }
+    }.toSet
+    assert(phrGot == phrTruth, s"phrase: $phrGot vs $phrTruth")
 
     // ivfpq: all 40 composed rows live; the post-restart vec 39 finds
     // its planted pre-restart near-dup through cells + codes + rerank
