@@ -225,7 +225,14 @@ object ScaleProbe {
     // groupBy (linear); serve reads matched postings only and the
     // start-vote shuffle is Σ-matched-tf-sized — the ratio prices the
     // build plus the probes' posting growth
-    "q191_phrase_search", "q192_phrase_maintain", "q193_catalog_phrase_sql")
+    "q191_phrase_search", "q192_phrase_maintain", "q193_catalog_phrase_sql",
+    // the join-view IVM lifecycle: bootstrap join (linear) + two
+    // delta-keyed ingest joins — the ratio prices the base join, the
+    // delta paths stay delta-sized
+    "q194_join_view_ivm",
+    // proximity from the positional store: build linear; the window
+    // check is per-(query, doc) over tf-bounded position arrays
+    "q195_proximity_search")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

@@ -268,3 +268,89 @@ object TrigramServeProbe {
     spark.stop()
   }
 }
+
+/** Serve-under-ingest for the POSITIONAL PHRASE index (round 16 —
+  * the [[TrigramServeProbe]] discipline applied to the sixteenth
+  * maintainer): q191-shaped phrase serves (matched-posting join +
+  * start-vote intersection) issued concurrently with running
+  * [[graft.streaming.PhraseMaintainer.ingestBatch]] lifecycles, at
+  * the base and 10× batch protocol. The positional store is a plain
+  * [[graft.streaming.UpsertStore]], so readers resolve the last
+  * committed manifest pointer and an in-flight ingest's delta dirs
+  * stay invisible until the atomic swap — under-load read latency
+  * should sit near idle.
+  *
+  * Usage: `sbt "runMain graft.PhraseServeProbe"`.
+  */
+object PhraseServeProbe {
+  import graft.streaming.PhraseMaintainer
+
+  /** [[TrigramServeProbe.batchDf]]'s deterministic corpus: every 10th
+    * doc repeats a two-token phrase ('hit here hit here …' tail), so
+    * one probe phrase's hit set grows with ingested batches while the
+    * hashed tokens give misses. */
+  private def batchDf(spark: SparkSession, batchIdx: Long, n: Long) =
+    spark.range(batchIdx * n, (batchIdx + 1) * n).selectExpr(
+      "id AS doc_id",
+      """concat_ws(' ', transform(sequence(0, 49), w ->
+        |  CASE WHEN id % 10 = 0 AND w >= 46 THEN (CASE WHEN w % 2 = 0 THEN 'hit' ELSE 'here' END)
+        |       ELSE concat('tok', pmod(hash(id, w), 50000)) END)) AS text""".stripMargin)
+
+  /** One q191-shaped serve: a growing-hit phrase, a reversed
+    * non-phrase, an absent phrase. */
+  private def serveOnce(spark: SparkSession, pm: PhraseMaintainer): Double = {
+    import spark.implicits._
+    val pats = Seq("hit here hit", "here hit here hit", "zzz absent").toDF("query")
+    val t0 = System.nanoTime()
+    pm.serve(pats).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def run(spark: SparkSession, n: Long, batches: Int): (Double, Double, Double, Int) = {
+    val dir = java.nio.file.Files.createTempDirectory("phrase-serve-probe").toString
+    val pm = new PhraseMaintainer(spark, s"$dir/store")
+    pm.bootstrap(batchDf(spark, 0, n))
+    val idle = {
+      serveOnce(spark, pm) // warm plans
+      Seq.fill(3)(serveOnce(spark, pm)).sorted.apply(1)
+    }
+    val ingesting = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val reads = scala.collection.mutable.ListBuffer.empty[Double]
+    val reader = new Thread(() => {
+      while (ingesting.get()) reads += serveOnce(spark, pm)
+    })
+    reader.start()
+    try (1 to batches).foreach { i =>
+      pm.ingestBatch(batchDf(spark, i.toLong, n), txnId = Some(i.toLong))
+    } finally {
+      ingesting.set(false)
+      reader.join()
+    }
+    val sorted = reads.toSeq.sorted
+    (idle, sorted(sorted.size / 2), sorted.last, sorted.size)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-phrase-serve-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (idleB, medB, maxB, nB) = run(spark, n = 500, batches = 5)
+    System.err.println(f"[phrserve] base 500/batch  idle=${idleB}%.3fs " +
+      f"median=${medB}%.3fs max=${maxB}%.3fs reads=$nB")
+    val (idleX, medX, maxX, nX) = run(spark, n = 5000, batches = 5)
+    System.err.println(f"[phrserve] 10x 5000/batch  idle=${idleX}%.3fs " +
+      f"median=${medX}%.3fs max=${maxX}%.3fs reads=$nX")
+    println(s"""{"metric":"phrase_serve_probe","idle_base":$idleB,""" +
+      s""""underload_median_base":$medB,"underload_max_base":$maxB,""" +
+      s""""idle_10x":$idleX,"underload_median_10x":$medX,""" +
+      s""""underload_max_10x":$maxX,"reads_base":$nB,"reads_10x":$nX}""")
+    spark.stop()
+  }
+}

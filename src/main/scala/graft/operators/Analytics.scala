@@ -615,6 +615,40 @@ object Analytics {
       .orderBy("event_type", "day_ms")
   }
 
+  /** INCREMENTAL MATERIALIZED JOIN VIEW (round 16,
+    * [[graft.streaming.JoinViewMaintainer]]) — the JOIN cousin of
+    * q147's aggregate IVM: `orders ⋈ customer` materialized in a
+    * keyed store and maintained by deltas on EITHER side, never by a
+    * view recompute. Lifecycle exercises both delta paths with live
+    * consequences: bootstrap on 80% of orders × 80% of customers
+    * (orders referencing absent customers are NOT view rows yet —
+    * inner-join semantics), `ingestLeft` folds the remaining orders
+    * in (ΔA ⋈ B_stored; those pointing at still-absent customers stay
+    * pending), then `ingestRight` folds the remaining customers in
+    * (A_stored ⋈ ΔB — each late dimension row MATERIALIZES every
+    * order that was waiting for it, including ones from the ΔA
+    * batch). Final view ≡ the full join, which is exactly what the
+    * oracle replays. Scale shape: both paths shuffle delta-keyed rows
+    * only, with the delta broadcast against the stored side — the
+    * fact table is never rescanned to absorb a dimension trickle. */
+  val q194JoinViewIvm: QueryDef = sql(
+    "q194_join_view_ivm",
+    """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    val cutO = orders.agg(expr("percentile(o_orderkey, 0.8)")).head().getDouble(0).toLong
+    val cutC = cust.agg(expr("percentile(c_custkey, 0.8)")).head().getDouble(0).toLong
+    val m = new graft.streaming.JoinViewMaintainer(
+      s, graft.Scratch.dir("graft_join_view") + "/view")
+    m.bootstrap(orders.filter(col("o_orderkey") <= cutO),
+      cust.filter(col("c_custkey") <= cutC))
+    m.ingestLeft(orders.filter(col("o_orderkey") > cutO), Some(0L))
+    m.ingestRight(cust.filter(col("c_custkey") > cutC), Some(1L))
+    m.current.orderBy("o_orderkey")
+  }
+
   /** Sliding-HLL trailing-7-day active users — q136's WAU for
     * unbounded user cardinality. One DataSketches HLL sketch per day is
     * the ONLY user-sized aggregation (partial+final, map-side
@@ -930,7 +964,7 @@ object Analytics {
     q137Attribution, q138RegressionByGroup, q139TfidfKeywords,
     q140FuzzySortedNeighborhood, q141WeightedSample,
     q142MarketBasket, q143SessionConversion, q144IntereventGaps,
-    q145TokenEntropy, q146BigramNll, q147RollupIvm,
+    q145TokenEntropy, q146BigramNll, q147RollupIvm, q194JoinViewIvm,
     q148HllWau, q149TfidfFromIndex, q150FuzzyFullVerify,
     q152StratifiedSample, q153HllWindowServe, q155DailyEwma,
     q158CatalogHllSql)

@@ -93,18 +93,66 @@ object PhraseIndex {
     path
   }
 
+  /** PROXIMITY serve (NEAR/w — the other classic positional-index
+    * query, Manning IIR §2.4.2's "within k words"): a doc matches
+    * when some occurrence of the query's FIRST term has EVERY other
+    * distinct query term within `w` token positions of it (the
+    * anchor-based NEAR semantics — deterministic and positionally
+    * replayable, unlike "smallest cover window" which needs a scan).
+    * Returns (query, doc_id, n_anchors) — how many anchor occurrences
+    * satisfy the window; a single-term query degenerates to tf, the
+    * q191 consistency. Same scale shape as [[search]]: matched-
+    * posting-sized reads, per-(query, doc) group sizes = distinct
+    * query terms, the window check runs as nested higher-order
+    * functions over position arrays bounded by tf. */
+  def searchNear(spark: SparkSession, path: String, phrases: DataFrame,
+                 w: Int): DataFrame = {
+    // DISTINCT query terms, each keeping its first offset (the anchor
+    // is the term at offset 0)
+    val qt = phrases.select(col("query"),
+        posexplode(TextAnalysis.tokens(col("query"))).as(Seq("qi", "term")))
+      .groupBy("query", "term").agg(min("qi").as("qi"))
+    val nq = qt.groupBy("query").agg(count(lit(1)).as("nq"))
+    qt.join(matchedPostings(spark, path, qt), Seq("term"))
+      .groupBy("query", "doc_id")
+      .agg(count(lit(1)).as("got"),
+        // collect_list skips nulls: exactly the anchor's positions /
+        // the other terms' position arrays
+        flatten(collect_list(when(col("qi") === 0, col("positions")))).as("anchors"),
+        collect_list(when(col("qi") =!= 0, col("positions"))).as("others"))
+      .join(broadcast(nq), Seq("query"))
+      .filter(col("got") === col("nq")) // every distinct term present
+      .withColumn("n_anchors", expr(
+        s"size(filter(anchors, p -> forall(others, o -> exists(o, q -> abs(q - p) <= $w))))")
+        .cast("long"))
+      .filter(col("n_anchors") > 0)
+      .select("query", "doc_id", "n_anchors")
+  }
+
+  /** The stored postings restricted to the phrases' terms, with the
+    * restriction as a DRIVER-KNOWN `term IN (...)` predicate so it
+    * reaches the parquet reader (row-group min/max + dictionary
+    * pruning) — a bare join would broadcast-probe but still SCAN the
+    * whole store. Query terms are user-query-sized: the bounded
+    * collect is the [[graft.plans.AnnTopKRewrite]] precedent. */
+  private def matchedPostings(spark: SparkSession, path: String,
+                              qt: DataFrame): DataFrame = {
+    val store = UpsertStore.read(spark, path).getOrElse(
+      sys.error(s"no phrase store at $path — build first"))
+    val terms = qt.select("term").distinct().collect().map(_.getString(0))
+    store.filter(col("term").isin(terms.toSeq: _*))
+  }
+
   /** Exact phrase serve from the stored positional postings.
     * `phrases` is a (query) frame; returns (query, doc_id, n_hits) —
     * n_hits counts occurrence START positions, overlap-aware. */
   def search(spark: SparkSession, path: String, phrases: DataFrame): DataFrame = {
-    val store = UpsertStore.read(spark, path).getOrElse(
-      sys.error(s"no phrase store at $path — build first"))
     // query terms with their 0-based phrase offsets; nq broadcasts
     // (query-cardinality-sized)
     val qt = phrases.select(col("query"),
       posexplode(TextAnalysis.tokens(col("query"))).as(Seq("qi", "term")))
     val nq = qt.groupBy("query").agg(count(lit(1)).as("nq"))
-    qt.join(store, Seq("term")) // matched-posting-sized read
+    qt.join(matchedPostings(spark, path, qt), Seq("term")) // pushed-down posting read
       .select(col("query"), col("qi"), col("doc_id"),
         explode(col("positions")).as("pos"))
       .select(col("query"), col("doc_id"), (col("pos") - col("qi")).as("start"))

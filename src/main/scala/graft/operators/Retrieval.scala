@@ -754,9 +754,55 @@ object Retrieval {
          |ORDER BY query, doc_id""".stripMargin)
   }
 
+  /** PROXIMITY SEARCH (NEAR/3) from the SAME positional store q191
+    * built — the second classic positional-index query: docs where
+    * every distinct query term occurs within 3 positions of some
+    * occurrence of the first term (anchor-based NEAR — deterministic,
+    * positionally replayable). Probes: two 2-term proximity pairs, a
+    * single term (n_anchors ≡ tf — the q191 consistency), an absent
+    * pair. Oracle = DuckDB double-NOT-EXISTS over the replayed
+    * positions: an anchor survives iff no other query term LACKS a
+    * position within the window — hash-proven. */
+  val q195ProximitySearch: QueryDef = sql(
+    "q195_proximity_search",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS lst FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(lst) AS term, generate_subscripts(lst, 1) - 1 AS p FROM toks),
+      |pats(query) AS (VALUES ('key row'), ('vector window'), ('vector'), ('zz missing')),
+      |qt AS (
+      |  SELECT query, term, MIN(qi) AS qi
+      |  FROM (SELECT query, unnest(ql) AS term, generate_subscripts(ql, 1) - 1 AS qi
+      |        FROM (SELECT query, string_split_regex(lower(query), '\s+') AS ql FROM pats) q) u
+      |  GROUP BY query, term),
+      |anchors AS (
+      |  SELECT qt.query, pos.doc_id, pos.p
+      |  FROM qt JOIN pos USING (term) WHERE qt.qi = 0),
+      |ok AS (
+      |  SELECT a.query, a.doc_id, a.p
+      |  FROM anchors a
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM qt o
+      |    WHERE o.query = a.query AND o.qi <> 0
+      |      AND NOT EXISTS (SELECT 1 FROM pos p2
+      |                      WHERE p2.doc_id = a.doc_id AND p2.term = o.term
+      |                        AND abs(p2.p - a.p) <= 3)))
+      |SELECT query, doc_id, COUNT(*) AS n_anchors
+      |FROM ok GROUP BY query, doc_id
+      |ORDER BY query, doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val path = graft.Scratch.dir("graft_phrase_near") + "/index"
+    PhraseIndex.build(s, docs, path)
+    PhraseIndex.searchNear(s, path,
+      Seq("key row", "vector window", "vector", "zz missing").toDF("query"), w = 3)
+      .orderBy("query", "doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q101Bm25TopK, q102HybridRrf, q104Bm25IndexServe,
     q105Bm25IndexIncremental, q106CatalogBm25, q107HybridStored,
     q130RerankPipeline, q174TrigramSubstringServe, q179CatalogTrigramSql,
     q181TrigramRegexServe, q184TrigramMaintain, q188TrigramAccelRule,
-    q191PhraseSearch, q192PhraseMaintain, q193CatalogPhraseSql)
+    q191PhraseSearch, q192PhraseMaintain, q193CatalogPhraseSql,
+    q195ProximitySearch)
 }

@@ -55,6 +55,34 @@ class PhraseIndexSpec extends AnyFunSuite {
     assert(!byQ.contains("zz absent"))
   }
 
+  test("searchNear ≡ brute-force anchor-NEAR: window boundary exact, missing term kills, single-term ≡ tf") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase-near").toString
+    PhraseIndex.build(spark, docs.toDF("doc_id", "text"), s"$dir/idx")
+    def bruteNear(phrase: String, w: Int): Seq[(String, Long, Long)] = {
+      val ps = phrase.toLowerCase.split("\\s+").toSeq.distinct
+      docs.flatMap { case (id, text) =>
+        val ts = text.toLowerCase.split("\\s+").toSeq
+        val present = ps.forall(ts.contains)
+        val anchors = ts.indices.filter(ts(_) == ps.head)
+          .count(p => ps.tail.forall(t =>
+            ts.indices.exists(q => ts(q) == t && math.abs(q - p) <= w)))
+        if (present && anchors > 0) Some((phrase, id, anchors.toLong)) else None
+      }.sortBy(r => (r._1, r._2))
+    }
+    def near(phrases: Seq[String], w: Int): Seq[(String, Long, Long)] =
+      PhraseIndex.searchNear(spark, s"$dir/idx", phrases.toDF("query"), w)
+        .orderBy("query", "doc_id").as[(String, Long, Long)].collect().toSeq
+    val phrases = Seq("quick fox", "brown a", "brown", "quick zz")
+    for (w <- Seq(1, 2, 3))
+      assert(near(phrases, w) == phrases.flatMap(bruteNear(_, w)).sortBy(r => (r._1, r._2)),
+        s"NEAR/$w diverged from brute force")
+    // boundary spelled out: doc 2 'the quick brown fox' — quick@1,
+    // fox@3 → NEAR/2 matches, NEAR/1 does not
+    assert(near(Seq("quick fox"), 2).exists(_._2 == 2L))
+    assert(!near(Seq("quick fox"), 1).exists(_._2 == 2L),
+      "NEAR/1 must reject a distance-2 pair — window boundary off by one")
+  }
+
   test("extend ≡ from-scratch build; replayed extend is a no-op") {
     val dir = java.nio.file.Files.createTempDirectory("graft-phrase-ext").toString
     val df = docs.toDF("doc_id", "text")
