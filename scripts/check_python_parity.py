@@ -347,6 +347,29 @@ with tempfile.TemporaryDirectory() as td:
     check("catalog-registered phrase index answers positional phrase SQL",
           ph == [(1, 1), (2, 2)], f"phrase hits={ph}")
 
+    # 18: round-16 materialized-join-view serve path (the q196
+    # surface) -- register the view from Python, ingest a dimension
+    # delta through the returned maintainer handle, and read the
+    # maintained join in PLAIN SQL by table name.  Order 11 waits on
+    # customer 2, who arrives via ingestRight.
+    jv_orders = spark.createDataFrame(
+        [(10, 1, 5.0), (11, 2, 6.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double")
+    jv_cust = spark.createDataFrame(
+        [(1, "ann", "auto")], "c_custkey long, c_name string, c_mktsegment string")
+    jv = g.register_join_view(spark, "py_jv", jv_orders, jv_cust)
+    pre = [r.o_orderkey for r in spark.sql(
+        "SELECT o_orderkey FROM graft.py_jv ORDER BY 1").collect()]
+    jv.ingestRight(spark.createDataFrame(
+        [(2, "bob", "bike")],
+        "c_custkey long, c_name string, c_mktsegment string")._jdf,
+        spark._jvm.scala.Option.empty())
+    post = [(r.o_orderkey, r.c_name) for r in spark.sql(
+        "SELECT o_orderkey, c_name FROM graft.py_jv ORDER BY 1").collect()]
+    check("catalog-registered join view maintains and serves via SQL",
+          pre == [10] and post == [(10, "ann"), (11, "bob")],
+          f"pre={pre} post={post}")
+
 spark.stop()
 if failures:
     sys.exit(f"{len(failures)} parity check(s) failed: {failures}")

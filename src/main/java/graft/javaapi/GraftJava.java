@@ -215,6 +215,17 @@ public final class GraftJava {
         spark, name, docs, "graft");
   }
 
+  /** The materialized-join-view twin (the q196 pure-SQL serve path):
+   *  orders x customer maintained as {@code graft.<name>} (+
+   *  {@code __left}/{@code __right} side tables), readable and
+   *  VERSION-AS-OF-readable by table name; the returned maintainer
+   *  takes delta ingests on either side. */
+  public static graft.streaming.JoinViewMaintainer registerJoinView(
+      SparkSession spark, String name, Dataset<Row> orders, Dataset<Row> customer) {
+    return graft.streaming.JoinViewMaintainer.registerCatalog(
+        spark, name, orders, customer, "graft");
+  }
+
   /** Local keyed-parquet upsert sink (the KuduContext verb set behind
    *  one interface), constructed from Java. */
   public static UpsertSink parquetSink(SparkSession spark, String path, List<String> keys) {

@@ -204,6 +204,17 @@ def register_phrase_index(spark: SparkSession, name: str, docs: DataFrame,
         spark._jsparkSession, name, docs._jdf, catalog)
 
 
+def register_join_view(spark: SparkSession, name: str, orders: DataFrame,
+                       customer: DataFrame, catalog: str = "graft"):
+    """The materialized-join-view twin: ``orders x customer``
+    maintained as ``<catalog>.<name>`` (+ ``__left``/``__right`` side
+    tables), readable — and ``VERSION AS OF``-readable — in plain SQL
+    by table name (the q196 serve path).  Returns the JVM maintainer
+    handle; ``ingestLeft``/``ingestRight`` fold deltas in."""
+    return spark._jvm.graft.streaming.JoinViewMaintainer.registerCatalog(
+        spark._jsparkSession, name, orders._jdf, customer._jdf, catalog)
+
+
 def register_simhash_index(spark: SparkSession, name: str, docs: DataFrame,
                            catalog: str = "graft") -> str:
     """The near-dup-probe twin: the corpus' doc→SimHash fingerprints +

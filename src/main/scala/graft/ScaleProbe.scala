@@ -232,7 +232,11 @@ object ScaleProbe {
     "q194_join_view_ivm",
     // proximity from the positional store: build linear; the window
     // check is per-(query, doc) over tf-bounded position arrays
-    "q195_proximity_search")
+    "q195_proximity_search",
+    // the join-view catalog serve: gate-served after warm-up (the
+    // q186 shape) — the ratio prices the ledger-skipped ingest checks
+    // + the view read
+    "q196_catalog_join_view_sql")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

@@ -649,6 +649,40 @@ object Analytics {
     m.current.orderBy("o_orderkey")
   }
 
+  /** q194's maintained join view read back in PURE SQL by CATALOG
+    * table name (the q179/q193 idiom applied to the view family):
+    * [[graft.streaming.JoinViewMaintainer.registerCatalog]] exposes
+    * the view as `graft.<t>` (+ `__left`/`__right` side tables), so
+    * an auditor — or any BI tool speaking SQL — reads the maintained
+    * join with no Scala API in the path, with `VERSION AS OF` time
+    * travel riding the store contract for free. Shares q194's
+    * full-join oracle: catalog read ≡ the maintainer's own `current`,
+    * hash-proven. */
+  val q196CatalogJoinViewSql: QueryDef = sql(
+    "q196_catalog_join_view_sql",
+    q194JoinViewIvm.oracle.get) { (s, d) =>
+    if (!s.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.UpsertCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.path", graft.Scratch.dir("graft-catalog-wh"))
+    }
+    val orders = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    val cutO = orders.agg(expr("percentile(o_orderkey, 0.8)")).head().getDouble(0).toLong
+    val cutC = cust.agg(expr("percentile(c_custkey, 0.8)")).head().getDouble(0).toLong
+    val t = s"jv_${PairGraph.dirKey64(d)}"
+    // build-or-gate-serve AT the warehouse path (the catalog resolves
+    // physical dirs from its warehouse, so the store must live there);
+    // replayed runs gate-skip the bootstrap and ledger-skip the ingests
+    val m = graft.streaming.JoinViewMaintainer.registerCatalog(s, t,
+      orders.filter(col("o_orderkey") <= cutO),
+      cust.filter(col("c_custkey") <= cutC))
+    m.ingestLeft(orders.filter(col("o_orderkey") > cutO), Some(0L))
+    m.ingestRight(cust.filter(col("c_custkey") > cutC), Some(1L))
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+         |FROM graft.`$t` ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** Sliding-HLL trailing-7-day active users — q136's WAU for
     * unbounded user cardinality. One DataSketches HLL sketch per day is
     * the ONLY user-sized aggregation (partial+final, map-side
@@ -965,6 +999,7 @@ object Analytics {
     q140FuzzySortedNeighborhood, q141WeightedSample,
     q142MarketBasket, q143SessionConversion, q144IntereventGaps,
     q145TokenEntropy, q146BigramNll, q147RollupIvm, q194JoinViewIvm,
+    q196CatalogJoinViewSql,
     q148HllWau, q149TfidfFromIndex, q150FuzzyFullVerify,
     q152StratifiedSample, q153HllWindowServe, q155DailyEwma,
     q158CatalogHllSql)

@@ -96,6 +96,31 @@ final class JoinViewMaintainer(spark: SparkSession, basePath: String)
     UpsertStore.read(spark, basePath).getOrElse(
       sys.error(s"join view at $basePath not bootstrapped"))
 
+  /** Register the materialized view (and its two side tables) under
+    * the `graft` catalog, so the maintained join is readable — and
+    * time-travel-readable via `VERSION AS OF` — in PLAIN SQL by table
+    * name (the q179/q193 idiom applied to the view family):
+    * `<catalog>.<name>` is the view, `<catalog>.<name>__left` /
+    * `__right` the stored sides. Stats flow from the stores'
+    * manifest-listed sizes (the r16 SupportsReportStatistics surface),
+    * so downstream joins against the registered view broadcast
+    * hint-free when it is small.
+    *
+    * PRIVATE because the catalog resolves a table's physical dir from
+    * its own warehouse + table name — registration is only meaningful
+    * when `basePath == <warehouse>/<name>`, which exactly the
+    * companion's [[JoinViewMaintainer.registerCatalog]] guarantees;
+    * registering a store living elsewhere would create an entry over
+    * an empty dir. */
+  private[streaming] def registerTables(name: String, catalog: String = "graft"): Unit = {
+    graft.operators.PairGraph.ensureTable(spark, catalog, name, basePath,
+      Seq("o_orderkey"))
+    graft.operators.PairGraph.ensureTable(spark, catalog, s"${name}__left",
+      leftPath, Seq("o_orderkey"))
+    graft.operators.PairGraph.ensureTable(spark, catalog, s"${name}__right",
+      rightPath, Seq("c_custkey"))
+  }
+
   /** Wire the FACT side into a streaming query (the dimension side is
     * batch-ingested via [[ingestRight]], the usual warehouse shape). */
   def run(orders: DataFrame, checkpointDir: String,
@@ -111,4 +136,45 @@ final class JoinViewMaintainer(spark: SparkSession, basePath: String)
         } finally batch.unpersist()
       }
       .start()
+}
+
+object JoinViewMaintainer {
+
+  /** Build-or-gate-serve the materialized view AT the warehouse path
+    * and register it (the [[graft.operators.PhraseIndex.registerCatalog]]
+    * shape, with the fingerprint gate over BOTH input snapshots): a
+    * meta row matching (left, right) fingerprints — committed LAST —
+    * skips the rebuild; any crash window degrades to a rebuild, never
+    * a stale serve. The static entry point the Python/Java bridges
+    * call; returns the maintainer for subsequent delta ingests. */
+  def registerCatalog(spark: SparkSession, name: String,
+                      left: DataFrame, right: DataFrame,
+                      catalog: String = "graft"): JoinViewMaintainer = {
+    import graft.operators.PairGraph
+    val path = s"${PairGraph.catalogWarehouse(spark, catalog)}/$name"
+    val m = new JoinViewMaintainer(spark, path)
+    // the PairGraph fingerprint rule generalized to any schema:
+    // order-independent (count, XOR of xxhash64(all columns))
+    def fp(df: DataFrame): (Long, Long) = {
+      val row = df.agg(count(lit(1)).as("n"),
+        coalesce(expr(s"bit_xor(xxhash64(${df.columns.mkString(",")}))"), lit(0L)).as("h"))
+        .head()
+      (row.getLong(0), row.getLong(1))
+    }
+    val (ln, lh) = fp(left)
+    val (rn, rh) = fp(right)
+    val fresh = UpsertStore.read(spark, s"${path}__meta").exists(
+      _.filter(col("left_n") === ln && col("left_h") === lh &&
+        col("right_n") === rn && col("right_h") === rh).count() == 1)
+    if (!fresh) {
+      m.bootstrap(left, right)
+      UpsertStore.replace(spark, s"${path}__meta",
+        spark.range(1).select(lit(1L).as("meta_id"),
+          lit(ln).as("left_n"), lit(lh).as("left_h"),
+          lit(rn).as("right_n"), lit(rh).as("right_h")),
+        Seq("meta_id"), assumeKeyUnique = true)
+    }
+    m.registerTables(name, catalog)
+    m
+  }
 }

@@ -206,6 +206,22 @@ class JavaApiParitySpec extends AnyFunSuite {
     assert(phrHits == Seq(1L -> 1L, 2L -> 2L),
       s"Java-registered phrase index served via SQL: $phrHits")
 
+    // the materialized-join-view twin (round 16: the q196 serve path) —
+    // order 11 waits on customer 2, who arrives through the returned
+    // maintainer's ingestRight; the SQL read sees the maintained join
+    val jvOrders = Seq((10L, 1L, 5.0), (11L, 2L, 6.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val jvCust = Seq((1L, "ann", "auto")).toDF("c_custkey", "c_name", "c_mktsegment")
+    val jv = GraftJava.registerJoinView(spark, "j_jv", jvOrders, jvCust)
+    assert(spark.sql("SELECT o_orderkey FROM graft.j_jv").as[Long].collect().toSeq
+      == Seq(10L), "bootstrap view must hold only the matched order")
+    jv.ingestRight(Seq((2L, "bob", "bike")).toDF("c_custkey", "c_name", "c_mktsegment"))
+    val jvPost = spark.sql(
+      "SELECT o_orderkey, c_name FROM graft.j_jv ORDER BY 1")
+      .as[(Long, String)].collect().toSeq
+    assert(jvPost == Seq(10L -> "ann", 11L -> "bob"),
+      s"Java-registered join view after dimension ingest: $jvPost")
+
     // the near-dup-probe twin (round 15: the q180 serve path) — eval
     // doc 10 near-duplicates train doc 1 (26/30 tokens shared) and
     // shares nothing with train doc 2; simhash64 lands in the session
