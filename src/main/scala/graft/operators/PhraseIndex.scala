@@ -135,12 +135,20 @@ object PhraseIndex {
     * pruning) — a bare join would broadcast-probe but still SCAN the
     * whole store. Query terms are user-query-sized: the bounded
     * collect is the [[graft.plans.AnnTopKRewrite]] precedent. */
+  /** Pushdown cap: above this many distinct query terms the driver
+    * collect stops being "bounded" and the IN-list stops being a
+    * predicate a reader can use — fall back to the plain join, whose
+    * broadcast probe still prunes rows (just not the scan). */
+  private val MaxPushdownTerms = 65536
+
   private def matchedPostings(spark: SparkSession, path: String,
                               qt: DataFrame): DataFrame = {
     val store = UpsertStore.read(spark, path).getOrElse(
       sys.error(s"no phrase store at $path — build first"))
-    val terms = qt.select("term").distinct().collect().map(_.getString(0))
-    store.filter(col("term").isin(terms.toSeq: _*))
+    val terms = qt.select("term").distinct()
+      .limit(MaxPushdownTerms + 1).collect().map(_.getString(0))
+    if (terms.length > MaxPushdownTerms) store // declared fallback
+    else store.filter(col("term").isin(terms.toSeq: _*))
   }
 
   /** Exact phrase serve from the stored positional postings.

@@ -156,8 +156,9 @@ object JoinViewMaintainer {
     // the PairGraph fingerprint rule generalized to any schema:
     // order-independent (count, XOR of xxhash64(all columns))
     def fp(df: DataFrame): (Long, Long) = {
+      val cols = df.columns.map(c => s"`$c`").mkString(", ")
       val row = df.agg(count(lit(1)).as("n"),
-        coalesce(expr(s"bit_xor(xxhash64(${df.columns.mkString(",")}))"), lit(0L)).as("h"))
+        coalesce(expr(s"bit_xor(xxhash64($cols))"), lit(0L)).as("h"))
         .head()
       (row.getLong(0), row.getLong(1))
     }

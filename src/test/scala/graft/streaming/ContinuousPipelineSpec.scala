@@ -106,7 +106,7 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     assert(finalHits.contains(21L),
       s"post-restart index read must see the post-restart vec 21: $finalHits")
   }
-  test("eleven maintainers share one restart: postings, grams, gate, pq, quantile, distinct, rollup, manifest, trigram, phrase, ivfpq stay consistent") {
+  test("twelve maintainers share one restart: postings, grams, gate, pq, quantile, distinct, rollup, manifest, trigram, phrase, ivfpq, join-view stay consistent") {
     // VERDICT r11 #7 (+ r12 #2's manifest maintainer): the
     // derived-store layer survives a restart TOGETHER — every
     // maintainer behind its own MemoryStream + checkpoint, stopped
@@ -140,12 +140,19 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     val tm = new TrigramMaintainer(spark, s"$dir/trigram")
     val hm = new PhraseMaintainer(spark, s"$dir/phrase")
     val im = new IvfPqMaintainer(spark, s"$dir/ivfpq", centroids = 4)
+    val jm = new JoinViewMaintainer(spark, s"$dir/jview")
     pm.bootstrap(histDocs)
     sm.bootstrap(histDocs)
     gm.bootstrap(histDocs)
     fm.bootstrap(histDocs)
     tm.bootstrap(histDocs)
     hm.bootstrap(histDocs)
+    // join view: the fact stream restarts with the doc maintainers;
+    // customer 3 arrives mid-test as a dimension delta
+    jm.bootstrap(
+      Seq((100L, 1L, 5.0)).toDF("o_orderkey", "o_custkey", "o_totalprice"),
+      Seq((1L, "ann", "auto"), (2L, "bob", "bike"))
+        .toDF("c_custkey", "c_name", "c_mktsegment"))
     qm.bootstrap((0L until 30L).map(i => (i, dvec(i.toInt))).toDF("vec_id", "emb"))
     im.bootstrap((0L until 30L).map(i => (i, dvec(i.toInt))).toDF("vec_id", "emb"))
     mm.bootstrap(Seq(("a", 1.0), ("a", 2.0)).toDF("grp", "v"))
@@ -159,6 +166,7 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     val docsF = MemoryStream[StreamingOpsSpec.Doc]
     val docsT = MemoryStream[StreamingOpsSpec.Doc]
     val docsH = MemoryStream[StreamingOpsSpec.Doc]
+    val ordsJ = MemoryStream[JoinViewMaintainSpec.JOrder]
     val vecs = MemoryStream[ContinuousPipelineSpec.DVec]
     val vecsI = MemoryStream[ContinuousPipelineSpec.DVec]
     val obs = MemoryStream[MonitorMaintainSpec.Obs]
@@ -175,11 +183,14 @@ class ContinuousPipelineSpec extends AnyFunSuite {
       fm.run(docsF.toDF(), s"$dir/ck-f", Trigger.ProcessingTime(0)),
       tm.run(docsT.toDF().select(col("doc_id"), col("text")), s"$dir/ck-t", Trigger.ProcessingTime(0)),
       hm.run(docsH.toDF().select(col("doc_id"), col("text")), s"$dir/ck-h", Trigger.ProcessingTime(0)),
-      im.run(vecsI.toDF(), s"$dir/ck-i", Trigger.ProcessingTime(0)))
+      im.run(vecsI.toDF(), s"$dir/ck-i", Trigger.ProcessingTime(0)),
+      jm.run(ordsJ.toDF(), s"$dir/ck-j", Trigger.ProcessingTime(0)))
     val qs1 = startAll()
     val b1 = Seq(StreamingOpsSpec.Doc(10L, ts(1), textA),   // exact dup of doc 1
       StreamingOpsSpec.Doc(11L, ts(2), uniq("u")))
     Seq(docsP, docsS, docsG, docsF, docsT, docsH).foreach(_.addData(b1: _*))
+    ordsJ.addData(JoinViewMaintainSpec.JOrder(101L, 2L, 6.0),
+      JoinViewMaintainSpec.JOrder(102L, 3L, 7.0)) // customer 3 not yet known
     Seq(vecs, vecsI).foreach(_.addData(
       (30L until 35L).map(i => ContinuousPipelineSpec.DVec(i, dvec(i.toInt))): _*))
     obs.addData((1 to 50).map(i => MonitorMaintainSpec.Obs("a", ts(0), i.toDouble)): _*)
@@ -200,6 +211,7 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     val b2 = Seq(StreamingOpsSpec.Doc(12L, ts(3), textC),   // exact dup of doc 2
       StreamingOpsSpec.Doc(13L, ts(4), uniq("w")))
     Seq(docsP, docsS, docsG, docsF, docsT, docsH).foreach(_.addData(b2: _*))
+    ordsJ.addData(JoinViewMaintainSpec.JOrder(103L, 1L, 8.0))
     Seq(vecs, vecsI).foreach(_.addData(
       (35L until 40L).map(i => ContinuousPipelineSpec.DVec(i, dvec(i.toInt))): _*))
     obs.addData((1 to 30).map(i => MonitorMaintainSpec.Obs("b", ts(0), i.toDouble)): _*)
@@ -276,6 +288,16 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     val triTruth = allDocs.collect().flatMap(r =>
       triPats.filter(r.getString(1).contains).map(_ -> r.getLong(0))).toSet
     assert(triGot == triTruth, s"trigram: $triGot vs $triTruth")
+
+    // join view: the dimension delta arrives AFTER the restart and
+    // must materialize the order that streamed BEFORE it (102 waited
+    // on customer 3 across the restart boundary)
+    jm.ingestRight(Seq((3L, "cal", "coal")).toDF("c_custkey", "c_name", "c_mktsegment"))
+    val jvGot = jm.current
+      .as[(Long, Long, Double, String, String)].collect().toSet
+    assert(jvGot == Set((100L, 1L, 5.0, "ann", "auto"),
+      (101L, 2L, 6.0, "bob", "bike"), (102L, 3L, 7.0, "cal", "coal"),
+      (103L, 1L, 8.0, "ann", "auto")), s"join view: $jvGot")
 
     // phrase: maintained positional serve ≡ brute-force phrase truth
     // (starts counted, overlap-aware) over the full ingested history
