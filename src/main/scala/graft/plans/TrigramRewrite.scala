@@ -89,12 +89,23 @@ final class TrigramContainsRewrite(spark: SparkSession, val storePath: String,
   private val guard = new ScanGuard(spark, corpusPath)
 
   /** Corpus row count for the selectivity gate — parquet footer
-    * metadata, read lazily once per enable (the ScanGuard snapshot
-    * pins the file set, so the count cannot drift while the rule is
-    * installed). */
-  private lazy val corpusRows: Long =
+    * metadata, read EAGERLY at construction = enable time, where the
+    * ScanGuard already snapshots the same corpus (ADVICE r16: a lazy
+    * count evaluated mid-optimization ran a Spark job inside rule
+    * application, and a transient read failure was cached silently for
+    * the rule's lifetime). The snapshot pins the file set, so the
+    * count cannot drift while the rule is installed; an unreadable
+    * corpus disables the decline gate (rewrite always fires) and says
+    * so in the log instead of hiding it. */
+  private val corpusRows: Long =
     try spark.read.parquet(corpusPath).count()
-    catch { case _: Exception => Long.MaxValue } // unreadable → never decline
+    catch {
+      case e: Exception =>
+        logWarning(s"trigram rewrite: corpus row count for $corpusPath " +
+          s"unreadable at enable (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+          "selectivity gate disabled — the rewrite will fire without a df bound")
+        Long.MaxValue // unreadable → never decline
+    }
 
   /** Upper bound on the candidate count for the collected
     * requirements, from the stored df: a branch's AND-intersection is
