@@ -634,6 +634,53 @@ object Retrieval {
     } finally graft.plans.TrigramAcceleration.disable(s, rule)
   }
 
+  /** TOP-LEVEL OR through the trigram acceleration rule (VERDICT r16
+    * #4): the naive DISJUNCTIVE spelling —
+    * `text.contains(a) || text.contains(b) [|| ...]` — now takes the
+    * index too. Soundness is the same by-construction superset as
+    * q188's conjuncts, OR-shaped: a row kept by the disjunction
+    * satisfies SOME disjunct, so it carries every trigram of that
+    * disjunct — the UNION of the per-disjunct candidate sets is a
+    * superset of the true matches and the untouched filter finishes
+    * the job; the df selectivity bound for the OR is the SUM of the
+    * branch bounds (branches add; the candidateBound machinery
+    * already priced regex alternations this way). The 2-way and
+    * 3-way shapes both run accelerated; TrigramRewriteSpec pins the
+    * spliced plans and the honest decline when one disjunct is
+    * unanswerable. Oracle = DuckDB evaluating the same disjunctions
+    * raw — accelerated naive plan ≡ raw scan, hash-proven. */
+  val q197TrigramOrRule: QueryDef = sql(
+    "q197_trigram_or_rule",
+    """WITH two AS (
+      |  SELECT 'two' AS case_id, doc_id FROM documents
+      |  WHERE contains(text, 'key agg row') OR contains(text, 'merge batch')),
+      |three AS (
+      |  SELECT 'three' AS case_id, doc_id FROM documents
+      |  WHERE contains(text, 'key agg row') OR contains(text, 'merge batch')
+      |     OR contains(text, 'zz missing zz'))
+      |SELECT case_id, doc_id FROM two
+      |UNION ALL SELECT case_id, doc_id FROM three
+      |ORDER BY case_id, doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val path = graft.Scratch.dir("graft_trigram_accel_or") + "/index"
+    TrigramIndex.build(s, docs, path)
+    val rule = graft.plans.TrigramAcceleration.enable(s, path, s"$d/documents.parquet")
+    try {
+      val two = Tables.documents(s, d)
+        .filter(col("text").contains("key agg row") ||
+          col("text").contains("merge batch")) // naive OR — no index API
+        .select(lit("two").as("case_id"), col("doc_id"))
+      val three = Tables.documents(s, d)
+        .filter(col("text").contains("key agg row") ||
+          col("text").contains("merge batch") ||
+          col("text").contains("zz missing zz"))
+        .select(lit("three").as("case_id"), col("doc_id"))
+      two.unionByName(three)
+        .orderBy("case_id", "doc_id")
+        .localCheckpoint()
+    } finally graft.plans.TrigramAcceleration.disable(s, rule)
+  }
+
   /** EXACT PHRASE SEARCH over the positional postings store
     * ([[PhraseIndex]], round 16) — the inverted-index capability the
     * bag-of-words BM25 postings can't express: tokens ADJACENT and in
@@ -804,5 +851,5 @@ object Retrieval {
     q130RerankPipeline, q174TrigramSubstringServe, q179CatalogTrigramSql,
     q181TrigramRegexServe, q184TrigramMaintain, q188TrigramAccelRule,
     q191PhraseSearch, q192PhraseMaintain, q193CatalogPhraseSql,
-    q195ProximitySearch)
+    q195ProximitySearch, q197TrigramOrRule)
 }

@@ -33,12 +33,18 @@ import graft.streaming.UpsertStore
   *
   *  - only POSITIVE TOP-LEVEL CONJUNCTS of the filter condition are
   *    index-answerable (ADVICE r15): a `Contains`/`RLike` nested under
-  *    `NOT`, `OR`, or a conditional does NOT imply its trigrams are
-  *    required of every kept row, so the rule never descends into the
-  *    condition — it splits the conjunction and matches each conjunct
-  *    whole. ALL answerable conjuncts contribute (VERDICT r15 #3):
-  *    single-branch requirements merge into one AND of grams,
-  *    multi-branch (regex-alternation) requirements intersect as
+  *    `NOT` or a conditional does NOT imply its trigrams are required
+  *    of every kept row, so the rule never descends into those — it
+  *    splits the conjunction and matches each conjunct whole. A
+  *    conjunct that is itself a TOP-LEVEL DISJUNCTION of answerable
+  *    atoms IS answerable (VERDICT r16 #4): every kept row satisfies
+  *    some disjunct and so carries all grams of one of its branches —
+  *    the union of branch candidate sets stays a superset, with the
+  *    df bound for the OR = sum of branch bounds; one unanswerable
+  *    disjunct poisons the whole conjunct (honest decline). ALL
+  *    answerable conjuncts contribute (VERDICT r15 #3): single-branch
+  *    requirements merge into one AND of grams, multi-branch
+  *    (regex-alternation or OR-of-contains) requirements intersect as
   *    candidate sets, so `contains(a) AND contains(b)` prunes on both;
   *  - the filter's child must scan the indexed corpus AND NOTHING
   *    ELSE — every leaf of the child subtree must be the corpus scan
@@ -176,13 +182,12 @@ final class TrigramContainsRewrite(spark: SparkSession, val storePath: String,
     case f @ Filter(cond, child)
         if !alreadyPruned(child) && child.output.exists(_.name == "doc_id") &&
           guard.onlyScansCorpus(child) =>
-      // index-answerable POSITIVE TOP-LEVEL CONJUNCTS only: a literal
-      // contains (one required fragment), or a literal RLIKE whose
-      // regex compiles to required literals (the q181 compiler,
-      // compiled ONCE per conjunct — a None compilation means the
-      // index cannot prune that conjunct, so it simply doesn't
-      // contribute; the untouched filter keeps it correct)
-      val reqs: Seq[Seq[Seq[String]]] = splitConjunctivePredicates(cond).flatMap {
+      // index-answerable ATOM: a literal contains (one required
+      // fragment), or a literal RLIKE whose regex compiles to required
+      // literals (the q181 compiler, compiled ONCE per conjunct — a
+      // None compilation means the index cannot prune that atom)
+      def atomReqs(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Option[Seq[Seq[String]]] = e match {
         case Contains(a: AttributeReference, Literal(p: UTF8String, StringType))
             if a.name == "text" && p != null && p.toString.length >= 3 &&
               child.outputSet.contains(a) =>
@@ -191,6 +196,26 @@ final class TrigramContainsRewrite(spark: SparkSession, val storePath: String,
             if a.name == "text" && p != null && child.outputSet.contains(a) =>
           graft.operators.TrigramIndex.requiredLiterals(p.toString)
         case _ => None
+      }
+      // POSITIVE TOP-LEVEL CONJUNCTS only (the r15 soundness rule —
+      // never descend into Not/CaseWhen), where each conjunct is
+      // either an answerable atom or a TOP-LEVEL DISJUNCTION of
+      // answerable atoms (VERDICT r16 #4): a row kept by
+      // `contains(a) OR contains(b)` satisfies SOME disjunct, so it
+      // carries all grams of some branch — the UNION of the branch
+      // candidate sets is still a by-construction superset, and an OR
+      // of DNFs is just branch concatenation. ONE unanswerable
+      // disjunct poisons the whole conjunct (a row may be kept by the
+      // disjunct the index knows nothing about), so it contributes
+      // nothing and the untouched filter keeps it correct.
+      val reqs: Seq[Seq[Seq[String]]] = splitConjunctivePredicates(cond).flatMap { c =>
+        splitDisjunctivePredicates(c) match {
+          case Seq(single) => atomReqs(single)
+          case disjuncts =>
+            val branches = disjuncts.map(atomReqs)
+            if (branches.forall(_.isDefined)) Some(branches.flatMap(_.get))
+            else None
+        }
       }
       (for {
         _ <- Option.when(reqs.nonEmpty)(())

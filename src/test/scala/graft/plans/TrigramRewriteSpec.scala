@@ -99,23 +99,69 @@ class TrigramRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("ADVICE r15: NOT / OR / CaseWhen-nested predicates never rewrite (top-level conjuncts only)") {
+  test("ADVICE r15: NOT / CaseWhen-nested predicates never rewrite (top-level conjuncts only)") {
     withRule {
       val not = corpus.filter(!$"text".contains("quick brown"))
       assert(!not.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
         "negated contains must not prune — its matches are the rows to DROP")
       assert(not.count() == 2, "NOT contains lost rows")
 
-      val or = corpus.filter($"text".contains("quick") || $"text".contains("wine"))
-      assert(!or.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
-        "a disjunct must not prune alone — the other disjunct keeps other rows")
-      assert(or.count() == 3, "OR of contains lost rows")
+      // an OR under NOT is De-Morgan territory the rule refuses —
+      // (a positive top-level OR itself rewrites since r17, see below)
+      val notOr = corpus.filter(
+        !($"text".contains("quick") || $"text".contains("wine")))
+      assert(!notOr.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "a negated disjunction must not prune")
+      assert(notOr.count() == 1, "NOT(OR) lost rows")
 
       val cw = corpus.filter(
         when($"text".contains("quick brown"), lit(false)).otherwise(lit(true)))
       assert(!cw.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
         "a contains under CaseWhen must not prune")
       assert(cw.count() == 2, "CaseWhen-guarded filter lost rows")
+    }
+  }
+
+  test("VERDICT r16 #4: a top-level OR of answerable atoms rewrites as a branch union") {
+    withRule {
+      val or2 = corpus.filter($"text".contains("quick") || $"text".contains("wine"))
+        .select("doc_id")
+      val opt2 = or2.queryExecution.optimizedPlan.toString
+      assert(opt2.contains("__tri_cand_doc_id"), s"2-way OR did not rewrite:\n$opt2")
+      assert(or2.as[Long].collect().toSet == Set(1L, 2L, 4L),
+        "2-way OR result diverged from the raw scan")
+
+      // 3-way, including an ABSENT disjunct (its candidate branch is
+      // empty — the union must still keep the other branches' rows)
+      val or3 = corpus.filter($"text".contains("panda") ||
+        $"text".contains("fox") || $"text".contains("purple cow")).select("doc_id")
+      assert(or3.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "3-way OR did not rewrite")
+      assert(or3.as[Long].collect().toSet == Set(1L, 2L, 3L),
+        "3-way OR result diverged from the raw scan")
+
+      // contains OR regex-alternation: the RLIKE's DNF branches concat
+      // with the contains branch
+      val orx = corpus.filter($"text".contains("wine") ||
+        $"text".rlike("(quick|slow)")).select("doc_id")
+      assert(orx.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "contains-OR-rlike did not rewrite")
+      assert(orx.as[Long].collect().toSet == Set(1L, 2L, 3L, 4L),
+        "contains-OR-rlike result diverged")
+
+      // ONE unanswerable disjunct (sub-trigram literal) poisons the
+      // whole conjunct: rows kept by it would be missing from the
+      // candidate union, so the rule must decline
+      val poisoned = corpus.filter($"text".contains("quick") || $"text".contains("qu"))
+      assert(!poisoned.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "an OR with a sub-trigram disjunct must not rewrite")
+      assert(poisoned.count() == 2, "poisoned OR lost rows")
+
+      // a non-text disjunct poisons too
+      val lenOr = corpus.filter($"text".contains("quick") || length($"text") > 23)
+      assert(!lenOr.queryExecution.optimizedPlan.toString.contains("__tri_cand_doc_id"),
+        "an OR with a non-index predicate must not rewrite")
+      assert(lenOr.count() == 3, "length-OR lost rows")
     }
   }
 
