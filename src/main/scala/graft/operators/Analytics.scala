@@ -683,6 +683,61 @@ object Analytics {
          |FROM graft.`$t` ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** MULTI-WAY (star) materialized view through the SCHEMA-GENERIC
+    * [[graft.streaming.JoinViewMaintainer]] (VERDICT r16 #2): lineitem
+    * ⋈ part ⋈ supplier — the q125 star-join shape — kept materialized
+    * and maintained by deltas on ALL THREE sides. The ΔV union covers
+    * every side: the fact delta joins the stored dimensions
+    * (broadcast-delta probe), and each dimension delta rewrites
+    * exactly its facts' view rows (fan-out-sized), including facts
+    * from the EARLIER fact delta that were waiting for a late part or
+    * supplier (inner-join semantics: a fact missing any dimension is
+    * not a view row until every dimension arrives). The synthetic
+    * lineitem declares NO primary key — (l_orderkey, l_linenumber)
+    * repeats — so the fact store keys on the full projected tuple
+    * (unique at every SF; facts are insert-shaped here — the keyed
+    * update/FK-repoint semantics are spec-pinned on the 2-way
+    * fixture, whose orders DO have a PK); the FK-redundant dimension
+    * keys drop from the projection. Oracle = the full 3-way join
+    * replay — bootstrap (80% of each side) + the three deltas must
+    * converge to it, hash-proven. Scale shape: no view recompute
+    * anywhere; every ingest shuffles delta-keyed rows with the delta
+    * broadcast against the stored sides. */
+  val q198StarViewIvm: QueryDef = sql(
+    "q198_star_view_ivm",
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+      |       p_name, p_brand, s_name
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val part = s.read.parquet(s"$d/part.parquet")
+    val supp = s.read.parquet(s"$d/supplier.parquet")
+    val cutL = li.agg(expr("percentile(l_orderkey, 0.8)")).head().getDouble(0).toLong
+    val cutP = part.agg(expr("percentile(p_partkey, 0.8)")).head().getDouble(0).toLong
+    val cutS = supp.agg(expr("percentile(s_suppkey, 0.8)")).head().getDouble(0).toLong
+    val m = new graft.streaming.JoinViewMaintainer(
+      s, graft.Scratch.dir("graft_star_view") + "/view",
+      factKeys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity"),
+      factCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity"),
+      dims = Seq(
+        graft.streaming.DimSpec(Seq("l_partkey"), Seq("p_partkey"),
+          Seq("p_partkey", "p_name", "p_brand")),
+        graft.streaming.DimSpec(Seq("l_suppkey"), Seq("s_suppkey"),
+          Seq("s_suppkey", "s_name"))))
+    m.bootstrap(li.filter(col("l_orderkey") <= cutL),
+      Seq(part.filter(col("p_partkey") <= cutP),
+        supp.filter(col("s_suppkey") <= cutS)))
+    m.ingestFact(li.filter(col("l_orderkey") > cutL), Some(0L))
+    m.ingestDim(0, part.filter(col("p_partkey") > cutP), Some(1L))
+    m.ingestDim(1, supp.filter(col("s_suppkey") > cutS), Some(2L))
+    m.current.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+      "l_quantity")
+  }
+
   /** Sliding-HLL trailing-7-day active users — q136's WAU for
     * unbounded user cardinality. One DataSketches HLL sketch per day is
     * the ONLY user-sized aggregation (partial+final, map-side
@@ -999,7 +1054,7 @@ object Analytics {
     q140FuzzySortedNeighborhood, q141WeightedSample,
     q142MarketBasket, q143SessionConversion, q144IntereventGaps,
     q145TokenEntropy, q146BigramNll, q147RollupIvm, q194JoinViewIvm,
-    q196CatalogJoinViewSql,
+    q196CatalogJoinViewSql, q198StarViewIvm,
     q148HllWau, q149TfidfFromIndex, q150FuzzyFullVerify,
     q152StratifiedSample, q153HllWindowServe, q155DailyEwma,
     q158CatalogHllSql)

@@ -4,91 +4,189 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-/** INCREMENTAL MATERIALIZED JOIN VIEW (round 16) — the JOIN cousin of
-  * q147's aggregate view maintenance: `orders ⋈ customer` kept
-  * materialized in a keyed [[UpsertStore]] and maintained by DELTAS on
-  * EITHER side, never by recomputing the join. The classic IVM
-  * decomposition (ΔV = ΔA⋈B ∪ A⋈ΔB, with A already containing earlier
-  * ΔA by the time ΔB arrives — batches are sequential, the maintainer
-  * family's standing contract):
+/** One dimension of a materialized (star) join view: the fact's
+  * `factFk` column(s) equi-join the dimension's `dimKeys`, and the
+  * view projects `dimCols` minus the (FK-redundant) join keys.
+  * `dimCols` must contain `dimKeys`; column names must be disjoint
+  * from the fact's and the other dimensions' (the TPC-H prefix
+  * convention — the maintainer does not rename). */
+final case class DimSpec(factFk: Seq[String], dimKeys: Seq[String],
+                         dimCols: Seq[String]) {
+  require(dimKeys.forall(dimCols.contains), "dimCols must include dimKeys")
+}
+
+/** INCREMENTAL MATERIALIZED JOIN VIEW (round 16; schema-generic since
+  * round 17 — VERDICT r16 #2): a fact ⋈ dim₁ ⋈ … ⋈ dimₙ star view
+  * kept materialized in a keyed [[UpsertStore]] and maintained by
+  * DELTAS on ANY side, never by recomputing the join. The classic IVM
+  * decomposition, n-way (batches are sequential, so each stored side
+  * already contains earlier deltas when the next arrives):
   *
-  *  - `ingestLeft(ΔA)`: upsert ΔA into the stored left side, then
-  *    view-upsert `ΔA ⋈ B_stored` — delta-sized probe, the stored
-  *    right side joins via a broadcast of the (small) delta;
-  *  - `ingestRight(ΔB)`: upsert ΔB into the stored right side, then
-  *    view-upsert `A_stored ⋈ ΔB` — a changed/late customer row
-  *    REWRITES every one of its orders' view rows (the fan-out a
-  *    dimension update owes), while untouched customers cost nothing.
+  *  - `ingestFact(ΔF)`: upsert ΔF into the stored fact side, then
+  *    view-upsert `ΔF ⋈ dim₁ ⋈ … ⋈ dimₙ` — delta-sized probe, the
+  *    stored dimensions join via a broadcast of the (small) delta;
+  *    fact keys in ΔF whose join now produces NO row (an FK re-pointed
+  *    to a not-yet-ingested dimension key — ADVICE r16) have their
+  *    stale view rows RETRACTED by an anti-join keyed delete, so the
+  *    view stays ≡ the inner join of the stored sides for every
+  *    update shape, not just the happy path;
+  *  - `ingestDim(i, ΔDᵢ)`: upsert ΔDᵢ into dimension i's store, then
+  *    view-upsert `F_stored ⋈ dim₁ ⋈ … ⋈ ΔDᵢ ⋈ … ⋈ dimₙ` — a
+  *    changed/late dimension row REWRITES every one of its facts'
+  *    view rows (the fan-out a dimension update owes), while
+  *    untouched dimension keys cost nothing.
   *
-  * The view is keyed by the left side's primary key (o_orderkey): the
-  * join is FK-shaped (each order matches ≤ 1 customer), so
-  * last-writer-wins by orderkey IS the view's update semantics — a
-  * re-sent order overwrites its row, a late-arriving customer
-  * materializes the orders that were waiting for it (inner-join view:
-  * unmatched orders simply aren't rows yet). Replays converge:
-  * recomputed view rows are pure functions of the stored sides, and
-  * the txn ledger makes recognized replays version-level no-ops.
+  * The view is keyed by the fact's primary key: every dimension join
+  * is FK-shaped (each fact row matches ≤ 1 row per dimension), so
+  * last-writer-wins by fact key IS the view's update semantics — a
+  * re-sent fact overwrites its row, a late-arriving dimension row
+  * materializes the facts that were waiting for it (inner-join view:
+  * facts missing any dimension simply aren't rows yet).
+  *
+  * Batch hygiene (ADVICE r16): every ingest dedups its delta ONCE
+  * (the store's own greatest-value-tuple rule) and feeds the
+  * IDENTICAL deduped frame to both the side-store upsert and the view
+  * join — so the view's winner always matches the stored side's even
+  * when a batch repeats a key — and `bootstrap` applies the same
+  * dedup to arbitrary caller input instead of claiming key-uniqueness
+  * for it. Replays converge: a ledger check on the view store's
+  * committed txn short-circuits the whole composition (upserts + the
+  * non-ledgered stale-row delete), so a replayed batch cannot re-run
+  * the retraction against post-batch state.
   *
   * Scale shape: both ingest paths shuffle ONLY delta-keyed rows; the
-  * stored side is read through the keyed store's merged view with the
-  * delta broadcast as the build side (AQE sees the delta's size). A
-  * full-view recompute appears nowhere — the 100 TB fact table is
-  * never rescanned to absorb a dimension trickle.
+  * stored sides are read through the keyed store's merged view with
+  * the delta broadcast as the build side (AQE sees the delta's size).
+  * A full-view recompute appears nowhere — the 100 TB fact table is
+  * never rescanned to absorb a dimension trickle, and a dimension
+  * trickle's fan-out is exactly its facts' rows.
   *
-  * Deletes are out of scope (append/update-only, the engine-wide
-  * corpus contract); an anti-join delete verb would follow the
-  * [[ParquetUpsertSink]] delete path if a source needed it.
+  * Whole-document deletes are the takedown path ([[graft.operators
+  * .Takedown]] family); the FK-repoint retraction above is the one
+  * delete shape inner-join IVM itself owes.
   */
-final class JoinViewMaintainer(spark: SparkSession, basePath: String)
+final class JoinViewMaintainer(
+    spark: SparkSession, basePath: String,
+    factKeys: Seq[String], factCols: Seq[String], dims: Seq[DimSpec])
     extends Serializable {
 
-  private val leftPath = s"${basePath}__left"
-  private val rightPath = s"${basePath}__right"
+  /** The established 2-way view (orders ⋈ customer) — the shape the
+    * catalog bridges register; kept as the no-spec constructor so
+    * q194/q196 and the Java/Python twins run unchanged THROUGH the
+    * generic code path. */
+  def this(spark: SparkSession, basePath: String) =
+    this(spark, basePath, Seq("o_orderkey"),
+      Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      Seq(DimSpec(Seq("o_custkey"), Seq("c_custkey"),
+        Seq("c_custkey", "c_name", "c_mktsegment"))))
 
-  /** The view definition — one place, both build and delta paths. */
-  private def joined(a: DataFrame, b: DataFrame): DataFrame =
-    a.join(b, col("o_custkey") === col("c_custkey"))
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        col("c_name"), col("c_mktsegment"))
+  require(factKeys.forall(factCols.contains), "factCols must include factKeys")
 
-  private def leftCols(df: DataFrame): DataFrame =
-    df.select("o_orderkey", "o_custkey", "o_totalprice")
-  private def rightCols(df: DataFrame): DataFrame =
-    df.select("c_custkey", "c_name", "c_mktsegment")
+  private val factPath = s"${basePath}__left"
+  private def dimPath(i: Int): String =
+    if (dims.size == 1) s"${basePath}__right" else s"${basePath}__dim$i"
 
-  /** Seed sides + view from the historical snapshot. */
-  def bootstrap(left: DataFrame, right: DataFrame): Unit = {
-    UpsertStore.replace(spark, leftPath, leftCols(left),
-      Seq("o_orderkey"), assumeKeyUnique = true)
-    UpsertStore.replace(spark, rightPath, rightCols(right),
-      Seq("c_custkey"), assumeKeyUnique = true)
-    UpsertStore.replace(spark, basePath, joined(leftCols(left), rightCols(right)),
-      Seq("o_orderkey"), assumeKeyUnique = true)
-  }
+  private def factProj(df: DataFrame): DataFrame =
+    df.select(factCols.map(c => col(s"`$c`")): _*)
+  private def dimProj(i: Int)(df: DataFrame): DataFrame =
+    df.select(dims(i).dimCols.map(c => col(s"`$c`")): _*)
 
-  /** Fold a left-side (fact) batch in: ΔA ⋈ B_stored, delta-keyed.
-    * Raw user batches may repeat a key (a re-sent order in the same
-    * batch), so the within-batch dedup stays ON — claiming
-    * assumeKeyUnique on arbitrary input would make the kept row
-    * partitioning-dependent. */
-  def ingestLeft(delta: DataFrame, txnId: Option[Long] = None): Unit = {
-    val d = leftCols(delta)
-    UpsertStore.upsert(spark, leftPath, d, Seq("o_orderkey"), txnId = txnId)
-    val right = UpsertStore.read(spark, rightPath).getOrElse(
+  /** The view definition — one place, bootstrap and both delta paths:
+    * the fact chain-joins each dimension on FK = dim key, and the
+    * FK-redundant dimension keys drop from the projection (the view
+    * carries the fact's FK columns already). */
+  private def joined(fact: DataFrame, dimDfs: Seq[DataFrame]): DataFrame =
+    dims.zip(dimDfs).zipWithIndex.foldLeft(factProj(fact)) {
+      case (acc, ((spec, dimDf), i)) =>
+        val d = dimProj(i)(dimDf)
+        val cond = spec.factFk.zip(spec.dimKeys)
+          .map { case (f, k) => acc(f) === d(k) }.reduce(_ && _)
+        spec.dimKeys.foldLeft(acc.join(d, cond))((j, k) => j.drop(d(k)))
+    }
+
+  private def readFact(): DataFrame =
+    UpsertStore.read(spark, factPath).getOrElse(
       sys.error(s"join view at $basePath not bootstrapped"))
-    UpsertStore.upsert(spark, basePath, joined(broadcast(d), right),
-      Seq("o_orderkey"), txnId = txnId)
+  private def readDim(i: Int): DataFrame =
+    UpsertStore.read(spark, dimPath(i)).getOrElse(
+      sys.error(s"join view at $basePath not bootstrapped"))
+
+  /** Seed sides + view from the historical snapshot. Caller input is
+    * deduped HERE (once per side) and the deduped frames feed both
+    * the side stores and the view join (ADVICE r16: claiming
+    * `assumeKeyUnique` on arbitrary bridge input wrote duplicate-key
+    * rows into all three stores; dedup rules are deterministic, so
+    * recomputation of the shared frame converges). */
+  def bootstrap(fact: DataFrame, dimDfs: Seq[DataFrame]): Unit = {
+    require(dimDfs.size == dims.size,
+      s"expected ${dims.size} dimension frame(s), got ${dimDfs.size}")
+    val f = UpsertStore.dedupByKey(factProj(fact), factKeys)
+    val ds = dimDfs.zipWithIndex.map { case (df, i) =>
+      UpsertStore.dedupByKey(dimProj(i)(df), dims(i).dimKeys)
+    }
+    UpsertStore.replace(spark, factPath, f, factKeys, assumeKeyUnique = true)
+    ds.zipWithIndex.foreach { case (d, i) =>
+      UpsertStore.replace(spark, dimPath(i), d, dims(i).dimKeys,
+        assumeKeyUnique = true)
+    }
+    // FK-shaped joins of key-unique sides are key-unique by fact key
+    UpsertStore.replace(spark, basePath, joined(f, ds), factKeys,
+      assumeKeyUnique = true)
   }
 
-  /** Fold a right-side (dimension) batch in: A_stored ⋈ ΔB — rewrites
-    * exactly the affected orders' view rows. */
+  /** 2-way compatibility spelling. */
+  def bootstrap(left: DataFrame, right: DataFrame): Unit =
+    bootstrap(left, Seq(right))
+
+  /** Fold a fact batch in: ΔF ⋈ stored dims, delta-keyed, plus the
+    * FK-repoint stale-row retraction (class doc). */
+  def ingestFact(delta: DataFrame, txnId: Option[Long] = None): Unit = {
+    // ledger FIRST: the stale-row delete below is not ledgered, so a
+    // replay of a committed batch must skip the whole composition —
+    // recomputing "stale" against post-batch dimension state could
+    // retract a row a LATER batch legitimately materialized
+    if (txnId.exists(_ <= UpsertStore.committedTxn(spark, basePath))) return
+    val d = UpsertStore.dedupByKey(factProj(delta), factKeys)
+    UpsertStore.upsert(spark, factPath, d, factKeys,
+      assumeKeyUnique = true, txnId = txnId)
+    val dimStores = dims.indices.map(readDim)
+    val vd = joined(broadcast(d), dimStores)
+    UpsertStore.upsert(spark, basePath, vd, factKeys,
+      assumeKeyUnique = true, txnId = txnId)
+    // ADVICE r16: delta keys whose join produced NO row have no live
+    // view row to keep — delete whatever stale row an earlier FK
+    // still materializes. Delta-keyed anti-join; delete only when
+    // non-empty (no store churn on the happy path).
+    val stale = d.select(factKeys.map(col): _*)
+      .join(vd.select(factKeys.map(col): _*), factKeys, "left_anti")
+      .localCheckpoint()
+    if (!stale.isEmpty) UpsertStore.delete(spark, basePath, stale, factKeys)
+  }
+
+  /** 2-way compatibility name. */
+  def ingestLeft(delta: DataFrame, txnId: Option[Long] = None): Unit =
+    ingestFact(delta, txnId)
+
+  /** Fold a dimension batch in: F_stored ⋈ … ⋈ ΔDᵢ ⋈ … — rewrites
+    * exactly the affected facts' view rows (the broadcast delta is the
+    * restricting side; facts not referencing it drop at the join). */
+  def ingestDim(i: Int, delta: DataFrame, txnId: Option[Long] = None): Unit = {
+    require(i >= 0 && i < dims.size, s"no dimension $i (have ${dims.size})")
+    if (txnId.exists(_ <= UpsertStore.committedTxn(spark, basePath))) return
+    val d = UpsertStore.dedupByKey(dimProj(i)(delta), dims(i).dimKeys)
+    UpsertStore.upsert(spark, dimPath(i), d, dims(i).dimKeys,
+      assumeKeyUnique = true, txnId = txnId)
+    val dimDfs = dims.indices.map(j => if (j == i) broadcast(d) else readDim(j))
+    UpsertStore.upsert(spark, basePath, joined(readFact(), dimDfs), factKeys,
+      assumeKeyUnique = true, txnId = txnId)
+    // a dimension upsert keys on the dim PK, so it cannot re-point or
+    // orphan a fact row — no retraction owed on this path
+  }
+
+  /** 2-way compatibility name. */
   def ingestRight(delta: DataFrame, txnId: Option[Long] = None): Unit = {
-    val d = rightCols(delta)
-    UpsertStore.upsert(spark, rightPath, d, Seq("c_custkey"), txnId = txnId)
-    val left = UpsertStore.read(spark, leftPath).getOrElse(
-      sys.error(s"join view at $basePath not bootstrapped"))
-    UpsertStore.upsert(spark, basePath, joined(left, broadcast(d)),
-      Seq("o_orderkey"), txnId = txnId)
+    require(dims.size == 1, "ingestRight is the 2-way spelling; use ingestDim")
+    ingestDim(0, delta, txnId)
   }
 
   /** The materialized view, as of the last committed batch. */
@@ -96,15 +194,16 @@ final class JoinViewMaintainer(spark: SparkSession, basePath: String)
     UpsertStore.read(spark, basePath).getOrElse(
       sys.error(s"join view at $basePath not bootstrapped"))
 
-  /** Register the materialized view (and its two side tables) under
-    * the `graft` catalog, so the maintained join is readable — and
+  /** Register the materialized view (and its side tables) under the
+    * `graft` catalog, so the maintained join is readable — and
     * time-travel-readable via `VERSION AS OF` — in PLAIN SQL by table
     * name (the q179/q193 idiom applied to the view family):
-    * `<catalog>.<name>` is the view, `<catalog>.<name>__left` /
-    * `__right` the stored sides. Stats flow from the stores'
-    * manifest-listed sizes (the r16 SupportsReportStatistics surface),
-    * so downstream joins against the registered view broadcast
-    * hint-free when it is small.
+    * `<catalog>.<name>` is the view, `<catalog>.<name>__left` the
+    * fact store, and `<catalog>.<name>__right` (2-way) /
+    * `<catalog>.<name>__dim<i>` (star) the dimension stores. Stats
+    * flow from the stores' manifest-listed sizes (the r16
+    * SupportsReportStatistics surface), so downstream joins against
+    * the registered view broadcast hint-free when it is small.
     *
     * PRIVATE because the catalog resolves a table's physical dir from
     * its own warehouse + table name — registration is only meaningful
@@ -113,26 +212,28 @@ final class JoinViewMaintainer(spark: SparkSession, basePath: String)
     * registering a store living elsewhere would create an entry over
     * an empty dir. */
   private[streaming] def registerTables(name: String, catalog: String = "graft"): Unit = {
-    graft.operators.PairGraph.ensureTable(spark, catalog, name, basePath,
-      Seq("o_orderkey"))
+    graft.operators.PairGraph.ensureTable(spark, catalog, name, basePath, factKeys)
     graft.operators.PairGraph.ensureTable(spark, catalog, s"${name}__left",
-      leftPath, Seq("o_orderkey"))
-    graft.operators.PairGraph.ensureTable(spark, catalog, s"${name}__right",
-      rightPath, Seq("c_custkey"))
+      factPath, factKeys)
+    dims.indices.foreach { i =>
+      val suffix = if (dims.size == 1) "__right" else s"__dim$i"
+      graft.operators.PairGraph.ensureTable(spark, catalog, s"$name$suffix",
+        dimPath(i), dims(i).dimKeys)
+    }
   }
 
-  /** Wire the FACT side into a streaming query (the dimension side is
-    * batch-ingested via [[ingestRight]], the usual warehouse shape). */
-  def run(orders: DataFrame, checkpointDir: String,
+  /** Wire the FACT side into a streaming query (dimension sides are
+    * batch-ingested via [[ingestDim]], the usual warehouse shape). */
+  def run(facts: DataFrame, checkpointDir: String,
           trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
-    orders.writeStream
+    facts.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          if (!batch.isEmpty) ingestLeft(batch, Some(batchId))
+          if (!batch.isEmpty) ingestFact(batch, Some(batchId))
         } finally batch.unpersist()
       }
       .start()
@@ -140,13 +241,14 @@ final class JoinViewMaintainer(spark: SparkSession, basePath: String)
 
 object JoinViewMaintainer {
 
-  /** Build-or-gate-serve the materialized view AT the warehouse path
-    * and register it (the [[graft.operators.PhraseIndex.registerCatalog]]
-    * shape, with the fingerprint gate over BOTH input snapshots): a
-    * meta row matching (left, right) fingerprints — committed LAST —
-    * skips the rebuild; any crash window degrades to a rebuild, never
-    * a stale serve. The static entry point the Python/Java bridges
-    * call; returns the maintainer for subsequent delta ingests. */
+  /** Build-or-gate-serve the 2-way (orders ⋈ customer) view AT the
+    * warehouse path and register it (the [[graft.operators.PhraseIndex
+    * .registerCatalog]] shape, with the fingerprint gate over BOTH
+    * input snapshots): a meta row matching (left, right) fingerprints
+    * — committed LAST — skips the rebuild; any crash window degrades
+    * to a rebuild, never a stale serve. The static entry point the
+    * Python/Java bridges call; returns the maintainer for subsequent
+    * delta ingests. */
   def registerCatalog(spark: SparkSession, name: String,
                       left: DataFrame, right: DataFrame,
                       catalog: String = "graft"): JoinViewMaintainer = {

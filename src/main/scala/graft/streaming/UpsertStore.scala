@@ -115,6 +115,14 @@ object UpsertStore {
   def latestVersion(spark: SparkSession, path: String): Option[Long] =
     readManifest(spark, path).map(_.seq)
 
+  /** Highest committed txn id in the manifest ledger (−1 when none) —
+    * a maintainer that composes non-ledgered verbs around its upserts
+    * (e.g. the join-view maintainer's stale-row delete) checks this
+    * FIRST, so a replayed foreachBatch skips the whole composition
+    * instead of re-running the side verbs against post-batch state. */
+  def committedTxn(spark: SparkSession, path: String): Long =
+    readManifest(spark, path).map(_.txn).getOrElse(-1L)
+
   /** Total bytes of the CURRENT manifest's live part files — the stats
     * surface for planner broadcast decisions (VERDICT r15 #7): a keyed
     * store registered as a catalog table reports this size, so the
@@ -319,7 +327,13 @@ object UpsertStore {
     case _ => true
   }
 
-  private def dedupByKey(df: DataFrame, keys: Seq[String]): DataFrame = {
+  /** graft-visible (ADVICE r16): a composing maintainer that feeds the
+    * SAME batch to two stores (e.g. the join-view maintainer's side
+    * store + view join) must dedup ONCE and hand the identical deduped
+    * frame to both — two independent dedups of a key-repeating batch
+    * are deterministic here (greatest value-tuple), but sharing one
+    * frame makes the winners agree by construction, not by argument. */
+  private[graft] def dedupByKey(df: DataFrame, keys: Seq[String]): DataFrame = {
     val valueCols = df.columns.filterNot(keys.contains)
     val allOrderable = valueCols.forall(c => orderable(df.schema(c).dataType))
     if (valueCols.isEmpty || !allOrderable) {

@@ -70,6 +70,102 @@ class JoinViewMaintainSpec extends AnyFunSuite {
       "ledgered replay advanced the view store")
   }
 
+  test("ADVICE r16: a key-repeating batch feeds ONE deduped frame to store and view") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jv-dup").toString
+    val m = new JoinViewMaintainer(spark, s"$dir/view")
+    m.bootstrap(ordersDf(), custDf((1L, "ann", "auto")))
+    // the batch repeats key 20: the dedup winner (greatest value
+    // tuple → custkey 9) references an ABSENT customer, while the
+    // losing duplicate would join customer 1 — the view must follow
+    // the stored winner, i.e. materialize NOTHING for key 20
+    m.ingestLeft(ordersDf((20L, 9L, 5.0), (20L, 1L, 99.0)))
+    val fact = UpsertStore.read(spark, s"$dir/view__left").get
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fact == Set((20L, 9L, 5.0)), s"fact store kept the wrong winner: $fact")
+    assert(viewSnap(m).isEmpty,
+      "view materialized the losing duplicate — store and view winners diverged")
+    // the winner's customer arrives → the stored winner materializes
+    m.ingestRight(custDf((9L, "zoe", "zinc")))
+    assert(viewSnap(m) == Set((20L, 9L, 5.0, "zoe", "zinc")))
+    // bootstrap with duplicate-keyed input dedups instead of writing
+    // duplicate-key rows into the stores (the bridge-input hazard)
+    val m2 = new JoinViewMaintainer(spark, s"$dir/view2")
+    m2.bootstrap(ordersDf((30L, 1L, 1.0), (30L, 2L, 2.0)),
+      custDf((1L, "ann", "auto"), (2L, "bob", "bike")))
+    assert(UpsertStore.read(spark, s"$dir/view2__left").get.count() == 1,
+      "duplicate-keyed bootstrap wrote duplicate fact rows")
+    assert(viewSnap(m2) == Set((30L, 2L, 2.0, "bob", "bike")),
+      "bootstrap view winner must match the deduped stored winner")
+  }
+
+  test("ADVICE r16: an FK re-point to an absent dimension key retracts the stale view row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jv-repoint").toString
+    val m = new JoinViewMaintainer(spark, s"$dir/view")
+    m.bootstrap(ordersDf((30L, 1L, 5.0)), custDf((1L, "ann", "auto")))
+    assert(viewSnap(m) == Set((30L, 1L, 5.0, "ann", "auto")))
+    // the update re-points order 30 at customer 9, who has not been
+    // ingested: the inner-join view has no row for 30 any more — the
+    // old row must not keep serving
+    m.ingestLeft(ordersDf((30L, 9L, 5.5)))
+    assert(viewSnap(m).isEmpty,
+      s"stale view row survived an FK re-point: ${viewSnap(m)}")
+    // the late dimension row re-materializes it with the NEW key
+    m.ingestRight(custDf((9L, "zoe", "zinc")))
+    assert(viewSnap(m) == Set((30L, 9L, 5.5, "zoe", "zinc")))
+    // a replay of the re-point batch via the ledger is a version-level
+    // no-op — in particular it must NOT re-run the retraction against
+    // the now-materialized row
+    m.ingestLeft(ordersDf((31L, 1L, 1.0)), Some(3L))
+    val v = UpsertStore.latestVersion(spark, s"$dir/view")
+    m.ingestLeft(ordersDf((31L, 1L, 1.0)), Some(3L))
+    assert(UpsertStore.latestVersion(spark, s"$dir/view") == v)
+    assert(viewSnap(m).map(_._1) == Set(30L, 31L))
+  }
+
+  test("VERDICT r16 #2: schema-generic star view — deltas on all three sides converge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jv-star").toString
+    val m = new JoinViewMaintainer(spark, s"$dir/view",
+      factKeys = Seq("l_orderkey", "l_linenumber"),
+      factCols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity"),
+      dims = Seq(
+        DimSpec(Seq("l_partkey"), Seq("p_partkey"), Seq("p_partkey", "p_name")),
+        DimSpec(Seq("l_suppkey"), Seq("s_suppkey"), Seq("s_suppkey", "s_name"))))
+    def li(rows: (Long, Long, Long, Long, Double)*) =
+      rows.toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    def pt(rows: (Long, String)*) = rows.toDF("p_partkey", "p_name")
+    def sp(rows: (Long, String)*) = rows.toDF("s_suppkey", "s_name")
+    def snap = m.current.as[(Long, Long, Long, Long, Double, String, String)]
+      .collect().toSet
+
+    // bootstrap: part 2 and supplier 20 arrive later
+    m.bootstrap(li((1L, 1L, 1L, 10L, 5.0), (1L, 2L, 2L, 10L, 6.0)),
+      Seq(pt((1L, "bolt")), sp((10L, "acme"))))
+    assert(snap == Set((1L, 1L, 1L, 10L, 5.0, "bolt", "acme")),
+      "a fact missing any dimension must not be a view row yet")
+
+    // fact delta: line (2,1) joins both dims; line (2,2) waits on supplier 20
+    m.ingestFact(li((2L, 1L, 1L, 10L, 7.0), (2L, 2L, 1L, 20L, 8.0)), Some(0L))
+    assert(snap.map(r => (r._1, r._2)) == Set((1L, 1L), (2L, 1L)))
+
+    // dimension deltas on BOTH dims: each materializes the facts that
+    // were waiting on it — from bootstrap AND the earlier fact delta
+    m.ingestDim(0, pt((2L, "nut")), Some(1L))
+    assert(snap.map(r => (r._1, r._2)) == Set((1L, 1L), (1L, 2L), (2L, 1L)),
+      "late part row must materialize the bootstrap fact that waited")
+    m.ingestDim(1, sp((20L, "zenith")), Some(2L))
+    assert(snap == Set(
+      (1L, 1L, 1L, 10L, 5.0, "bolt", "acme"),
+      (1L, 2L, 2L, 10L, 6.0, "nut", "acme"),
+      (2L, 1L, 1L, 10L, 7.0, "bolt", "acme"),
+      (2L, 2L, 1L, 20L, 8.0, "bolt", "zenith")),
+      s"star view diverged from the 3-way join: $snap")
+
+    // a dimension update fans out to every referencing view row
+    m.ingestDim(1, sp((10L, "acme2")), Some(3L))
+    assert(snap.count(_._7 == "acme2") == 3)
+  }
+
   test("foreachBatch wiring + checkpoint restart on the fact stream") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-jv-fb").toString
