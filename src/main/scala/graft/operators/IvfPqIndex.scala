@@ -297,6 +297,41 @@ object IvfPqIndex {
         txnId.getOrElse(mTxn)), Seq("meta_id"), assumeKeyUnique = true)
   }
 
+  /** RETRACT vectors from the index (round 17 — the takedown
+    * lifecycle's ANN leg): a keyed delete of the gone vec_ids' rows
+    * plus the XOR-retract of the fingerprint — NO retrain. Both side
+    * tables stay pinned: the coarse quantizer is trained on a FIXED
+    * sample whose geometry is deliberately independent of corpus
+    * membership (the r16 FAISS-discipline argument), and the PQ
+    * codebooks encode per-vector residuals, so deleting members
+    * changes neither — exactly why tombstoning is a cell-membership
+    * edit, not a rebuild. `gone` carries (vec_id, emb) full rows so
+    * the fingerprint retreats exactly; the meta advance is txn-guarded
+    * (not idempotent), the delete converges without it. Contract:
+    * retracted rows must currently be indexed. Note the gate
+    * consequence: after retraction the meta fingerprints the REMAINING
+    * corpus, so `ensure(remaining)` gate-serves. */
+  def retract(spark: SparkSession, gone: DataFrame, path: String,
+              txnId: Option[Long] = None): Unit = {
+    val metaPath = s"${path}__meta"
+    val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(
+      sys.error(s"no ivf-pq index at $path to retract from — run ensure first"))
+    val mTxn = meta.getAs[Long]("txn")
+    if (txnId.exists(_ <= mTxn)) return
+    require(!(meta.getAs[Boolean]("dirty") && meta.getAs[Long]("corpus_n") < 0),
+      s"ivf-pq index at $path was left dirty by an interrupted REBUILD — rerun ensure")
+    val centroids = meta.getAs[Int]("centroids")
+    val (baseN, baseH) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
+    UpsertStore.replace(spark, metaPath,
+      metaRow(spark, baseN, baseH, centroids, dirty = true, mTxn), Seq("meta_id"),
+      assumeKeyUnique = true)
+    UpsertStore.delete(spark, path, gone.select("vec_id"), Seq("vec_id"))
+    val (dn, dh) = PqIndex.fingerprint(gone)
+    UpsertStore.replace(spark, metaPath,
+      metaRow(spark, baseN - dn, baseH ^ dh, centroids, dirty = false,
+        txnId.getOrElse(mTxn)), Seq("meta_id"), assumeKeyUnique = true)
+  }
+
   /** IVFADC top-k from the STORED index for corpus-member queries
     * (`queryPred` over vec_id): probe → ADC over probed cells only →
     * exact re-rank of the top-C pool. `emb` supplies raw vectors for

@@ -401,6 +401,106 @@ object PairGraph {
       Seq("meta_id"), assumeKeyUnique = true)
   }
 
+  /** RETRACT documents from the pair graph + cluster table (round 17
+    * — the takedown lifecycle's near-dup leg, VERDICT r16 #1): the
+    * inverse that keeps both stores ≡ a from-scratch build on the
+    * remaining corpus. Near-dup pairs are per-pair facts (banded
+    * candidates + exact Jaccard of the two docs — no other doc
+    * contributes), so the remaining pair graph is exactly the stored
+    * pairs MINUS those incident to a gone doc; components, however,
+    * can SPLIT when a gone doc was a bridge, so the affected clusters'
+    * labels are RE-SOLVED: connected components over the post-delete
+    * pairs restricted to the affected clusters' surviving members
+    * (affected-cluster-sized work — the scoped-refresh discipline,
+    * never corpus-sized), relabeled min-member (the
+    * [[Dedup.clusterAssignments]] rule, so splits, re-elections, and
+    * label changes all come out exactly as a rebuild would). Members
+    * left with no pair lose their row (singletons are absent by
+    * contract). Returns the affected SURVIVING member ids (the
+    * manifest maintainer's refresh scope).
+    *
+    * Two phases, each behind its own meta txn (the
+    * [[extend]]/[[updateClusters]] layering): pairs + sigs + pair
+    * meta, then labels + cluster meta — a crash between them replays,
+    * phase 1 self-skips, phase 2 completes; a crash INSIDE a phase
+    * leaves that store's dirty marker → gate-missed rebuild, never a
+    * stale serve. Fingerprints retreat by the XOR rule on both metas,
+    * so they stay equal (the updateClusters lockstep guard) and a
+    * later gated serve of the remaining corpus hits. `gone` carries
+    * full (doc_id, text) rows of CURRENT corpus members — the
+    * fingerprint retreat is exact only for docs actually counted in. */
+  def retract(spark: SparkSession, gone: DataFrame, path: String,
+              txnId: Long): DataFrame = {
+    val cPath = s"${path}__clusters"
+    val cMetaPath = s"${path}__cmeta"
+    val metaPath = s"${path}__meta"
+    val goneIds = gone.select("doc_id").localCheckpoint()
+    val (dn, dh) = corpusFingerprint(gone)
+    val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(
+      sys.error(s"no pair graph at $path to retract from"))
+    require(!isDirty(meta),
+      s"pair graph at $path was left dirty by an interrupted mutation — " +
+        "serve it once via pairGraph (rebuild) before retracting")
+    val corpusV =
+      if (meta.schema.fieldNames.contains("corpus_v")) meta.getAs[Long]("corpus_v")
+      else -1L
+    val tau = meta.getAs[Double]("tau")
+    // ---- phase 1: pairs + sigs + pair meta
+    if (txnId > metaTxn(meta)) {
+      val pairs = UpsertStore.read(spark, path).getOrElse(
+        sys.error(s"pair graph store $path unreadable"))
+      val incident = pairs
+        .join(goneIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+        .unionByName(pairs.join(
+          goneIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi"))
+        .select("doc_a", "doc_b").distinct()
+      UpsertStore.replace(spark, metaPath,
+        metaRow(spark, -1L, 0L, tau, dirty = true, metaTxn(meta), corpusV),
+        Seq("meta_id"), assumeKeyUnique = true)
+      UpsertStore.delete(spark, path, incident, Seq("doc_a", "doc_b"))
+      UpsertStore.delete(spark, s"${path}__sigs", goneIds, Seq("doc_id"))
+      UpsertStore.replace(spark, metaPath,
+        metaRow(spark, meta.getAs[Long]("corpus_n") - dn,
+          meta.getAs[Long]("corpus_h") ^ dh, tau, dirty = false,
+          txnId, corpusV),
+        Seq("meta_id"), assumeKeyUnique = true)
+    }
+    // ---- phase 2: affected-cluster re-solve + cluster meta
+    val cMeta = UpsertStore.read(spark, cMetaPath).map(_.head()).getOrElse(
+      sys.error(s"no cluster table at $cPath to retract from"))
+    if (txnId <= metaTxn(cMeta)) return goneIds.limit(0)
+    require(!(isDirty(cMeta) && cMeta.getAs[Long]("corpus_n") < 0),
+      s"cluster table at $cPath was left dirty by an interrupted rebuild — " +
+        "serve it once via clusters (rebuild) before retracting")
+    val ct = UpsertStore.read(spark, cPath).getOrElse(
+      sys.error(s"cluster store $cPath unreadable"))
+    val affLabels = ct.join(goneIds, Seq("doc_id"), "left_semi")
+      .select("label").distinct().localCheckpoint()
+    val members = ct.join(affLabels, Seq("label"), "left_semi")
+      .select("doc_id").localCheckpoint()
+    val remaining = members.join(goneIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // post-delete pairs have no gone endpoints; a pair with doc_a in
+    // an affected component has doc_b in the same (closed) component
+    val subEdges = UpsertStore.read(spark, path).get
+      .join(remaining.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .select("doc_a", "doc_b")
+    val newLabels = Dedup.clusterAssignments(subEdges)
+    UpsertStore.replace(spark, cMetaPath,
+      metaRow(spark, -1L, 0L, tau, dirty = true, metaTxn(cMeta)),
+      Seq("meta_id"), assumeKeyUnique = true)
+    if (!members.isEmpty) {
+      UpsertStore.delete(spark, cPath, members, Seq("doc_id"))
+      UpsertStore.upsert(spark, cPath, newLabels, Seq("doc_id"),
+        assumeKeyUnique = true)
+    }
+    UpsertStore.replace(spark, cMetaPath,
+      metaRow(spark, cMeta.getAs[Long]("corpus_n") - dn,
+        cMeta.getAs[Long]("corpus_h") ^ dh, tau, dirty = false, txnId),
+      Seq("meta_id"), assumeKeyUnique = true)
+    remaining
+  }
+
   /** Register the pair graph + cluster table for `docs` under the
     * `graft` catalog (VERDICT r7 #5): builds (or gate-serves) both
     * stores AT the catalog's warehouse path — so the store's location

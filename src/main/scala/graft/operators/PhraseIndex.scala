@@ -66,6 +66,34 @@ object PhraseIndex {
     UpsertStore.upsert(spark, path, postings(docs),
       Seq("term", "doc_id"), assumeKeyUnique = true, txnId = txnId)
 
+  /** RETRACT documents from the positional store (round 17 — the
+    * takedown lifecycle): the family's simplest inverse, mirroring
+    * its simplest extend — every stored row is a pure function of its
+    * doc's text, so the deleted (term, doc_id) keys recompute from
+    * the gone rows and the keyed deletes are idempotent under replay;
+    * there are no counts to repair. The catalog meta (when present)
+    * advances by the XOR-retract rule behind a txn guard (the
+    * [[TrigramIndex.retract]] discipline). Contract: retracted rows
+    * must currently be indexed. */
+  def retract(spark: SparkSession, gone: DataFrame, path: String,
+              txnId: Option[Long] = None): Unit = {
+    val metaPath = s"${path}__meta"
+    val meta = UpsertStore.read(spark, metaPath).map(_.head())
+    val metaTxn = meta.map(m =>
+      if (m.schema.fieldNames.contains("txn")) m.getAs[Long]("txn") else -1L)
+      .getOrElse(-1L)
+    if (meta.isDefined && txnId.exists(_ <= metaTxn)) return
+    UpsertStore.delete(spark, path, postings(gone), Seq("term", "doc_id"))
+    meta.foreach { m =>
+      val (dn, dh) = PairGraph.corpusFingerprint(gone)
+      UpsertStore.replace(spark, metaPath,
+        metaRow(spark, m.getAs[Long]("corpus_n") - dn,
+          m.getAs[Long]("corpus_h") ^ dh)
+          .withColumn("txn", lit(txnId.getOrElse(metaTxn))),
+        Seq("meta_id"), assumeKeyUnique = true)
+    }
+  }
+
   private def metaRow(spark: SparkSession, n: Long, h: Long): DataFrame =
     spark.range(1).select(lit(1L).as("meta_id"),
       lit(n).as("corpus_n"), lit(h).as("corpus_h"))

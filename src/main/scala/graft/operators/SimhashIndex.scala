@@ -85,6 +85,45 @@ object SimhashIndex {
     } finally f.unpersist()
   }
 
+  /** RETRACT documents from both stores (round 17 — the takedown
+    * lifecycle): gone fingerprints recompute from the gone rows' text
+    * (pure function → replay-idempotent keyed deletes). A chunk
+    * posting row belongs to a DISTINCT fingerprint, so it is deleted
+    * only when NO surviving doc still carries that fingerprint — the
+    * from-scratch rule (`chunks(distinct fps of remaining)`)
+    * preserved incrementally; an exact-copy cluster that loses one
+    * member keeps its bucket rows. The catalog meta (when present)
+    * advances by the XOR-retract rule behind a txn guard. Contract:
+    * retracted rows must currently be indexed. */
+  def retract(spark: SparkSession, gone: DataFrame, path: String,
+              txnId: Option[Long] = None): Unit = {
+    val metaPath = s"${path}__meta"
+    val meta = UpsertStore.read(spark, metaPath).map(_.head())
+    val metaTxn = meta.map(m =>
+      if (m.schema.fieldNames.contains("txn")) m.getAs[Long]("txn") else -1L)
+      .getOrElse(-1L)
+    if (meta.isDefined && txnId.exists(_ <= metaTxn)) return
+    val goneFps = fps(gone).localCheckpoint()
+    UpsertStore.delete(spark, path, goneFps, Seq("doc_id"))
+    val survivors = UpsertStore.read(spark, path).getOrElse(
+      sys.error(s"simhash store at $path unreadable after delete"))
+    val orphaned = goneFps.select("simhash").distinct()
+      .join(survivors.select("simhash"), Seq("simhash"), "left_anti")
+      .localCheckpoint()
+    if (!orphaned.isEmpty)
+      UpsertStore.delete(spark, s"${path}__chunks", chunks(orphaned),
+        Seq("chunk", "chunk_val", "simhash"))
+    meta.foreach { m =>
+      val (dn, dh) = PairGraph.corpusFingerprint(gone)
+      UpsertStore.replace(spark, metaPath,
+        spark.range(1).select(lit(1L).as("meta_id"),
+          lit(m.getAs[Long]("corpus_n") - dn).as("corpus_n"),
+          lit(m.getAs[Long]("corpus_h") ^ dh).as("corpus_h"),
+          lit(txnId.getOrElse(metaTxn)).as("txn")),
+        Seq("meta_id"), assumeKeyUnique = true)
+    }
+  }
+
   private def chunks(fp: DataFrame): DataFrame =
     fp.select("simhash").distinct()
       .select(col("simhash"),

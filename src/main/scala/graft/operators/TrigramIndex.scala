@@ -84,6 +84,59 @@ object TrigramIndex {
     } finally delta.unpersist()
   }
 
+  /** RETRACT documents from both stores (round 17 — the takedown
+    * lifecycle, VERDICT r16 #1): the exact inverse of [[extend]].
+    * `gone` carries the retracted docs' (doc_id, text) — full rows,
+    * because the deleted posting KEYS and the touched-gram set are
+    * recomputed from the text (a pure function), which is what makes
+    * a crash-replay converge: a second pass derives the same keys,
+    * the deletes are no-ops, and the df recount re-reads the same
+    * (already-correct) counts. df rows whose posting list empties are
+    * DELETED, not zeroed — a from-scratch build on the remaining
+    * corpus has no row for a vanished gram, and the serve's rarest-K
+    * selection must agree with it. The catalog meta (when present)
+    * advances by the XOR-retract rule — fingerprints compose
+    * associatively, so removal is `(n − Δn, h ⊕ Δh)` — guarded by a
+    * txn column (the advance is NOT idempotent; monotonically
+    * increasing ids across extends and retracts are the caller's
+    * contract, as everywhere). Cost ∝ the gone docs' grams' posting
+    * lists — never corpus-sized. Contract: every retracted row must
+    * currently be indexed (retracting a never-indexed doc would
+    * corrupt the fingerprint). */
+  def retract(spark: SparkSession, gone: DataFrame, path: String,
+              txnId: Option[Long] = None): Unit = {
+    val metaPath = s"${path}__meta"
+    val meta = UpsertStore.read(spark, metaPath).map(_.head())
+    val metaTxn = meta.map(m =>
+      if (m.schema.fieldNames.contains("txn")) m.getAs[Long]("txn") else -1L)
+      .getOrElse(-1L)
+    if (meta.isDefined && txnId.exists(_ <= metaTxn)) return
+    val g = grams(gone).persist()
+    try {
+      UpsertStore.delete(spark, s"$path", g, Seq("gram", "doc_id"))
+      val postings = UpsertStore.read(spark, s"$path").getOrElse(
+        sys.error(s"trigram postings at $path unreadable after delete"))
+      val touched = g.select("gram").distinct()
+      val remaining = postings
+        .join(touched, Seq("gram"), "left_semi")
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+      UpsertStore.upsert(spark, s"${path}__df", remaining,
+        Seq("gram"), assumeKeyUnique = true)
+      val vanished = touched.join(remaining.select("gram"), Seq("gram"), "left_anti")
+        .localCheckpoint()
+      if (!vanished.isEmpty)
+        UpsertStore.delete(spark, s"${path}__df", vanished, Seq("gram"))
+      meta.foreach { m =>
+        val (dn, dh) = PairGraph.corpusFingerprint(gone)
+        UpsertStore.replace(spark, metaPath,
+          metaRow(spark, m.getAs[Long]("corpus_n") - dn,
+            m.getAs[Long]("corpus_h") ^ dh)
+            .withColumn("txn", lit(txnId.getOrElse(metaTxn))),
+          Seq("meta_id"), assumeKeyUnique = true)
+      }
+    } finally g.unpersist()
+  }
+
   private def metaRow(spark: SparkSession, n: Long, h: Long): DataFrame =
     spark.range(1).select(lit(1L).as("meta_id"),
       lit(n).as("corpus_n"), lit(h).as("corpus_h"))

@@ -78,6 +78,19 @@ final class ClusterMaintainer(
     }
   }
 
+  /** RETRACT documents from pairs + clusters (round 17 — the takedown
+    * lifecycle): delegates to [[PairGraph.retract]] (incident-pair
+    * delete, affected-cluster re-solve with splits and min-member
+    * relabeling, XOR fingerprint retreat on both metas, each phase
+    * behind its own txn guard). Returns the affected SURVIVING member
+    * ids — the manifest refresh scope. `txnId` is REQUIRED and shares
+    * the monotonic id space with [[ingestBatch]]'s batch ids (the
+    * engine-wide ledger contract): the XOR fingerprint retreat is
+    * associative, not idempotent, so only the recorded id makes a
+    * crash-replay converge. */
+  def retract(gone: DataFrame, txnId: Long): DataFrame =
+    PairGraph.retract(spark, gone, storePath, txnId)
+
   /** The cluster table as of the last committed batch (doc_id, label);
     * docs in no cluster are absent (label = self by contract). */
   def current: DataFrame =

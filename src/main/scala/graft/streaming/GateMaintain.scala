@@ -64,6 +64,75 @@ final class DedupGateMaintainer(
     UpsertStore.read(spark, decisionsPath).getOrElse(
       sys.error(s"no decision store at $decisionsPath — bootstrap first"))
 
+  /** RETRACT documents from the gate (round 17 — the takedown
+    * lifecycle's exact-dup leg): leaves seen-table + decisions ≡ a
+    * from-scratch gate over the remaining corpus. A hash group whose
+    * CANONICAL is retracted but that keeps survivors RE-POINTS to the
+    * min surviving doc_id (the min-id-wins rule over what remains) —
+    * the promoted survivor's decision flips to 'new'; a group with no
+    * survivor loses its seen row entirely, so RE-INGESTING retracted
+    * content later correctly reads as new. The BLOOM keeps its stale
+    * positives (a bloom cannot unlearn): it stays a SUPERSET filter,
+    * which is the only property the gate's exactness rests on — a
+    * stale positive costs one seen-table probe that now misses, never
+    * a wrong decision.
+    *
+    * Replay convergence without a ledger: the blast radius is keyed
+    * by CONTENT HASH (a pure function of the gone rows' text), and
+    * group membership is looked up by the CURRENT canonical ∪ the
+    * gone ids — so a crash at any write boundary replays to the same
+    * survivor set and every write below is idempotent (same keys,
+    * same values). Returns the surviving members' UPDATED decisions
+    * (doc_id, first_doc_id, status) — the facts-refresh scope.
+    * `gone` carries full (doc_id, text) rows of current corpus
+    * members. */
+  def retract(gone: DataFrame): DataFrame = {
+    val goneIds = gone.select("doc_id").localCheckpoint()
+    val hashes = gone.select(sha2(col("text"), 256).as("content_hash"))
+      .distinct().localCheckpoint()
+    val seen = UpsertStore.read(spark, storePath).getOrElse(
+      sys.error(s"no seen-table at $storePath — bootstrap first"))
+    val dec = decisions()
+    // current canonical per retracted hash (replay-stable via hash)
+    val groups = seen.join(hashes, Seq("content_hash")).localCheckpoint()
+    // member lookup key set: current canonical ∪ gone ids — covers
+    // both the pre-retract state (old canonical may be a gone id) and
+    // any partially-retracted replay state (seen already re-pointed)
+    val groupKeys = groups.select(col("first_doc_id").as("gk"))
+      .unionByName(goneIds.select(col("doc_id").as("gk"))).distinct()
+    val memberRows = dec.join(groupKeys,
+      dec("first_doc_id") === groupKeys("gk"), "left_semi")
+    val survivors = memberRows.join(goneIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val newCanon = survivors.groupBy("first_doc_id")
+      .agg(min("doc_id").as("new_first")).localCheckpoint()
+    // seen-table: re-point groups with survivors, drop the rest
+    val repointed = groups
+      .join(newCanon, Seq("first_doc_id"))
+      .select(col("content_hash"), col("new_first").as("first_doc_id"))
+      .localCheckpoint()
+    if (!repointed.isEmpty)
+      UpsertStore.upsert(spark, storePath, repointed, Seq("content_hash"),
+        assumeKeyUnique = true)
+    val emptied = groups
+      .join(newCanon, Seq("first_doc_id"), "left_anti")
+      .select("content_hash").localCheckpoint()
+    if (!emptied.isEmpty)
+      UpsertStore.delete(spark, storePath, emptied, Seq("content_hash"))
+    // decisions: survivors re-pointed (promoted min flips to 'new'),
+    // gone rows dropped
+    val updated = survivors.join(newCanon, Seq("first_doc_id"))
+      .select(col("doc_id"), col("new_first").as("first_doc_id"),
+        when(col("doc_id") === col("new_first"), "new")
+          .otherwise("duplicate").as("status"))
+      .localCheckpoint()
+    if (!updated.isEmpty)
+      UpsertStore.upsert(spark, decisionsPath, updated, Seq("doc_id"),
+        assumeKeyUnique = true)
+    UpsertStore.delete(spark, decisionsPath, goneIds, Seq("doc_id"))
+    updated
+  }
+
   /** Wire into a streaming query: every micro-batch is gated and its
     * decisions recorded. */
   def run(docs: DataFrame, checkpointDir: String,

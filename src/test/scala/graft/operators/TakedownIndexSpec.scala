@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+import graft.streaming.UpsertStore
+
+/** Index-store retraction (round 17 — the takedown lifecycle's serve
+  * legs): for each derived-store family, `retract(gone)` must leave
+  * the stores BIT-EQUAL to a from-scratch build on the remaining
+  * corpus — including the df/stats bookkeeping (vanished terms lose
+  * their rows, corpus stats and fingerprints retreat exactly, so a
+  * later gated ensure on the remaining corpus SERVES instead of
+  * rebuilding) — and a replayed retraction must converge. */
+class TakedownIndexSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    1L -> "alpha beta gamma delta epsilon",
+    2L -> "alpha beta zeta eta theta",
+    3L -> "unique tokens only here now",
+    4L -> "alpha beta gamma delta epsilon", // exact copy of 1
+    5L -> "closing words beta alpha gamma")
+  private val goneIds = Set(1L, 3L)
+  private def df(rows: Seq[(Long, String)]): DataFrame = rows.toDF("doc_id", "text")
+  private val full = df(docs)
+  private val gone = df(docs.filter(d => goneIds(d._1)))
+  private val remaining = df(docs.filterNot(d => goneIds(d._1)))
+
+  private def rows(path: String): Set[Seq[Any]] =
+    UpsertStore.read(spark, path).get.collect().map(_.toSeq.map {
+      case null => null
+      case s: Seq[_] => s.toList
+      case x => x
+    }).toSet
+
+  test("postings retract ≡ from-scratch (df rows vanish, stats + fingerprint retreat, gate re-serves)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-td-post").toString
+    PostingsIndex.ensure(spark, full, s"$dir/idx")
+    PostingsIndex.retract(spark, gone, s"$dir/idx", Some(1L))
+    PostingsIndex.ensure(spark, remaining, s"$dir/fresh")
+    assert(rows(s"$dir/idx") == rows(s"$dir/fresh"), "postings diverged")
+    assert(rows(s"$dir/idx__df") == rows(s"$dir/fresh__df"),
+      "df table diverged — vanished terms must lose their rows")
+    def stats(p: String) = UpsertStore.read(spark, s"${p}__stats").get
+      .select("n", "total_dl", "avgdl", "corpus_n", "corpus_h").head().toSeq
+    assert(stats(s"$dir/idx") == stats(s"$dir/fresh"),
+      "stats/fingerprint did not retreat to the remaining corpus' values")
+    // the retreated fingerprint means ensure(remaining) gate-SERVES
+    val v = UpsertStore.latestVersion(spark, s"$dir/idx")
+    PostingsIndex.ensure(spark, remaining, s"$dir/idx")
+    assert(UpsertStore.latestVersion(spark, s"$dir/idx") == v,
+      "post-retract ensure(remaining) must gate-serve, not rebuild")
+    // ledgered replay self-skips
+    PostingsIndex.retract(spark, gone, s"$dir/idx", Some(1L))
+    assert(stats(s"$dir/idx") == stats(s"$dir/fresh"), "replayed retract drifted stats")
+  }
+
+  test("trigram retract ≡ from-scratch build on the remaining corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-td-tri").toString
+    TrigramIndex.build(spark, full, s"$dir/idx")
+    TrigramIndex.retract(spark, gone, s"$dir/idx")
+    TrigramIndex.build(spark, remaining, s"$dir/fresh")
+    assert(rows(s"$dir/idx") == rows(s"$dir/fresh"), "trigram postings diverged")
+    assert(rows(s"$dir/idx__df") == rows(s"$dir/fresh__df"), "trigram df diverged")
+    // un-metered path: a repeated retract of the same (already absent)
+    // rows converges — keys recompute from text, deletes are no-ops
+    TrigramIndex.retract(spark, gone, s"$dir/idx")
+    assert(rows(s"$dir/idx__df") == rows(s"$dir/fresh__df"))
+  }
+
+  test("phrase retract ≡ from-scratch build on the remaining corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-td-phr").toString
+    PhraseIndex.build(spark, full, s"$dir/idx")
+    PhraseIndex.retract(spark, gone, s"$dir/idx")
+    PhraseIndex.build(spark, remaining, s"$dir/fresh")
+    assert(rows(s"$dir/idx") == rows(s"$dir/fresh"), "positional postings diverged")
+    // docs 2 and 4 contain the phrase; doc 1 did too but is retracted
+    // (doc 5 has the REVERSED bigram — must not match)
+    val hits = PhraseIndex.search(spark, s"$dir/idx",
+      Seq("alpha beta").toDF("query")).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(hits == Map(2L -> 1L, 4L -> 1L),
+      s"phrase serve must stop returning retracted docs: $hits")
+  }
+
+  test("simhash retract keeps shared-fingerprint bucket rows, drops orphaned ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-td-sim").toString
+    SimhashIndex.build(spark, full, s"$dir/idx")
+    // doc 1 is an exact copy of doc 4: retracting 1 must KEEP their
+    // shared fingerprint's chunk rows; retracting 3 orphans its own
+    SimhashIndex.retract(spark, gone, s"$dir/idx")
+    SimhashIndex.build(spark, remaining, s"$dir/fresh")
+    assert(rows(s"$dir/idx") == rows(s"$dir/fresh"), "fingerprint table diverged")
+    assert(rows(s"$dir/idx__chunks") == rows(s"$dir/fresh__chunks"),
+      "chunk postings diverged — shared-fp rows must survive, orphans must not")
+  }
+
+  test("ivf-pq retract: keyed delete, no retrain, fingerprint retreat gate-serves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-td-ivf").toString
+    val emb = (0L to 11L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).abs + 0.1))).toDF("vec_id", "emb")
+    val goneV = emb.filter($"vec_id".isin(3L, 7L))
+    IvfPqIndex.ensure(spark, emb, s"$dir/idx", centroids = 2)
+    val centsBefore = rows(s"$dir/idx__centroids")
+    IvfPqIndex.retract(spark, goneV, s"$dir/idx", Some(1L))
+    assert(UpsertStore.read(spark, s"$dir/idx").get
+      .filter($"vec_id".isin(3L, 7L)).count() == 0, "tombstoned rows still served")
+    assert(rows(s"$dir/idx__centroids") == centsBefore,
+      "retraction must not retrain the pinned quantizer")
+    // fingerprint retreat: ensure(remaining) gate-serves
+    val v = UpsertStore.latestVersion(spark, s"$dir/idx")
+    IvfPqIndex.ensure(spark, emb.filter(!$"vec_id".isin(3L, 7L)), s"$dir/idx",
+      centroids = 2)
+    assert(UpsertStore.latestVersion(spark, s"$dir/idx") == v,
+      "post-retract ensure(remaining) must gate-serve, not rebuild")
+    // ledgered replay self-skips
+    IvfPqIndex.retract(spark, goneV, s"$dir/idx", Some(1L))
+    assert(UpsertStore.latestVersion(spark, s"$dir/idx") == v)
+  }
+}
