@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, AsOf, CrawlDay, Dedup, DocScore, MoreRelational, Multimodal, Pipeline, Relational, Retrieval, Similarity, TextAnalysis, Warehouse, Windows}
+import graft.operators.{Analytics, AsOf, CrawlDay, Dedup, DocScore, MoreRelational, Multimodal, Pipeline, Relational, Retrieval, Similarity, Takedown, TextAnalysis, Warehouse, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,7 @@ object SparkEntry {
     Relational.all ++ MoreRelational.all ++ AsOf.all ++ Windows.all ++
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
       Pipeline.all ++ Warehouse.all ++ Retrieval.all ++ Analytics.all ++
-      DocScore.all ++ CrawlDay.all
+      DocScore.all ++ CrawlDay.all ++ Takedown.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -389,24 +389,24 @@ object Dedup {
     * at threshold `tau` over full (un-pruned) 3-gram shingle sets of
     * `src` — the shared ground-truth core of the q47/q48/q56 oracles
     * (each composes its own SELECT, q56 its own source CTEs). */
-  private def pairsCtes(tau: Double, src: String): String =
-    s"""tok AS (
+  private def pairsCtes(tau: Double, src: String, p: String = ""): String =
+    s"""${p}tok AS (
        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
        |  FROM $src WHERE len(string_split_regex(lower(text), '\\s+')) >= 3),
-       |sh0 AS (
+       |${p}sh0 AS (
        |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-       |  FROM tok, unnest(range(1, len(toks) - 1)) AS u(i)),
-       |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh0 GROUP BY doc_id),
-       |pairs AS (
+       |  FROM ${p}tok, unnest(range(1, len(toks) - 1)) AS u(i)),
+       |${p}sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM ${p}sh0 GROUP BY doc_id),
+       |${p}pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-       |  FROM sh0 a JOIN sh0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM ${p}sh0 a JOIN ${p}sh0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id),
-       |jp AS (
+       |${p}jp AS (
        |  SELECT doc_a, doc_b,
        |         CAST(shared AS DOUBLE) / (sa.nsh + sb.nsh - shared) AS jac
-       |  FROM pairs
-       |  JOIN sizes sa ON sa.doc_id = doc_a
-       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  FROM ${p}pairs
+       |  JOIN ${p}sizes sa ON sa.doc_id = doc_a
+       |  JOIN ${p}sizes sb ON sb.doc_id = doc_b
        |  WHERE CAST(shared AS DOUBLE) / (sa.nsh + sb.nsh - shared) >= $tau)""".stripMargin
 
   private def exactPairsSql(tau: Double, select: String): String =
@@ -1259,22 +1259,22 @@ object Dedup {
     * crawl-day oracle: all must hash-match the same from-scratch
     * recursive-CTE computation. [[manifestCtes]] is the WITH body
     * through `reasons` so composers can stack further CTEs on top. */
-  private[operators] val manifestCtes: String =
-    s"""${pairsCtes(0.6, "documents")},
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM jp
-       |  UNION ALL SELECT doc_b, doc_a FROM jp),
-       |reach AS (
-       |  SELECT src, dst FROM edges
+  private[operators] def manifestCtesFor(table: String, p: String = ""): String =
+    s"""${pairsCtes(0.6, table, p)},
+       |${p}edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM ${p}jp
+       |  UNION ALL SELECT doc_b, doc_a FROM ${p}jp),
+       |${p}reach AS (
+       |  SELECT src, dst FROM ${p}edges
        |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-       |comp AS (
+       |  SELECT r.src, e.dst FROM ${p}reach r JOIN ${p}edges e ON r.dst = e.src),
+       |${p}comp AS (
        |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-       |  FROM reach GROUP BY src),
-       |firsts AS (
+       |  FROM ${p}reach GROUP BY src),
+       |${p}firsts AS (
        |  SELECT sha256(text) AS h, MIN(doc_id) AS keep_doc
-       |  FROM documents GROUP BY 1),
-       |m AS (
+       |  FROM $table GROUP BY 1),
+       |${p}m AS (
        |  SELECT doc_id,
        |         len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
        |         CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS DOUBLE)
@@ -1284,8 +1284,8 @@ object Dedup {
        |           / len(string_split_regex(lower(text), '\\s+')) AS stopword_ratio,
        |         CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
        |           / len(string_split_regex(lower(text), '\\s+')) AS avg_token_len
-       |  FROM documents),
-       |staged AS (
+       |  FROM $table),
+       |${p}staged AS (
        |  SELECT d.doc_id,
        |         (d.doc_id <> f.keep_doc) AS is_exact_dup,
        |         CASE WHEN m.n_tokens < 10 THEN 'too_short'
@@ -1294,20 +1294,23 @@ object Dedup {
        |              WHEN m.avg_token_len < 2.0 OR m.avg_token_len > 12.0 THEN 'token_len_outlier'
        |              ELSE 'keep' END AS verdict,
        |         COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-       |  FROM documents d
-       |  JOIN firsts f ON sha256(d.text) = f.h
-       |  JOIN m ON d.doc_id = m.doc_id
-       |  LEFT JOIN comp c ON d.doc_id = c.doc_id),
-       |reps AS (
-       |  SELECT cluster_id, MIN(doc_id) AS rep FROM staged
+       |  FROM $table d
+       |  JOIN ${p}firsts f ON sha256(d.text) = f.h
+       |  JOIN ${p}m m ON d.doc_id = m.doc_id
+       |  LEFT JOIN ${p}comp c ON d.doc_id = c.doc_id),
+       |${p}reps AS (
+       |  SELECT cluster_id, MIN(doc_id) AS rep FROM ${p}staged
        |  WHERE NOT is_exact_dup AND verdict = 'keep' GROUP BY cluster_id),
-       |reasons AS (
+       |${p}reasons AS (
        |  SELECT s.doc_id, s.cluster_id,
        |         CASE WHEN s.is_exact_dup THEN 'exact_dup'
        |              WHEN s.verdict <> 'keep' THEN s.verdict
        |              WHEN s.doc_id <> r.rep THEN 'near_dup'
        |              ELSE 'kept' END AS reason
-       |  FROM staged s LEFT JOIN reps r ON s.cluster_id = r.cluster_id)""".stripMargin
+       |  FROM ${p}staged s LEFT JOIN ${p}reps r ON s.cluster_id = r.cluster_id)"""
+
+  /** The unprefixed, documents-table instance q156/q159/q190 compose. */
+  private[operators] val manifestCtes: String = manifestCtesFor("documents").stripMargin
 
   private val manifestSql: String =
     s"""WITH RECURSIVE $manifestCtes
