@@ -307,19 +307,23 @@ object Retrieval {
     graft.GraftFunctions.register(s)
     val t = s"bm_${PairGraph.dirKey64(d)}"
     PostingsIndex.registerCatalog(s, t, Tables.documents(s, d))
+    // the single stats row rides as a ONE-ROW aggregate: provably one
+    // row to the static planner (no scan stats needed through the
+    // V1ScanWrapper), so the join broadcasts hint-free and no
+    // CartesianProduct can appear (VERDICT r16 #6)
     s.sql(
       s"""WITH q AS (
          |  SELECT DISTINCT doc_id AS query_id, term
          |  FROM graft.`$t` WHERE doc_id < 3),
+         |st AS (SELECT max(n) AS n, max(avgdl) AS avgdl FROM graft.`${t}__stats`),
          |contrib AS (
-         |  SELECT /*+ BROADCAST(s) */
-         |         q.query_id, p.doc_id,
+         |  SELECT q.query_id, p.doc_id,
          |         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
          |           * p.tf * 2.2
          |           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)) AS c
          |  FROM q JOIN graft.`$t` p ON q.term = p.term
          |         JOIN graft.`${t}__df` d ON p.term = d.term
-         |         CROSS JOIN graft.`${t}__stats` s
+         |         CROSS JOIN st s
          |  WHERE q.query_id != p.doc_id),
          |scores AS (
          |  SELECT query_id, doc_id, ROUND(SUM(c), 6) AS score

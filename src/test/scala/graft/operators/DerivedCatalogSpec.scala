@@ -107,14 +107,17 @@ class DerivedCatalogSpec extends AnyFunSuite {
     // until r16; stores now surface manifest-listed sizes
     // (BaseRelation.sizeInBytes on the V1 path; SupportsReportStatistics
     // on the V2 scan), which lets AQE's runtime re-plan broadcast every
-    // EQUI-join without a hint — those 8 hints are deleted. Spark's
-    // V1ScanWrapper hides scan-level stats from the STATIC planner
-    // (V2ScanRelationPushDown wraps the V1Scan in a plain Scan), and
-    // AQE never rewrites a CartesianProduct, so the 3 CROSS JOINs
-    // (q100 centroids, q186 centroids, q106 single-row stats) keep
-    // their BROADCAST hint — deleting those demotes BroadcastNestedLoop
-    // to the spec-banned CartesianProduct. The pin below is on the
-    // FINAL adaptive plan, which is what executes.
+    // EQUI-join without a hint — 8 hints deleted in r16. The last 3
+    // (q100/q186 centroid CROSS JOINs, q106 single-row stats) died in
+    // r17 (VERDICT r16 #6): Spark's V1ScanWrapper hides scan-level
+    // stats from the STATIC planner and AQE never rewrites a
+    // CartesianProduct, so instead each metadata-sized side now rides
+    // as a grouping-free AGGREGATE (collect_list array exploded per
+    // row / max() over the one stats row) — an Aggregate without
+    // grouping keys is provably one row to the static planner, no scan
+    // stats needed, so the cross joins broadcast hint-free. Zero
+    // /*+ BROADCAST */ remain in main. The pin below is on the FINAL
+    // adaptive plan, which is what executes.
     val sf = graft.SharedSpark.sf0001
     for ((name, q) <- Seq(
         "q100" -> Similarity.q100CatalogAnn, "q106" -> Retrieval.q106CatalogBm25,
