@@ -31,12 +31,15 @@ import graft.{QueryDef, Tables}
   *  3. Serves, all from the committed stores: the manifest rows (the
   *     dedup answer), BM25 top-10 for the kept probe docs (doc_id < 3
   *     — the retrieval answer), a substring serve (one present + one
-  *     absent pattern), and the ANN top-3 for vec_id < 5.
+  *     absent pattern), a positional PHRASE serve (round 17 — the
+  *     sixteenth maintainer joins the composition, same kept-delta
+  *     lifecycle), and the ANN top-3 for vec_id < 5.
   *
   * Output is one tall frame (kind, k1, k2, v) — each serve keeps its
   * own key shape inside the shared schema, every value hash-exact:
   *   ('manifest', doc_id, 0, reason)   ('bm25', query_id, rk, doc_id)
-  *   ('substr', doc_id, 0, pattern)    ('ann', query_id, rk, neighbor)
+  *   ('substr', doc_id, 0, pattern)    ('phrase', doc_id, n_hits, q)
+  *   ('ann', query_id, rk, neighbor)
   *
   * Scale shape: every stage is its standalone query's plan (priced in
   * SCALING.md individually); the composition adds NO new shuffle — the
@@ -75,6 +78,21 @@ object CrawlDay {
        |subs AS (SELECT k.doc_id, p.pat
        |         FROM kept k, (VALUES ('key agg row'), ('zz missing zz')) p(pat)
        |         WHERE contains(k.text, p.pat)),
+       |kpos AS (SELECT doc_id, unnest(lst) AS term,
+       |                generate_subscripts(lst, 1) - 1 AS p
+       |         FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS lst
+       |               FROM kept)),
+       |phq AS (SELECT q, unnest(string_split_regex(q, ' ')) AS term,
+       |               generate_subscripts(string_split_regex(q, ' '), 1) - 1 AS qi
+       |        FROM (VALUES ('key agg row'), ('zz missing zz')) v(q)),
+       |phnq AS (SELECT q, COUNT(*) AS nq FROM phq GROUP BY 1),
+       |phv AS (SELECT phq.q, kpos.doc_id, kpos.p - phq.qi AS st
+       |        FROM phq JOIN kpos USING (term)),
+       |phs AS (SELECT q, doc_id, st, COUNT(*) AS votes
+       |        FROM phv GROUP BY 1, 2, 3),
+       |phrase AS (SELECT phs.q, phs.doc_id, COUNT(*) AS n_hits
+       |           FROM phs JOIN phnq ON phs.q = phnq.q AND phs.votes = phnq.nq
+       |           GROUP BY 1, 2),
        |annq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
        |         FROM embeddings WHERE vec_id < 5),
        |annc AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
@@ -91,6 +109,8 @@ object CrawlDay {
        |FROM sparse WHERE rk <= 10
        |UNION ALL
        |SELECT 'substr', doc_id, CAST(0 AS BIGINT), pat FROM subs
+       |UNION ALL
+       |SELECT 'phrase', doc_id, CAST(n_hits AS BIGINT), q FROM phrase
        |UNION ALL
        |SELECT 'ann', query_id, CAST(rk AS BIGINT), CAST(neighbor_id AS VARCHAR)
        |FROM annr WHERE rk <= 3
@@ -122,6 +142,12 @@ object CrawlDay {
       val tm = new graft.streaming.TrigramMaintainer(s, s"$base/trigram")
       tm.bootstrap(keptDocs.filter(col("doc_id") <= cut))
       tm.ingestBatch(keptDocs.filter(col("doc_id") > cut), Some(0L))
+      // round 17 (VERDICT r16 #7): the positional phrase family joins
+      // the composition — same kept-delta lifecycle as the other
+      // serving indexes, one phrase answer served from the store
+      val phm = new graft.streaming.PhraseMaintainer(s, s"$base/phrase")
+      phm.bootstrap(keptDocs.filter(col("doc_id") <= cut))
+      phm.ingestBatch(keptDocs.filter(col("doc_id") > cut), Some(0L))
       // the same day's embedding delta into the composed ANN store
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
@@ -146,10 +172,15 @@ object CrawlDay {
           Seq("key agg row", "zz missing zz").toDF("query"), keptDocs)
         .select(lit("substr").as("kind"), col("doc_id").as("k1"),
           lit(0L).as("k2"), col("query").as("v"))
+      val phraseRows = phm.serve(
+          Seq("key agg row", "zz missing zz").toDF("query"))
+        .select(lit("phrase").as("kind"), col("doc_id").as("k1"),
+          col("n_hits").as("k2"), col("query").as("v"))
       val annRows = im.serve(emb, col("vec_id") < 5)
         .select(lit("ann").as("kind"), col("query_id").as("k1"),
           col("rk").as("k2"), col("neighbor_id").cast("string").as("v"))
-      manifestRows.unionByName(bm25Rows).unionByName(subRows).unionByName(annRows)
+      manifestRows.unionByName(bm25Rows).unionByName(subRows)
+        .unionByName(phraseRows).unionByName(annRows)
         .orderBy("kind", "k1", "k2", "v")
         .localCheckpoint() // materialize before keptDocs unpersists
     } finally keptDocs.unpersist()
