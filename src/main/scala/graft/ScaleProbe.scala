@@ -236,7 +236,12 @@ object ScaleProbe {
     // the join-view catalog serve: gate-served after warm-up (the
     // q186 shape) — the ratio prices the ledger-skipped ingest checks
     // + the view read
-    "q196_catalog_join_view_sql")
+    "q196_catalog_join_view_sql",
+    // round 17: the OR-disjunction accelerated scan (candidate union,
+    // branch-summed df bound), the 3-way star view (ΔV on all three
+    // sides), and the takedown-day composition (curation retract +
+    // kept-diff index retract/extend + five store serves)
+    "q197_trigram_or_rule", "q198_star_view_ivm", "q199_takedown_day")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */
