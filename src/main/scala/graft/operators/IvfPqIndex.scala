@@ -317,19 +317,25 @@ object IvfPqIndex {
     val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(
       sys.error(s"no ivf-pq index at $path to retract from — run ensure first"))
     val mTxn = meta.getAs[Long]("txn")
-    if (txnId.exists(_ <= mTxn)) return
+    // retraction ledger: separate from the extend ledger (retract ids
+    // form their own monotonic sequence, independent of batch ids)
+    val mRtxn = if (meta.schema.fieldNames.contains("rtxn"))
+      meta.getAs[Long]("rtxn") else -1L
+    if (txnId.exists(_ <= mRtxn)) return
     require(!(meta.getAs[Boolean]("dirty") && meta.getAs[Long]("corpus_n") < 0),
       s"ivf-pq index at $path was left dirty by an interrupted REBUILD — rerun ensure")
     val centroids = meta.getAs[Int]("centroids")
     val (baseN, baseH) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
     UpsertStore.replace(spark, metaPath,
-      metaRow(spark, baseN, baseH, centroids, dirty = true, mTxn), Seq("meta_id"),
-      assumeKeyUnique = true)
+      metaRow(spark, baseN, baseH, centroids, dirty = true, mTxn)
+        .withColumn("rtxn", lit(mRtxn)),
+      Seq("meta_id"), assumeKeyUnique = true)
     UpsertStore.delete(spark, path, gone.select("vec_id"), Seq("vec_id"))
     val (dn, dh) = PqIndex.fingerprint(gone)
     UpsertStore.replace(spark, metaPath,
-      metaRow(spark, baseN - dn, baseH ^ dh, centroids, dirty = false,
-        txnId.getOrElse(mTxn)), Seq("meta_id"), assumeKeyUnique = true)
+      metaRow(spark, baseN - dn, baseH ^ dh, centroids, dirty = false, mTxn)
+        .withColumn("rtxn", lit(txnId.getOrElse(mRtxn))),
+      Seq("meta_id"), assumeKeyUnique = true)
   }
 
   /** IVFADC top-k from the STORED index for corpus-member queries

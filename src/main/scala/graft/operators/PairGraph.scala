@@ -60,6 +60,13 @@ object PairGraph {
   private def metaTxn(m: org.apache.spark.sql.Row): Long =
     if (m.schema.fieldNames.contains("txn")) m.getAs[Long]("txn") else -1L
 
+  /** The RETRACTION ledger rides a separate meta column: retract ids
+    * form their own monotonic sequence, independent of the streaming
+    * batch ids the extend ledger records — sharing one field would let
+    * a takedown's high-water mark make every later ingest self-skip. */
+  private def metaRtxn(m: org.apache.spark.sql.Row): Long =
+    if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L
+
   /** The fingerprint gate: exactly one meta row, matching (n, h, tau),
     * and NOT dirty. */
   private def gateOk(m: DataFrame, n: Long, h: Long, tau: Double): Boolean = {
@@ -446,7 +453,7 @@ object PairGraph {
       else -1L
     val tau = meta.getAs[Double]("tau")
     // ---- phase 1: pairs + sigs + pair meta
-    if (txnId > metaTxn(meta)) {
+    if (txnId > metaRtxn(meta)) {
       val pairs = UpsertStore.read(spark, path).getOrElse(
         sys.error(s"pair graph store $path unreadable"))
       val incident = pairs
@@ -455,20 +462,23 @@ object PairGraph {
           goneIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi"))
         .select("doc_a", "doc_b").distinct()
       UpsertStore.replace(spark, metaPath,
-        metaRow(spark, -1L, 0L, tau, dirty = true, metaTxn(meta), corpusV),
+        metaRow(spark, -1L, 0L, tau, dirty = true, metaTxn(meta), corpusV)
+          .withColumn("rtxn", lit(metaRtxn(meta))),
         Seq("meta_id"), assumeKeyUnique = true)
       UpsertStore.delete(spark, path, incident, Seq("doc_a", "doc_b"))
       UpsertStore.delete(spark, s"${path}__sigs", goneIds, Seq("doc_id"))
+      // the EXTEND ledger (txn) is preserved — only rtxn advances
       UpsertStore.replace(spark, metaPath,
         metaRow(spark, meta.getAs[Long]("corpus_n") - dn,
           meta.getAs[Long]("corpus_h") ^ dh, tau, dirty = false,
-          txnId, corpusV),
+          metaTxn(meta), corpusV)
+          .withColumn("rtxn", lit(txnId)),
         Seq("meta_id"), assumeKeyUnique = true)
     }
     // ---- phase 2: affected-cluster re-solve + cluster meta
     val cMeta = UpsertStore.read(spark, cMetaPath).map(_.head()).getOrElse(
       sys.error(s"no cluster table at $cPath to retract from"))
-    if (txnId <= metaTxn(cMeta)) return goneIds.limit(0)
+    if (txnId <= metaRtxn(cMeta)) return goneIds.limit(0)
     require(!(isDirty(cMeta) && cMeta.getAs[Long]("corpus_n") < 0),
       s"cluster table at $cPath was left dirty by an interrupted rebuild — " +
         "serve it once via clusters (rebuild) before retracting")
@@ -487,7 +497,8 @@ object PairGraph {
       .select("doc_a", "doc_b")
     val newLabels = Dedup.clusterAssignments(subEdges)
     UpsertStore.replace(spark, cMetaPath,
-      metaRow(spark, -1L, 0L, tau, dirty = true, metaTxn(cMeta)),
+      metaRow(spark, -1L, 0L, tau, dirty = true, metaTxn(cMeta))
+        .withColumn("rtxn", lit(metaRtxn(cMeta))),
       Seq("meta_id"), assumeKeyUnique = true)
     if (!members.isEmpty) {
       UpsertStore.delete(spark, cPath, members, Seq("doc_id"))
@@ -496,7 +507,8 @@ object PairGraph {
     }
     UpsertStore.replace(spark, cMetaPath,
       metaRow(spark, cMeta.getAs[Long]("corpus_n") - dn,
-        cMeta.getAs[Long]("corpus_h") ^ dh, tau, dirty = false, txnId),
+        cMeta.getAs[Long]("corpus_h") ^ dh, tau, dirty = false, metaTxn(cMeta))
+        .withColumn("rtxn", lit(txnId)),
       Seq("meta_id"), assumeKeyUnique = true)
     remaining
   }

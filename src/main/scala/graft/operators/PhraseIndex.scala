@@ -80,7 +80,7 @@ object PhraseIndex {
     val metaPath = s"${path}__meta"
     val meta = UpsertStore.read(spark, metaPath).map(_.head())
     val metaTxn = meta.map(m =>
-      if (m.schema.fieldNames.contains("txn")) m.getAs[Long]("txn") else -1L)
+      if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L)
       .getOrElse(-1L)
     if (meta.isDefined && txnId.exists(_ <= metaTxn)) return
     UpsertStore.delete(spark, path, postings(gone), Seq("term", "doc_id"))
@@ -89,7 +89,7 @@ object PhraseIndex {
       UpsertStore.replace(spark, metaPath,
         metaRow(spark, m.getAs[Long]("corpus_n") - dn,
           m.getAs[Long]("corpus_h") ^ dh)
-          .withColumn("txn", lit(txnId.getOrElse(metaTxn))),
+          .withColumn("rtxn", lit(txnId.getOrElse(metaTxn))),
         Seq("meta_id"), assumeKeyUnique = true)
     }
   }

@@ -205,7 +205,13 @@ object PostingsIndex {
     val stats = UpsertStore.read(spark, statsPath).map(_.head()).getOrElse(
       sys.error(s"no postings index at $path to retract from — run ensure first"))
     val sTxn = statsTxn(stats)
-    if (txnId.exists(_ <= sTxn)) return
+    // RETRACTION ledger: a separate column from the extend ledger —
+    // retract ids form their own monotonic sequence, independent of
+    // streaming batch ids (sharing one field would let a takedown's
+    // high-water mark make every later ingest self-skip)
+    val sRtxn = if (stats.schema.fieldNames.contains("rtxn"))
+      stats.getAs[Long]("rtxn") else -1L
+    if (txnId.exists(_ <= sRtxn)) return
     require(!(stats.schema.fieldNames.contains("dirty") &&
         stats.getAs[Boolean]("dirty") && stats.getAs[Long]("corpus_n") < 0),
       s"postings index at $path was left dirty by an interrupted REBUILD — " +
@@ -215,7 +221,8 @@ object PostingsIndex {
     val goneTf = Retrieval.postings(gone).cache()
     try {
       UpsertStore.replace(spark, statsPath,
-        statsRow(spark, baseDocs, baseTotal, baseN, baseH, dirty = true, sTxn),
+        statsRow(spark, baseDocs, baseTotal, baseN, baseH, dirty = true, sTxn)
+          .withColumn("rtxn", lit(sRtxn)),
         Seq("meta_id"), assumeKeyUnique = true)
       UpsertStore.delete(spark, path, goneTf, Seq("term", "doc_id"))
       val touched = goneTf.select("term").distinct()
@@ -231,9 +238,11 @@ object PostingsIndex {
         UpsertStore.delete(spark, s"${path}__df", vanished, Seq("term"))
       val (dDocs, dTotal) = statsFromTf(goneTf)
       val (dn, dh) = PairGraph.corpusFingerprint(gone)
+      // the extend ledger (txn) is preserved — only rtxn advances
       UpsertStore.replace(spark, statsPath,
         statsRow(spark, baseDocs - dDocs, baseTotal - dTotal, baseN - dn,
-          baseH ^ dh, dirty = false, txnId.getOrElse(sTxn)),
+          baseH ^ dh, dirty = false, sTxn)
+          .withColumn("rtxn", lit(txnId.getOrElse(sRtxn))),
         Seq("meta_id"), assumeKeyUnique = true)
     } finally goneTf.unpersist()
   }

@@ -100,7 +100,7 @@ object SimhashIndex {
     val metaPath = s"${path}__meta"
     val meta = UpsertStore.read(spark, metaPath).map(_.head())
     val metaTxn = meta.map(m =>
-      if (m.schema.fieldNames.contains("txn")) m.getAs[Long]("txn") else -1L)
+      if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L)
       .getOrElse(-1L)
     if (meta.isDefined && txnId.exists(_ <= metaTxn)) return
     val goneFps = fps(gone).localCheckpoint()
@@ -119,7 +119,7 @@ object SimhashIndex {
         spark.range(1).select(lit(1L).as("meta_id"),
           lit(m.getAs[Long]("corpus_n") - dn).as("corpus_n"),
           lit(m.getAs[Long]("corpus_h") ^ dh).as("corpus_h"),
-          lit(txnId.getOrElse(metaTxn)).as("txn")),
+          lit(txnId.getOrElse(metaTxn)).as("rtxn")),
         Seq("meta_id"), assumeKeyUnique = true)
     }
   }

@@ -187,8 +187,16 @@ final class ManifestMaintainer(
     * converges (hash-derived), the cluster phases self-skip via their
     * metas, and the refresh re-reads the PERSISTED scope (post-crash
     * state can no longer derive it: the gone rows are already out of
-    * the cluster table). The composition ledger (`__ingest_txn`,
-    * shared monotonic id space with [[ingestBatch]]) commits last.
+    * the cluster table). The composition's RETRACTION ledger
+    * (`__retract_txn`) commits last — a ledger SEPARATE from
+    * `__ingest_txn` at every layer (this one, the pair/cluster metas'
+    * `rtxn`, the postings stats' `rtxn`), because retract ids form
+    * their own monotonic sequence: streaming batch ids are assigned by
+    * Spark's checkpoint and a takedown id above them must never make a
+    * later ingest self-skip. Retractions serialize with the stream's
+    * foreachBatch (the stores' single-writer contract) — run them in
+    * the ingest pauses or a maintenance window, as the composition
+    * spec does.
     *
     * Cost: blast-radius-sized throughout — the keyed-store deletes
     * are the only full-table rewrites (the compaction-equivalent
@@ -196,7 +204,12 @@ final class ManifestMaintainer(
     * call). `gone` carries full (doc_id, text) rows of CURRENT corpus
     * members (the fingerprint retreat is exact arithmetic). */
   def retract(gone0: DataFrame, txnId: Long): Unit = {
-    val committed = UpsertStore.read(spark, txnPath)
+    // retraction ledger: SEPARATE from the ingest ledger — retract ids
+    // form their own monotonic sequence, so a takedown's high-water
+    // mark can never make a later stream batch (whose ids Spark's
+    // checkpoint assigns) self-skip
+    val rtxnPath = s"${storePath}__retract_txn"
+    val committed = UpsertStore.read(spark, rtxnPath)
       .map(_.head().getAs[Long]("txn")).getOrElse(-1L)
     if (txnId <= committed) return
     val gone = gone0.localCheckpoint()
@@ -248,7 +261,7 @@ final class ManifestMaintainer(
     // cluster table; gone ids drop out at the facts semi-join)
     UpsertStore.delete(spark, manifestPath, goneIds, Seq("doc_id"))
     refreshManifest(Some(scope))
-    UpsertStore.replace(spark, txnPath,
+    UpsertStore.replace(spark, rtxnPath,
       spark.range(1).select(lit(1L).as("meta_id"), lit(txnId).as("txn")),
       Seq("meta_id"))
   }

@@ -207,6 +207,16 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     // ---- simulated crash/deploy: stop everything, restart on the
     //      SAME checkpoints, feed a second batch everywhere
     qs1.foreach(_.stop())
+
+    // ---- maintenance-window TAKEDOWN between the restart halves
+    // (round 17): doc 1 — the canonical whose exact dup 10 streamed in
+    // batch 1 — retracts from the curation maintainer. The retraction
+    // ledger is SEPARATE from the ingest ledger, so the post-restart
+    // batches (whose ids Spark's checkpoint assigns) must keep
+    // ingesting normally afterwards — the exact interplay a shared
+    // ledger would break.
+    fm.retract(Seq(1L -> textA).toDF("doc_id", "text"), txnId = 1L)
+
     val qs2 = startAll()
     val b2 = Seq(StreamingOpsSpec.Doc(12L, ts(3), textC),   // exact dup of doc 2
       StreamingOpsSpec.Doc(13L, ts(4), uniq("w")))
@@ -323,10 +333,13 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     assert(ivfHit == 31L, s"ivfpq search must surface the planted near-dup: $ivfHit")
 
     // manifest: streamed curation decisions ≡ q156's one-shot over the
-    // full ingested history (exact dups on both sides of the restart
-    // drop, uniques keep with cluster-keyed splits)
+    // ingested history MINUS the mid-test takedown (exact dups on both
+    // sides of the restart drop; doc 10 — batch 1's dup of the
+    // RETRACTED doc 1 — must be PROMOTED to the surviving canonical
+    // and kept; post-retraction batch-2 ingests adjudicate normally)
     val manifestDir = java.nio.file.Files.createTempDirectory("eightway-q156").toString
-    allDocs.select(col("doc_id"), col("text"), lit("en").as("lang"),
+    allDocs.filter(col("doc_id") =!= 1L)
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
         lit("t").as("source"), length(col("text")).cast("long").as("n_chars"))
       .write.mode("overwrite").parquet(s"$manifestDir/documents.parquet")
     val streamedManifest = fm.current.collect().map(r =>
@@ -337,6 +350,9 @@ class ContinuousPipelineSpec extends AnyFunSuite {
     assert(streamedManifest == oneShotManifest,
       s"missing=${(oneShotManifest -- streamedManifest).take(5)} " +
         s"extra=${(streamedManifest -- oneShotManifest).take(5)}")
+    val reasons17 = streamedManifest.map(t => t._1 -> t._3).toMap
+    assert(!reasons17.contains(1L) && reasons17(10L) != "exact_dup",
+      s"takedown must promote the surviving duplicate mid-stream: $reasons17")
   }
 }
 
