@@ -194,6 +194,53 @@ final class JoinViewMaintainer(
     UpsertStore.read(spark, basePath).getOrElse(
       sys.error(s"join view at $basePath not bootstrapped"))
 
+  // Retraction ledger: SEPARATE from the ingest ledger (the engine-wide
+  // round-17 rule) — retract ids form their own monotonic sequence, so
+  // a takedown id can never make a later stream batch self-skip.
+  private def rtxnPath = s"${basePath}__retract_txn"
+  private def committedRtxn: Long =
+    UpsertStore.read(spark, rtxnPath)
+      .map(_.head().getAs[Long]("txn")).getOrElse(-1L)
+  private def commitRtxn(t: Long): Unit =
+    UpsertStore.replace(spark, rtxnPath,
+      spark.range(1).select(lit(1L).as("meta_id"), lit(t).as("txn")),
+      Seq("meta_id"))
+
+  /** RETRACT fact rows (round 17 — the takedown lifecycle's view leg):
+    * a view row is a pure function of its fact row, so a fact takedown
+    * IS a view takedown — two keyed deletes, both idempotent, behind
+    * the retraction ledger (which commits last: a crash-replay re-runs
+    * the no-op deletes and completes). */
+  def retractFact(keys: DataFrame, txnId: Long): Unit = {
+    if (txnId <= committedRtxn) return
+    val k = keys.select(factKeys.map(col): _*).distinct().localCheckpoint()
+    UpsertStore.delete(spark, factPath, k, factKeys)
+    UpsertStore.delete(spark, basePath, k, factKeys)
+    commitRtxn(txnId)
+  }
+
+  /** RETRACT dimension rows: the dim store loses the keys, and the
+    * inner-join view loses exactly the rows of facts REFERENCING them
+    * (computed from the view's own FK columns — fan-out-sized, the
+    * same set a from-scratch join over the remaining sides would
+    * drop). The orphaned facts stay in the fact store: like a
+    * not-yet-arrived dimension row, a RE-INGESTED dimension key
+    * re-materializes them (`ingestDim`'s standing late-arrival
+    * semantics — spec-pinned). */
+  def retractDim(i: Int, keys: DataFrame, txnId: Long): Unit = {
+    require(i >= 0 && i < dims.size, s"no dimension $i (have ${dims.size})")
+    if (txnId <= committedRtxn) return
+    val k = keys.select(dims(i).dimKeys.map(col): _*).distinct().localCheckpoint()
+    val kAsFk = dims(i).dimKeys.zip(dims(i).factFk).foldLeft(k) {
+      case (df, (dk, fk)) => df.withColumnRenamed(dk, fk)
+    }
+    val stale = current.join(kAsFk, dims(i).factFk, "left_semi")
+      .select(factKeys.map(col): _*).localCheckpoint()
+    UpsertStore.delete(spark, dimPath(i), k, dims(i).dimKeys)
+    if (!stale.isEmpty) UpsertStore.delete(spark, basePath, stale, factKeys)
+    commitRtxn(txnId)
+  }
+
   /** Register the materialized view (and its side tables) under the
     * `graft` catalog, so the maintained join is readable — and
     * time-travel-readable via `VERSION AS OF` — in PLAIN SQL by table

@@ -166,6 +166,43 @@ class JoinViewMaintainSpec extends AnyFunSuite {
     assert(snap.count(_._7 == "acme2") == 3)
   }
 
+  test("round 17: fact/dim retraction — the takedown verbs on the view family") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jv-takedown").toString
+    val m = new JoinViewMaintainer(spark, s"$dir/view")
+    m.bootstrap(ordersDf((10L, 1L, 5.0), (11L, 2L, 6.0), (12L, 1L, 7.0)),
+      custDf((1L, "ann", "auto"), (2L, "bob", "bike")))
+
+    // fact retraction: the view row is a pure function of the fact —
+    // both stores lose the key
+    m.retractFact(Seq(Tuple1(10L)).toDF("o_orderkey"), txnId = 1L)
+    assert(viewSnap(m).map(_._1) == Set(11L, 12L))
+    assert(UpsertStore.read(spark, s"$dir/view__left").get
+      .filter($"o_orderkey" === 10L).count() == 0, "fact store kept the retracted row")
+    // ledgered replay: version-level no-op
+    val v = UpsertStore.latestVersion(spark, s"$dir/view")
+    m.retractFact(Seq(Tuple1(10L)).toDF("o_orderkey"), txnId = 1L)
+    assert(UpsertStore.latestVersion(spark, s"$dir/view") == v)
+
+    // dim retraction: customer 1 goes — exactly order 12's view row
+    // (the fan-out) drops; the fact itself stays pending
+    m.retractDim(0, Seq(Tuple1(1L)).toDF("c_custkey"), txnId = 2L)
+    assert(viewSnap(m).map(_._1) == Set(11L),
+      s"dim retraction must drop exactly the referencing rows: ${viewSnap(m)}")
+    assert(UpsertStore.read(spark, s"$dir/view__left").get
+      .filter($"o_orderkey" === 12L).count() == 1, "orphaned fact must stay stored")
+    // the dimension's RE-INGEST re-materializes the pending fact — the
+    // standing late-arrival semantics, post-takedown
+    m.ingestRight(custDf((1L, "ann2", "auto")))
+    assert(viewSnap(m) == Set((11L, 2L, 6.0, "bob", "bike"),
+      (12L, 1L, 7.0, "ann2", "auto")))
+
+    // retraction ids never collide with ingest ids: a later ledgered
+    // fact batch (batchId-shaped, below the retract ids) still ingests
+    m.ingestLeft(ordersDf((13L, 2L, 9.0)), Some(0L))
+    assert(viewSnap(m).map(_._1) == Set(11L, 12L, 13L),
+      "separate retract ledger must not make a later ingest self-skip")
+  }
+
   test("foreachBatch wiring + checkpoint restart on the fact stream") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-jv-fb").toString
