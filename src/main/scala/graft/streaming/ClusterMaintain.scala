@@ -83,11 +83,13 @@ final class ClusterMaintainer(
     * delete, affected-cluster re-solve with splits and min-member
     * relabeling, XOR fingerprint retreat on both metas, each phase
     * behind its own txn guard). Returns the affected SURVIVING member
-    * ids — the manifest refresh scope. `txnId` is REQUIRED and shares
-    * the monotonic id space with [[ingestBatch]]'s batch ids (the
-    * engine-wide ledger contract): the XOR fingerprint retreat is
-    * associative, not idempotent, so only the recorded id makes a
-    * crash-replay converge. */
+    * ids — the manifest refresh scope. `txnId` is REQUIRED and forms
+    * its OWN monotonic sequence, recorded in the pair/cluster metas'
+    * `rtxn` column — SEPARATE from [[ingestBatch]]'s batch-id ledger
+    * (the round-17 rule: retract ids must never make a later stream
+    * batch, whose ids Spark's checkpoint assigns, self-skip): the XOR
+    * fingerprint retreat is associative, not idempotent, so only the
+    * recorded id makes a crash-replay converge. */
   def retract(gone: DataFrame, txnId: Long): DataFrame =
     PairGraph.retract(spark, gone, storePath, txnId)
 

@@ -49,10 +49,15 @@ final case class DimSpec(factFk: Seq[String], dimKeys: Seq[String],
   * join — so the view's winner always matches the stored side's even
   * when a batch repeats a key — and `bootstrap` applies the same
   * dedup to arbitrary caller input instead of claiming key-uniqueness
-  * for it. Replays converge: a ledger check on the view store's
-  * committed txn short-circuits the whole composition (upserts + the
-  * non-ledgered stale-row delete), so a replayed batch cannot re-run
-  * the retraction against post-batch state.
+  * for it. Replays converge, and each side has its OWN ledger
+  * (ADVICE r17): fact batches guard on the view store's committed txn
+  * (Spark's streaming batch ids), dimension batches on their own dim
+  * store's — sharing one sequence let a fact batch id silently
+  * swallow later dim deltas. On both paths the ledgered upsert is the
+  * composition's LAST write, so a replayed or crash-resumed batch
+  * re-runs only idempotent work (including the stale-row retraction,
+  * recomputed from the same delta) and completes what the crash
+  * interrupted.
   *
   * Scale shape: both ingest paths shuffle ONLY delta-keyed rows; the
   * stored sides are read through the keyed store's merged view with
@@ -150,17 +155,24 @@ final class JoinViewMaintainer(
     UpsertStore.upsert(spark, factPath, d, factKeys,
       assumeKeyUnique = true, txnId = txnId)
     val dimStores = dims.indices.map(readDim)
-    val vd = joined(broadcast(d), dimStores)
-    UpsertStore.upsert(spark, basePath, vd, factKeys,
-      assumeKeyUnique = true, txnId = txnId)
-    // ADVICE r16: delta keys whose join produced NO row have no live
-    // view row to keep — delete whatever stale row an earlier FK
-    // still materializes. Delta-keyed anti-join; delete only when
-    // non-empty (no store churn on the happy path).
+    val vd = joined(broadcast(d), dimStores).localCheckpoint()
+    // ADVICE r16/r17: delta keys whose join produced NO row have no
+    // live view row to keep — delete whatever stale row an earlier FK
+    // still materializes. The delete runs BEFORE the ledgered view
+    // upsert so the ledger commit is the LAST write of the composition
+    // (ADVICE r17: with the old order, a crash between the committed
+    // view upsert and the delete made the replay self-skip at the
+    // guard above and the stale row survived permanently). stale is
+    // derivable from d and vd alone, the keyed delete is idempotent,
+    // and a pre-commit replay recomputes the same stale set — the
+    // dimension stores only move via ingestDim, which serializes with
+    // this path under the stores' single-writer contract.
     val stale = d.select(factKeys.map(col): _*)
       .join(vd.select(factKeys.map(col): _*), factKeys, "left_anti")
       .localCheckpoint()
     if (!stale.isEmpty) UpsertStore.delete(spark, basePath, stale, factKeys)
+    UpsertStore.upsert(spark, basePath, vd, factKeys,
+      assumeKeyUnique = true, txnId = txnId)
   }
 
   /** 2-way compatibility name. */
@@ -169,15 +181,28 @@ final class JoinViewMaintainer(
 
   /** Fold a dimension batch in: F_stored ⋈ … ⋈ ΔDᵢ ⋈ … — rewrites
     * exactly the affected facts' view rows (the broadcast delta is the
-    * restricting side; facts not referencing it drop at the join). */
+    * restricting side; facts not referencing it drop at the join).
+    *
+    * Ledger (ADVICE r17): each dimension guards on ITS OWN store's
+    * committed txn, never the view store's — the view ledger carries
+    * the FACT stream's Spark-assigned batch ids, and in the documented
+    * deployment ([[run]] streams facts, dims batch-ingested here) a
+    * dim delta whose txnId trailed the fact stream's high-water mark
+    * was silently dropped from both stores — the same shared-ledger
+    * self-skip hazard the round-17 separate retract ledger exists to
+    * avoid. Dim txn ids form their own per-dimension monotonic
+    * sequence. Write order: the view upsert (idempotent, derived from
+    * the in-hand delta + the stored sides) runs FIRST and the dim
+    * store's ledgered upsert LAST, so the ledger commit is the
+    * composition's final write and a crash replay completes both. */
   def ingestDim(i: Int, delta: DataFrame, txnId: Option[Long] = None): Unit = {
     require(i >= 0 && i < dims.size, s"no dimension $i (have ${dims.size})")
-    if (txnId.exists(_ <= UpsertStore.committedTxn(spark, basePath))) return
+    if (txnId.exists(_ <= UpsertStore.committedTxn(spark, dimPath(i)))) return
     val d = UpsertStore.dedupByKey(dimProj(i)(delta), dims(i).dimKeys)
-    UpsertStore.upsert(spark, dimPath(i), d, dims(i).dimKeys,
-      assumeKeyUnique = true, txnId = txnId)
     val dimDfs = dims.indices.map(j => if (j == i) broadcast(d) else readDim(j))
     UpsertStore.upsert(spark, basePath, joined(readFact(), dimDfs), factKeys,
+      assumeKeyUnique = true)
+    UpsertStore.upsert(spark, dimPath(i), d, dims(i).dimKeys,
       assumeKeyUnique = true, txnId = txnId)
     // a dimension upsert keys on the dim PK, so it cannot re-point or
     // orphan a fact row — no retraction owed on this path

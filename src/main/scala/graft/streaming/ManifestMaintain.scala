@@ -264,6 +264,19 @@ final class ManifestMaintainer(
     UpsertStore.replace(spark, rtxnPath,
       spark.range(1).select(lit(1L).as("meta_id"), lit(txnId).as("txn")),
       Seq("meta_id"))
+    // ADVICE r17: prune the scope rows the commit just retired — only
+    // the IN-FLIGHT txn's scope is ever read (the crash-replay refresh
+    // above), so rows at or below the committed id are dead weight
+    // every later takedown's scope upsert would merge against. Sweep
+    // everything ≤ txnId (ids are monotonic, so that is the whole
+    // store); a crash inside this window leaves rows the NEXT
+    // takedown's post-commit sweep removes.
+    UpsertStore.read(spark, scopePath).foreach { s0 =>
+      val dead = s0.filter(col("txn") <= txnId).select("txn", "doc_id")
+        .localCheckpoint()
+      if (!dead.isEmpty)
+        UpsertStore.delete(spark, scopePath, dead, Seq("txn", "doc_id"))
+    }
   }
 
   /** The manifest as of the last committed batch:

@@ -203,6 +203,33 @@ class JoinViewMaintainSpec extends AnyFunSuite {
       "separate retract ledger must not make a later ingest self-skip")
   }
 
+  test("ADVICE r17: dim deltas keep their own ledger — a dim txn below the fact high-water mark still ingests") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jv-dimtxn").toString
+    val m = new JoinViewMaintainer(spark, s"$dir/view")
+    m.bootstrap(ordersDf((10L, 1L, 5.0), (11L, 2L, 6.0)), custDf((1L, "ann", "auto")))
+    // the fact stream has advanced the VIEW ledger well past the dim
+    // feed's own sequence — the documented deployment shape
+    m.ingestLeft(ordersDf((12L, 2L, 7.0)), Some(5L))
+    // a dim delta at txn 1 (its own per-dim sequence) must still apply:
+    // under a shared ledger this batch self-skipped and customer 2
+    // vanished from both the dim store and the view
+    m.ingestRight(custDf((2L, "bob", "bike")), Some(1L))
+    assert(viewSnap(m) == Set((10L, 1L, 5.0, "ann", "auto"),
+      (11L, 2L, 6.0, "bob", "bike"), (12L, 2L, 7.0, "bob", "bike")),
+      s"dim delta below the fact high-water mark was dropped: ${viewSnap(m)}")
+    // replaying the SAME dim txn is a version-level no-op on both stores
+    val vd = UpsertStore.latestVersion(spark, s"$dir/view__right")
+    val vv = UpsertStore.latestVersion(spark, s"$dir/view")
+    m.ingestRight(custDf((2L, "bob", "bike")), Some(1L))
+    assert(UpsertStore.latestVersion(spark, s"$dir/view__right") == vd &&
+      UpsertStore.latestVersion(spark, s"$dir/view") == vv,
+      "replayed dim txn advanced a store")
+    // and the dim ledger never gates the fact path: a later fact batch
+    // (its own sequence, id 6) still ingests
+    m.ingestLeft(ordersDf((13L, 1L, 8.0)), Some(6L))
+    assert(viewSnap(m).map(_._1) == Set(10L, 11L, 12L, 13L))
+  }
+
   test("foreachBatch wiring + checkpoint restart on the fact stream") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-jv-fb").toString

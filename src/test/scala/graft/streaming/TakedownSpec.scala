@@ -102,6 +102,12 @@ class TakedownSpec extends AnyFunSuite {
     assert(UpsertStore.latestVersion(spark, s"$dir/store__manifest") == v,
       "replayed committed retraction advanced the manifest store")
     assert(mm.current.collect().map(_.toSeq).toSet == before)
+    // ADVICE r17: the committed retraction pruned its persisted
+    // blast-radius scope — only an IN-FLIGHT txn's scope is ever read,
+    // so committed rows must not accumulate across takedowns
+    assert(UpsertStore.read(spark, s"$dir/store__retract_scope")
+      .forall(_.isEmpty),
+      "committed retraction left its blast-radius scope rows behind")
 
     // a later batch ingests cleanly after the retraction — including a
     // RE-INGEST of the retracted canonical's content under a new id,
