@@ -36,12 +36,14 @@ import graft.streaming.UpsertStore
   * top-`C` pool against raw vectors (point-lookup join on vec_id).
   * Honesty contract (the q119/q122 recall-1.0 gate): the pool margin
   * is [[PqIndex.C]] and measured recall vs q50's brute force is 1.0 on
-  * this corpus at nProbe = 13 (re-measured after the r16 TRAINED
-  * coarse quantizer: balanced cells spread a query's neighborhood
-  * over slightly more cells than the lumpy seed assignment did —
-  * minimum passing nProbe across every lifecycle cut and SF is 12,
-  * 13 is the pinned margin; the sample-trained geometry makes that
-  * ONE measurement cover all cuts;
+  * this corpus at probe depth 13 of 16 cells (re-measured after the
+  * r16 TRAINED coarse quantizer: balanced cells spread a query's
+  * neighborhood over slightly more cells than the lumpy seed
+  * assignment did — minimum passing depth across every lifecycle cut
+  * and SF is 12, 13 is the pinned margin; the sample-trained geometry
+  * makes that ONE measurement cover all cuts). Since round 18 the
+  * DEFAULT depth is the [[defaultNProbe]] FRACTION pin — the r17
+  * sweep proves a fixed count does not survive a cell-count bump;
   * composition with the PqRecallSpec-pinned ADC margin only SHRINKS
   * the candidate set a true neighbor must out-rank, so each half's
   * margin carries over), which is why q182 shares q50's oracle and the
@@ -62,6 +64,24 @@ object IvfPqIndex {
     * adds them, so a true neighbor's pool rank within the probed cells
     * is ≤ its rank in the full-corpus ADC scan. */
   private val C = PqIndex.C
+
+  /** Probe-depth default (round 18 — VERDICT r17 #3): the round-17
+    * sweep (`graft.NProbeSweep`, SCALING.md) proves the recall-1.0
+    * probe depth scales as a FRACTION of the cell count, not a fixed
+    * count — the worst-query fraction at 16/64/128 cells reads
+    * 94%/59%/50%, so the old `nProbe = 13` constant silently loses
+    * recall the day a deployment moves to √N cells (13-of-64 misses
+    * brute-force neighbors — spec-pinned in IvfPqIndexSpec). The
+    * default is `ceil(0.6 · cells)` (the sweep's large-cell worst-query
+    * fraction plus margin), FLOORED at the measured small-cell pin 13
+    * (on the 16-cell corpora the minimum passing depth is 12, so the
+    * bare fraction — 10 — would regress the standing recall-1.0
+    * oracles), capped at the cell count. Callers can still pin an
+    * explicit depth; the per-(store, corpus) driver-hash compare
+    * against the brute-force oracle remains the recall gate for any
+    * setting, exactly as q189 declares. */
+  def defaultNProbe(cells: Int): Int =
+    math.min(cells, math.max(math.ceil(0.6 * cells).toInt, 13))
 
   /** Quantizer version, part of the meta gate: 2 = Lloyd-trained
     * coarse centroids (VERDICT r15 #4). A store built by an older
@@ -343,13 +363,17 @@ object IvfPqIndex {
     * exact re-rank of the top-C pool. `emb` supplies raw vectors for
     * the query side and the ≤ C re-rank fetches. Output (query_id, rk,
     * neighbor_id) — the q50 contract (rank ties to the lower neighbor
-    * id inside the bounded heap). */
+    * id inside the bounded heap). `nProbe ≤ 0` (the default) resolves
+    * to [[defaultNProbe]] of the STORE's cell count — the fraction
+    * pin, so the depth scales with the deployment's cell count instead
+    * of silently under-probing at the next bump. */
   def search(spark: SparkSession, emb: DataFrame, path: String,
-             queryPred: Column, nProbe: Int = 13, k: Int = 3): DataFrame = {
+             queryPred: Column, nProbe: Int = -1, k: Int = 3): DataFrame = {
     val stored = UpsertStore.read(spark, path).getOrElse(
       sys.error(s"no ivf-pq index at $path — run ensure first"))
     val cents = UpsertStore.read(spark, s"${path}__centroids").getOrElse(
       sys.error(s"ivf-pq index at $path has no centroid table"))
+    val np = if (nProbe > 0) nProbe else defaultNProbe(cents.count().toInt)
     val books = UpsertStore.read(spark, s"${path}__codebooks").getOrElse(
       sys.error(s"ivf-pq index at $path has no codebook table"))
     val qunit = PqIndex.unitEmb(emb.filter(queryPred))
@@ -358,7 +382,7 @@ object IvfPqIndex {
       .withColumn("csim", nanvl(
         VectorFunctions.cosine_similarity(col("emb"), col("cemb")), lit(-1.0)))
       .groupBy(col("vec_id").as("query_id"))
-      .agg(TopKFunctions.top_k_by_score(col("csim"), col("centroid_id"), nProbe).as("cells"))
+      .agg(TopKFunctions.top_k_by_score(col("csim"), col("centroid_id"), np).as("cells"))
       .select(col("query_id"), explode(col("cells.id")).as("cell"))
     // candidates: probed cells' code rows only — the IVF prune
     val cand = probes.join(stored.select(col("cell"), col("vec_id"), col("codes")),

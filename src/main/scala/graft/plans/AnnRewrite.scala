@@ -28,7 +28,9 @@ import graft.streaming.UpsertStore
   * Semantics contract: the spliced semi-join restricts the sort input
   * to the probed cells' members — the IVF prune, EXACTLY the
   * candidate set [[graft.operators.VectorIndex]]/q96 serves with, at
-  * the same pinned setting (nProbe = 13 of 16 cells) whose recall
+  * the same default probe depth ([[graft.operators.IvfPqIndex
+  * .defaultNProbe]]'s fraction pin — 13 of 16 cells on this corpus,
+  * scaling with the cell count) whose recall
   * against q50's brute force is measured 1.0 on this corpus; the
   * preserved Sort is the exact re-rank (raw vectors, full cosine), so
   * the rewrite's output ≡ brute force whenever the true top-k lives
@@ -73,7 +75,7 @@ import graft.streaming.UpsertStore
   *    side) never re-fires.
   */
 final class AnnTopKRewrite(spark: SparkSession, val storePath: String,
-                           val corpusPath: String, nProbe: Int = 13,
+                           val corpusPath: String, nProbe: Int = -1,
                            maxK: Int = 1000)
     extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -195,10 +197,15 @@ final class AnnTopKRewrite(spark: SparkSession, val storePath: String,
       if centroidSnapshot.nonEmpty &&
         centroidSnapshot.forall(_._2.length == q.length)
     } yield {
+      // nProbe ≤ 0 (the default) resolves to the fraction pin against
+      // the SNAPSHOT's cell count — the r18 scaling rule (a fixed
+      // count under-probes at the next cell-count bump)
+      val depth = if (nProbe > 0) nProbe
+        else graft.operators.IvfPqIndex.defaultNProbe(centroidSnapshot.size)
       val cells = centroidSnapshot
         .map { case (cid, cemb) => (cosine(q, cemb), cid) }
         .sortBy { case (s, cid) => (-s, -cid) } // ties to the higher cell id — the assignCells rule
-        .take(nProbe).map(_._2).toSeq
+        .take(depth).map(_._2).toSeq
       stored.filter(col("cell").isin(cells: _*))
         .select(col("vec_id").as(marker))
         .queryExecution.optimizedPlan
@@ -238,7 +245,7 @@ object AnnAcceleration {
   /** Install the rewrite for (IVF-PQ store, embeddings parquet path).
     * Returns the rule handle for [[disable]]. */
   def enable(spark: SparkSession, storePath: String, corpusPath: String,
-             nProbe: Int = 13, maxK: Int = 1000): AnnTopKRewrite = {
+             nProbe: Int = -1, maxK: Int = 1000): AnnTopKRewrite = {
     val r = new AnnTopKRewrite(spark, storePath, corpusPath, nProbe, maxK)
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ r

@@ -42,9 +42,10 @@ final class IvfPqMaintainer(spark: SparkSession, storePath: String,
 
   /** q182's contract: IVFADC top-k for member queries from the
     * committed store. `emb` supplies raw vectors (query side + the
-    * ≤ C re-rank fetches). */
+    * ≤ C re-rank fetches). `nProbe ≤ 0` resolves to the store-sized
+    * [[graft.operators.IvfPqIndex.defaultNProbe]] fraction pin. */
   def serve(emb: DataFrame, queryPred: Column,
-            nProbe: Int = 13, k: Int = 3): DataFrame =
+            nProbe: Int = -1, k: Int = 3): DataFrame =
     IvfPqIndex.search(spark, emb, storePath, queryPred, nProbe, k)
 
   /** Wire into a streaming query: every micro-batch extends the

@@ -124,6 +124,46 @@ class IvfPqIndexSpec extends AnyFunSuite {
       s"training must split the pile: seed max=$seedMax, 3-round max=$max3")
   }
 
+  test("VERDICT r17 #3: the fraction default holds at 64 cells where the old fixed 13 fails") {
+    // 1024 deterministic pseudo-random 16-d vectors (hash-derived —
+    // near-uniform directions, the PESSIMISTIC case for IVF recall,
+    // same as the r17 sweep corpus) — big enough for the 64-cell
+    // training sample (64 × 8 = 512)
+    val e = spark.range(1024).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), " +
+        "j -> cast(xxhash64(id * 131 + j) % 1000 as double) / 1000.0)").as("emb"))
+      .localCheckpoint()
+    val path = freshDir()
+    IvfPqIndex.ensure(spark, e, path, centroids = 64)
+    assert(IvfPqIndex.defaultNProbe(16) == 13,
+      "the fraction default must preserve the measured 16-cell pin (floor)")
+    assert(IvfPqIndex.defaultNProbe(64) == 39 && IvfPqIndex.defaultNProbe(128) == 77,
+      "the fraction default must scale with the cell count")
+    // brute force through the same expression tree as the re-rank
+    val pred = col("vec_id") < 24
+    val bruteBig = e.filter(pred).select(col("vec_id").as("query_id"), col("emb").as("qe"))
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", nanvl(
+        graft.functions.VectorFunctions.cosine_similarity(col("qe"), col("ce")), lit(-1.0)))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKFunctions.top_k_by_score(col("sim"), col("neighbor_id"), 3).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"), col("col.id").as("neighbor_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    val fraction = IvfPqIndex.search(spark, e, path, pred) // default = 39 of 64
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fraction == bruteBig,
+      "the fraction default must stay recall-1.0 at 64 cells")
+    val fixed13 = IvfPqIndex.search(spark, e, path, pred, nProbe = 13)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fixed13 != bruteBig,
+      "construction check: the old fixed 13-of-64 should miss brute-force " +
+        "neighbors on this fixture — if this starts passing, the fixture " +
+        "stopped demonstrating why the fraction pin exists")
+  }
+
   test("committed-txn replay self-skips; changed corpus misses the gate; extend-first fails loudly") {
     val path = freshDir()
     val cut = emb.selectExpr("percentile(vec_id, 0.6)").head().getDouble(0).toLong
