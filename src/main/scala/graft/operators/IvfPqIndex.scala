@@ -97,11 +97,19 @@ object IvfPqIndex {
     s"$root/ivfpq_${PairGraph.dirKey64(dataDir)}_c$centroids"
 
   private def metaRow(spark: SparkSession, n: Long, h: Long, centroids: Int,
-                      dirty: Boolean, txn: Long): DataFrame =
+                      dirty: Boolean, txn: Long, rtxn: Long = -1L): DataFrame =
     spark.range(1).select(
       lit(1L).as("meta_id"), lit(n).as("corpus_n"), lit(h).as("corpus_h"),
       lit(centroids).as("centroids"), lit(dirty).as("dirty"), lit(txn).as("txn"),
-      lit(QV).as("qv"))
+      lit(QV).as("qv"), lit(rtxn).as("rtxn"))
+
+  /** Retraction high-water mark — PRESERVED by every meta rewrite
+    * (round 18: extend used to drop the column, letting a late
+    * replayed retract re-apply its non-idempotent fingerprint retreat;
+    * takedown ids outlive store epochs — they come from the compliance
+    * system, not Spark's checkpoint). */
+  private def metaRtxn(m: org.apache.spark.sql.Row): Long =
+    if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L
 
   private def gateOk(m: DataFrame, n: Long, h: Long, centroids: Int): Boolean =
     m.columns.contains("qv") &&
@@ -217,9 +225,10 @@ object IvfPqIndex {
     val prev = UpsertStore.read(spark, metaPath)
     if (prev.exists(m => gateOk(m, n, h, centroids))) return
     val prevTxn = prev.map(_.head().getAs[Long]("txn")).getOrElse(-1L)
+    val prevRtxn = prev.map(m => metaRtxn(m.head())).getOrElse(-1L)
     if (prev.isDefined) UpsertStore.replace(spark, metaPath,
-      metaRow(spark, -1L, 0L, centroids, dirty = true, prevTxn), Seq("meta_id"),
-      assumeKeyUnique = true)
+      metaRow(spark, -1L, 0L, centroids, dirty = true, prevTxn, prevRtxn),
+      Seq("meta_id"), assumeKeyUnique = true)
     // the unit-normalize pass feeds the coarse assignment AND the PQ
     // subvector explode — persist for exactly this scope
     val unit = PqIndex.unitEmb(emb).persist()
@@ -241,10 +250,13 @@ object IvfPqIndex {
       // committed against the PREVIOUS epoch must not make later
       // ingests self-skip (the r16 transition bug: a gate-missed
       // rebuild kept the old txn high-water mark and silently dropped
-      // the maintainer's replayed delta batches)
+      // the maintainer's replayed delta batches). The RETRACTION mark
+      // is the opposite case and survives the epoch: takedown ids are
+      // global, and a replayed retract against the rebuilt store would
+      // re-apply its fingerprint retreat.
       UpsertStore.replace(spark, metaPath,
-        metaRow(spark, n, h, centroids, dirty = false, -1L), Seq("meta_id"),
-        assumeKeyUnique = true)
+        metaRow(spark, n, h, centroids, dirty = false, -1L, prevRtxn),
+        Seq("meta_id"), assumeKeyUnique = true)
     } finally unit.unpersist()
   }
 
@@ -300,9 +312,10 @@ object IvfPqIndex {
       sys.error(s"ivf-pq index at $path has no codebook table"))
     val centroids = meta.getAs[Int]("centroids")
     val (baseN, baseH) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
+    val mRtxn = metaRtxn(meta)
     UpsertStore.replace(spark, metaPath,
-      metaRow(spark, baseN, baseH, centroids, dirty = true, mTxn), Seq("meta_id"),
-      assumeKeyUnique = true)
+      metaRow(spark, baseN, baseH, centroids, dirty = true, mTxn, mRtxn),
+      Seq("meta_id"), assumeKeyUnique = true)
     val unit = PqIndex.unitEmb(delta).persist()
     try {
       val cells = assignCells(unit, cents)
@@ -314,7 +327,7 @@ object IvfPqIndex {
     val (dn, dh) = deltaFp.getOrElse(PqIndex.fingerprint(delta))
     UpsertStore.replace(spark, metaPath,
       metaRow(spark, baseN + dn, baseH ^ dh, centroids, dirty = false,
-        txnId.getOrElse(mTxn)), Seq("meta_id"), assumeKeyUnique = true)
+        txnId.getOrElse(mTxn), mRtxn), Seq("meta_id"), assumeKeyUnique = true)
   }
 
   /** RETRACT vectors from the index (round 17 — the takedown
@@ -339,22 +352,20 @@ object IvfPqIndex {
     val mTxn = meta.getAs[Long]("txn")
     // retraction ledger: separate from the extend ledger (retract ids
     // form their own monotonic sequence, independent of batch ids)
-    val mRtxn = if (meta.schema.fieldNames.contains("rtxn"))
-      meta.getAs[Long]("rtxn") else -1L
+    val mRtxn = metaRtxn(meta)
     if (txnId.exists(_ <= mRtxn)) return
     require(!(meta.getAs[Boolean]("dirty") && meta.getAs[Long]("corpus_n") < 0),
       s"ivf-pq index at $path was left dirty by an interrupted REBUILD — rerun ensure")
     val centroids = meta.getAs[Int]("centroids")
     val (baseN, baseH) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
     UpsertStore.replace(spark, metaPath,
-      metaRow(spark, baseN, baseH, centroids, dirty = true, mTxn)
-        .withColumn("rtxn", lit(mRtxn)),
+      metaRow(spark, baseN, baseH, centroids, dirty = true, mTxn, mRtxn),
       Seq("meta_id"), assumeKeyUnique = true)
     UpsertStore.delete(spark, path, gone.select("vec_id"), Seq("vec_id"))
     val (dn, dh) = PqIndex.fingerprint(gone)
     UpsertStore.replace(spark, metaPath,
-      metaRow(spark, baseN - dn, baseH ^ dh, centroids, dirty = false, mTxn)
-        .withColumn("rtxn", lit(txnId.getOrElse(mRtxn))),
+      metaRow(spark, baseN - dn, baseH ^ dh, centroids, dirty = false, mTxn,
+        txnId.getOrElse(mRtxn)),
       Seq("meta_id"), assumeKeyUnique = true)
   }
 

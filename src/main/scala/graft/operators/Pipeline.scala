@@ -693,6 +693,81 @@ object Pipeline {
     ShingleIndex.probe(s, store, docs.filter(b >= 90))
   }
 
+  /** Oracle for the contamination TAKEDOWN lifecycle (q200): q108's
+    * from-scratch recompute with the retracted train slice excluded —
+    * train = the 80% split MINUS doc_id % 10 = 3. Rebuilding `train`,
+    * `tdf`, `pruned` from the remaining corpus is exactly what
+    * [[ShingleIndex.retract]] claims to maintain incrementally, so the
+    * driver's hash compare proves the retraction calculus (keyed gram
+    * deletes, df recount with vanished-gram row deletion, stop-gram
+    * cap re-read at probe time) end-to-end. */
+  private val contaminationTakedownSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks,
+       |         $bucket100Sql AS b
+       |  FROM documents
+       |  WHERE len(string_split_regex(lower(text), '\\s+')) >= 8),
+       |sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, b,
+       |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+       |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS g
+       |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)),
+       |train0 AS (SELECT doc_id, g FROM sh WHERE b < 80),
+       |tdf0 AS (SELECT g, COUNT(*) AS dfreq FROM train0 GROUP BY g),
+       |pruned0 AS (SELECT tr.doc_id, tr.g FROM train0 tr JOIN tdf0 ON tr.g = tdf0.g
+       |            WHERE tdf0.dfreq <= 50),
+       |ev AS MATERIALIZED (SELECT doc_id, g FROM sh WHERE b >= 90),
+       |gone AS MATERIALIZED (
+       |  SELECT DISTINCT pruned0.doc_id
+       |  FROM ev JOIN pruned0 ON ev.g = pruned0.g
+       |  WHERE pruned0.doc_id % 2 = 0),
+       |train AS (SELECT doc_id, g FROM train0
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM gone)),
+       |tdf AS (SELECT g, COUNT(*) AS dfreq FROM train GROUP BY g),
+       |pruned AS (SELECT tr.doc_id, tr.g FROM train tr JOIN tdf ON tr.g = tdf.g
+       |           WHERE tdf.dfreq <= 50),
+       |pairs AS (
+       |  SELECT ev.doc_id AS test_doc, pruned.doc_id AS train_doc, COUNT(*) AS shared
+       |  FROM ev JOIN pruned ON ev.g = pruned.g
+       |  GROUP BY 1, 2)
+       |SELECT test_doc, COUNT(*) AS n_train_docs, CAST(MAX(shared) AS BIGINT) AS max_shared
+       |FROM pairs
+       |GROUP BY test_doc
+       |ORDER BY test_doc""".stripMargin
+
+  /** CONTAMINATION TAKEDOWN lifecycle (round 18 — VERDICT r17 #1's
+    * "done" condition): the compliance scenario the round-17 takedown
+    * wave left open, with the takedown set chosen so the retraction is
+    * OBSERVABLE in the serve. The train-gram index builds over the
+    * full train split; the pre-takedown adjudication
+    * ([[ShingleIndex.probePairs]]) names the flagged train SOURCES,
+    * and the right-to-be-forgotten set is exactly the even-id sources
+    * (the deterministic half — a no-op retract would leave their eval
+    * matches in the output and fail the hash). The eval probe then
+    * adjudicates from the post-retraction store: retracted sources
+    * stop flagging, df retreats so the stop-gram cap re-admits grams
+    * whose train frequency fell back under it, vanished grams lose
+    * their rows. Hash-proven against a from-scratch DuckDB recompute
+    * over `train MINUS gone`. Scale shape: the takedown-set selection
+    * is one pair-stage probe (eval-sized gram set joins stored
+    * postings); the retraction is blast-radius-sized (the gone docs'
+    * gram posting lists), never corpus-sized. */
+  val q200ContaminationTakedown: QueryDef = sql(
+    "q200_contamination_takedown", contaminationTakedownSql) { (s, d) =>
+    val b = bucket100(col("doc_id"))
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(b < 80)
+    val evalDocs = docs.filter(b >= 90)
+    val store = graft.Scratch.dir("graft_shingle_td") + "/index"
+    ShingleIndex.ensure(s, train, store)
+    val goneIds = ShingleIndex.probePairs(s, store, evalDocs)
+      .filter(col("train_doc") % 2 === 0)
+      .select(col("train_doc").as("doc_id")).distinct()
+    ShingleIndex.retract(s, train.join(goneIds, Seq("doc_id"), "left_semi"),
+      store, txnId = Some(1L))
+    ShingleIndex.probe(s, store, evalDocs)
+  }
+
   /** q108's contamination adjudication in PURE SQL over the
     * CATALOG-registered gram store (VERDICT r12 #3) — the
     * q100/q106/q127/q158 idiom applied to the last derived-store
@@ -983,5 +1058,5 @@ object Pipeline {
     q88WeightedRepeat, q108ContaminationIndexed, q109ContaminationIndexIncremental,
     q113SnapshotDiff, q114TokenBudgetMix, q118ContaminationBloom, q131TokenDrift,
     q157TemperatureMix, q160CatalogContaminationSql, q165DsirSelect,
-    q166DsirMaintain)
+    q166DsirMaintain, q200ContaminationTakedown)
 }

@@ -57,15 +57,26 @@ object PostingsIndex {
     * rounded average multiplied back would drift an ulp and break the
     * serve ≡ recompute hash. */
   private def statsRow(spark: SparkSession, nDocs: Long, totalDl: Long,
-                       n: Long, h: Long, dirty: Boolean, txn: Long = -1L): DataFrame =
+                       n: Long, h: Long, dirty: Boolean, txn: Long = -1L,
+                       rtxn: Long = -1L): DataFrame =
     spark.range(1).select(
       lit(1L).as("meta_id"), lit(nDocs).as("n"), lit(totalDl).as("total_dl"),
       lit(if (nDocs > 0) totalDl.toDouble / nDocs else -1.0).as("avgdl"),
       lit(n).as("corpus_n"), lit(h).as("corpus_h"), lit(dirty).as("dirty"),
-      lit(txn).as("txn"))
+      lit(txn).as("txn"), lit(rtxn).as("rtxn"))
 
   private def statsTxn(m: org.apache.spark.sql.Row): Long =
     if (m.schema.fieldNames.contains("txn")) m.getAs[Long]("txn") else -1L
+
+  /** Retraction high-water mark — PRESERVED by every stats rewrite
+    * (round 18: extend/ensure used to drop the column, so an extend
+    * after a takedown forgot the retraction ledger and a late replayed
+    * retract re-applied its non-idempotent stats retreat — wrong BM25
+    * scores until the next rebuild). Takedown ids are assigned by the
+    * compliance system, not Spark's checkpoint, so their sequence
+    * outlives store epochs. */
+  private def statsRtxn(m: org.apache.spark.sql.Row): Long =
+    if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L
 
   /** (docs with ≥1 token, exact total token count), derived from the
     * POSTINGS relation rather than a second tokenize pass: a doc has
@@ -91,9 +102,10 @@ object PostingsIndex {
     val prev = UpsertStore.read(spark, statsPath)
     if (prev.exists(m => gateOk(m, n, h))) return
     val prevTxn = prev.map(m => statsTxn(m.head())).getOrElse(-1L)
+    val prevRtxn = prev.map(m => statsRtxn(m.head())).getOrElse(-1L)
     if (prev.isDefined) UpsertStore.replace(spark, statsPath,
-      statsRow(spark, -1L, -1L, -1L, 0L, dirty = true, prevTxn), Seq("meta_id"),
-      assumeKeyUnique = true)
+      statsRow(spark, -1L, -1L, -1L, 0L, dirty = true, prevTxn, prevRtxn),
+      Seq("meta_id"), assumeKeyUnique = true)
     // ONE tokenize pass: the postings write is the only job that
     // touches the (heavy) text column; vocabulary and stats then
     // derive from the just-written store — a column-pruned parquet
@@ -108,7 +120,7 @@ object PostingsIndex {
       assumeKeyUnique = true)
     val (nDocs, totalDl) = statsFromTf(stored)
     UpsertStore.replace(spark, statsPath,
-      statsRow(spark, nDocs, totalDl, n, h, dirty = false, prevTxn),
+      statsRow(spark, nDocs, totalDl, n, h, dirty = false, prevTxn, prevRtxn),
       Seq("meta_id"), assumeKeyUnique = true)
   }
 
@@ -147,11 +159,13 @@ object PostingsIndex {
         "rebuild with ensure before extending")
     val (baseN, baseH) = (stats.getAs[Long]("corpus_n"), stats.getAs[Long]("corpus_h"))
     val (baseDocs, baseTotal) = (stats.getAs[Long]("n"), stats.getAs[Long]("total_dl"))
+    val sRtxn = statsRtxn(stats)
     val deltaTf = Retrieval.postings(delta).cache()
     try {
       // dirty FIRST (pre-extend state preserved for the retry path)
       UpsertStore.replace(spark, statsPath,
-        statsRow(spark, baseDocs, baseTotal, baseN, baseH, dirty = true, sTxn),
+        statsRow(spark, baseDocs, baseTotal, baseN, baseH, dirty = true, sTxn,
+          sRtxn),
         Seq("meta_id"), assumeKeyUnique = true)
       UpsertStore.upsert(spark, path, deltaTf, Seq("term", "doc_id"),
         assumeKeyUnique = true)
@@ -168,7 +182,7 @@ object PostingsIndex {
       val (dn, dh) = deltaFp.getOrElse(PairGraph.corpusFingerprint(delta))
       UpsertStore.replace(spark, statsPath,
         statsRow(spark, baseDocs + dDocs, baseTotal + dTotal, baseN + dn, baseH ^ dh,
-          dirty = false, txnId.getOrElse(sTxn)),
+          dirty = false, txnId.getOrElse(sTxn), sRtxn),
         Seq("meta_id"), assumeKeyUnique = true)
     } finally deltaTf.unpersist()
   }
@@ -209,8 +223,7 @@ object PostingsIndex {
     // retract ids form their own monotonic sequence, independent of
     // streaming batch ids (sharing one field would let a takedown's
     // high-water mark make every later ingest self-skip)
-    val sRtxn = if (stats.schema.fieldNames.contains("rtxn"))
-      stats.getAs[Long]("rtxn") else -1L
+    val sRtxn = statsRtxn(stats)
     if (txnId.exists(_ <= sRtxn)) return
     require(!(stats.schema.fieldNames.contains("dirty") &&
         stats.getAs[Boolean]("dirty") && stats.getAs[Long]("corpus_n") < 0),
@@ -221,8 +234,8 @@ object PostingsIndex {
     val goneTf = Retrieval.postings(gone).cache()
     try {
       UpsertStore.replace(spark, statsPath,
-        statsRow(spark, baseDocs, baseTotal, baseN, baseH, dirty = true, sTxn)
-          .withColumn("rtxn", lit(sRtxn)),
+        statsRow(spark, baseDocs, baseTotal, baseN, baseH, dirty = true, sTxn,
+          sRtxn),
         Seq("meta_id"), assumeKeyUnique = true)
       UpsertStore.delete(spark, path, goneTf, Seq("term", "doc_id"))
       val touched = goneTf.select("term").distinct()
@@ -241,8 +254,7 @@ object PostingsIndex {
       // the extend ledger (txn) is preserved — only rtxn advances
       UpsertStore.replace(spark, statsPath,
         statsRow(spark, baseDocs - dDocs, baseTotal - dTotal, baseN - dn,
-          baseH ^ dh, dirty = false, sTxn)
-          .withColumn("rtxn", lit(txnId.getOrElse(sRtxn))),
+          baseH ^ dh, dirty = false, sTxn, txnId.getOrElse(sRtxn)),
         Seq("meta_id"), assumeKeyUnique = true)
     } finally goneTf.unpersist()
   }

@@ -40,10 +40,17 @@ object ShingleIndex {
     s"$root/idx_${PairGraph.dirKey64(dataDir)}"
 
   private def metaRow(spark: SparkSession, n: Long, h: Long,
-                      dirty: Boolean, txn: Long): DataFrame =
+                      dirty: Boolean, txn: Long, rtxn: Long = -1L): DataFrame =
     spark.range(1).select(
       lit(1L).as("meta_id"), lit(n).as("corpus_n"), lit(h).as("corpus_h"),
-      lit(dirty).as("dirty"), lit(txn).as("txn"))
+      lit(dirty).as("dirty"), lit(txn).as("txn"), lit(rtxn).as("rtxn"))
+
+  /** Retraction high-water mark — PRESERVED by every meta rewrite
+    * (the round-18 engine-wide rule: dropping it would let a late
+    * replayed retract re-apply its non-idempotent fingerprint
+    * retreat; takedown ids outlive store epochs). */
+  private def metaRtxn(m: org.apache.spark.sql.Row): Long =
+    if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L
 
   private def gateOk(m: DataFrame, n: Long, h: Long): Boolean =
     m.filter(col("corpus_n") === n && col("corpus_h") === h && !col("dirty"))
@@ -70,8 +77,9 @@ object ShingleIndex {
     val prev = UpsertStore.read(spark, metaPath)
     if (prev.exists(m => gateOk(m, cn, ch))) return
     val prevTxn = prev.map(_.head().getAs[Long]("txn")).getOrElse(-1L)
+    val prevRtxn = prev.map(m => metaRtxn(m.head())).getOrElse(-1L)
     if (prev.isDefined) UpsertStore.replace(spark, metaPath,
-      metaRow(spark, -1L, 0L, dirty = true, prevTxn), Seq("meta_id"),
+      metaRow(spark, -1L, 0L, dirty = true, prevTxn, prevRtxn), Seq("meta_id"),
       assumeKeyUnique = true)
     UpsertStore.replace(spark, path, grams(trainDocs, n), Seq("g", "doc_id"),
       assumeKeyUnique = true)
@@ -81,7 +89,7 @@ object ShingleIndex {
       stored.groupBy("g").agg(count(lit(1)).as("dfreq")), Seq("g"),
       assumeKeyUnique = true)
     UpsertStore.replace(spark, metaPath,
-      metaRow(spark, cn, ch, dirty = false, prevTxn), Seq("meta_id"),
+      metaRow(spark, cn, ch, dirty = false, prevTxn, prevRtxn), Seq("meta_id"),
       assumeKeyUnique = true)
   }
 
@@ -105,10 +113,11 @@ object ShingleIndex {
       s"shingle index at $path was left dirty by an interrupted REBUILD — " +
         "there is no base state to extend from; rerun ensure")
     val (baseN, baseH) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
+    val mRtxn = metaRtxn(meta)
     val deltaGrams = grams(delta, n).cache()
     try {
       UpsertStore.replace(spark, metaPath,
-        metaRow(spark, baseN, baseH, dirty = true, mTxn), Seq("meta_id"),
+        metaRow(spark, baseN, baseH, dirty = true, mTxn, mRtxn), Seq("meta_id"),
         assumeKeyUnique = true)
       UpsertStore.upsert(spark, path, deltaGrams, Seq("g", "doc_id"),
         assumeKeyUnique = true)
@@ -122,9 +131,75 @@ object ShingleIndex {
       val (dn, dh) = deltaFp.getOrElse(PairGraph.corpusFingerprint(delta))
       UpsertStore.replace(spark, metaPath,
         metaRow(spark, baseN + dn, baseH ^ dh, dirty = false,
-          txnId.getOrElse(mTxn)),
+          txnId.getOrElse(mTxn), mRtxn),
         Seq("meta_id"), assumeKeyUnique = true)
     } finally deltaGrams.unpersist()
+  }
+
+  /** RETRACT train documents from the gram index (round 18 — VERDICT
+    * r17 #1, the one serving family the round-17 takedown wave
+    * skipped, and the one with compliance teeth: a retracted TRAIN
+    * document must stop adjudicating eval documents as contaminated).
+    * The exact inverse of [[extend]], mirroring
+    * [[PostingsIndex.retract]]'s calculus piece for piece:
+    *  - deleted gram KEYS recomputed from the gone docs' text (pure
+    *    function → a crash-replay derives the same keys; the keyed
+    *    (g, doc_id) deletes are idempotent);
+    *  - df for exactly the gone docs' grams RECOUNTED from the
+    *    post-delete store; grams whose posting list empties lose
+    *    their df ROW (a rebuilt index has no row for a vanished gram
+    *    — and the PROBE-time stop-gram cap reads df, so a boilerplate
+    *    gram whose df falls back under the cap resumes matching,
+    *    exactly as a from-scratch build would);
+    *  - the corpus fingerprint retreats by the XOR rule (n − Δn,
+    *    h ⊕ Δh), so a later `ensure(remaining)` gate-serves instead
+    *    of rebuilding.
+    * Crash discipline: dirty meta (preserving the pre-retract
+    * fingerprint) before any data write, clean meta LAST with `txnId`
+    * recorded in the `rtxn` RETRACTION ledger — separate from the
+    * extend ledger (`txn`), the engine-wide round-17 rule: retract ids
+    * form their own monotonic sequence, so a takedown id can never
+    * make a later streamed extend self-skip. The fingerprint retreat
+    * is associative, not idempotent — only the recorded id makes a
+    * replay converge; the data deletes/recounts below it converge
+    * without the ledger. Cost ∝ the gone docs' grams' posting lists.
+    * Contract: every retracted doc must currently be indexed. */
+  def retract(spark: SparkSession, gone: DataFrame, path: String,
+              n: Int = 8, txnId: Option[Long] = None): Unit = {
+    val metaPath = s"${path}__meta"
+    val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(
+      sys.error(s"no shingle index at $path to retract from — run ensure first"))
+    val mTxn = meta.getAs[Long]("txn")
+    val mRtxn = metaRtxn(meta)
+    if (txnId.exists(_ <= mRtxn)) return
+    require(!(meta.getAs[Boolean]("dirty") && meta.getAs[Long]("corpus_n") < 0),
+      s"shingle index at $path was left dirty by an interrupted REBUILD — " +
+        "rerun ensure before retracting")
+    val (baseN, baseH) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
+    val goneGrams = grams(gone, n).cache()
+    try {
+      UpsertStore.replace(spark, metaPath,
+        metaRow(spark, baseN, baseH, dirty = true, mTxn, mRtxn),
+        Seq("meta_id"), assumeKeyUnique = true)
+      UpsertStore.delete(spark, path, goneGrams, Seq("g", "doc_id"))
+      val touched = goneGrams.select("g").distinct()
+      val postings = UpsertStore.read(spark, path).getOrElse(
+        sys.error(s"gram postings at $path unreadable"))
+      val remaining = postings.join(broadcast(touched), Seq("g"), "left_semi")
+        .groupBy("g").agg(count(lit(1)).as("dfreq"))
+      UpsertStore.upsert(spark, s"${path}__df", remaining, Seq("g"),
+        assumeKeyUnique = true)
+      val vanished = touched.join(remaining.select("g"), Seq("g"), "left_anti")
+        .localCheckpoint()
+      if (!vanished.isEmpty)
+        UpsertStore.delete(spark, s"${path}__df", vanished, Seq("g"))
+      val (dn, dh) = PairGraph.corpusFingerprint(gone)
+      // the extend ledger (txn) is preserved — only rtxn advances
+      UpsertStore.replace(spark, metaPath,
+        metaRow(spark, baseN - dn, baseH ^ dh, dirty = false, mTxn,
+          txnId.getOrElse(mRtxn)),
+        Seq("meta_id"), assumeKeyUnique = true)
+    } finally goneGrams.unpersist()
   }
 
   /** Register the index under the `graft` catalog (the q99/q100/q106
@@ -142,14 +217,16 @@ object ShingleIndex {
     path
   }
 
-  /** Contamination probe FROM the stored index: shingle only the eval
-    * batch, drop train-side stop grams (df > `dfCap`, an anti-join
-    * against the few high-df grams), join against the stored postings
-    * — only matched grams shuffle — and emit per-eval-doc counts
-    * (test_doc, n_train_docs, max_shared), q61's output contract.
-    * Refuses a dirty or missing index. */
-  def probe(spark: SparkSession, path: String, evalDocs: DataFrame,
-            n: Int = 8, dfCap: Long = 50): DataFrame = {
+  /** Per-(eval, train) shared-gram counts FROM the stored index — the
+    * adjudication's PAIR stage, exposed for flows that need the
+    * matched SOURCES (the q200 takedown selects its
+    * right-to-be-forgotten set from exactly these rows). Shingles only
+    * the eval batch, drops train-side stop grams (df > `dfCap`, an
+    * anti-join against the few high-df grams), joins the stored
+    * postings — only matched grams shuffle. Refuses a dirty or missing
+    * index. */
+  def probePairs(spark: SparkSession, path: String, evalDocs: DataFrame,
+                 n: Int = 8, dfCap: Long = 50): DataFrame = {
     val meta = UpsertStore.read(spark, s"${path}__meta").getOrElse(
       sys.error(s"no shingle index at $path — run ensure first")).head()
     require(!meta.getAs[Boolean]("dirty"),
@@ -165,8 +242,15 @@ object ShingleIndex {
     grams(evalDocs, n).select(col("doc_id").as("test_doc"), col("g"))
       .join(prunedTrain, "g")
       .groupBy("test_doc", "train_doc").agg(count(lit(1)).as("shared"))
+  }
+
+  /** Contamination probe FROM the stored index: [[probePairs]] rolled
+    * up to per-eval-doc counts (test_doc, n_train_docs, max_shared),
+    * q61's output contract. */
+  def probe(spark: SparkSession, path: String, evalDocs: DataFrame,
+            n: Int = 8, dfCap: Long = 50): DataFrame =
+    probePairs(spark, path, evalDocs, n, dfCap)
       .groupBy("test_doc")
       .agg(count(lit(1)).as("n_train_docs"), max("shared").cast("long").as("max_shared"))
       .orderBy("test_doc")
-  }
 }

@@ -98,6 +98,76 @@ class TakedownIndexSpec extends AnyFunSuite {
       "chunk postings diverged — shared-fp rows must survive, orphans must not")
   }
 
+  test("VERDICT r17 #1: shingle retract ≡ from-scratch — a retracted train doc stops adjudicating contamination") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-td-shg").toString
+    ShingleIndex.ensure(spark, full, s"$dir/idx", n = 3)
+    // pre-retract: the eval doc (doc 1's exact text) is flagged against
+    // BOTH exact-copy train docs, sharing all 3 of its 3-grams
+    val evalDocs = Seq(100L -> "alpha beta gamma delta epsilon").toDF("doc_id", "text")
+    def probe(path: String) =
+      ShingleIndex.probe(spark, path, evalDocs, n = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(s"$dir/idx") == Set((100L, 2L, 3L)),
+      s"construction check: pre-retract probe should flag train docs 1 and 4")
+    ShingleIndex.retract(spark, gone, s"$dir/idx", n = 3, txnId = Some(1L))
+    ShingleIndex.ensure(spark, remaining, s"$dir/fresh", n = 3)
+    assert(rows(s"$dir/idx") == rows(s"$dir/fresh"), "gram postings diverged")
+    assert(rows(s"$dir/idx__df") == rows(s"$dir/fresh__df"),
+      "gram df diverged — vanished grams must lose their rows")
+    // the compliance teeth: the retracted train doc no longer
+    // adjudicates; the surviving exact copy still does
+    assert(probe(s"$dir/idx") == Set((100L, 1L, 3L)),
+      "a retracted train doc must stop flagging eval docs as contaminated")
+    // fingerprint retreat means ensure(remaining) gate-SERVES
+    val v = UpsertStore.latestVersion(spark, s"$dir/idx")
+    ShingleIndex.ensure(spark, remaining, s"$dir/idx", n = 3)
+    assert(UpsertStore.latestVersion(spark, s"$dir/idx") == v,
+      "post-retract ensure(remaining) must gate-serve, not rebuild")
+    // ledgered replay self-skips
+    ShingleIndex.retract(spark, gone, s"$dir/idx", n = 3, txnId = Some(1L))
+    assert(rows(s"$dir/idx__df") == rows(s"$dir/fresh__df"),
+      "replayed committed retract drifted the df table")
+  }
+
+  test("round 18: the retraction high-water mark survives a later extend (rtxn preservation)") {
+    // pre-r18 bug: extend rewrote the meta/stats row WITHOUT rtxn, so a
+    // late replay of a committed takedown re-applied its non-idempotent
+    // fingerprint/stats retreat
+    val dir = java.nio.file.Files.createTempDirectory("graft-td-rtxn").toString
+    PostingsIndex.ensure(spark, full, s"$dir/p")
+    PostingsIndex.retract(spark, gone, s"$dir/p", Some(5L))
+    PostingsIndex.extend(spark,
+      Seq(6L -> "brand new words arriving").toDF("doc_id", "text"),
+      s"$dir/p", Some(1L))
+    def stats() = UpsertStore.read(spark, s"$dir/p__stats").get.head().toSeq
+    val s0 = stats()
+    PostingsIndex.retract(spark, gone, s"$dir/p", Some(5L))
+    assert(stats() == s0,
+      "postings extend dropped the rtxn mark — a replayed retract re-applied its retreat")
+    // same property through the shingle family
+    ShingleIndex.ensure(spark, full, s"$dir/s", n = 3)
+    ShingleIndex.retract(spark, gone, s"$dir/s", n = 3, txnId = Some(5L))
+    ShingleIndex.extend(spark,
+      Seq(6L -> "brand new words arriving today ok").toDF("doc_id", "text"),
+      s"$dir/s", n = 3, txnId = Some(1L))
+    def smeta() = UpsertStore.read(spark, s"$dir/s__meta").get.head().toSeq
+    val m0 = smeta()
+    ShingleIndex.retract(spark, gone, s"$dir/s", n = 3, txnId = Some(5L))
+    assert(smeta() == m0,
+      "shingle extend dropped the rtxn mark — a replayed retract re-applied its retreat")
+    // and the ivf-pq family
+    val emb = (0L to 11L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).abs + 0.1))).toDF("vec_id", "emb")
+    IvfPqIndex.ensure(spark, emb.filter($"vec_id" < 10), s"$dir/v", centroids = 2)
+    IvfPqIndex.retract(spark, emb.filter($"vec_id" === 3L), s"$dir/v", Some(5L))
+    IvfPqIndex.extend(spark, emb.filter($"vec_id" >= 10), s"$dir/v", Some(1L))
+    def vmeta() = UpsertStore.read(spark, s"$dir/v__meta").get.head().toSeq
+    val v0 = vmeta()
+    IvfPqIndex.retract(spark, emb.filter($"vec_id" === 3L), s"$dir/v", Some(5L))
+    assert(vmeta() == v0,
+      "ivf-pq extend dropped the rtxn mark — a replayed retract re-applied its retreat")
+  }
+
   test("ivf-pq retract: keyed delete, no retrain, fingerprint retreat gate-serves") {
     val dir = java.nio.file.Files.createTempDirectory("graft-td-ivf").toString
     val emb = (0L to 11L).map(i =>
