@@ -158,10 +158,16 @@ object PqIndex {
     s"$root/pq_${PairGraph.dirKey64(dataDir)}"
 
   private def metaRow(spark: SparkSession, n: Long, h: Long,
-                      dirty: Boolean, txn: Long): DataFrame =
+                      dirty: Boolean, txn: Long, rtxn: Long = -1L): DataFrame =
     spark.range(1).select(
       lit(1L).as("meta_id"), lit(n).as("corpus_n"), lit(h).as("corpus_h"),
-      lit(M).as("m"), lit(K).as("k"), lit(dirty).as("dirty"), lit(txn).as("txn"))
+      lit(M).as("m"), lit(K).as("k"), lit(dirty).as("dirty"), lit(txn).as("txn"),
+      lit(rtxn).as("rtxn"))
+
+  /** Retraction high-water mark — preserved by every meta rewrite (the
+    * round-18 engine-wide rule; see [[IvfPqIndex]]). */
+  private def metaRtxn(m: org.apache.spark.sql.Row): Long =
+    if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L
 
   private def gateOk(m: DataFrame, n: Long, h: Long): Boolean =
     m.filter(col("corpus_n") === n && col("corpus_h") === h &&
@@ -180,8 +186,9 @@ object PqIndex {
       else None
     stored.getOrElse {
       val prevTxn = prev.map(_.head().getAs[Long]("txn")).getOrElse(-1L)
+      val prevRtxn = prev.map(m => metaRtxn(m.head())).getOrElse(-1L)
       if (prev.isDefined) UpsertStore.replace(spark, metaPath,
-        metaRow(spark, -1L, 0L, dirty = true, prevTxn), Seq("meta_id"),
+        metaRow(spark, -1L, 0L, dirty = true, prevTxn, prevRtxn), Seq("meta_id"),
         assumeKeyUnique = true)
       val parts = subParts(unitEmb(emb))
       val (cent, assigned) = trainCodebooks(spark, parts)
@@ -192,7 +199,7 @@ object PqIndex {
       UpsertStore.replace(spark, s"${path}__codebooks", cent, Seq("m", "cid"),
         assumeKeyUnique = true)
       UpsertStore.replace(spark, metaPath,
-        metaRow(spark, n, h, dirty = false, prevTxn), Seq("meta_id"),
+        metaRow(spark, n, h, dirty = false, prevTxn, prevRtxn), Seq("meta_id"),
         assumeKeyUnique = true)
       UpsertStore.read(spark, path).getOrElse(
         sys.error(s"pq index store $path unreadable immediately after commit"))
@@ -218,8 +225,9 @@ object PqIndex {
     val cent = UpsertStore.read(spark, s"${path}__codebooks").getOrElse(
       sys.error(s"pq index at $path has no codebook table"))
     val (baseN, baseH) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
+    val mRtxn = metaRtxn(meta)
     UpsertStore.replace(spark, metaPath,
-      metaRow(spark, baseN, baseH, dirty = true, mTxn), Seq("meta_id"),
+      metaRow(spark, baseN, baseH, dirty = true, mTxn, mRtxn), Seq("meta_id"),
       assumeKeyUnique = true)
     UpsertStore.upsert(spark, path,
       packCodes(encodeParts(subParts(unitEmb(delta)), cent)), Seq("vec_id"),
@@ -227,7 +235,38 @@ object PqIndex {
     val (dn, dh) = deltaFp.getOrElse(fingerprint(delta))
     UpsertStore.replace(spark, metaPath,
       metaRow(spark, baseN + dn, baseH ^ dh, dirty = false,
-        txnId.getOrElse(mTxn)), Seq("meta_id"), assumeKeyUnique = true)
+        txnId.getOrElse(mTxn), mRtxn), Seq("meta_id"), assumeKeyUnique = true)
+  }
+
+  /** RETRACT vectors from the code store (round 18 — VERDICT r17 #2's
+    * "declared surfaces" clause: q122/q123 still serve this store even
+    * though [[IvfPqIndex]] supersedes it): the [[IvfPqIndex.retract]]
+    * contract — keyed vec_id delete, codebooks PINNED (they encode
+    * per-vector values; membership does not move them), XOR
+    * fingerprint retreat so `ensure(remaining)` gate-serves, `rtxn`
+    * retraction ledger separate from the extend ledger and preserved
+    * across every meta rewrite. `gone` carries (vec_id, emb) full
+    * rows. Contract: retracted rows must currently be indexed. */
+  def retract(spark: SparkSession, gone: DataFrame, path: String,
+              txnId: Option[Long] = None): Unit = {
+    val metaPath = s"${path}__meta"
+    val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(
+      sys.error(s"no pq index at $path to retract from — run ensure first"))
+    val mTxn = meta.getAs[Long]("txn")
+    val mRtxn = metaRtxn(meta)
+    if (txnId.exists(_ <= mRtxn)) return
+    require(!(meta.getAs[Boolean]("dirty") && meta.getAs[Long]("corpus_n") < 0),
+      s"pq index at $path was left dirty by an interrupted REBUILD — rerun ensure")
+    val (baseN, baseH) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
+    UpsertStore.replace(spark, metaPath,
+      metaRow(spark, baseN, baseH, dirty = true, mTxn, mRtxn), Seq("meta_id"),
+      assumeKeyUnique = true)
+    UpsertStore.delete(spark, path, gone.select("vec_id"), Seq("vec_id"))
+    val (dn, dh) = fingerprint(gone)
+    UpsertStore.replace(spark, metaPath,
+      metaRow(spark, baseN - dn, baseH ^ dh, dirty = false, mTxn,
+        txnId.getOrElse(mRtxn)),
+      Seq("meta_id"), assumeKeyUnique = true)
   }
 
   /** Register the PQ index under the `graft` catalog (the

@@ -83,10 +83,17 @@ object VectorIndex {
     s"$root/vindex_${PairGraph.dirKey64(dataDir)}_c$centroids"
 
   private def metaRow(spark: SparkSession, n: Long, h: Long, centroids: Int,
-                      dirty: Boolean = false, txn: Long = -1L): DataFrame =
+                      dirty: Boolean = false, txn: Long = -1L,
+                      rtxn: Long = -1L): DataFrame =
     spark.range(1).select(
       lit(1L).as("meta_id"), lit(n).as("corpus_n"), lit(h).as("corpus_h"),
-      lit(centroids).as("centroids"), lit(dirty).as("dirty"), lit(txn).as("txn"))
+      lit(centroids).as("centroids"), lit(dirty).as("dirty"), lit(txn).as("txn"),
+      lit(rtxn).as("rtxn"))
+
+  /** Retraction high-water mark — preserved by every meta rewrite (the
+    * round-18 engine-wide rule; see [[IvfPqIndex]]). */
+  private def metaRtxn(m: org.apache.spark.sql.Row): Long =
+    if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L
 
   /** Deterministic nearest-centroid assignment: one broadcast pass,
     * cosine tie broken to the higher centroid id via the struct
@@ -118,6 +125,7 @@ object VectorIndex {
     stored.getOrElse {
       val prevMeta = UpsertStore.read(spark, metaPath)
       val prevTxn = prevMeta.map(m => metaTxn(m.head())).getOrElse(-1L)
+      val prevRtxn = prevMeta.map(m => metaRtxn(m.head())).getOrElse(-1L)
       val cents = emb.orderBy("vec_id").limit(centroids)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb"))
       val cells = assignCells(emb, cents)
@@ -127,14 +135,14 @@ object VectorIndex {
       // are key-unique by construction (groupBy/limit outputs, one
       // meta row) — the store-side dedup shuffle is skipped.
       if (prevMeta.isDefined) UpsertStore.replace(spark, metaPath,
-        metaRow(spark, -1L, 0L, centroids, dirty = true, prevTxn), Seq("meta_id"),
-        assumeKeyUnique = true)
+        metaRow(spark, -1L, 0L, centroids, dirty = true, prevTxn, prevRtxn),
+        Seq("meta_id"), assumeKeyUnique = true)
       UpsertStore.replace(spark, path, cells, Seq("vec_id"), assumeKeyUnique = true)
       UpsertStore.replace(spark, s"${path}__centroids", cents, Seq("centroid_id"),
         assumeKeyUnique = true)
       UpsertStore.replace(spark, metaPath,
-        metaRow(spark, n, h, centroids, dirty = false, prevTxn), Seq("meta_id"),
-        assumeKeyUnique = true)
+        metaRow(spark, n, h, centroids, dirty = false, prevTxn, prevRtxn),
+        Seq("meta_id"), assumeKeyUnique = true)
       UpsertStore.read(spark, path).getOrElse(
         sys.error(s"vector index store $path unreadable immediately after commit"))
     }
@@ -195,16 +203,50 @@ object VectorIndex {
     val cents = UpsertStore.read(spark, s"${path}__centroids").getOrElse(
       sys.error(s"vector index at $path has no centroid table"))
     val (baseN, baseH) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
+    val mRtxn = metaRtxn(meta)
     // dirty FIRST (pre-extend fingerprint preserved for the retry path)
     UpsertStore.replace(spark, metaPath,
-      metaRow(spark, baseN, baseH, centroids, dirty = true, mTxn), Seq("meta_id"),
-      assumeKeyUnique = true)
+      metaRow(spark, baseN, baseH, centroids, dirty = true, mTxn, mRtxn),
+      Seq("meta_id"), assumeKeyUnique = true)
     UpsertStore.upsert(spark, path, assignCells(delta, cents), Seq("vec_id"),
       assumeKeyUnique = true)
     val (dn, dh) = deltaFp.getOrElse(corpusFingerprint(delta))
     UpsertStore.replace(spark, metaPath,
       metaRow(spark, baseN + dn, baseH ^ dh, centroids, dirty = false,
-        txnId.getOrElse(mTxn)), Seq("meta_id"), assumeKeyUnique = true)
+        txnId.getOrElse(mTxn), mRtxn), Seq("meta_id"), assumeKeyUnique = true)
+  }
+
+  /** RETRACT vectors from the cell store (round 18 — VERDICT r17 #2's
+    * "declared surfaces" clause: q96/q119 still serve this store even
+    * though [[IvfPqIndex]] supersedes it): the [[IvfPqIndex.retract]]
+    * contract verbatim — keyed vec_id delete, NO centroid move (the
+    * assignment geometry is membership-independent), XOR fingerprint
+    * retreat so `index(remaining)` gate-serves, `rtxn` retraction
+    * ledger separate from the extend ledger and preserved across every
+    * meta rewrite. `gone` carries (vec_id, embedding) full rows.
+    * Contract: retracted rows must currently be indexed. */
+  def retract(spark: SparkSession, gone: DataFrame, dataDir: String,
+              centroids: Int = 16, pathOverride: Option[String] = None,
+              txnId: Option[Long] = None): Unit = {
+    val path = pathOverride.getOrElse(storePath(dataDir, centroids))
+    val metaPath = s"${path}__meta"
+    val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(
+      sys.error(s"no vector index at $path to retract from — run index first"))
+    val mTxn = metaTxn(meta)
+    val mRtxn = metaRtxn(meta)
+    if (txnId.exists(_ <= mRtxn)) return
+    require(!(isDirty(meta) && meta.getAs[Long]("corpus_n") < 0),
+      s"vector index at $path was left dirty by an interrupted REBUILD — rerun index")
+    val (baseN, baseH) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
+    UpsertStore.replace(spark, metaPath,
+      metaRow(spark, baseN, baseH, centroids, dirty = true, mTxn, mRtxn),
+      Seq("meta_id"), assumeKeyUnique = true)
+    UpsertStore.delete(spark, path, gone.select("vec_id"), Seq("vec_id"))
+    val (dn, dh) = corpusFingerprint(gone)
+    UpsertStore.replace(spark, metaPath,
+      metaRow(spark, baseN - dn, baseH ^ dh, centroids, dirty = false, mTxn,
+        txnId.getOrElse(mRtxn)),
+      Seq("meta_id"), assumeKeyUnique = true)
   }
 
   /** IVF top-k for an EXTERNAL query batch — the production serve

@@ -54,6 +54,23 @@ final class DistinctMonitor(
     UpsertStore.replace(spark, storePath, merged, Seq("grp"), assumeKeyUnique = true)
   }
 
+  /** TAKEDOWN POLICY (round 18 — VERDICT r17 #2): an HLL sketch is
+    * mergeable but NOT invertible, so the declared retraction contract
+    * is REBUILD-ON-RETRACT from the caller-supplied surviving corpus,
+    * behind the separate retraction ledger — the
+    * [[QuantileMonitor.retract]] contract verbatim (ingest high-water
+    * mark preserved, ledger commits last, replayed rebuild is a
+    * version-level no-op, cost ∝ remaining corpus). */
+  def retract(remaining: DataFrame, txnId: Long): Unit = {
+    if (txnId <= Retraction.committed(spark, storePath)) return
+    val committed = UpsertStore.read(spark, storePath).map(
+      _.agg(coalesce(max(col("txn")), lit(-1L))).head().getLong(0)).getOrElse(-1L)
+    UpsertStore.replace(spark, storePath,
+      sketchRows(remaining).withColumn("txn", lit(committed)),
+      Seq("grp"), assumeKeyUnique = true)
+    Retraction.commit(spark, storePath, txnId)
+  }
+
   /** Current estimates, one row per grp — decoded in-plan. */
   def estimates(): DataFrame =
     UpsertStore.read(spark, storePath).getOrElse(

@@ -71,6 +71,56 @@ final class DsirMaintainer(
       assumeKeyUnique = true, txnId = txnId)
   }
 
+  /** RETRACT documents from both models (round 18 — VERDICT r17 #2:
+    * the additive stores owe an EXACT-SUBTRACTION takedown, not
+    * silence). The gone batch is counted alone — the same single pass
+    * as [[ingestBatch]] — and subtracted term-by-term; terms whose raw
+    * count empties lose their ROW (a from-scratch bootstrap over the
+    * remaining corpus has no row for a vanished term; `ct ≤ cr` by
+    * construction, so `cr = 0 ⟹ ct = 0`).
+    *
+    * Crash discipline: a subtraction is NOT idempotent and — unlike
+    * the index families' key deletes — cannot be recomputed after the
+    * store mutates, so the POST-RETRACTION target values are persisted
+    * txn-keyed BEFORE any store write (the `__retract_scope`
+    * discipline from the curation maintainer): a replay finds the
+    * snapshot and re-applies absolute values (idempotent) instead of
+    * re-subtracting. The retraction ledger (separate from the ingest
+    * ledger, the round-17 rule) commits LAST; committed snapshots are
+    * pruned after the commit. Contract: every retracted doc must have
+    * been ingested. */
+  def retract(gone: DataFrame, txnId: Long): Unit = {
+    if (txnId <= Retraction.committed(spark, storePath)) return
+    val pendPath = s"${storePath}__retract_pending"
+    val havePending = UpsertStore.read(spark, pendPath)
+      .exists(!_.filter(col("txn") === txnId).isEmpty)
+    if (!havePending) {
+      val stored = UpsertStore.read(spark, storePath).getOrElse(
+        sys.error(s"no DSIR count store at $storePath — bootstrap first"))
+      val target = counts(gone)
+        .join(stored.select(col("term"), col("cr").as("cr0"), col("ct").as("ct0")),
+          keys, "inner")
+        .select(col("term"),
+          (col("cr0") - col("cr")).as("cr"),
+          (col("ct0") - col("ct")).as("ct"))
+      UpsertStore.upsert(spark, pendPath,
+        target.withColumn("txn", lit(txnId)), Seq("txn", "term"),
+        assumeKeyUnique = true)
+    }
+    val pend = UpsertStore.read(spark, pendPath).get
+      .filter(col("txn") === txnId).drop("txn")
+    UpsertStore.upsert(spark, storePath, pend.filter(col("cr") > 0), keys,
+      assumeKeyUnique = true)
+    val vanished = pend.filter(col("cr") <= 0).select("term").localCheckpoint()
+    if (!vanished.isEmpty) UpsertStore.delete(spark, storePath, vanished, keys)
+    Retraction.commit(spark, storePath, txnId)
+    // prune the committed snapshot (monotonic ids: everything ≤ txnId
+    // is dead; a crash here leaves rows the next retract's prune sweeps)
+    val dead = UpsertStore.read(spark, pendPath).get
+      .filter(col("txn") <= txnId).select("txn", "term").localCheckpoint()
+    if (!dead.isEmpty) UpsertStore.delete(spark, pendPath, dead, Seq("txn", "term"))
+  }
+
   /** Score `docs` against the committed models — q165's output
     * contract (doc_id, n_tokens, log importance weight, select flag). */
   def serve(docs: DataFrame): DataFrame = {

