@@ -738,6 +738,48 @@ object Analytics {
       "l_quantity")
   }
 
+  /** VIEW-FAMILY TAKEDOWN (round 18 — VERDICT r17 #6: `retractFact` /
+    * `retractDim` existed and were spec-pinned, but no declared query
+    * exercised them). The full lifecycle on the q194 view: bootstrap
+    * (80% × 80%) → both delta ingests → a FACT takedown (every order
+    * with `o_orderkey % 97 = 0` — both stores lose the key) → a
+    * DIMENSION takedown (every customer with `c_custkey % 31 = 0` —
+    * the dim store loses the keys and the view loses exactly the
+    * referencing rows, fan-out-sized, while the orphaned facts stay
+    * pending) → a PARTIAL RE-INGEST of the retracted dimension (the
+    * `% 62 = 0` half comes back, re-materializing its pending facts —
+    * the standing late-arrival semantics, post-takedown) → serve.
+    * Oracle = the inner join with both deletions applied, hash-proven;
+    * the retraction ids ride the view family's separate retraction
+    * ledger, so the later dim re-ingest (its own per-dim ingest
+    * sequence) is untouched by them. Scale shape: both retractions are
+    * keyed deletes sized by the takedown set and its fan-out — the
+    * fact table is never rescanned. */
+  val q201ViewTakedown: QueryDef = sql(
+    "q201_view_takedown",
+    """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey % 97 <> 0
+      |  AND (c_custkey % 31 <> 0 OR c_custkey % 62 = 0)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val cust = Tables.customer(s, d)
+    val cutO = orders.agg(expr("percentile(o_orderkey, 0.8)")).head().getDouble(0).toLong
+    val cutC = cust.agg(expr("percentile(c_custkey, 0.8)")).head().getDouble(0).toLong
+    val m = new graft.streaming.JoinViewMaintainer(
+      s, graft.Scratch.dir("graft_view_takedown") + "/view")
+    m.bootstrap(orders.filter(col("o_orderkey") <= cutO),
+      cust.filter(col("c_custkey") <= cutC))
+    m.ingestLeft(orders.filter(col("o_orderkey") > cutO), Some(0L))
+    m.ingestRight(cust.filter(col("c_custkey") > cutC), Some(0L))
+    m.retractFact(orders.filter(col("o_orderkey") % 97 === 0)
+      .select("o_orderkey"), txnId = 1L)
+    m.retractDim(0, cust.filter(col("c_custkey") % 31 === 0)
+      .select("c_custkey"), txnId = 2L)
+    m.ingestRight(cust.filter(col("c_custkey") % 62 === 0), Some(1L))
+    m.current.orderBy("o_orderkey")
+  }
+
   /** Sliding-HLL trailing-7-day active users — q136's WAU for
     * unbounded user cardinality. One DataSketches HLL sketch per day is
     * the ONLY user-sized aggregation (partial+final, map-side
@@ -1054,7 +1096,7 @@ object Analytics {
     q140FuzzySortedNeighborhood, q141WeightedSample,
     q142MarketBasket, q143SessionConversion, q144IntereventGaps,
     q145TokenEntropy, q146BigramNll, q147RollupIvm, q194JoinViewIvm,
-    q196CatalogJoinViewSql, q198StarViewIvm,
+    q196CatalogJoinViewSql, q198StarViewIvm, q201ViewTakedown,
     q148HllWau, q149TfidfFromIndex, q150FuzzyFullVerify,
     q152StratifiedSample, q153HllWindowServe, q155DailyEwma,
     q158CatalogHllSql)
