@@ -204,6 +204,12 @@ final class ManifestMaintainer(
     * call). `gone` carries full (doc_id, text) rows of CURRENT corpus
     * members (the fingerprint retreat is exact arithmetic). */
   def retract(gone0: DataFrame, txnId: Long): Unit = {
+    def T[A](l: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (sys.env.contains("GRAFT_PROFILE_RETRACT"))
+        System.err.println(f"[retract] $l%-28s ${(System.nanoTime()-t0)/1e9}%6.2f s")
+      r
+    }
     // retraction ledger: SEPARATE from the ingest ledger — retract ids
     // form their own monotonic sequence, so a takedown's high-water
     // mark can never make a later stream batch (whose ids Spark's
@@ -237,30 +243,47 @@ final class ManifestMaintainer(
     val stored = UpsertStore.read(spark, scopePath)
       .map(_.filter(col("txn") === txnId).select("doc_id"))
       .getOrElse(freshScope.limit(0))
-    val scope = freshScope.unionByName(stored).distinct().localCheckpoint()
-    UpsertStore.upsert(spark, scopePath,
+    val scope = T("scope compute")(freshScope.unionByName(stored).distinct().localCheckpoint())
+    T("scope persist")(UpsertStore.upsert(spark, scopePath,
       scope.withColumn("txn", lit(txnId)), Seq("txn", "doc_id"),
-      assumeKeyUnique = true)
-    // ---- stage retracts (each converges or self-skips on replay)
-    val survivors = gate.retract(gone)
-    clusterM.retract(gone, txnId)
+      assumeKeyUnique = true))
+    // ---- stage retracts (each converges or self-skips on replay).
+    // STAGE PARALLELISM (round 18 — the bootstrap/ingest rule applied
+    // to the takedown path, which the r18 profile showed is the
+    // composition's dominant term): the pair/cluster retract and the
+    // manifest keyed delete touch store families DISJOINT from the
+    // gate → facts chain, so they run on the stage thread while the
+    // gate chain runs on the caller's — two independent job DAGs in
+    // flight, the q159 shape. The replay matrix is unchanged: each
+    // store's guard is its own, the inter-store ORDER never mattered
+    // for convergence (a crash replays the whole retract and every
+    // layer self-skips or converges), and the composition's retraction
+    // ledger still commits last, after the barrier.
+    val clusterSide = concurrent.Future {
+      T("clusterM.retract")(clusterM.retract(gone, txnId))
+      // manifest keyed delete: needs only goneIds; the refresh below
+      // (which needs BOTH sides) joins after the barrier
+      T("manifest delete")(
+        UpsertStore.delete(spark, manifestPath, goneIds, Seq("doc_id")))
+    }(stageEc)
     // facts: drop gone, refresh promoted survivors' exact-dup bit
     // (verdict is doc-local — joined back from the stored row)
-    UpsertStore.delete(spark, factsPath, goneIds, Seq("doc_id"))
+    T("facts delete")(UpsertStore.delete(spark, factsPath, goneIds, Seq("doc_id")))
+    val survivors = T("gate.retract")(gate.retract(gone))
     val facts = UpsertStore.read(spark, factsPath).getOrElse(
       sys.error(s"no facts store at $factsPath — bootstrap first"))
-    val refreshed = survivors
+    val refreshed = T("facts refresh compute")(survivors
       .select(col("doc_id"), (col("status") === "duplicate").as("is_exact_dup"))
       .join(facts.select("doc_id", "verdict"), Seq("doc_id"))
-      .localCheckpoint()
+      .localCheckpoint())
     if (!refreshed.isEmpty)
-      UpsertStore.upsert(spark, factsPath, refreshed, Seq("doc_id"),
-        assumeKeyUnique = true)
-    // manifest: drop gone, re-derive the blast radius' rows (the
-    // scoped refresh expands ids to whole clusters via the updated
-    // cluster table; gone ids drop out at the facts semi-join)
-    UpsertStore.delete(spark, manifestPath, goneIds, Seq("doc_id"))
-    refreshManifest(Some(scope))
+      T("facts refresh upsert")(UpsertStore.upsert(spark, factsPath, refreshed, Seq("doc_id"),
+        assumeKeyUnique = true))
+    concurrent.Await.result(clusterSide, concurrent.duration.Duration.Inf)
+    // manifest refresh re-derives the blast radius' rows (the scoped
+    // refresh expands ids to whole clusters via the updated cluster
+    // table; gone ids drop out at the facts semi-join)
+    T("manifest refresh")(refreshManifest(Some(scope)))
     UpsertStore.replace(spark, rtxnPath,
       spark.range(1).select(lit(1L).as("meta_id"), lit(txnId).as("txn")),
       Seq("meta_id"))
@@ -271,12 +294,12 @@ final class ManifestMaintainer(
     // everything ≤ txnId (ids are monotonic, so that is the whole
     // store); a crash inside this window leaves rows the NEXT
     // takedown's post-commit sweep removes.
-    UpsertStore.read(spark, scopePath).foreach { s0 =>
+    T("scope prune")(UpsertStore.read(spark, scopePath).foreach { s0 =>
       val dead = s0.filter(col("txn") <= txnId).select("txn", "doc_id")
         .localCheckpoint()
       if (!dead.isEmpty)
         UpsertStore.delete(spark, scopePath, dead, Seq("txn", "doc_id"))
-    }
+    })
   }
 
   /** The manifest as of the last committed batch:
