@@ -181,12 +181,39 @@ object Bench {
         runs(2)
       } catch { case _: Throwable => -1.0 }
 
+    // B2/B3 RE-MEASURE (VERDICT r17 #7): the streaming numbers were
+    // the only bench surface without the second-pass discipline — the
+    // r17 driver blob's B2 read 92 k rows/s (4× under band) with
+    // nothing in-blob to adjudicate it. When a first reading lands
+    // below its BASELINE.md band floor, one clean re-run (cache-clear
+    // + GC first) is recorded NEXT TO it: remeasure ≫ first = the
+    // first run was in-context contention, not code; remeasure ≈
+    // first = a real regression. -1 = no re-run owed.
+    val B2BandFloor = 265000.0 // BASELINE.md B2 band 265-368 k rows/s
+    val B3BandFloor = 252000.0 // BASELINE.md B3 band 252-385 k rows/s
+    def rerunIfUnderBand(first: Double, floor: Double)(f: => Double): Double =
+      if (first >= 0 && first < floor) {
+        spark.catalog.clearCache(); System.gc()
+        val v = try f catch { case _: Throwable => -1.0 }
+        System.err.println(f"[bench] streaming remeasure (under band)  $v%12.0f rows/s")
+        v
+      } else -1.0
+    val streamingRpsRe = rerunIfUnderBand(streamingRps, B2BandFloor) {
+      Seq.fill(3)(BenchStreaming.run(spark, rowsPerBatch = 200000, batches = 12))
+        .sorted.apply(1)
+    }
+    val upsertRpsRe = rerunIfUnderBand(upsertRps, B3BandFloor) {
+      Seq.fill(5)(BenchStreaming.upsertBench(spark, keys = 100000)).sorted.apply(2)
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val rs = remeasured.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""streaming_rows_per_sec":$streamingRps,"upsert_rows_per_sec":$upsertRps,""" +
+      s""""streaming_rows_per_sec_remeasure":$streamingRpsRe,""" +
+      s""""upsert_rows_per_sec_remeasure":$upsertRpsRe,""" +
       s""""calibration_sec":$calibrationSec,"remeasure":$rs,""" +
       s""""calibration_end_sec":$calibrationEnd,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
