@@ -369,6 +369,154 @@ object IvfPqIndex {
       Seq("meta_id"), assumeKeyUnique = true)
   }
 
+  /** Per-cell ANGULAR RADIUS side table for the adaptive probe's exact
+    * stop bound: `(cell, min_cos)` where `min_cos` is the minimum
+    * member↔centroid cosine in the cell (= cos of the cell's angular
+    * radius). Derived from the committed store in ONE column-pruned
+    * pass and fingerprint-guarded against the main meta — a store that
+    * moved (extend/retract/rebuild) rederives on the next adaptive
+    * serve; a matching store serves the cached radii. (A production
+    * build maintains this next to the centroids: extend max-merges the
+    * radius, retract may leave it stale-but-SOUND — the bound only
+    * needs an upper bound on the radius.) */
+  private def cellRadii(spark: SparkSession, emb: DataFrame,
+                        path: String): Map[Long, Double] = {
+    val p = s"${path}__cellstats"
+    val meta = UpsertStore.read(spark, s"${path}__meta").map(_.head()).getOrElse(
+      sys.error(s"no ivf-pq index at $path — run ensure first"))
+    val (n, h) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
+    val cached = UpsertStore.read(spark, p).filter { st =>
+      st.columns.contains("corpus_n") &&
+        st.filter(col("corpus_n") === n && col("corpus_h") === h).count() > 0
+    }
+    val st = cached.getOrElse {
+      val stored = UpsertStore.read(spark, path).get.select("vec_id", "cell")
+      val cents = UpsertStore.read(spark, s"${path}__centroids").get
+      val fresh = stored
+        .join(PqIndex.unitEmb(emb), Seq("vec_id"))
+        .join(broadcast(cents), col("cell") === col("centroid_id"))
+        .withColumn("cs", nanvl(
+          VectorFunctions.cosine_similarity(col("emb"), col("cemb")), lit(-1.0)))
+        .groupBy("cell").agg(min("cs").as("min_cos"))
+        .withColumn("corpus_n", lit(n)).withColumn("corpus_h", lit(h))
+      UpsertStore.replace(spark, p, fresh, Seq("cell"), assumeKeyUnique = true)
+      UpsertStore.read(spark, p).get
+    }
+    st.select("cell", "min_cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  /** ADAPTIVE per-query probe (round 18 — VERDICT r17 #8, the r17
+    * sweep's documented upgrade path): instead of one pinned depth for
+    * every query, each query probes cells in centroid-similarity
+    * order with a DOUBLING schedule (1, 2, 4, … cells) and stops as
+    * soon as its k-th EXACT-re-ranked similarity provably beats the
+    * best similarity any UNPROBED cell could hold — the spherical
+    * triangle-inequality bound `sim(q, x ∈ c) ≤ cos(max(0, θ(q, μ_c) −
+    * r_c))` with `r_c` the cell's angular radius ([[cellRadii]]). The
+    * stop rule is EXACT, not a stability heuristic (a
+    * stability-across-doublings rule settled wrong sets on the
+    * near-uniform synthetic corpus — the pessimal case the r17 sweep
+    * names), so the serve ≡ brute force by construction up to exact
+    * similarity ties, and the driver-hash compare against q50's
+    * brute-force oracle remains the declared recall gate (q202).
+    * Boundary-tied cells are conservatively treated as unprobed, and
+    * the comparison carries a 1e-9 slack — both err toward MORE
+    * probing, never toward a miss.
+    *
+    * Each round is one distributed [[search]] over the still-open
+    * queries only; driver-side state is REQUEST-BATCH-sized (query
+    * vectors, per-query top-k ids, ≤ k neighbor vectors per query —
+    * the q115 bounded-collect discipline; the corpus is never
+    * collected), and rounds are ≤ log₂(cells). Returns (results,
+    * depths): results is the q50 contract (query_id, rk, neighbor_id);
+    * depths carries (query_id, depth, cells) — the depth actually
+    * PROBED when the bound certified — for the measured distribution
+    * (SCALING.md round-18 row). */
+  def searchAdaptive(spark: SparkSession, emb: DataFrame, path: String,
+                     queryPred: Column, k: Int = 3): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val cents = UpsertStore.read(spark, s"${path}__centroids").getOrElse(
+      sys.error(s"ivf-pq index at $path has no centroid table"))
+      .select("centroid_id", "cemb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val cells = cents.length
+    val radii = cellRadii(spark, emb, path)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) -1.0 else d / math.sqrt(na * nb)
+    }
+    def clamp(x: Double) = math.max(-1.0, math.min(1.0, x))
+    val qvecs = emb.filter(queryPred).select("vec_id", "emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // per-query cells ranked by centroid similarity (ties to the lower
+    // cell id — the top_k_by_score rule); the bound at depth d is the
+    // best achievable similarity over every cell NOT probed, with
+    // boundary-csim ties counted as unprobed (conservative)
+    val ranked: Map[Long, Array[(Long, Double)]] = qvecs.map { case (q, v) =>
+      q -> cents.map { case (cid, ce) => (cid, cos(v, ce)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+    }
+    def boundAt(q: Long, depth: Int): Double = {
+      val rs = ranked(q)
+      if (depth >= rs.length) return -2.0 // everything probed
+      val boundarySim = rs(depth - 1)._2
+      // cells ranked past the probe depth are unprobed; probed cells
+      // TIED with the boundary similarity also count as unprobed (the
+      // executor-side probe ranking can differ from this driver
+      // ranking by an ulp on ties — widening the unprobed set only
+      // raises the bound, never lowers it)
+      rs.iterator.zipWithIndex
+        .filter { case ((_, s), i) => i >= depth || s <= boundarySim + 1e-9 }
+        .map { case ((cid, s), _) =>
+          val r = math.acos(clamp(radii.getOrElse(cid, -1.0)))
+          val th = math.acos(clamp(s))
+          if (th <= r) 1.0 else math.cos(th - r)
+        }.foldLeft(-2.0)(math.max)
+    }
+    def topkAt(pred: Column, depth: Int): Map[Long, Seq[Long]] =
+      search(spark, emb, path, pred, nProbe = depth, k = k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (q, rs) =>
+          q -> rs.sortBy(_._2).map(_._3).toSeq
+        }
+    val depthAt = scala.collection.mutable.Map.empty[Long, Int]
+    val resultOf = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    var unresolved = qvecs.keySet
+    var depth = 1
+    var done = false
+    while (unresolved.nonEmpty && !done) {
+      val cur = topkAt(
+        queryPred && col("vec_id").isin(unresolved.toSeq: _*), depth)
+      // neighbor vectors for the exact k-th similarity: ≤ k per query
+      val nbrIds = cur.values.flatten.toSeq.distinct
+      val nvecs =
+        if (nbrIds.isEmpty) Map.empty[Long, Array[Double]]
+        else emb.filter(col("vec_id").isin(nbrIds: _*)).select("vec_id", "emb")
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val settled = unresolved.filter { q =>
+        val tk = cur.getOrElse(q, Seq.empty)
+        depth >= cells || (tk.size == k && {
+          val sk = tk.map(n => cos(qvecs(q), nvecs(n))).min
+          sk >= boundAt(q, depth) + 1e-9
+        })
+      }
+      settled.foreach { q =>
+        depthAt(q) = depth; resultOf(q) = cur.getOrElse(q, Seq.empty)
+      }
+      unresolved = unresolved -- settled
+      if (depth >= cells) done = true else depth = math.min(depth * 2, cells)
+    }
+    val results = resultOf.toSeq.flatMap { case (q, ns) =>
+      ns.zipWithIndex.map { case (n, i) => (q, (i + 1).toLong, n) }
+    }.toDF("query_id", "rk", "neighbor_id").orderBy("query_id", "rk")
+    val depths = depthAt.toSeq.map { case (q, dep) => (q, dep.toLong, cells.toLong) }
+      .toDF("query_id", "depth", "cells")
+    (results, depths)
+  }
+
   /** IVFADC top-k from the STORED index for corpus-member queries
     * (`queryPred` over vec_id): probe → ADC over probed cells only →
     * exact re-rank of the top-C pool. `emb` supplies raw vectors for

@@ -164,6 +164,63 @@ class IvfPqIndexSpec extends AnyFunSuite {
         "stopped demonstrating why the fraction pin exists")
   }
 
+  test("VERDICT r17 #8: adaptive probe ≡ brute force with certified per-query depths") {
+    // same 64-cell pessimal fixture as the fraction-default row: the
+    // exact spherical stop bound must certify recall-1.0 answers at
+    // per-query depths, most far under the fraction pin
+    val e = spark.range(1024).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), " +
+        "j -> cast(xxhash64(id * 131 + j) % 1000 as double) / 1000.0)").as("emb"))
+      .localCheckpoint()
+    val path = freshDir()
+    IvfPqIndex.ensure(spark, e, path, centroids = 64)
+    val pred = col("vec_id") < 24
+    val brute = e.filter(pred).select(col("vec_id").as("query_id"), col("emb").as("qe"))
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce2")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", nanvl(
+        graft.functions.VectorFunctions.cosine_similarity(col("qe"), col("ce2")), lit(-1.0)))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKFunctions.top_k_by_score(col("sim"), col("neighbor_id"), 3).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"), col("col.id").as("neighbor_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    val (res, depths) = IvfPqIndex.searchAdaptive(spark, e, path, pred)
+    assert(res.as[(Long, Long, Long)].collect().toSet == brute,
+      "adaptive serve must equal brute force — the stop bound is exact")
+    val ds = depths.select("depth").as[Long].collect()
+    assert(ds.nonEmpty && ds.forall(d => d >= 1 && d <= 64),
+      "certified depths must lie in [1, cells]")
+    // on this FULLY-uniform fixture exhausting is the CORRECT answer
+    // (cell radii ≈ 90° — any cell can hide the true top-k); the
+    // early-certification win needs clusterable geometry:
+    val ecl = spark.range(640).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), " +
+        "j -> cast(xxhash64((id % 64) * 131 + j) % 1000 as double) / 1000.0 + " +
+        "cast(xxhash64(id * 7919 + j) % 1000 as double) / 20000.0)").as("emb"))
+      .localCheckpoint()
+    val pathC = freshDir()
+    IvfPqIndex.ensure(spark, ecl, pathC, centroids = 64)
+    val bruteC = ecl.filter(pred).select(col("vec_id").as("query_id"), col("emb").as("qe"))
+      .crossJoin(ecl.select(col("vec_id").as("neighbor_id"), col("emb").as("ce2")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", nanvl(
+        graft.functions.VectorFunctions.cosine_similarity(col("qe"), col("ce2")), lit(-1.0)))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKFunctions.top_k_by_score(col("sim"), col("neighbor_id"), 3).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"), col("col.id").as("neighbor_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    val (resC, depthsC) = IvfPqIndex.searchAdaptive(spark, ecl, pathC, pred)
+    assert(resC.as[(Long, Long, Long)].collect().toSet == bruteC,
+      "adaptive serve must equal brute force on the clustered fixture")
+    val dsC = depthsC.select("depth").as[Long].collect()
+    assert(dsC.max <= 8,
+      s"clusterable geometry should certify at shallow depths, got max=${dsC.max}")
+  }
+
   test("committed-txn replay self-skips; changed corpus misses the gate; extend-first fails loudly") {
     val path = freshDir()
     val cut = emb.selectExpr("percentile(vec_id, 0.6)").head().getDouble(0).toLong
