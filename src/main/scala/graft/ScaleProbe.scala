@@ -241,7 +241,16 @@ object ScaleProbe {
     // branch-summed df bound), the 3-way star view (ΔV on all three
     // sides), and the takedown-day composition (curation retract +
     // kept-diff index retract/extend + five store serves)
-    "q197_trigram_or_rule", "q198_star_view_ivm", "q199_takedown_day")
+    "q197_trigram_or_rule", "q198_star_view_ivm", "q199_takedown_day",
+    // round 18: the contamination takedown (pair-stage source select +
+    // blast-radius gram retract + post-retraction probe — retraction
+    // work ∝ the gone docs' posting lists), the view-family takedown
+    // (keyed deletes sized by takedown set + fan-out), and the
+    // adaptive-probe ANN serve (per-query certified depths; the
+    // doubling rounds re-run the probed-cell serve, so the ratio
+    // prices candidates-at-certified-depth, never corpus × queries)
+    "q200_contamination_takedown", "q201_view_takedown",
+    "q202_ann_adaptive_probe")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */
