@@ -245,6 +245,18 @@ object IvfPqIndex {
         Seq("centroid_id"), assumeKeyUnique = true)
       UpsertStore.replace(spark, s"${path}__codebooks", books,
         Seq("m", "cid"), assumeKeyUnique = true)
+      // per-cell angular radii for the adaptive probe's exact stop
+      // bound (round 18): one extra cells-sized aggregate over the
+      // already-unit-normalized pass — maintained HERE so the adaptive
+      // serve never pays a corpus pass to derive them
+      UpsertStore.replace(spark, s"${path}__cellstats",
+        cells.join(unit, Seq("vec_id"))
+          .join(broadcast(cents), col("cell") === col("centroid_id"))
+          .withColumn("cs", nanvl(
+            VectorFunctions.cosine_similarity(col("emb"), col("cemb")), lit(-1.0)))
+          .groupBy("cell").agg(min("cs").as("min_cos"))
+          .withColumn("corpus_n", lit(n)).withColumn("corpus_h", lit(h)),
+        Seq("cell"), assumeKeyUnique = true)
       // a REBUILD starts a new ledger epoch (txn = -1): the store
       // content now corresponds to exactly this corpus, so txn ids
       // committed against the PREVIOUS epoch must not make later
@@ -317,14 +329,36 @@ object IvfPqIndex {
       metaRow(spark, baseN, baseH, centroids, dirty = true, mTxn, mRtxn),
       Seq("meta_id"), assumeKeyUnique = true)
     val unit = PqIndex.unitEmb(delta).persist()
+    val (dn, dh) = deltaFp.getOrElse(PqIndex.fingerprint(delta))
     try {
       val cells = assignCells(unit, cents)
       val codes = PqIndex.packCodes(
         PqIndex.encodeParts(PqIndex.subParts(unit), books))
       UpsertStore.upsert(spark, path, cells.join(codes, Seq("vec_id")),
         Seq("vec_id"), assumeKeyUnique = true)
+      // adaptive-probe radii: MIN-merge the delta's per-cell member
+      // cosines into the stored table (a new member can only grow a
+      // cell's radius, i.e. lower its min_cos) and stamp the advanced
+      // fingerprint — the table is cells-sized, so the rewrite is
+      // metadata work. A pre-r18 store without the table just keeps
+      // serving via the adaptive path's derive-on-miss fallback.
+      UpsertStore.read(spark, s"${path}__cellstats").foreach { prevStats =>
+        val deltaRadii = cells.join(unit, Seq("vec_id"))
+          .join(broadcast(cents), col("cell") === col("centroid_id"))
+          .withColumn("cs", nanvl(
+            VectorFunctions.cosine_similarity(col("emb"), col("cemb")), lit(-1.0)))
+          .groupBy("cell").agg(min("cs").as("dmin"))
+        UpsertStore.replace(spark, s"${path}__cellstats",
+          prevStats.select("cell", "min_cos")
+            .join(deltaRadii, Seq("cell"), "full_outer")
+            .select(col("cell"),
+              least(coalesce(col("min_cos"), lit(1.0)),
+                coalesce(col("dmin"), lit(1.0))).as("min_cos"))
+            .withColumn("corpus_n", lit(baseN + dn))
+            .withColumn("corpus_h", lit(baseH ^ dh)),
+          Seq("cell"), assumeKeyUnique = true)
+      }
     } finally unit.unpersist()
-    val (dn, dh) = deltaFp.getOrElse(PqIndex.fingerprint(delta))
     UpsertStore.replace(spark, metaPath,
       metaRow(spark, baseN + dn, baseH ^ dh, centroids, dirty = false,
         txnId.getOrElse(mTxn), mRtxn), Seq("meta_id"), assumeKeyUnique = true)
@@ -372,13 +406,14 @@ object IvfPqIndex {
   /** Per-cell ANGULAR RADIUS side table for the adaptive probe's exact
     * stop bound: `(cell, min_cos)` where `min_cos` is the minimum
     * member↔centroid cosine in the cell (= cos of the cell's angular
-    * radius). Derived from the committed store in ONE column-pruned
-    * pass and fingerprint-guarded against the main meta — a store that
-    * moved (extend/retract/rebuild) rederives on the next adaptive
-    * serve; a matching store serves the cached radii. (A production
-    * build maintains this next to the centroids: extend max-merges the
-    * radius, retract may leave it stale-but-SOUND — the bound only
-    * needs an upper bound on the radius.) */
+    * radius). MAINTAINED at [[ensure]] (one cells-sized aggregate over
+    * the build's unit pass) and [[extend]] (delta min-merge — a new
+    * member can only grow a radius), fingerprint-guarded against the
+    * main meta. Derive-on-miss fallback (one column-pruned corpus
+    * pass) covers pre-r18 stores and the post-[[retract]] state —
+    * retraction deliberately leaves the table behind the fingerprint,
+    * because removal can only SHRINK radii, so rederiving from the
+    * remaining corpus yields a tighter (still exact) bound. */
   private def cellRadii(spark: SparkSession, emb: DataFrame,
                         path: String): Map[Long, Double] = {
     val p = s"${path}__cellstats"

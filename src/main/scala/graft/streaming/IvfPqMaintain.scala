@@ -48,6 +48,15 @@ final class IvfPqMaintainer(spark: SparkSession, storePath: String,
             nProbe: Int = -1, k: Int = 3): DataFrame =
     IvfPqIndex.search(spark, emb, storePath, queryPred, nProbe, k)
 
+  /** ADAPTIVE-probe serve from the committed store (round 18): each
+    * query stops at its own certified depth
+    * ([[graft.operators.IvfPqIndex.searchAdaptive]]'s exact spherical
+    * bound over the maintained `__cellstats` radii). Returns
+    * (results, per-query certified depths). */
+  def serveAdaptive(emb: DataFrame, queryPred: Column,
+                    k: Int = 3): (DataFrame, DataFrame) =
+    IvfPqIndex.searchAdaptive(spark, emb, storePath, queryPred, k)
+
   /** Wire into a streaming query: every micro-batch extends the
     * composed store. */
   def run(vectors: DataFrame, checkpointDir: String,

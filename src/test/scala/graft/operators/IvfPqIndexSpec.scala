@@ -202,7 +202,11 @@ class IvfPqIndexSpec extends AnyFunSuite {
         "cast(xxhash64(id * 7919 + j) % 1000 as double) / 20000.0)").as("emb"))
       .localCheckpoint()
     val pathC = freshDir()
-    IvfPqIndex.ensure(spark, ecl, pathC, centroids = 64)
+    // build + extend lifecycle: the maintained __cellstats radii must
+    // min-merge through extend (no derive-on-miss corpus pass), and
+    // the certificate must stay exact over the grown store
+    IvfPqIndex.ensure(spark, ecl.filter($"vec_id" < 512), pathC, centroids = 64)
+    IvfPqIndex.extend(spark, ecl.filter($"vec_id" >= 512), pathC)
     val bruteC = ecl.filter(pred).select(col("vec_id").as("query_id"), col("emb").as("qe"))
       .crossJoin(ecl.select(col("vec_id").as("neighbor_id"), col("emb").as("ce2")))
       .filter(col("query_id") =!= col("neighbor_id"))
