@@ -370,6 +370,32 @@ with tempfile.TemporaryDirectory() as td:
           pre == [10] and post == [(10, "ann"), (11, "bob")],
           f"pre={pre} post={post}")
 
+    # 19: round-18 takedown verbs from Python -- the compliance tool
+    # that files a right-to-be-forgotten batch is usually a Python
+    # script.  Register the train-gram index, retract train doc 1 via
+    # the bridge, and assert (a) its postings stop serving by SQL,
+    # (b) a replayed committed takedown is a version-level no-op.
+    td_train = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(1, 11))),
+         (2, " ".join(f"z{i}" for i in range(1, 11)))],
+        "doc_id long, text string")
+    td_path = g.register_shingle_index(spark, "py_td_grams", td_train)
+    pre_n = spark.sql(
+        "SELECT count(*) FROM graft.py_td_grams WHERE doc_id = 1").head()[0]
+    g.retract_shingle_index(spark, td_train.filter("doc_id = 1"), td_path,
+                            n=8, txn_id=1)
+    post_n = spark.sql(
+        "SELECT count(*) FROM graft.py_td_grams WHERE doc_id = 1").head()[0]
+    v1 = spark._jvm.graft.streaming.UpsertStore.latestVersion(
+        spark._jsparkSession, td_path)
+    g.retract_shingle_index(spark, td_train.filter("doc_id = 1"), td_path,
+                            n=8, txn_id=1)
+    v2 = spark._jvm.graft.streaming.UpsertStore.latestVersion(
+        spark._jsparkSession, td_path)
+    check("python takedown verb retracts and self-skips on replay",
+          pre_n > 0 and post_n == 0 and str(v1) == str(v2),
+          f"pre={pre_n} post={post_n} v1={v1} v2={v2}")
+
 spark.stop()
 if failures:
     sys.exit(f"{len(failures)} parity check(s) failed: {failures}")

@@ -226,6 +226,52 @@ public final class GraftJava {
         spark, name, orders, customer, "graft");
   }
 
+  /** TAKEDOWN verbs by store path (round 18): the compliance tool that
+   *  files a right-to-be-forgotten batch is usually not Scala — each
+   *  verb drives the family's exact inverse (blast-radius-sized keyed
+   *  deletes, df recounts for exactly the touched terms/grams,
+   *  XOR fingerprint retreat so a gated rebuild is skipped) behind the
+   *  SEPARATE retraction ledger; {@code txnId} ids must be monotonic
+   *  per store across takedowns (replays self-skip). {@code gone}
+   *  carries full (doc_id, text) rows — (vec_id, emb) for the dense
+   *  stores. The store path is what the matching register* returned. */
+  public static void retractPostings(SparkSession spark, Dataset<Row> gone,
+      String path, long txnId) {
+    graft.operators.PostingsIndex.retract(spark, gone, path, some(txnId));
+  }
+
+  public static void retractTrigramIndex(SparkSession spark, Dataset<Row> gone,
+      String path, long txnId) {
+    graft.operators.TrigramIndex.retract(spark, gone, path, some(txnId));
+  }
+
+  public static void retractPhraseIndex(SparkSession spark, Dataset<Row> gone,
+      String path, long txnId) {
+    graft.operators.PhraseIndex.retract(spark, gone, path, some(txnId));
+  }
+
+  public static void retractSimhashIndex(SparkSession spark, Dataset<Row> gone,
+      String path, long txnId) {
+    graft.operators.SimhashIndex.retract(spark, gone, path, some(txnId));
+  }
+
+  /** {@code n} is the gram width the index was built with (8 by
+   *  default — a retracted TRAIN doc must stop adjudicating eval docs
+   *  as contaminated, the q200 lifecycle). */
+  public static void retractShingleIndex(SparkSession spark, Dataset<Row> gone,
+      String path, int n, long txnId) {
+    graft.operators.ShingleIndex.retract(spark, gone, path, n, some(txnId));
+  }
+
+  public static void retractIvfPqIndex(SparkSession spark, Dataset<Row> gone,
+      String path, long txnId) {
+    graft.operators.IvfPqIndex.retract(spark, gone, path, some(txnId));
+  }
+
+  private static scala.Option<Object> some(long v) {
+    return scala.Option.apply((Object) Long.valueOf(v));
+  }
+
   /** Local keyed-parquet upsert sink (the KuduContext verb set behind
    *  one interface), constructed from Java. */
   public static UpsertSink parquetSink(SparkSession spark, String path, List<String> keys) {

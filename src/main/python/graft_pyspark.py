@@ -226,6 +226,63 @@ def register_simhash_index(spark: SparkSession, name: str, docs: DataFrame,
         spark._jsparkSession, name, docs._jdf, catalog)
 
 
+# ------------------------------------------------------- takedown verbs
+
+def retract_postings(spark: SparkSession, gone: DataFrame, path: str,
+                     txn_id: int) -> None:
+    """TAKEDOWN by store path (round 18): drive the BM25 postings
+    family's exact inverse — keyed deletes recomputed from the gone
+    docs' text, df recounted for exactly the touched terms, corpus
+    stats + fingerprint retreat — behind the separate retraction
+    ledger (``txn_id`` monotonic per store; replays self-skip).
+    ``gone`` carries full ``(doc_id, text)`` rows; ``path`` is what
+    :func:`register_postings_index` returned."""
+    spark._jvm.graft.javaapi.GraftJava.retractPostings(
+        spark._jsparkSession, gone._jdf, path, int(txn_id))
+
+
+def retract_trigram_index(spark: SparkSession, gone: DataFrame, path: str,
+                          txn_id: int) -> None:
+    """Substring-search takedown — :func:`retract_postings`'s contract
+    for the trigram family."""
+    spark._jvm.graft.javaapi.GraftJava.retractTrigramIndex(
+        spark._jsparkSession, gone._jdf, path, int(txn_id))
+
+
+def retract_phrase_index(spark: SparkSession, gone: DataFrame, path: str,
+                         txn_id: int) -> None:
+    """Phrase-search takedown — a pure keyed delete (the family's
+    content-idempotent inverse)."""
+    spark._jvm.graft.javaapi.GraftJava.retractPhraseIndex(
+        spark._jsparkSession, gone._jdf, path, int(txn_id))
+
+
+def retract_simhash_index(spark: SparkSession, gone: DataFrame, path: str,
+                          txn_id: int) -> None:
+    """Near-dup-probe takedown — chunk rows are dropped only when no
+    surviving doc shares the fingerprint."""
+    spark._jvm.graft.javaapi.GraftJava.retractSimhashIndex(
+        spark._jsparkSession, gone._jdf, path, int(txn_id))
+
+
+def retract_shingle_index(spark: SparkSession, gone: DataFrame, path: str,
+                          n: int = 8, txn_id: int = 0) -> None:
+    """Contamination takedown (the q200 lifecycle): a retracted TRAIN
+    doc must stop adjudicating eval docs as contaminated.  ``n`` is
+    the gram width the index was built with."""
+    spark._jvm.graft.javaapi.GraftJava.retractShingleIndex(
+        spark._jsparkSession, gone._jdf, path, int(n), int(txn_id))
+
+
+def retract_ivfpq_index(spark: SparkSession, gone: DataFrame, path: str,
+                        txn_id: int) -> None:
+    """Dense-ANN takedown — keyed tombstone, NO retrain (the
+    fixed-sample quantizer geometry is membership-independent).
+    ``gone`` carries ``(vec_id, emb)``."""
+    spark._jvm.graft.javaapi.GraftJava.retractIvfPqIndex(
+        spark._jsparkSession, gone._jdf, path, int(txn_id))
+
+
 # ------------------------------------------------------- upsert sink
 
 class UpsertSink:

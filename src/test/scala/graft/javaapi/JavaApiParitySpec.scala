@@ -255,6 +255,50 @@ class JavaApiParitySpec extends AnyFunSuite {
       s"Java-registered simhash index probed via SQL: $shPairs")
   }
 
+  test("round 18: Java takedown verbs drive the retraction inverses by store path") {
+    if (!spark.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.path",
+        java.nio.file.Files.createTempDirectory("graft-jcat-td").toString)
+    }
+    // contamination family: the registered train index flags eval 100
+    // against train 1; a Java-driven takedown of train 1 must stop the
+    // adjudication and self-skip on replay
+    val train = Seq(
+      1L -> (1 to 10).map(i => s"w$i").mkString(" "),
+      2L -> (1 to 10).map(i => s"z$i").mkString(" ")).toDF("doc_id", "text")
+    val gp = GraftJava.registerShingleIndex(spark, "j_td_grams", train)
+    assert(spark.sql("SELECT count(*) FROM graft.j_td_grams WHERE doc_id = 1")
+      .head().getLong(0) > 0)
+    GraftJava.retractShingleIndex(spark, train.filter($"doc_id" === 1L), gp, 8, 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.j_td_grams WHERE doc_id = 1")
+      .head().getLong(0) == 0L,
+      "retracted train doc still serves gram postings via SQL")
+    val v = graft.streaming.UpsertStore.latestVersion(spark, gp)
+    GraftJava.retractShingleIndex(spark, train.filter($"doc_id" === 1L), gp, 8, 1L)
+    assert(graft.streaming.UpsertStore.latestVersion(spark, gp) == v,
+      "replayed committed takedown advanced the store")
+
+    // sparse-retrieval family: df rows and corpus stats must retreat
+    val docs = Seq(
+      1L -> "alpha beta gamma",
+      2L -> "alpha delta epsilon",
+      3L -> "zeta eta theta").toDF("doc_id", "text")
+    val pb = GraftJava.registerPostingsIndex(spark, "j_td_bm", docs)
+    GraftJava.retractPostings(spark, docs.filter($"doc_id" === 1L), pb, 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.j_td_bm WHERE doc_id = 1")
+      .head().getLong(0) == 0L)
+    assert(spark.sql("SELECT df FROM graft.j_td_bm__df WHERE term = 'alpha'")
+      .as[Long].collect().toSeq == Seq(1L),
+      "df must recount to the surviving posting")
+    assert(spark.sql("SELECT count(*) FROM graft.j_td_bm__df WHERE term = 'beta'")
+      .head().getLong(0) == 0L,
+      "a vanished term must lose its df row")
+    assert(spark.sql("SELECT n FROM graft.j_td_bm__stats").head().getLong(0) == 2L,
+      "corpus stats must retreat by exact integers")
+  }
+
   test("Java-created catalog table time-travels with VERSION AS OF (q161 path)") {
     if (!spark.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
       spark.conf.set("spark.sql.catalog.graft",
