@@ -97,7 +97,11 @@ final class DsirMaintainer(
     if (!havePending) {
       val stored = UpsertStore.read(spark, storePath).getOrElse(
         sys.error(s"no DSIR count store at $storePath — bootstrap first"))
-      val target = counts(gone)
+      // doc_id-keyed dedup: a doc repeated in the takedown batch must
+      // subtract ONCE (the counts explode is per row, and subtraction
+      // — unlike the index families' keyed deletes — is not idempotent
+      // under input duplication)
+      val target = counts(gone.dropDuplicates("doc_id"))
         .join(stored.select(col("term"), col("cr").as("cr0"), col("ct").as("ct0")),
           keys, "inner")
         .select(col("term"),
