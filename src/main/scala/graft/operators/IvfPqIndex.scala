@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TopKFunctions, VectorFunctions}
-import graft.streaming.UpsertStore
+import graft.streaming.{Retraction, UpsertStore}
 
 /** IVF-PQ COMPOSED ANN index — the production serving shape (Jégou
   * 2011 "Product Quantization for Nearest Neighbor Search" §V, the
@@ -109,7 +109,7 @@ object IvfPqIndex {
     * takedown ids outlive store epochs — they come from the compliance
     * system, not Spark's checkpoint). */
   private def metaRtxn(m: org.apache.spark.sql.Row): Long =
-    if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L
+    Retraction.fromMeta(m)
 
   private def gateOk(m: DataFrame, n: Long, h: Long, centroids: Int): Boolean =
     m.columns.contains("qv") &&
@@ -378,8 +378,9 @@ object IvfPqIndex {
     * retracted rows must currently be indexed. Note the gate
     * consequence: after retraction the meta fingerprints the REMAINING
     * corpus, so `ensure(remaining)` gate-serves. */
-  def retract(spark: SparkSession, gone: DataFrame, path: String,
+  def retract(spark: SparkSession, gone0: DataFrame, path: String,
               txnId: Option[Long] = None): Unit = {
+    val gone = Retraction.dedupBatch(gone0, "vec_id")
     val metaPath = s"${path}__meta"
     val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(
       sys.error(s"no ivf-pq index at $path to retract from — run ensure first"))

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.UpsertStore
+import graft.streaming.{Retraction, UpsertStore}
 
 /** Materialize-once storage for the near-dup PAIR GRAPH.
   *
@@ -63,9 +63,10 @@ object PairGraph {
   /** The RETRACTION ledger rides a separate meta column: retract ids
     * form their own monotonic sequence, independent of the streaming
     * batch ids the extend ledger records — sharing one field would let
-    * a takedown's high-water mark make every later ingest self-skip. */
+    * a takedown's high-water mark make every later ingest self-skip.
+    * One code path engine-wide: [[graft.streaming.Retraction]]. */
   private def metaRtxn(m: org.apache.spark.sql.Row): Long =
-    if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L
+    Retraction.fromMeta(m)
 
   /** The fingerprint gate: exactly one meta row, matching (n, h, tau),
     * and NOT dirty. */
@@ -435,9 +436,13 @@ object PairGraph {
     * so they stay equal (the updateClusters lockstep guard) and a
     * later gated serve of the remaining corpus hits. `gone` carries
     * full (doc_id, text) rows of CURRENT corpus members — the
-    * fingerprint retreat is exact only for docs actually counted in. */
-  def retract(spark: SparkSession, gone: DataFrame, path: String,
+    * fingerprint retreat is exact only for docs actually counted in;
+    * the batch is deduped by doc_id at entry (the
+    * [[graft.streaming.Retraction.dedupBatch]] guard — a doc repeated
+    * in a compliance batch must retreat ONCE). */
+  def retract(spark: SparkSession, gone0: DataFrame, path: String,
               txnId: Long): DataFrame = {
+    val gone = Retraction.dedupBatch(gone0, "doc_id")
     val cPath = s"${path}__clusters"
     val cMetaPath = s"${path}__cmeta"
     val metaPath = s"${path}__meta"

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.UpsertStore
+import graft.streaming.{Retraction, UpsertStore}
 
 /** POSITIONAL POSTINGS INDEX for exact PHRASE search (round 16) — the
   * inverted-index capability BM25's bag-of-words postings
@@ -75,13 +75,12 @@ object PhraseIndex {
     * advances by the XOR-retract rule behind a txn guard (the
     * [[TrigramIndex.retract]] discipline). Contract: retracted rows
     * must currently be indexed. */
-  def retract(spark: SparkSession, gone: DataFrame, path: String,
+  def retract(spark: SparkSession, gone0: DataFrame, path: String,
               txnId: Option[Long] = None): Unit = {
+    val gone = Retraction.dedupBatch(gone0, "doc_id")
     val metaPath = s"${path}__meta"
     val meta = UpsertStore.read(spark, metaPath).map(_.head())
-    val metaTxn = meta.map(m =>
-      if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L)
-      .getOrElse(-1L)
+    val metaTxn = meta.map(Retraction.fromMeta).getOrElse(-1L)
     if (meta.isDefined && txnId.exists(_ <= metaTxn)) return
     UpsertStore.delete(spark, path, postings(gone), Seq("term", "doc_id"))
     meta.foreach { m =>

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.UpsertStore
+import graft.streaming.{Retraction, UpsertStore}
 
 /** Materialized BM25 postings index — the sparse-retrieval analogue of
   * the pair-graph store (q93) and the vector-index store (q96): the
@@ -76,7 +76,7 @@ object PostingsIndex {
     * compliance system, not Spark's checkpoint, so their sequence
     * outlives store epochs. */
   private def statsRtxn(m: org.apache.spark.sql.Row): Long =
-    if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L
+    Retraction.fromMeta(m)
 
   /** (docs with ≥1 token, exact total token count), derived from the
     * POSTINGS relation rather than a second tokenize pass: a doc has
@@ -213,8 +213,12 @@ object PostingsIndex {
     * converge without the ledger. Cost ∝ the gone docs' terms'
     * posting lists. Contract: every retracted row must currently be
     * indexed. */
-  def retract(spark: SparkSession, gone: DataFrame, path: String,
+  def retract(spark: SparkSession, gone0: DataFrame, path: String,
               txnId: Option[Long] = None): Unit = {
+    // duplicate-batch guard (VERDICT r18 #1): the tf deletes are
+    // idempotent but the avgdl/N stats retreat and the fingerprint
+    // retreat below are NOT — dedup before any arithmetic sees it
+    val gone = Retraction.dedupBatch(gone0, "doc_id")
     val statsPath = s"${path}__stats"
     val stats = UpsertStore.read(spark, statsPath).map(_.head()).getOrElse(
       sys.error(s"no postings index at $path to retract from — run ensure first"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TopKFunctions, VectorFunctions}
-import graft.streaming.UpsertStore
+import graft.streaming.{Retraction, UpsertStore}
 
 /** Materialize-once storage for the PRODUCT-QUANTIZATION ANN index —
   * the compressed member of the stored-index family (pair graph q93,
@@ -167,7 +167,7 @@ object PqIndex {
   /** Retraction high-water mark — preserved by every meta rewrite (the
     * round-18 engine-wide rule; see [[IvfPqIndex]]). */
   private def metaRtxn(m: org.apache.spark.sql.Row): Long =
-    if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L
+    Retraction.fromMeta(m)
 
   private def gateOk(m: DataFrame, n: Long, h: Long): Boolean =
     m.filter(col("corpus_n") === n && col("corpus_h") === h &&
@@ -247,8 +247,9 @@ object PqIndex {
     * retraction ledger separate from the extend ledger and preserved
     * across every meta rewrite. `gone` carries (vec_id, emb) full
     * rows. Contract: retracted rows must currently be indexed. */
-  def retract(spark: SparkSession, gone: DataFrame, path: String,
+  def retract(spark: SparkSession, gone0: DataFrame, path: String,
               txnId: Option[Long] = None): Unit = {
+    val gone = Retraction.dedupBatch(gone0, "vec_id")
     val metaPath = s"${path}__meta"
     val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(
       sys.error(s"no pq index at $path to retract from — run ensure first"))

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.UpsertStore
+import graft.streaming.{Retraction, UpsertStore}
 
 /** Materialized train-side n-gram (shingle) index for contamination
   * adjudication — the decontamination twin of the BM25 postings store
@@ -50,7 +50,7 @@ object ShingleIndex {
     * replayed retract re-apply its non-idempotent fingerprint
     * retreat; takedown ids outlive store epochs). */
   private def metaRtxn(m: org.apache.spark.sql.Row): Long =
-    if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L
+    Retraction.fromMeta(m)
 
   private def gateOk(m: DataFrame, n: Long, h: Long): Boolean =
     m.filter(col("corpus_n") === n && col("corpus_h") === h && !col("dirty"))
@@ -164,8 +164,9 @@ object ShingleIndex {
     * replay converge; the data deletes/recounts below it converge
     * without the ledger. Cost ∝ the gone docs' grams' posting lists.
     * Contract: every retracted doc must currently be indexed. */
-  def retract(spark: SparkSession, gone: DataFrame, path: String,
+  def retract(spark: SparkSession, gone0: DataFrame, path: String,
               n: Int = 8, txnId: Option[Long] = None): Unit = {
+    val gone = Retraction.dedupBatch(gone0, "doc_id")
     val metaPath = s"${path}__meta"
     val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(
       sys.error(s"no shingle index at $path to retract from — run ensure first"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.streaming.UpsertStore
+import graft.streaming.{Retraction, UpsertStore}
 
 /** STORED banded-SimHash near-dup index — q48's candidate machinery
   * (Charikar 2002 fingerprints; 8×8-bit chunk banding; Hamming ≤ 16
@@ -95,13 +95,12 @@ object SimhashIndex {
     * member keeps its bucket rows. The catalog meta (when present)
     * advances by the XOR-retract rule behind a txn guard. Contract:
     * retracted rows must currently be indexed. */
-  def retract(spark: SparkSession, gone: DataFrame, path: String,
+  def retract(spark: SparkSession, gone0: DataFrame, path: String,
               txnId: Option[Long] = None): Unit = {
+    val gone = Retraction.dedupBatch(gone0, "doc_id")
     val metaPath = s"${path}__meta"
     val meta = UpsertStore.read(spark, metaPath).map(_.head())
-    val metaTxn = meta.map(m =>
-      if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L)
-      .getOrElse(-1L)
+    val metaTxn = meta.map(Retraction.fromMeta).getOrElse(-1L)
     if (meta.isDefined && txnId.exists(_ <= metaTxn)) return
     val goneFps = fps(gone).localCheckpoint()
     UpsertStore.delete(spark, path, goneFps, Seq("doc_id"))

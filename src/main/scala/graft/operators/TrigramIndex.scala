@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.UpsertStore
+import graft.streaming.{Retraction, UpsertStore}
 
 /** Character-TRIGRAM postings index for SUBSTRING search — the public
   * Google-Code-Search method (Russ Cox, "Regular Expression Matching
@@ -103,13 +103,12 @@ object TrigramIndex {
     * lists — never corpus-sized. Contract: every retracted row must
     * currently be indexed (retracting a never-indexed doc would
     * corrupt the fingerprint). */
-  def retract(spark: SparkSession, gone: DataFrame, path: String,
+  def retract(spark: SparkSession, gone0: DataFrame, path: String,
               txnId: Option[Long] = None): Unit = {
+    val gone = Retraction.dedupBatch(gone0, "doc_id")
     val metaPath = s"${path}__meta"
     val meta = UpsertStore.read(spark, metaPath).map(_.head())
-    val metaTxn = meta.map(m =>
-      if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L)
-      .getOrElse(-1L)
+    val metaTxn = meta.map(Retraction.fromMeta).getOrElse(-1L)
     if (meta.isDefined && txnId.exists(_ <= metaTxn)) return
     val g = grams(gone).persist()
     try {

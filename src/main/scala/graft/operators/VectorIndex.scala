@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TopKFunctions, VectorFunctions}
-import graft.streaming.UpsertStore
+import graft.streaming.{Retraction, UpsertStore}
 
 /** Materialize-once storage for the ANN VECTOR INDEX — the embedding
   * twin of [[PairGraph]].
@@ -93,7 +93,7 @@ object VectorIndex {
   /** Retraction high-water mark — preserved by every meta rewrite (the
     * round-18 engine-wide rule; see [[IvfPqIndex]]). */
   private def metaRtxn(m: org.apache.spark.sql.Row): Long =
-    if (m.schema.fieldNames.contains("rtxn")) m.getAs[Long]("rtxn") else -1L
+    Retraction.fromMeta(m)
 
   /** Deterministic nearest-centroid assignment: one broadcast pass,
     * cosine tie broken to the higher centroid id via the struct
@@ -225,9 +225,10 @@ object VectorIndex {
     * ledger separate from the extend ledger and preserved across every
     * meta rewrite. `gone` carries (vec_id, embedding) full rows.
     * Contract: retracted rows must currently be indexed. */
-  def retract(spark: SparkSession, gone: DataFrame, dataDir: String,
+  def retract(spark: SparkSession, gone0: DataFrame, dataDir: String,
               centroids: Int = 16, pathOverride: Option[String] = None,
               txnId: Option[Long] = None): Unit = {
+    val gone = Retraction.dedupBatch(gone0, "vec_id")
     val path = pathOverride.getOrElse(storePath(dataDir, centroids))
     val metaPath = s"${path}__meta"
     val meta = UpsertStore.read(spark, metaPath).map(_.head()).getOrElse(

@@ -100,8 +100,9 @@ final class DsirMaintainer(
       // doc_id-keyed dedup: a doc repeated in the takedown batch must
       // subtract ONCE (the counts explode is per row, and subtraction
       // — unlike the index families' keyed deletes — is not idempotent
-      // under input duplication)
-      val target = counts(gone.dropDuplicates("doc_id"))
+      // under input duplication; the engine-wide Retraction.dedupBatch
+      // guard, spec-pinned in RetractionPolicySpec)
+      val target = counts(Retraction.dedupBatch(gone, "doc_id"))
         .join(stored.select(col("term"), col("cr").as("cr0"), col("ct").as("ct0")),
           keys, "inner")
         .select(col("term"),

@@ -220,16 +220,11 @@ final class JoinViewMaintainer(
       sys.error(s"join view at $basePath not bootstrapped"))
 
   // Retraction ledger: SEPARATE from the ingest ledger (the engine-wide
-  // round-17 rule) — retract ids form their own monotonic sequence, so
-  // a takedown id can never make a later stream batch self-skip.
-  private def rtxnPath = s"${basePath}__retract_txn"
-  private def committedRtxn: Long =
-    UpsertStore.read(spark, rtxnPath)
-      .map(_.head().getAs[Long]("txn")).getOrElse(-1L)
-  private def commitRtxn(t: Long): Unit =
-    UpsertStore.replace(spark, rtxnPath,
-      spark.range(1).select(lit(1L).as("meta_id"), lit(t).as("txn")),
-      Seq("meta_id"))
+  // round-17 rule, one code path via [[Retraction]]) — retract ids form
+  // their own monotonic sequence, so a takedown id can never make a
+  // later stream batch self-skip.
+  private def committedRtxn: Long = Retraction.committed(spark, basePath)
+  private def commitRtxn(t: Long): Unit = Retraction.commit(spark, basePath, t)
 
   /** RETRACT fact rows (round 17 — the takedown lifecycle's view leg):
     * a view row is a pure function of its fact row, so a fact takedown

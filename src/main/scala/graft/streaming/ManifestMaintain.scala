@@ -210,15 +210,14 @@ final class ManifestMaintainer(
         System.err.println(f"[retract] $l%-28s ${(System.nanoTime()-t0)/1e9}%6.2f s")
       r
     }
-    // retraction ledger: SEPARATE from the ingest ledger — retract ids
-    // form their own monotonic sequence, so a takedown's high-water
-    // mark can never make a later stream batch (whose ids Spark's
-    // checkpoint assigns) self-skip
-    val rtxnPath = s"${storePath}__retract_txn"
-    val committed = UpsertStore.read(spark, rtxnPath)
-      .map(_.head().getAs[Long]("txn")).getOrElse(-1L)
-    if (txnId <= committed) return
-    val gone = gone0.localCheckpoint()
+    // retraction ledger: SEPARATE from the ingest ledger (the shared
+    // Retraction contract — retract ids form their own monotonic
+    // sequence, so a takedown's high-water mark can never make a later
+    // stream batch, whose ids Spark's checkpoint assigns, self-skip)
+    if (txnId <= Retraction.committed(spark, storePath)) return
+    // duplicate-batch guard (VERDICT r18 #1): the keyed deletes below
+    // are idempotent, but the cluster leg's fingerprint retreat is not
+    val gone = Retraction.dedupBatch(gone0, "doc_id").localCheckpoint()
     val goneIds = gone.select("doc_id")
     // ---- replay-stable blast radius, persisted BEFORE any mutation
     val scopePath = s"${storePath}__retract_scope"
@@ -284,9 +283,7 @@ final class ManifestMaintainer(
     // refresh expands ids to whole clusters via the updated cluster
     // table; gone ids drop out at the facts semi-join)
     T("manifest refresh")(refreshManifest(Some(scope)))
-    UpsertStore.replace(spark, rtxnPath,
-      spark.range(1).select(lit(1L).as("meta_id"), lit(txnId).as("txn")),
-      Seq("meta_id"))
+    Retraction.commit(spark, storePath, txnId)
     // ADVICE r17: prune the scope rows the commit just retired — only
     // the IN-FLIGHT txn's scope is ever read (the crash-replay refresh
     // above), so rows at or below the committed id are dead weight

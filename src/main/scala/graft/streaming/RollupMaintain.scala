@@ -79,7 +79,16 @@ final class RollupMaintainer(
     * post-retraction target rows persist txn-keyed BEFORE any store
     * write, replays re-apply the absolute snapshot (idempotent), the
     * separate retraction ledger commits LAST, committed snapshots are
-    * pruned. Contract: retracted events must have been ingested. */
+    * pruned. Contract: retracted events must have been ingested.
+    *
+    * No duplicate-batch dedup here, deliberately (the r18 #1 guard
+    * does not transfer): events carry NO identity key — (event_type,
+    * ts, value) is a MULTISET, and two bit-identical events are two
+    * real events, each legitimately retractable. The gone frame is
+    * therefore taken verbatim: the caller retracts exactly the
+    * multiset of rows it passes, mirroring [[ingestBatch]]'s additive
+    * multiset semantics (a doc_id-style dedup would silently under-
+    * retract genuine duplicates). */
   def retract(gone: DataFrame, txnId: Long): Unit = {
     if (txnId <= Retraction.committed(spark, storePath)) return
     val pendPath = s"${storePath}__retract_pending"

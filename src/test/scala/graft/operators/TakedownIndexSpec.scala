@@ -216,6 +216,74 @@ class TakedownIndexSpec extends AnyFunSuite {
       "replayed committed retraction advanced the store")
   }
 
+  test("round 19 (VERDICT r18 #1): retract(duplicated batch) ≡ retract(deduped) — stats and fingerprints exact") {
+    // a compliance batch with the same doc listed twice (two
+    // overlapping complaints): pre-fix, the postings stats retreat
+    // summed dl over the duplicated rows (WRONG avgdl/N under a CLEAN
+    // meta) and every fingerprint retreat XOR-cancelled its hash term
+    // (x ⊕ x = 0) while over-retreating corpus_n by 2 — spurious full
+    // rebuilds at the next gate. The Retraction.dedupBatch guard at
+    // every retract entry makes the duplicated batch bit-equal to the
+    // deduped one.
+    val dir = java.nio.file.Files.createTempDirectory("graft-td-dup").toString
+    val dupGone = gone.unionByName(gone)
+
+    // postings — the family where the pre-fix symptom is wrong BM25
+    // stats under a clean meta (no gate ever catches it)
+    PostingsIndex.ensure(spark, full, s"$dir/p")
+    PostingsIndex.retract(spark, dupGone, s"$dir/p", Some(1L))
+    PostingsIndex.ensure(spark, remaining, s"$dir/pfresh")
+    def pstats(p: String) = UpsertStore.read(spark, s"${p}__stats").get
+      .select("n", "total_dl", "avgdl", "corpus_n", "corpus_h").head().toSeq
+    assert(pstats(s"$dir/p") == pstats(s"$dir/pfresh"),
+      "duplicated takedown batch corrupted the BM25 stats/fingerprint retreat")
+    assert(rows(s"$dir/p__df") == rows(s"$dir/pfresh__df"),
+      "duplicated takedown batch diverged the df table")
+    val pv = UpsertStore.latestVersion(spark, s"$dir/p")
+    PostingsIndex.ensure(spark, remaining, s"$dir/p")
+    assert(UpsertStore.latestVersion(spark, s"$dir/p") == pv,
+      "post-dup-retract ensure(remaining) must gate-serve, not rebuild")
+
+    // shingle — a fingerprint-gate family (pre-fix: XOR-cancel → the
+    // next gated ensure pays a spurious corpus-sized rebuild)
+    ShingleIndex.ensure(spark, full, s"$dir/s", n = 3)
+    ShingleIndex.retract(spark, dupGone, s"$dir/s", n = 3, txnId = Some(1L))
+    ShingleIndex.ensure(spark, remaining, s"$dir/sfresh", n = 3)
+    def smeta(p: String) = UpsertStore.read(spark, s"${p}__meta").get
+      .select("corpus_n", "corpus_h").head().toSeq
+    assert(smeta(s"$dir/s") == smeta(s"$dir/sfresh"),
+      "duplicated takedown batch corrupted the shingle fingerprint retreat")
+    val sv = UpsertStore.latestVersion(spark, s"$dir/s")
+    ShingleIndex.ensure(spark, remaining, s"$dir/s", n = 3)
+    assert(UpsertStore.latestVersion(spark, s"$dir/s") == sv,
+      "post-dup-retract ensure(remaining) must gate-serve, not rebuild")
+
+    // pair graph + clusters — the curation composition's fingerprint
+    // (both metas retreat in lockstep; PairGraph.scala:445 pre-fix)
+    PairGraph.clusters(spark, full, "unused-dup", 0.6, Some(s"$dir/pg"))
+    PairGraph.retract(spark, dupGone, s"$dir/pg", txnId = 1L)
+    PairGraph.clusters(spark, remaining, "unused-dup-f", 0.6, Some(s"$dir/pgfresh"))
+    def pgmeta(p: String) = UpsertStore.read(spark, s"${p}__meta").get
+      .select("corpus_n", "corpus_h").head().toSeq
+    assert(pgmeta(s"$dir/pg") == pgmeta(s"$dir/pgfresh"),
+      "duplicated takedown batch corrupted the pair-graph fingerprint retreat")
+    assert(UpsertStore.read(spark, s"$dir/pg__cmeta").get
+      .select("corpus_n", "corpus_h").head().toSeq == pgmeta(s"$dir/pgfresh"),
+      "duplicated takedown batch broke the pair/cluster meta lockstep")
+
+    // vec_id-keyed family (ivf-pq; PqIndex.fingerprint pre-fix)
+    val emb = (0L to 11L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).abs + 0.1))).toDF("vec_id", "emb")
+    val goneV = emb.filter($"vec_id".isin(3L, 7L))
+    IvfPqIndex.ensure(spark, emb, s"$dir/v", centroids = 2)
+    IvfPqIndex.retract(spark, goneV.unionByName(goneV), s"$dir/v", Some(1L))
+    val vv = UpsertStore.latestVersion(spark, s"$dir/v")
+    IvfPqIndex.ensure(spark, emb.filter(!$"vec_id".isin(3L, 7L)), s"$dir/v",
+      centroids = 2)
+    assert(UpsertStore.latestVersion(spark, s"$dir/v") == vv,
+      "post-dup-retract ensure(remaining) must gate-serve, not rebuild")
+  }
+
   test("ivf-pq retract: keyed delete, no retrain, fingerprint retreat gate-serves") {
     val dir = java.nio.file.Files.createTempDirectory("graft-td-ivf").toString
     val emb = (0L to 11L).map(i =>

@@ -64,6 +64,29 @@ class RetractionPolicySpec extends AnyFunSuite {
       "ingest ledger lost across the retraction — replayed batch re-merged")
   }
 
+  test("round 19 (VERDICT r18 #1): dsir retract dedups a duplicate takedown batch — subtraction applies once") {
+    // the 28e6c0a guard, regression-pinned: a doc repeated in the
+    // compliance batch (two overlapping complaints) must subtract its
+    // term counts ONCE — pre-guard, the raw batch double-subtracted
+    // and the store drifted below the from-scratch truth
+    val dir = tmp("graft-rp-dsirdup")
+    val docs = Seq(
+      (1L, "en", "the cat sat"),
+      (2L, "en", "the cat ran"),
+      (3L, "en", "the dog ran")).toDF("doc_id", "lang", "text")
+    val m = new DsirMaintainer(spark, s"$dir/c")
+    m.bootstrap(docs)
+    val goneDup = docs.filter($"doc_id" === 2L)
+      .unionByName(docs.filter($"doc_id" === 2L))
+    m.retract(goneDup, txnId = 1L)
+    val ref = new DsirMaintainer(spark, s"$dir/ref")
+    ref.bootstrap(docs.filter($"doc_id" =!= 2L))
+    def counts(p: String) = UpsertStore.read(spark, p).get
+      .orderBy("term").collect().map(_.toSeq).toSeq
+    assert(counts(s"$dir/c") == counts(s"$dir/ref"),
+      "a doc repeated in the takedown batch subtracted twice")
+  }
+
   test("rollup retract: exact subtraction ≡ from-scratch on the remaining log; emptied days lose rows") {
     val dir = tmp("graft-rp-roll")
     val ts0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
