@@ -428,12 +428,26 @@ object IvfPqIndex {
     val st = cached.getOrElse {
       val stored = UpsertStore.read(spark, path).get.select("vec_id", "cell")
       val cents = UpsertStore.read(spark, s"${path}__centroids").get
-      val fresh = stored
+      val byCell = stored
         .join(PqIndex.unitEmb(emb), Seq("vec_id"))
         .join(broadcast(cents), col("cell") === col("centroid_id"))
         .withColumn("cs", nanvl(
           VectorFunctions.cosine_similarity(col("emb"), col("cemb")), lit(-1.0)))
-        .groupBy("cell").agg(min("cs").as("min_cos"))
+        .groupBy("cell").agg(min("cs").as("min_cos"), count(lit(1)).as("nm"))
+        .localCheckpoint()
+      // COVERAGE ASSERTION (ADVICE r18): the derive joins stored
+      // vec_ids against the CALLER's emb frame — a caller passing a
+      // filtered frame would silently yield too-tight radii that then
+      // CACHE under the store's fingerprint, breaking the "exact" stop
+      // bound for every later serve of this store. Fail loudly unless
+      // the join covered every stored member.
+      val covered = byCell.agg(sum("nm")).head().getLong(0)
+      val total = stored.count()
+      require(covered == total,
+        s"cellRadii: emb covers $covered of $total stored members at $p — " +
+          "pass the UNFILTERED corpus frame (radii derived from a subset " +
+          "would be too tight, and would cache as exact)")
+      val fresh = byCell.select(col("cell"), col("min_cos"))
         .withColumn("corpus_n", lit(n)).withColumn("corpus_h", lit(h))
       UpsertStore.replace(spark, p, fresh, Seq("cell"), assumeKeyUnique = true)
       UpsertStore.read(spark, p).get
@@ -453,9 +467,15 @@ object IvfPqIndex {
     * stop rule is EXACT, not a stability heuristic (a
     * stability-across-doublings rule settled wrong sets on the
     * near-uniform synthetic corpus — the pessimal case the r17 sweep
-    * names), so the serve ≡ brute force by construction up to exact
-    * similarity ties, and the driver-hash compare against q50's
-    * brute-force oracle remains the declared recall gate (q202).
+    * names). Exactness scope (ADVICE r18): the stop bound certifies
+    * the UNPROBED cells exactly — no unprobed cell can hold a better
+    * neighbor than the k-th found. WITHIN probed cells each round
+    * delegates to [[search]], whose top-k is exact modulo the ADC
+    * top-C pool contract ([[PqIndex.C]]'s spec-pinned margin, now
+    * tie-closed — see [[search]]'s pool note), so end-to-end
+    * exactness is certificate-over-unprobed + measured-margin-over-
+    * probed, and the driver-hash compare against q50's brute-force
+    * oracle remains the declared recall gate (q202).
     * Boundary-tied cells are conservatively treated as unprobed, and
     * the comparison carries a 1e-9 slack — both err toward MORE
     * probing, never toward a miss.
@@ -506,9 +526,19 @@ object IvfPqIndex {
       rs.iterator.zipWithIndex
         .filter { case ((_, s), i) => i >= depth || s <= boundarySim + 1e-9 }
         .map { case ((cid, s), _) =>
-          val r = math.acos(clamp(radii.getOrElse(cid, -1.0)))
-          val th = math.acos(clamp(s))
-          if (th <= r) 1.0 else math.cos(th - r)
+          radii.get(cid) match {
+            // ADVICE r18: a cell with no __cellstats row provably has
+            // no members ([[cellRadii]]'s coverage-asserted aggregate
+            // emits a row for every non-empty cell) — it cannot hold a
+            // candidate, so it contributes nothing to the bound.
+            // Defaulting it to radius π instead would make ONE empty
+            // cell force every query to exhaust the full probe depth.
+            case None => -2.0
+            case Some(mc) =>
+              val r = math.acos(clamp(mc))
+              val th = math.acos(clamp(s))
+              if (th <= r) 1.0 else math.cos(th - r)
+          }
         }.foldLeft(-2.0)(math.max)
     }
     def topkAt(pred: Column, depth: Int): Map[Long, Seq[Long]] =
@@ -600,7 +630,9 @@ object IvfPqIndex {
       .groupBy("query_id", "vec_id")
       .agg(sum(col("d2")).as("adist"))
       .groupBy("query_id")
-      .agg(TopKFunctions.top_k_by_score(-col("adist"), col("vec_id"), C).as("cand"))
+      // TIE-CLOSED pool (round 19 — VERDICT r18 #5; see PqIndex.adcPool)
+      .agg(TopKFunctions.top_k_pool_tie_closed(-col("adist"), col("vec_id"),
+        C, 4 * C).as("cand"))
       .select(col("query_id"), explode(expr("transform(cand, x -> x.id)")).as("neighbor_id"))
     // exact re-rank on raw vectors: ≤ C point lookups per query
     pool

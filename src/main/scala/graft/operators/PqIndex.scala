@@ -142,7 +142,15 @@ object PqIndex {
       .agg(sum(col("d2")).as("adist"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy("query_id")
-      .agg(TopKFunctions.top_k_by_score(-col("adist"), col("vec_id"), C).as("cand"))
+      // TIE-CLOSED pool (round 19 — VERDICT r18 #5): top-C plus every
+      // candidate tied with the C-th ADC distance, so the pool is a
+      // pure function of distances — on code-degenerate corpora (many
+      // vectors sharing a code ⇒ identical adist) a plain top-C cut
+      // boundary ties by id order and could drop a true neighbor the
+      // exact re-rank can never recover. Headroom 4C bounds memory;
+      // beyond it the aggregate REFUSES loudly (see PoolTieClosed).
+      .agg(TopKFunctions.top_k_pool_tie_closed(-col("adist"), col("vec_id"),
+        C, 4 * C).as("cand"))
       .select(col("query_id"), posexplode(expr("transform(cand, x -> x.id)")))
       .select(col("query_id"), (col("pos") + 1).as("pool_rank"),
         col("col").as("neighbor_id"))

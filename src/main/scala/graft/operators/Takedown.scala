@@ -164,7 +164,21 @@ object Takedown {
     }))
   private def par[A](fs: (() => A)*): Seq[A] = {
     val futs = fs.map(f => concurrent.Future(f())(stageEc))
-    futs.map(concurrent.Await.result(_, concurrent.duration.Duration.Inf))
+    // await ALL stages before surfacing any failure (ADVICE r18): a
+    // sequential first-failure rethrow would leave sibling stages
+    // running Spark jobs against the same session after the query has
+    // failed — stray concurrent writes to scratch stores and
+    // confusing secondary errors on the failure path. Collect every
+    // outcome, then rethrow the first failure with the rest attached
+    // as suppressed.
+    val outcomes = futs.map(f => scala.util.Try(
+      concurrent.Await.result(f, concurrent.duration.Duration.Inf)))
+    val failures = outcomes.collect { case scala.util.Failure(t) => t }
+    if (failures.nonEmpty) {
+      failures.tail.foreach(failures.head.addSuppressed)
+      throw failures.head
+    }
+    outcomes.map(_.get)
   }
 
   val q199TakedownDay: QueryDef = sql("q199_takedown_day", takedownSql) { (s, d) =>
@@ -203,6 +217,11 @@ object Takedown {
         .localCheckpoint()
     }(stageEc)
 
+    // the detached dense leg must never outlive a failed query (ADVICE
+    // r18): any text-side failure first DRAINS annLeg (no cooperative
+    // cancel on a Spark job chain — awaiting is the honest barrier),
+    // attaching its own failure, if any, as suppressed.
+    try {
     // 1. curation state + serving indexes on the PRE-takedown kept
     // set. The three text-index families are disjoint stores →
     // parallel boot (the manifest bootstrap must finish first: it
@@ -290,6 +309,14 @@ object Takedown {
     (served :+ annRows).foldLeft(manifestRows)(_ unionByName _)
       .orderBy("kind", "k1", "k2", "v")
       .localCheckpoint()
+    } catch {
+      case t: Throwable =>
+        scala.util.Try(concurrent.Await.result(annLeg,
+          concurrent.duration.Duration.Inf)).failed
+          // the failed stage may BE annLeg — never self-suppress
+          .foreach(s => if (s ne t) t.addSuppressed(s))
+        throw t
+    }
   }
 
   val all: Seq[QueryDef] = Seq(q199TakedownDay)

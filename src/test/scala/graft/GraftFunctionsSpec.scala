@@ -114,6 +114,46 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(viaApi.nonEmpty, "corpus should contain near-dup pairs")
   }
 
+  test("round 19 (VERDICT r18 #5): top_k_pool_tie_closed — boundary ties close, pool is score-pure, refusal past the cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TopKFunctions
+    // 10 strictly-better rows, an 80-wide tie group the nominal c=50
+    // cuts INSIDE (ids ordered adversarially high), 40 strict losers;
+    // repartition(7) forces the partial/merge path
+    val rows = (1 to 10).map(i => (100.0 - i, i.toLong)) ++
+      (0 until 80).map(j => (1.0, 1000L - j)) ++
+      (0 until 40).map(j => (0.5, 2000L + j))
+    val pool = rows.toDF("s", "i").repartition(7)
+      .agg(TopKFunctions.top_k_pool_tie_closed(col("s"), col("i"), 50, 200).as("p"))
+      .select(explode(col("p"))).select("col.id", "col.score")
+      .as[(Long, Double)].collect()
+    assert(pool.length == 90, s"pool must be top-c CLOSED over the boundary tie, got ${pool.length}")
+    assert(pool.count(_._2 == 1.0) == 80, "the boundary tie group must be complete")
+    assert(pool.forall(_._2 >= 1.0), "strict losers must stay out")
+    // no boundary tie ⇒ identical to the plain top-k aggregate
+    val distinctRows = (1 to 60).map(i => (i.toDouble, (1000 - i).toLong))
+    val a = distinctRows.toDF("s", "i").repartition(5)
+      .agg(TopKFunctions.top_k_pool_tie_closed(col("s"), col("i"), 20, 80).as("p"))
+      .select(explode(col("p"))).select("col.id").as[Long].collect().toSeq
+    val b = distinctRows.toDF("s", "i").repartition(5)
+      .agg(TopKFunctions.top_k_by_score(col("s"), col("i"), 20).as("p"))
+      .select(explode(col("p"))).select("col.id").as[Long].collect().toSeq
+    assert(a == b, "without boundary ties the closed pool must equal plain top-k")
+    // a tie group wider than maxKeep REFUSES loudly instead of serving
+    // an id-arbitrary pool
+    val wide = (0 until 300).map(j => (1.0, j.toLong))
+    val e = intercept[Exception] {
+      wide.toDF("s", "i").repartition(7)
+        .agg(TopKFunctions.top_k_pool_tie_closed(col("s"), col("i"), 50, 100).as("p"))
+        .collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e).contains("tie group exceeds"),
+      s"expected the loud pool-tie refusal, got: ${chain(e).take(400)}")
+  }
+
   test("non-literal k in top_k_by_score fails with a clear message") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -225,6 +225,73 @@ class IvfPqIndexSpec extends AnyFunSuite {
       s"clusterable geometry should certify at shallow depths, got max=${dsC.max}")
   }
 
+  test("round 19 (VERDICT r18 #5): k=10 on a code-degenerate corpus — tie-closed pool ≡ brute force; loud refusal past the cap") {
+    // CODE-DEGENERATE BALL: `n` vectors whose pairwise angular spread
+    // (≤ ~1e-7) sits BELOW the encoder's 6-dp distance rounding, so
+    // after training every member's rounded distances to every
+    // codebook entry are identical and the ascending-cid tie rule
+    // assigns them ALL the same PQ code (asserted below, not assumed)
+    // — identical codes ⇒ exactly tied ADC distances. Their true
+    // cosines to a FAR query (1 rad away) differ LINEARLY in the
+    // spread (~1.3e-10 apart at cos ≈ 0.54 — far above double ulp),
+    // and higher ids sit closer to the query: a plain top-C pool cut
+    // boundary ties by ASCENDING id and dropped the true top-10
+    // unrecoverably. The tie-closed pool keeps the whole tie group.
+    def fixture(n: Int): org.apache.spark.sql.DataFrame = {
+      def vec(angle: Double): Seq[Double] =
+        Seq(math.cos(angle), math.sin(angle)) ++ Seq.fill(14)(0.0)
+      val query = Seq(0L -> vec(1.0))
+      val diverse = (1L to 39L).map(i =>
+        i -> (Seq(0.0, 0.0) ++ (0 until 14).map(j =>
+          if (j == (i % 14).toInt) 1.0 else 0.0)))
+      val ball = (0 until n).map(j =>
+        (100L + j) -> vec(j * 1.5e-10)) // higher id → closer to the query
+      (query ++ diverse ++ ball).toDF("vec_id", "emb").localCheckpoint()
+    }
+    val e = fixture(600)
+    val path = freshDir()
+    IvfPqIndex.ensure(spark, e, path, centroids = 2)
+    // precondition, asserted: the ball IS one 600-wide code-tie group
+    // (> the C=512 pool boundary)
+    assert(UpsertStore.read(spark, path).get.filter($"vec_id" >= 100L)
+      .select("codes").distinct().count() == 1,
+      "fixture must be code-degenerate: all ball members share one PQ code")
+    val brute = e.filter($"vec_id" === 0L)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+      .crossJoin(e.select(col("vec_id").as("neighbor_id"), col("emb").as("ce2")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", nanvl(
+        graft.functions.VectorFunctions.cosine_similarity(col("qe"), col("ce2")), lit(-1.0)))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKFunctions.top_k_by_score(col("sim"), col("neighbor_id"), 10).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"), col("col.id").as("neighbor_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(brute.map(_._3).toSet == (690L to 699L).toSet,
+      "construction check: the true top-10 must be the ball's HIGHEST ids")
+    val served = IvfPqIndex.search(spark, e, path, $"vec_id" === 0L,
+      nProbe = 2, k = 10).as[(Long, Long, Long)].collect().toSeq
+    assert(served == brute,
+      "k=10 over the boundary-tied pool must equal brute force (tie-closed pool)")
+    // the adaptive serve rides the same pool contract
+    val (adap, _) = IvfPqIndex.searchAdaptive(spark, e, path, $"vec_id" === 0L, k = 10)
+    assert(adap.as[(Long, Long, Long)].collect().toSeq == brute,
+      "adaptive k=10 must equal brute force on the code-degenerate corpus")
+    // past the 4C cap the pool REFUSES loudly rather than serve an
+    // id-arbitrary cut (the corpus is code-degenerate beyond the
+    // certified margin)
+    val e2 = fixture(2100)
+    val path2 = freshDir()
+    IvfPqIndex.ensure(spark, e2, path2, centroids = 2)
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    val ex = intercept[Exception] {
+      IvfPqIndex.search(spark, e2, path2, $"vec_id" === 0L, nProbe = 2, k = 10).collect()
+    }
+    assert(chain(ex).contains("tie group exceeds"),
+      s"expected the loud pool-tie refusal, got: ${chain(ex).take(400)}")
+  }
+
   test("committed-txn replay self-skips; changed corpus misses the gate; extend-first fails loudly") {
     val path = freshDir()
     val cut = emb.selectExpr("percentile(vec_id, 0.6)").head().getDouble(0).toLong
