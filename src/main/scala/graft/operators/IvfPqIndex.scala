@@ -245,16 +245,18 @@ object IvfPqIndex {
         Seq("centroid_id"), assumeKeyUnique = true)
       UpsertStore.replace(spark, s"${path}__codebooks", books,
         Seq("m", "cid"), assumeKeyUnique = true)
-      // per-cell angular radii for the adaptive probe's exact stop
-      // bound (round 18): one extra cells-sized aggregate over the
-      // already-unit-normalized pass — maintained HERE so the adaptive
-      // serve never pays a corpus pass to derive them
+      // per-cell angular radii + MEMBER COUNTS for the adaptive
+      // probe's exact stop bound (round 18; counts round 19 — the
+      // plan-time certificate in [[graft.plans.AnnTopKRewrite]] needs
+      // how many members each bound covers): one extra cells-sized
+      // aggregate over the already-unit-normalized pass — maintained
+      // HERE so the adaptive serve never pays a corpus pass to derive
       UpsertStore.replace(spark, s"${path}__cellstats",
         cells.join(unit, Seq("vec_id"))
           .join(broadcast(cents), col("cell") === col("centroid_id"))
           .withColumn("cs", nanvl(
             VectorFunctions.cosine_similarity(col("emb"), col("cemb")), lit(-1.0)))
-          .groupBy("cell").agg(min("cs").as("min_cos"))
+          .groupBy("cell").agg(min("cs").as("min_cos"), count(lit(1)).as("nm"))
           .withColumn("corpus_n", lit(n)).withColumn("corpus_h", lit(h)),
         Seq("cell"), assumeKeyUnique = true)
       // a REBUILD starts a new ledger epoch (txn = -1): the store
@@ -336,24 +338,29 @@ object IvfPqIndex {
         PqIndex.encodeParts(PqIndex.subParts(unit), books))
       UpsertStore.upsert(spark, path, cells.join(codes, Seq("vec_id")),
         Seq("vec_id"), assumeKeyUnique = true)
-      // adaptive-probe radii: MIN-merge the delta's per-cell member
-      // cosines into the stored table (a new member can only grow a
-      // cell's radius, i.e. lower its min_cos) and stamp the advanced
-      // fingerprint — the table is cells-sized, so the rewrite is
-      // metadata work. A pre-r18 store without the table just keeps
-      // serving via the adaptive path's derive-on-miss fallback.
-      UpsertStore.read(spark, s"${path}__cellstats").foreach { prevStats =>
-        val deltaRadii = cells.join(unit, Seq("vec_id"))
+      // adaptive-probe radii + counts: MIN-merge the delta's per-cell
+      // member cosines into the stored table (a new member can only
+      // grow a cell's radius, i.e. lower its min_cos), ADD the delta
+      // member counts, and stamp the advanced fingerprint — the table
+      // is cells-sized, so the rewrite is metadata work. A pre-r18
+      // store without the table (or a pre-r19 one without counts)
+      // just keeps serving via the adaptive path's derive-on-miss
+      // fallback behind the fingerprint.
+      UpsertStore.read(spark, s"${path}__cellstats")
+        .filter(_.columns.contains("nm")).foreach { prevStats =>
+        val deltaStats = cells.join(unit, Seq("vec_id"))
           .join(broadcast(cents), col("cell") === col("centroid_id"))
           .withColumn("cs", nanvl(
             VectorFunctions.cosine_similarity(col("emb"), col("cemb")), lit(-1.0)))
-          .groupBy("cell").agg(min("cs").as("dmin"))
+          .groupBy("cell").agg(min("cs").as("dmin"), count(lit(1)).as("dnm"))
         UpsertStore.replace(spark, s"${path}__cellstats",
-          prevStats.select("cell", "min_cos")
-            .join(deltaRadii, Seq("cell"), "full_outer")
+          prevStats.select("cell", "min_cos", "nm")
+            .join(deltaStats, Seq("cell"), "full_outer")
             .select(col("cell"),
               least(coalesce(col("min_cos"), lit(1.0)),
-                coalesce(col("dmin"), lit(1.0))).as("min_cos"))
+                coalesce(col("dmin"), lit(1.0))).as("min_cos"),
+              (coalesce(col("nm"), lit(0L)) +
+                coalesce(col("dnm"), lit(0L))).as("nm"))
             .withColumn("corpus_n", lit(baseN + dn))
             .withColumn("corpus_h", lit(baseH ^ dh)),
           Seq("cell"), assumeKeyUnique = true)
@@ -404,25 +411,29 @@ object IvfPqIndex {
       Seq("meta_id"), assumeKeyUnique = true)
   }
 
-  /** Per-cell ANGULAR RADIUS side table for the adaptive probe's exact
-    * stop bound: `(cell, min_cos)` where `min_cos` is the minimum
-    * member↔centroid cosine in the cell (= cos of the cell's angular
-    * radius). MAINTAINED at [[ensure]] (one cells-sized aggregate over
-    * the build's unit pass) and [[extend]] (delta min-merge — a new
-    * member can only grow a radius), fingerprint-guarded against the
-    * main meta. Derive-on-miss fallback (one column-pruned corpus
-    * pass) covers pre-r18 stores and the post-[[retract]] state —
-    * retraction deliberately leaves the table behind the fingerprint,
-    * because removal can only SHRINK radii, so rederiving from the
-    * remaining corpus yields a tighter (still exact) bound. */
-  private def cellRadii(spark: SparkSession, emb: DataFrame,
-                        path: String): Map[Long, Double] = {
+  /** Per-cell ANGULAR RADIUS + MEMBER COUNT side table for the
+    * adaptive probe's exact stop bound: `(cell, min_cos, nm)` where
+    * `min_cos` is the minimum member↔centroid cosine in the cell
+    * (= cos of the cell's angular radius) and `nm` the member count
+    * (round 19 — the plan-time certificate in
+    * [[graft.plans.AnnTopKRewrite]] weighs each cell's lower bound by
+    * how many members it covers). MAINTAINED at [[ensure]] (one
+    * cells-sized aggregate over the build's unit pass) and [[extend]]
+    * (delta min-merge + count add — a new member can only grow a
+    * radius), fingerprint-guarded against the main meta.
+    * Derive-on-miss fallback (one column-pruned corpus pass) covers
+    * pre-r19 stores and the post-[[retract]] state — retraction
+    * deliberately leaves the table behind the fingerprint, because
+    * removal can only SHRINK radii, so rederiving from the remaining
+    * corpus yields a tighter (still exact) bound. */
+  private[graft] def cellStats(spark: SparkSession, emb: DataFrame,
+                               path: String): Map[Long, (Double, Long)] = {
     val p = s"${path}__cellstats"
     val meta = UpsertStore.read(spark, s"${path}__meta").map(_.head()).getOrElse(
       sys.error(s"no ivf-pq index at $path — run ensure first"))
     val (n, h) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
     val cached = UpsertStore.read(spark, p).filter { st =>
-      st.columns.contains("corpus_n") &&
+      st.columns.contains("corpus_n") && st.columns.contains("nm") &&
         st.filter(col("corpus_n") === n && col("corpus_h") === h).count() > 0
     }
     val st = cached.getOrElse {
@@ -444,16 +455,16 @@ object IvfPqIndex {
       val covered = byCell.agg(sum("nm")).head().getLong(0)
       val total = stored.count()
       require(covered == total,
-        s"cellRadii: emb covers $covered of $total stored members at $p — " +
+        s"cellStats: emb covers $covered of $total stored members at $p — " +
           "pass the UNFILTERED corpus frame (radii derived from a subset " +
           "would be too tight, and would cache as exact)")
-      val fresh = byCell.select(col("cell"), col("min_cos"))
+      val fresh = byCell.select(col("cell"), col("min_cos"), col("nm"))
         .withColumn("corpus_n", lit(n)).withColumn("corpus_h", lit(h))
       UpsertStore.replace(spark, p, fresh, Seq("cell"), assumeKeyUnique = true)
       UpsertStore.read(spark, p).get
     }
-    st.select("cell", "min_cos").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    st.select("cell", "min_cos", "nm").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
   }
 
   /** ADAPTIVE per-query probe (round 18 — VERDICT r17 #8, the r17
@@ -463,7 +474,7 @@ object IvfPqIndex {
     * soon as its k-th EXACT-re-ranked similarity provably beats the
     * best similarity any UNPROBED cell could hold — the spherical
     * triangle-inequality bound `sim(q, x ∈ c) ≤ cos(max(0, θ(q, μ_c) −
-    * r_c))` with `r_c` the cell's angular radius ([[cellRadii]]). The
+    * r_c))` with `r_c` the cell's angular radius ([[cellStats]]). The
     * stop rule is EXACT, not a stability heuristic (a
     * stability-across-doublings rule settled wrong sets on the
     * near-uniform synthetic corpus — the pessimal case the r17 sweep
@@ -497,7 +508,7 @@ object IvfPqIndex {
       .select("centroid_id", "cemb").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     val cells = cents.length
-    val radii = cellRadii(spark, emb, path)
+    val radii = cellStats(spark, emb, path).map { case (c, (mc, _)) => c -> mc }
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -528,7 +539,7 @@ object IvfPqIndex {
         .map { case ((cid, s), _) =>
           radii.get(cid) match {
             // ADVICE r18: a cell with no __cellstats row provably has
-            // no members ([[cellRadii]]'s coverage-asserted aggregate
+            // no members ([[cellStats]]'s coverage-asserted aggregate
             // emits a row for every non-empty cell) — it cannot hold a
             // candidate, so it contributes nothing to the bound.
             // Defaulting it to radius π instead would make ONE empty

@@ -92,6 +92,34 @@ class AnnRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("round 19 (VERDICT r18 #2): certified shallow depth where geometry allows, fraction pin where it doesn't") {
+    import scala.jdk.CollectionConverters._
+    val plain = naive().as[Long].collect().toSeq
+    val r = AnnAcceleration.enable(spark, s"$env/idx", s"$env/emb.parquet")
+    try {
+      // clustered geometry, k=3: the count-weighted certificate must
+      // probe FEWER than the pin (defaultNProbe(4) = 4 = exhaustive)
+      // with the result still ≡ the plain scan
+      r.probeDepths.clear()
+      val accel = naive()
+      assert(accel.queryExecution.optimizedPlan.toString.contains("__ann_cand_vec_id"))
+      assert(accel.as[Long].collect().toSeq == plain,
+        "certified-depth serve diverged from the naive scan")
+      val ds = r.probeDepths.asScala.toSeq
+      assert(ds.nonEmpty && ds.forall(_._1 < 4),
+        s"expected a certified depth < the pin (4 of 4 cells), got $ds")
+      // k beyond what shallow prefixes can GUARANTEE: the certificate
+      // declines and the measured fraction pin serves unchanged
+      r.probeDepths.clear()
+      val plainBig = naive(k = 25).as[Long].collect().toSeq
+      val big = naive(k = 25)
+      assert(big.as[Long].collect().toSeq == plainBig)
+      val dsBig = r.probeDepths.asScala.toSeq
+      assert(dsBig.nonEmpty && dsBig.forall(_._1 == 4),
+        s"uncertifiable k must fall back to the pin depth, got $dsBig")
+    } finally AnnAcceleration.disable(spark, r)
+  }
+
   test("guards: no limit / ascending / column query / dim mismatch / k>maxK / foreign relation") {
     withRule(maxK = 10) {
       def marker(df: org.apache.spark.sql.DataFrame): Boolean =
