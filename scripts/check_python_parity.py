@@ -396,6 +396,51 @@ with tempfile.TemporaryDirectory() as td:
           pre_n > 0 and post_n == 0 and str(v1) == str(v2),
           f"pre={pre_n} post={post_n} v1={v1} v2={v2}")
 
+    # 20: round-19 curation takedown from Python -- the verb a
+    # compliance tool calls FIRST is the COMPOSITION's (gate ->
+    # clusters -> facts -> manifest), and its effect must read in
+    # plain SQL: the retracted canonical's manifest row goes, its
+    # surviving exact copy is PROMOTED to kept.
+    man_corpus = spark.createDataFrame(
+        [(1, " ".join(f"d{i}" for i in range(1, 31))),
+         (2, " ".join(f"u{i}" for i in range(1, 31))),
+         (3, " ".join(f"v{i}" for i in range(1, 31))),
+         (4, " ".join(f"d{i}" for i in range(1, 31)))],
+        "doc_id long, text string")
+    man_scratch = tempfile.mkdtemp(prefix="py-td-man")
+    man_path = g.register_manifest(spark, "py_td_man", man_scratch, man_corpus)
+    pre_keep4 = spark.sql(
+        "SELECT keep FROM graft.py_td_man__manifest WHERE doc_id = 4").head()[0]
+    g.retract_manifest(spark, man_corpus.filter("doc_id = 1"),
+                       man_scratch, man_path, 1)
+    gone1 = spark.sql(
+        "SELECT count(*) FROM graft.py_td_man__manifest WHERE doc_id = 1").head()[0]
+    post_keep4 = spark.sql(
+        "SELECT keep FROM graft.py_td_man__manifest WHERE doc_id = 4").head()[0]
+    canon = [r[0] for r in spark.sql(
+        "SELECT first_doc_id FROM graft.py_td_man__gate").collect()]
+    check("python curation takedown: manifest row gone, canonical promoted",
+          pre_keep4 is False and gone1 == 0 and post_keep4 is True
+          and 1 not in canon,
+          f"pre4={pre_keep4} gone1={gone1} post4={post_keep4} canon={canon}")
+
+    # 21: round-19 external-query ANN serve from Python -- a retrieval
+    # caller brings its own (query_id, qe) vectors; no self-exclusion.
+    import math
+    ext_emb = spark.createDataFrame(
+        [(i, [abs(math.sin(i * 8 + j + 1)) + 0.1 for j in range(8)])
+         for i in range(12)],
+        "vec_id long, emb array<double>")
+    ext_path = g.register_ivfpq_index(spark, "py_ext_ann", ext_emb, centroids=2)
+    ext_q = spark.createDataFrame(
+        [(100, [abs(math.sin(8 + j + 1)) + 0.2 for j in range(8)])],
+        "query_id long, qe array<double>")
+    ext_res = g.serve_ivfpq_queries(spark, ext_emb, ext_path, ext_q).collect()
+    check("python external-query ANN serve returns ranked neighbors",
+          len(ext_res) == 3 and all(r.query_id == 100 for r in ext_res)
+          and [r.rk for r in ext_res] == [1, 2, 3],
+          f"rows={ext_res}")
+
 spark.stop()
 if failures:
     sys.exit(f"{len(failures)} parity check(s) failed: {failures}")

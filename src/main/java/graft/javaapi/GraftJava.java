@@ -268,6 +268,60 @@ public final class GraftJava {
     graft.operators.IvfPqIndex.retract(spark, gone, path, some(txnId));
   }
 
+  /** CURATION-COMPOSITION registration (round 19 — VERDICT r18 #3):
+   *  bootstrap the gate → pairs/clusters → facts → manifest
+   *  composition at the catalog warehouse and register its auditable
+   *  stores ({@code graft.<name>__manifest} / {@code __facts} /
+   *  {@code __gate}) so a takedown's effect — manifest row gone,
+   *  canonical promoted in the gate's seen table — is plain SQL.
+   *  The returned maintainer's {@code storePath()} is what
+   *  {@link #retractManifest} takes. */
+  public static graft.streaming.ManifestMaintainer registerManifest(
+      SparkSession spark, String name, String dataDir, Dataset<Row> corpus) {
+    return graft.streaming.ManifestMaintainer.registerCatalog(
+        spark, name, dataDir, corpus, "graft");
+  }
+
+  /** The takedown verb a compliance tool calls FIRST: drive the whole
+   *  curation composition's retraction — gate re-point + canonical
+   *  promotion, pair/cluster splits, facts refresh, scoped manifest
+   *  refresh — behind the composition's separate retraction ledger.
+   *  {@code gone} carries full (doc_id, text) rows; {@code storePath}
+   *  is what {@link #registerManifest}'s maintainer reports. */
+  public static void retractManifest(SparkSession spark, Dataset<Row> gone,
+      String dataDir, String storePath, long txnId) {
+    new graft.streaming.ManifestMaintainer(spark, dataDir, storePath, 0.6)
+        .retract(gone, txnId);
+  }
+
+  /** DSIR count-store takedown: exact subtraction with the persisted
+   *  pre-mutation targets (replay-idempotent), doc_id-deduped batch.
+   *  {@code targetLang} must match what the store was built with. */
+  public static void retractDsir(SparkSession spark, Dataset<Row> gone,
+      String storePath, String targetLang, long txnId) {
+    new graft.streaming.DsirMaintainer(spark, storePath, targetLang)
+        .retract(gone, txnId);
+  }
+
+  /** Rollup takedown: the additive inverse — gone events aggregate
+   *  alone and subtract exactly; emptied (event_type, day) rows lose
+   *  their row. {@code gone} carries (event_type, ts, value) events. */
+  public static void retractRollup(SparkSession spark, Dataset<Row> gone,
+      String storePath, long txnId) {
+    new graft.streaming.RollupMaintainer(spark, storePath).retract(gone, txnId);
+  }
+
+  /** EXTERNAL-query ANN serve (round 19 — VERDICT r18 #7): top-k from
+   *  the registered IVF-PQ store for a (query_id, qe double[]) batch
+   *  that brings its own vectors — no self-exclusion, the production
+   *  retrieval shape. {@code nProbe <= 0} resolves to the fraction
+   *  pin. {@code emb} supplies corpus raw vectors for the re-rank. */
+  public static Dataset<Row> serveIvfPqQueries(SparkSession spark,
+      Dataset<Row> emb, String path, Dataset<Row> queries, int nProbe, int k) {
+    return graft.operators.IvfPqIndex.searchQueries(
+        spark, emb, path, queries, nProbe, k);
+  }
+
   private static scala.Option<Object> some(long v) {
     return scala.Option.apply((Object) Long.valueOf(v));
   }

@@ -283,6 +283,61 @@ def retract_ivfpq_index(spark: SparkSession, gone: DataFrame, path: str,
         spark._jsparkSession, gone._jdf, path, int(txn_id))
 
 
+def register_manifest(spark: SparkSession, name: str, data_dir: str,
+                      corpus: DataFrame) -> str:
+    """Register the CURATION COMPOSITION (round 19): bootstrap the
+    gate -> pairs/clusters -> facts -> manifest chain at the catalog
+    warehouse and register its auditable stores
+    (``graft.<name>__manifest`` / ``__facts`` / ``__gate``) so a
+    takedown's effect — manifest row gone, canonical promoted — reads
+    in plain SQL.  Returns the composition's store path (what
+    :func:`retract_manifest` takes)."""
+    mm = spark._jvm.graft.javaapi.GraftJava.registerManifest(
+        spark._jsparkSession, name, data_dir, corpus._jdf)
+    return mm.storePath()
+
+
+def retract_manifest(spark: SparkSession, gone: DataFrame, data_dir: str,
+                     store_path: str, txn_id: int) -> None:
+    """The takedown verb a compliance tool calls FIRST: drive the whole
+    curation composition's retraction (gate re-point + canonical
+    promotion, cluster splits, facts refresh, scoped manifest refresh)
+    behind the composition's separate retraction ledger.  ``gone``
+    carries full ``(doc_id, text)`` rows."""
+    spark._jvm.graft.javaapi.GraftJava.retractManifest(
+        spark._jsparkSession, gone._jdf, data_dir, store_path, int(txn_id))
+
+
+def retract_dsir(spark: SparkSession, gone: DataFrame, store_path: str,
+                 target_lang: str, txn_id: int) -> None:
+    """DSIR count-store takedown: exact subtraction with persisted
+    pre-mutation targets (replay-idempotent), doc_id-deduped batch.
+    ``target_lang`` must match what the store was built with."""
+    spark._jvm.graft.javaapi.GraftJava.retractDsir(
+        spark._jsparkSession, gone._jdf, store_path, target_lang, int(txn_id))
+
+
+def retract_rollup(spark: SparkSession, gone: DataFrame, store_path: str,
+                   txn_id: int) -> None:
+    """Rollup takedown: the additive inverse — gone events aggregate
+    alone and subtract exactly; emptied (event_type, day) rows lose
+    their row.  ``gone`` carries ``(event_type, ts, value)`` events."""
+    spark._jvm.graft.javaapi.GraftJava.retractRollup(
+        spark._jsparkSession, gone._jdf, store_path, int(txn_id))
+
+
+def serve_ivfpq_queries(spark: SparkSession, emb: DataFrame, path: str,
+                        queries: DataFrame, n_probe: int = -1,
+                        k: int = 3) -> DataFrame:
+    """EXTERNAL-query ANN serve (round 19): top-k from the registered
+    IVF-PQ store for a ``(query_id, qe double[])`` batch that brings
+    its own vectors — no self-exclusion, the production retrieval
+    shape.  ``n_probe <= 0`` resolves to the fraction pin."""
+    return DataFrame(spark._jvm.graft.javaapi.GraftJava.serveIvfPqQueries(
+        spark._jsparkSession, emb._jdf, path, queries._jdf,
+        int(n_probe), int(k)), spark)
+
+
 # ------------------------------------------------------- upsert sink
 
 class UpsertSink:

@@ -501,8 +501,30 @@ object IvfPqIndex {
     * PROBED when the bound certified — for the measured distribution
     * (SCALING.md round-18 row). */
   def searchAdaptive(spark: SparkSession, emb: DataFrame, path: String,
-                     queryPred: Column, k: Int = 3): (DataFrame, DataFrame) = {
+                     queryPred: Column, k: Int = 3): (DataFrame, DataFrame) =
+    searchAdaptiveFrame(spark, emb, path,
+      emb.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe")),
+      k, excludeSelf = true)
+
+  /** [[searchAdaptive]] for EXTERNAL query vectors (round 19 — VERDICT
+    * r18 #7): `queries` carries (query_id, qe double[]) from OUTSIDE
+    * the corpus — a retrieval request batch, a dedup-against-index
+    * check — in its own id namespace (no self-exclusion: an external
+    * query competes against every corpus member). The geometric stop
+    * certificate is query-position-only, so it transfers unchanged. */
+  def searchAdaptiveQueries(spark: SparkSession, emb: DataFrame, path: String,
+                            queries: DataFrame, k: Int = 3)
+      : (DataFrame, DataFrame) =
+    searchAdaptiveFrame(spark, emb, path,
+      queries.select(col("query_id"), col("qe")), k, excludeSelf = false)
+
+  private def searchAdaptiveFrame(spark: SparkSession, emb: DataFrame,
+                                  path: String, queries0: DataFrame, k: Int,
+                                  excludeSelf: Boolean)
+      : (DataFrame, DataFrame) = {
     import spark.implicits._
+    val queries = queries0.localCheckpoint()
     val cents = UpsertStore.read(spark, s"${path}__centroids").getOrElse(
       sys.error(s"ivf-pq index at $path has no centroid table"))
       .select("centroid_id", "cemb").collect()
@@ -515,7 +537,7 @@ object IvfPqIndex {
       if (na == 0.0 || nb == 0.0) -1.0 else d / math.sqrt(na * nb)
     }
     def clamp(x: Double) = math.max(-1.0, math.min(1.0, x))
-    val qvecs = emb.filter(queryPred).select("vec_id", "emb").collect()
+    val qvecs = queries.select("query_id", "qe").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     // per-query cells ranked by centroid similarity (ties to the lower
     // cell id — the top_k_by_score rule); the bound at depth d is the
@@ -552,8 +574,10 @@ object IvfPqIndex {
           }
         }.foldLeft(-2.0)(math.max)
     }
-    def topkAt(pred: Column, depth: Int): Map[Long, Seq[Long]] =
-      search(spark, emb, path, pred, nProbe = depth, k = k)
+    def topkAt(open: Set[Long], depth: Int): Map[Long, Seq[Long]] =
+      searchFrame(spark, emb, path,
+        queries.filter(col("query_id").isin(open.toSeq: _*)),
+        nProbe = depth, k = k, excludeSelf = excludeSelf)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .groupBy(_._1).map { case (q, rs) =>
@@ -565,8 +589,7 @@ object IvfPqIndex {
     var depth = 1
     var done = false
     while (unresolved.nonEmpty && !done) {
-      val cur = topkAt(
-        queryPred && col("vec_id").isin(unresolved.toSeq: _*), depth)
+      val cur = topkAt(unresolved, depth)
       // neighbor vectors for the exact k-th similarity: ≤ k per query
       val nbrIds = cur.values.flatten.toSeq.distinct
       val nvecs =
@@ -604,7 +627,29 @@ object IvfPqIndex {
     * pin, so the depth scales with the deployment's cell count instead
     * of silently under-probing at the next bump. */
   def search(spark: SparkSession, emb: DataFrame, path: String,
-             queryPred: Column, nProbe: Int = -1, k: Int = 3): DataFrame = {
+             queryPred: Column, nProbe: Int = -1, k: Int = 3): DataFrame =
+    searchFrame(spark, emb, path,
+      emb.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe")),
+      nProbe, k, excludeSelf = true)
+
+  /** [[search]] for EXTERNAL query vectors (round 19 — VERDICT r18
+    * #7): `queries` carries (query_id, qe double[]) from outside the
+    * corpus — the production retrieval shape, where query vectors
+    * arrive with a request rather than being corpus members selected
+    * by predicate. The query ids live in their own namespace, so
+    * there is no self-exclusion: every corpus member competes. Same
+    * plan shape and recall contract as [[search]] (the probe, the
+    * tie-closed ADC pool, and the exact re-rank are all agnostic to
+    * where the query vector came from). */
+  def searchQueries(spark: SparkSession, emb: DataFrame, path: String,
+                    queries: DataFrame, nProbe: Int = -1, k: Int = 3): DataFrame =
+    searchFrame(spark, emb, path, queries.select(col("query_id"), col("qe")),
+      nProbe, k, excludeSelf = false)
+
+  private def searchFrame(spark: SparkSession, emb: DataFrame, path: String,
+                          queries: DataFrame, nProbe: Int, k: Int,
+                          excludeSelf: Boolean): DataFrame = {
     val stored = UpsertStore.read(spark, path).getOrElse(
       sys.error(s"no ivf-pq index at $path — run ensure first"))
     val cents = UpsertStore.read(spark, s"${path}__centroids").getOrElse(
@@ -612,7 +657,8 @@ object IvfPqIndex {
     val np = if (nProbe > 0) nProbe else defaultNProbe(cents.count().toInt)
     val books = UpsertStore.read(spark, s"${path}__codebooks").getOrElse(
       sys.error(s"ivf-pq index at $path has no codebook table"))
-    val qunit = PqIndex.unitEmb(emb.filter(queryPred))
+    val qunit = PqIndex.unitEmb(
+      queries.select(col("query_id").as("vec_id"), col("qe").as("emb")))
     // coarse probe: |queries| × centroids, both metadata-sized
     val probes = qunit.crossJoin(broadcast(cents))
       .withColumn("csim", nanvl(
@@ -620,10 +666,12 @@ object IvfPqIndex {
       .groupBy(col("vec_id").as("query_id"))
       .agg(TopKFunctions.top_k_by_score(col("csim"), col("centroid_id"), np).as("cells"))
       .select(col("query_id"), explode(col("cells.id")).as("cell"))
-    // candidates: probed cells' code rows only — the IVF prune
-    val cand = probes.join(stored.select(col("cell"), col("vec_id"), col("codes")),
+    // candidates: probed cells' code rows only — the IVF prune;
+    // self-exclusion only when the query ids ARE corpus vec_ids
+    val cand0 = probes.join(stored.select(col("cell"), col("vec_id"), col("codes")),
         Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
+    val cand = (if (excludeSelf) cand0.filter(col("query_id") =!= col("vec_id"))
+                else cand0)
       .select(col("query_id"), col("vec_id"), col("codes"))
     // ADC: per-query (m, cid) → squared-L2 lookup table, broadcast
     // (|queries| × M × K rows); candidate distance = Σ_m lut entries
@@ -649,8 +697,7 @@ object IvfPqIndex {
     pool
       .join(emb.select(col("vec_id").as("neighbor_id"), col("emb").as("ce")),
         Seq("neighbor_id"))
-      .join(broadcast(emb.filter(queryPred)
-        .select(col("vec_id").as("query_id"), col("emb").as("qe"))), Seq("query_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qe"))), Seq("query_id"))
       .withColumn("sim",
         nanvl(VectorFunctions.cosine_similarity(col("qe"), col("ce")), lit(-1.0)))
       .groupBy("query_id")

@@ -57,6 +57,21 @@ final class IvfPqMaintainer(spark: SparkSession, storePath: String,
                     k: Int = 3): (DataFrame, DataFrame) =
     IvfPqIndex.searchAdaptive(spark, emb, storePath, queryPred, k)
 
+  /** EXTERNAL-query serve (round 19 — VERDICT r18 #7): `queries`
+    * carries (query_id, qe double[]) from outside the corpus — the
+    * production retrieval request shape. No self-exclusion (the query
+    * ids are their own namespace); same plan + recall contract as
+    * [[serve]]. */
+  def serveQueries(emb: DataFrame, queries: DataFrame,
+                   nProbe: Int = -1, k: Int = 3): DataFrame =
+    IvfPqIndex.searchQueries(spark, emb, storePath, queries, nProbe, k)
+
+  /** [[serveAdaptive]] for EXTERNAL query vectors — the geometric
+    * certificate is query-position-only and transfers unchanged. */
+  def serveAdaptiveQueries(emb: DataFrame, queries: DataFrame,
+                           k: Int = 3): (DataFrame, DataFrame) =
+    IvfPqIndex.searchAdaptiveQueries(spark, emb, storePath, queries, k)
+
   /** Wire into a streaming query: every micro-batch extends the
     * composed store. */
   def run(vectors: DataFrame, checkpointDir: String,

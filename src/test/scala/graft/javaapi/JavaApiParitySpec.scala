@@ -299,6 +299,91 @@ class JavaApiParitySpec extends AnyFunSuite {
       "corpus stats must retreat by exact integers")
   }
 
+  test("round 19: Java curation takedown through the composition; DSIR/rollup twins; external-query ANN serve") {
+    if (!spark.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.UpsertCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft.path",
+        java.nio.file.Files.createTempDirectory("graft-jcat-man").toString)
+    }
+    val scratch = java.nio.file.Files.createTempDirectory("graft-jman").toString
+    // docs 1 and 4 are exact copies — 1 is canonical, 4 its duplicate
+    // (30-token texts: the manifest's quality rule must keep them)
+    def toks(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq(
+      1L -> toks("d"), 2L -> toks("u"), 3L -> toks("v"), 4L -> toks("d"))
+      .toDF("doc_id", "text")
+    val mm = GraftJava.registerManifest(spark, "j_td_man", scratch, corpus)
+    assert(spark.sql(
+      "SELECT keep FROM graft.j_td_man__manifest WHERE doc_id = 4")
+      .head().getBoolean(0) == false,
+      "construction check: the duplicate must start dropped")
+    // the compliance verb: retract the CANONICAL through the whole
+    // composition by registered path
+    GraftJava.retractManifest(spark, corpus.filter($"doc_id" === 1L),
+      scratch, mm.storePath, 1L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.j_td_man__manifest WHERE doc_id = 1")
+      .head().getLong(0) == 0L, "manifest row of the retracted doc must go")
+    assert(spark.sql(
+      "SELECT keep FROM graft.j_td_man__manifest WHERE doc_id = 4")
+      .head().getBoolean(0),
+      "the surviving exact copy must be PROMOTED to kept")
+    assert(spark.sql(
+      "SELECT first_doc_id FROM graft.j_td_man__gate").as[Long].collect()
+      .forall(_ != 1L),
+      "the gate's canonical must re-point away from the retracted doc")
+    // replayed committed takedown: composition-level no-op
+    val vm = graft.streaming.UpsertStore.latestVersion(spark,
+      s"${mm.storePath}__manifest")
+    GraftJava.retractManifest(spark, corpus.filter($"doc_id" === 1L),
+      scratch, mm.storePath, 1L)
+    assert(graft.streaming.UpsertStore.latestVersion(spark,
+      s"${mm.storePath}__manifest") == vm,
+      "replayed committed composition takedown advanced the manifest")
+
+    // DSIR twin: exact subtraction by path, ≡ from-scratch
+    val docs = Seq((1L, "en", "the cat sat"), (2L, "en", "unique snowflake"),
+      (3L, "fr", "le chat")).toDF("doc_id", "lang", "text")
+    val dsirPath = s"$scratch/dsir"
+    new graft.streaming.DsirMaintainer(spark, dsirPath).bootstrap(docs)
+    GraftJava.retractDsir(spark, docs.filter($"doc_id" === 2L), dsirPath, "en", 1L)
+    val ref = s"$scratch/dsir_ref"
+    new graft.streaming.DsirMaintainer(spark, ref).bootstrap(docs.filter($"doc_id" =!= 2L))
+    assert(graft.streaming.UpsertStore.read(spark, dsirPath).get
+      .orderBy("term").collect().toSeq ==
+      graft.streaming.UpsertStore.read(spark, ref).get
+        .orderBy("term").collect().toSeq,
+      "Java-driven DSIR takedown diverged from a from-scratch bootstrap")
+
+    // rollup twin: additive inverse by path
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val events = Seq(("click", ts0, 1.5), ("click", ts0, 2.5), ("view", ts0, 1.0))
+      .toDF("event_type", "ts", "value")
+    val rollPath = s"$scratch/rollup"
+    val rm = new graft.streaming.RollupMaintainer(spark, rollPath)
+    rm.bootstrap(events)
+    GraftJava.retractRollup(spark, events.filter($"value" === 2.5), rollPath, 1L)
+    val rref = new graft.streaming.RollupMaintainer(spark, s"$scratch/rollup_ref")
+    rref.bootstrap(events.filter($"value" =!= 2.5))
+    assert(rm.serve().collect().toSeq == rref.serve().collect().toSeq,
+      "Java-driven rollup takedown diverged from a from-scratch bootstrap")
+
+    // external-query ANN serve from Java ≡ the Scala call
+    val emb = (0L to 11L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j + 1).abs + 0.1))).toDF("vec_id", "emb")
+    val annPath = s"$scratch/ivfpq"
+    graft.operators.IvfPqIndex.ensure(spark, emb, annPath, centroids = 2)
+    val queries = Seq((100L, Array.tabulate(8)(j => math.sin(8 + j + 1).abs + 0.2)))
+      .toDF("query_id", "qe")
+    val viaJava = GraftJava.serveIvfPqQueries(spark, emb, annPath, queries, -1, 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    val viaScala = graft.operators.IvfPqIndex.searchQueries(spark, emb, annPath, queries)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(viaJava == viaScala && viaJava.nonEmpty,
+      "Java external-query serve must equal the Scala serve")
+  }
+
   test("Java-created catalog table time-travels with VERSION AS OF (q161 path)") {
     if (!spark.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
       spark.conf.set("spark.sql.catalog.graft",

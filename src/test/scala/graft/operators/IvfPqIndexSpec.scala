@@ -225,6 +225,37 @@ class IvfPqIndexSpec extends AnyFunSuite {
       s"clusterable geometry should certify at shallow depths, got max=${dsC.max}")
   }
 
+  test("round 19 (VERDICT r18 #7): external-query serve — own id namespace, no self-exclusion, adaptive agrees") {
+    val path = freshDir()
+    IvfPqIndex.ensure(spark, emb, path)
+    // external queries: corpus vectors 0..4 with the first coordinate
+    // bumped, re-keyed so some query_ids NUMERICALLY COLLIDE with
+    // corpus vec_ids — a collision must NOT exclude the same-id
+    // member (the external id namespace is the query's own)
+    val queries = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 1L).as("query_id"),
+        concat(array($"emb".getItem(0) + lit(0.25)),
+          expr("slice(emb, 2, size(emb) - 1)")).as("qe"))
+      .localCheckpoint()
+    val brute = queries
+      .crossJoin(emb.select($"vec_id".as("neighbor_id"), $"emb".as("ce")))
+      .withColumn("sim", nanvl(
+        graft.functions.VectorFunctions.cosine_similarity($"qe", $"ce"), lit(-1.0)))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKFunctions.top_k_by_score($"sim", $"neighbor_id", 3).as("topk"))
+      .select($"query_id", posexplode($"topk"))
+      .select($"query_id", ($"pos" + 1).cast("long").as("rk"), $"col.id".as("neighbor_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    val served = IvfPqIndex.searchQueries(spark, emb, path, queries, nProbe = 16)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served == brute,
+      "external-query serve must equal brute force over the WHOLE corpus")
+    val (adap, depths) = IvfPqIndex.searchAdaptiveQueries(spark, emb, path, queries)
+    assert(adap.as[(Long, Long, Long)].collect().toSet == brute,
+      "adaptive external-query serve must equal brute force — the certificate is query-position-only")
+    assert(depths.count() == 5, "every external query must report a certified depth")
+  }
+
   test("round 19 (VERDICT r18 #5): k=10 on a code-degenerate corpus — tie-closed pool ≡ brute force; loud refusal past the cap") {
     // CODE-DEGENERATE BALL: `n` vectors whose pairwise angular spread
     // (≤ ~1e-7) sits BELOW the encoder's 6-dp distance rounding, so
