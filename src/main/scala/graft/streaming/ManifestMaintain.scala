@@ -104,7 +104,8 @@ final class ManifestMaintainer(
   /** Re-derive manifest rows for the given batch's blast radius (or
     * everything, on bootstrap): batch docs + all members of clusters
     * containing a batch doc, read back from the facts store. */
-  private[graft] def refreshManifest(batchIds: Option[DataFrame]): Unit = {
+  private[graft] def refreshManifest(batchIds: Option[DataFrame],
+                                     dropIds: Option[DataFrame] = None): Unit = {
     val ct = clusterM.current // (doc_id, label) — post-update
     val facts = UpsertStore.read(spark, factsPath).getOrElse(
       sys.error(s"no facts store at $factsPath — bootstrap first"))
@@ -124,12 +125,19 @@ final class ManifestMaintainer(
       .select(col("doc_id"), col("is_exact_dup"), col("verdict"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
     val rows = Dedup.manifestRows(withCluster)
-    if (batchIds.isEmpty)
-      UpsertStore.replace(spark, manifestPath, rows, Seq("doc_id"),
-        assumeKeyUnique = true)
-    else
-      UpsertStore.upsert(spark, manifestPath, rows, Seq("doc_id"),
-        assumeKeyUnique = true)
+    (batchIds, dropIds) match {
+      case (None, _) =>
+        UpsertStore.replace(spark, manifestPath, rows, Seq("doc_id"),
+          assumeKeyUnique = true)
+      case (_, Some(gone)) =>
+        // takedown refresh: the gone rows' keyed delete and the blast
+        // radius' refreshed rows land in ONE commit (VERDICT r18 #4)
+        UpsertStore.deleteUpsert(spark, manifestPath, gone, rows,
+          Seq("doc_id"), assumeKeyUnique = true)
+      case _ =>
+        UpsertStore.upsert(spark, manifestPath, rows, Seq("doc_id"),
+          assumeKeyUnique = true)
+    }
   }
 
   /** Adjudicate + fold one micro-batch of NEW docs through every
@@ -214,13 +222,42 @@ final class ManifestMaintainer(
     // Retraction contract — retract ids form their own monotonic
     // sequence, so a takedown's high-water mark can never make a later
     // stream batch, whose ids Spark's checkpoint assigns, self-skip)
-    if (txnId <= Retraction.committed(spark, storePath)) return
+    val committed = Retraction.committed(spark, storePath)
+    // ---- LAZY scope sweep (ADVICE r17, relocated round 19 — VERDICT
+    // r18 #4): rows at or below the committed id are dead weight only
+    // a LATER takedown's scope upsert would merge against, so the
+    // sweep runs at the START of that later takedown (or replay),
+    // hidden under the scope compute on the stage thread, instead of
+    // adding ~0.5 s of post-commit critical path to every retract.
+    val scopePath = s"${storePath}__retract_scope"
+    val sweep = concurrent.Future {
+      UpsertStore.read(spark, scopePath).foreach { s0 =>
+        val dead = s0.filter(col("txn") <= committed).select("txn", "doc_id")
+          .localCheckpoint()
+        if (!dead.isEmpty)
+          UpsertStore.delete(spark, scopePath, dead, Seq("txn", "doc_id"))
+      }
+    }(stageEc)
+    def drainSweep(): Unit =
+      concurrent.Await.result(sweep, concurrent.duration.Duration.Inf)
+    if (txnId <= committed) {
+      // a replayed committed retract still sweeps (the no-accumulation
+      // contract), then self-skips
+      drainSweep()
+      return
+    }
     // duplicate-batch guard (VERDICT r18 #1): the keyed deletes below
     // are idempotent, but the cluster leg's fingerprint retreat is not
-    val gone = Retraction.dedupBatch(gone0, "doc_id").localCheckpoint()
+    val gone =
+      try Retraction.dedupBatch(gone0, "doc_id").localCheckpoint()
+      catch { case t: Throwable =>
+        // the sweep must not outlive a failed retract
+        scala.util.Try(drainSweep()).failed
+          .foreach(s => if (s ne t) t.addSuppressed(s))
+        throw t
+      }
     val goneIds = gone.select("doc_id")
     // ---- replay-stable blast radius, persisted BEFORE any mutation
-    val scopePath = s"${storePath}__retract_scope"
     val hashes = gone.select(sha2(col("text"), 256).as("content_hash")).distinct()
     val seen = UpsertStore.read(spark, s"${storePath}__gate").map(
       _.join(hashes, Seq("content_hash")).select("first_doc_id"))
@@ -242,7 +279,17 @@ final class ManifestMaintainer(
     val stored = UpsertStore.read(spark, scopePath)
       .map(_.filter(col("txn") === txnId).select("doc_id"))
       .getOrElse(freshScope.limit(0))
-    val scope = T("scope compute")(freshScope.unionByName(stored).distinct().localCheckpoint())
+    val scope =
+      try T("scope compute")(
+        freshScope.unionByName(stored).distinct().localCheckpoint())
+      catch { case t: Throwable =>
+        scala.util.Try(drainSweep()).failed
+          .foreach(s => if (s ne t) t.addSuppressed(s))
+        throw t
+      }
+    // the sweep writes the same store the persist below upserts —
+    // barrier first (single-writer per store)
+    T("scope sweep await")(drainSweep())
     T("scope persist")(UpsertStore.upsert(spark, scopePath,
       scope.withColumn("txn", lit(txnId)), Seq("txn", "doc_id"),
       assumeKeyUnique = true))
@@ -260,43 +307,33 @@ final class ManifestMaintainer(
     // ledger still commits last, after the barrier.
     val clusterSide = concurrent.Future {
       T("clusterM.retract")(clusterM.retract(gone, txnId))
-      // manifest keyed delete: needs only goneIds; the refresh below
-      // (which needs BOTH sides) joins after the barrier
-      T("manifest delete")(
-        UpsertStore.delete(spark, manifestPath, goneIds, Seq("doc_id")))
     }(stageEc)
-    // facts: drop gone, refresh promoted survivors' exact-dup bit
-    // (verdict is doc-local — joined back from the stored row)
-    T("facts delete")(UpsertStore.delete(spark, factsPath, goneIds, Seq("doc_id")))
     val survivors = T("gate.retract")(gate.retract(gone))
+    // facts: drop gone AND refresh promoted survivors' exact-dup bit
+    // in ONE fused commit (VERDICT r18 #4 — the gone and survivor key
+    // sets are disjoint; the old separate delete-then-upsert paid two
+    // full-rewrite commits for one store). The refresh joins the
+    // PRE-DELETE facts — survivors exclude gone ids, so the computed
+    // rows are identical — and the manifest refresh below reads facts
+    // only after this commit lands, so gone rows never re-materialize.
     val facts = UpsertStore.read(spark, factsPath).getOrElse(
       sys.error(s"no facts store at $factsPath — bootstrap first"))
     val refreshed = T("facts refresh compute")(survivors
       .select(col("doc_id"), (col("status") === "duplicate").as("is_exact_dup"))
       .join(facts.select("doc_id", "verdict"), Seq("doc_id"))
       .localCheckpoint())
-    if (!refreshed.isEmpty)
-      T("facts refresh upsert")(UpsertStore.upsert(spark, factsPath, refreshed, Seq("doc_id"),
-        assumeKeyUnique = true))
+    T("facts delete+refresh")(UpsertStore.deleteUpsert(spark, factsPath,
+      goneIds, refreshed, Seq("doc_id"), assumeKeyUnique = true))
     concurrent.Await.result(clusterSide, concurrent.duration.Duration.Inf)
     // manifest refresh re-derives the blast radius' rows (the scoped
     // refresh expands ids to whole clusters via the updated cluster
-    // table; gone ids drop out at the facts semi-join)
-    T("manifest refresh")(refreshManifest(Some(scope)))
+    // table; gone ids drop out at the facts semi-join) — the gone
+    // rows' keyed delete rides the SAME commit (dropIds)
+    T("manifest refresh")(refreshManifest(Some(scope), dropIds = Some(goneIds)))
     Retraction.commit(spark, storePath, txnId)
-    // ADVICE r17: prune the scope rows the commit just retired — only
-    // the IN-FLIGHT txn's scope is ever read (the crash-replay refresh
-    // above), so rows at or below the committed id are dead weight
-    // every later takedown's scope upsert would merge against. Sweep
-    // everything ≤ txnId (ids are monotonic, so that is the whole
-    // store); a crash inside this window leaves rows the NEXT
-    // takedown's post-commit sweep removes.
-    T("scope prune")(UpsertStore.read(spark, scopePath).foreach { s0 =>
-      val dead = s0.filter(col("txn") <= txnId).select("txn", "doc_id")
-        .localCheckpoint()
-      if (!dead.isEmpty)
-        UpsertStore.delete(spark, scopePath, dead, Seq("txn", "doc_id"))
-    })
+    // this txn's scope rows are now retired; the LAZY sweep at the
+    // next retract's entry (or a replay's) removes them off the
+    // critical path — see the entry block above
   }
 
   /** The manifest as of the last committed batch:

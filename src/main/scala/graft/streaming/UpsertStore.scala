@@ -442,6 +442,33 @@ object UpsertStore {
     }
   }
 
+  /** DELETE by key and UPSERT rows in ONE commit (round 19 — VERDICT
+    * r18 #4): the takedown path pairs a keyed delete with a keyed
+    * upsert against the same store at five sites (gate seen +
+    * decisions, facts, clusters, manifest), and each [[delete]] is
+    * already a full base rewrite — paying a second manifest commit
+    * for the paired upsert is pure per-store commit latency. The
+    * fused rewrite (kept = base ∖ (delKeys ∪ rows' keys); next =
+    * kept ∪ rows) is row-equal to delete-then-upsert by construction
+    * — and being one ATOMIC pointer swap it also removes the
+    * deleted-but-not-yet-upserted crash window. Readers see
+    * old-complete or new-complete, never the gap. */
+  def deleteUpsert(spark: SparkSession, path: String, delKeys: DataFrame,
+                   rows: DataFrame, keys: Seq[String],
+                   assumeKeyUnique: Boolean = false): Unit = {
+    val up = if (assumeKeyUnique) rows else dedupByKey(rows, keys)
+    read(spark, path) match {
+      case None => commitBase(spark, path, up, keys)
+      case Some(base) =>
+        val delAll = delKeys.select(keys.map(col): _*)
+          .unionByName(up.select(keys.map(col): _*))
+        val kept = base.join(delAll, keys, "left_anti")
+          .select(base.columns.toIndexedSeq.map(c => col(s"`$c`")): _*)
+        commitBase(spark, path,
+          kept.unionByName(up, allowMissingColumns = true), keys)
+    }
+  }
+
   /** Delete by key. The kept rows re-select the base's column order —
     * a `join(…, usingColumns)` hoists the join keys to the front, and
     * a delete must not reshape the table it prunes. */
