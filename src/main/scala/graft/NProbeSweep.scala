@@ -191,3 +191,89 @@ object AdaptiveProbeSweep {
     spark.stop()
   }
 }
+
+/** Depth distribution of the PLAN-TIME adaptive certificate in the
+  * transparent ANN rule (round 19 — VERDICT r18 #2): per query, how
+  * many cells did [[graft.plans.AnnTopKRewrite]] actually splice —
+  * the count-weighted geometric certificate where it certifies, the
+  * fraction pin where it does not — and does every accelerated naive
+  * plan still equal brute force. The certificate is metadata-only
+  * (it cannot see the data-driven k-th-found similarity
+  * [[graft.operators.IvfPqIndex.searchAdaptive]] uses), so on
+  * near-uniform geometry it is EXPECTED to decline to the pin; the
+  * row records what transparent SQL actually pays on each geometry. */
+object RuleDepthSweep {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("clustered")
+    val cells = args.lift(1).map(_.toInt).getOrElse(64)
+    val k = args.lift(2).map(_.toInt).getOrElse(3)
+    val nq = args.lift(3).map(_.toInt).getOrElse(50)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-rule-depth-sweep")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val emb0 = (if (dir == "clustered")
+      spark.range(6400).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 15), j -> " +
+          "cast(xxhash64((id % 64) * 131 + j) % 1000 as double) / 1000.0 + " +
+          "cast(xxhash64(id * 7919 + j) % 1000 as double) / 20000.0)").as("emb"))
+    else Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")))
+    // the rule binds to a parquet LOCATION (the ScanGuard corpus)
+    val base = Scratch.dir("rule-depth-sweep")
+    val corpusPath = s"$base/emb.parquet"
+    emb0.write.mode("overwrite").parquet(corpusPath)
+    val emb = spark.read.parquet(corpusPath)
+    val path = s"$base/idx_$cells"
+    IvfPqIndex.ensure(spark, emb, path, centroids = cells)
+    val rule = graft.plans.AnnAcceleration.enable(spark, path, corpusPath)
+    try {
+      val qs = emb.filter(col("vec_id") < nq)
+        .select("vec_id", "emb").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      var mismatches = 0
+      val t0 = System.nanoTime()
+      qs.foreach { case (qid, qv) =>
+        val naive = emb.filter(col("vec_id") =!= qid)
+          .withColumn("sim", nanvl(graft.functions.VectorFunctions
+            .cosine_similarity(col("emb"), typedLit(qv.toSeq)), lit(-1.0)))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(k).select("vec_id")
+        val accel = naive.as[Long].collect().toSeq
+        val opt = naive.queryExecution.optimizedPlan.toString
+        require(opt.contains("__ann_cand_vec_id"),
+          s"rule did not fire for query $qid")
+        // brute force via the aggregate (no rule: different plan shape)
+        val brute = emb.filter(col("vec_id") =!= qid)
+          .withColumn("sim", nanvl(graft.functions.VectorFunctions
+            .cosine_similarity(col("emb"), typedLit(qv.toSeq)), lit(-1.0)))
+          .groupBy().agg(graft.functions.TopKFunctions
+            .top_k_by_score(col("sim"), col("vec_id"), k).as("tk"))
+          .select(explode(expr("transform(tk, x -> x.id)")))
+          .as[Long].collect().toSeq
+        if (accel != brute) mismatches += 1
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      import scala.jdk.CollectionConverters._
+      val dist = rule.probeDepths.asScala.map(_._1).toArray.sorted
+      val pin = IvfPqIndex.defaultNProbe(cells)
+      val p50 = dist(dist.length / 2); val p90 = dist((dist.length * 9) / 10)
+      val certified = dist.count(_ < pin)
+      System.err.println(f"[rule-depth] corpus=$dir cells=$cells k=$k queries=${qs.length} " +
+        f"mismatches=$mismatches p50=$p50 p90=$p90 max=${dist.last} pin=$pin " +
+        f"certified_below_pin=$certified ${secs}%.1f s")
+      println(s"""{"metric":"rule_depth_sweep","corpus":"$dir","cells":$cells,"k":$k,""" +
+        s""""queries":${qs.length},"mismatches":$mismatches,"p50":$p50,"p90":$p90,""" +
+        s""""max":${dist.last},"fraction_pin":$pin,"certified_below_pin":$certified}""")
+    } finally graft.plans.AnnAcceleration.disable(spark, rule)
+    spark.stop()
+  }
+}

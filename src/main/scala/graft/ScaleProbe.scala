@@ -250,7 +250,12 @@ object ScaleProbe {
     // doubling rounds re-run the probed-cell serve, so the ratio
     // prices candidates-at-certified-depth, never corpus × queries)
     "q200_contamination_takedown", "q201_view_takedown",
-    "q202_ann_adaptive_probe")
+    "q202_ann_adaptive_probe",
+    // round 19: the external-query ANN serve — the adaptive serve
+    // shape with caller-supplied vectors; the query batch is fixed,
+    // so the ratio prices the sample-sized build + certified-depth
+    // serve terms exactly like q202
+    "q203_ann_external_queries")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */
