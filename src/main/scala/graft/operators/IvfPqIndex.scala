@@ -426,17 +426,28 @@ object IvfPqIndex {
     * deliberately leaves the table behind the fingerprint, because
     * removal can only SHRINK radii, so rederiving from the remaining
     * corpus yields a tighter (still exact) bound. */
-  private[graft] def cellStats(spark: SparkSession, emb: DataFrame,
+  private[graft] def cellStats(spark: SparkSession, emb: => DataFrame,
                                path: String): Map[Long, (Double, Long)] = {
     val p = s"${path}__cellstats"
     val meta = UpsertStore.read(spark, s"${path}__meta").map(_.head()).getOrElse(
       sys.error(s"no ivf-pq index at $path — run ensure first"))
     val (n, h) = (meta.getAs[Long]("corpus_n"), meta.getAs[Long]("corpus_h"))
-    val cached = UpsertStore.read(spark, p).filter { st =>
-      st.columns.contains("corpus_n") && st.columns.contains("nm") &&
-        st.filter(col("corpus_n") === n && col("corpus_h") === h).count() > 0
+    // ONE collect validates the fingerprint AND yields the rows (the
+    // table is cells-sized — a separate count job per serve/enable was
+    // pure fixed cost); `emb` is BY-NAME so the cached path never
+    // touches the corpus frame at all
+    val cached = UpsertStore.read(spark, p).flatMap { st =>
+      if (!st.columns.contains("corpus_n") || !st.columns.contains("nm")) None
+      else {
+        val rows = st.select("cell", "min_cos", "nm", "corpus_n", "corpus_h")
+          .collect()
+        if (rows.nonEmpty &&
+            rows.forall(r => r.getLong(3) == n && r.getLong(4) == h))
+          Some(rows.map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap)
+        else None
+      }
     }
-    val st = cached.getOrElse {
+    cached.getOrElse {
       val stored = UpsertStore.read(spark, path).get.select("vec_id", "cell")
       val cents = UpsertStore.read(spark, s"${path}__centroids").get
       val byCell = stored
@@ -461,10 +472,9 @@ object IvfPqIndex {
       val fresh = byCell.select(col("cell"), col("min_cos"), col("nm"))
         .withColumn("corpus_n", lit(n)).withColumn("corpus_h", lit(h))
       UpsertStore.replace(spark, p, fresh, Seq("cell"), assumeKeyUnique = true)
-      UpsertStore.read(spark, p).get
+      byCell.select("cell", "min_cos", "nm").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
     }
-    st.select("cell", "min_cos", "nm").collect()
-      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
   }
 
   /** ADAPTIVE per-query probe (round 18 — VERDICT r17 #8, the r17

@@ -118,10 +118,14 @@ final class AnnTopKRewrite(spark: SparkSession, val storePath: String,
   private val cellStatsSnapshot: Map[Long, (Double, Long)] =
     if (centroidSnapshot.isEmpty) Map.empty
     else scala.util.Try {
-      val raw = spark.read.parquet(corpusPath)
-      val vcol = if (raw.columns.contains("embedding")) "embedding" else "emb"
-      val emb = raw.select(col("vec_id"), col(vcol).cast("array<double>").as("emb"))
-      graft.operators.IvfPqIndex.cellStats(spark, emb, storePath)
+      // the corpus frame is BY-NAME: the cached path (one collect of
+      // the cells-sized table) never reads the corpus at all — only a
+      // derive-on-miss (stale/pre-r19 stats) pays the corpus pass
+      graft.operators.IvfPqIndex.cellStats(spark, {
+        val raw = spark.read.parquet(corpusPath)
+        val vcol = if (raw.columns.contains("embedding")) "embedding" else "emb"
+        raw.select(col("vec_id"), col(vcol).cast("array<double>").as("emb"))
+      }, storePath)
     }.getOrElse(Map.empty)
 
   /** Probe depths the rule actually spliced, (depth, cells) per fired
