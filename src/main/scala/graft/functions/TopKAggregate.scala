@@ -234,12 +234,15 @@ case class PoolTieClosed(
   override def eval(b: TieClosedBuf): Any = {
     val pairs = b.heap.sortedPairs // best first, ties by ascending id
     val kept =
-      if (pairs.length <= c) {
-        // fewer candidates than the nominal pool: complete iff nothing
-        // was ever evicted (an eviction with < c kept is impossible
-        // unless maxKeep < candidates < c, excluded by maxKeep ≥ c)
+      if (pairs.length < c) {
+        // fewer candidates than the nominal pool ⇒ no buffer ever
+        // filled to maxKeep ⇒ provably nothing was evicted anywhere
         pairs
       } else {
+        // pairs.length == c must take this branch too: with
+        // maxKeep == c evictions CAN occur at exactly c kept rows,
+        // and the early return above would hand back a silently
+        // split tie group
         val sC = pairs(c - 1)._2
         if (b.evictedBest >= sC) throw new IllegalStateException(
           s"$prettyName: the ADC pool's c=$c boundary tie group exceeds " +
