@@ -318,8 +318,10 @@ public final class GraftJava {
    *  pin. {@code emb} supplies corpus raw vectors for the re-rank. */
   public static Dataset<Row> serveIvfPqQueries(SparkSession spark,
       Dataset<Row> emb, String path, Dataset<Row> queries, int nProbe, int k) {
+    // poolC -1 = the default measured k<=3 pool margin; a deeper k
+    // needs its own measured pool (the q204 contract)
     return graft.operators.IvfPqIndex.searchQueries(
-        spark, emb, path, queries, nProbe, k);
+        spark, emb, path, queries, nProbe, k, -1);
   }
 
   private static scala.Option<Object> some(long v) {

@@ -254,8 +254,9 @@ object ScaleProbe {
     // round 19: the external-query ANN serve — the adaptive serve
     // shape with caller-supplied vectors; the query batch is fixed,
     // so the ratio prices the sample-sized build + certified-depth
-    // serve terms exactly like q202
-    "q203_ann_external_queries")
+    // serve terms exactly like q202 — and the k=10 serve the
+    // tie-closed pool made contractual
+    "q203_ann_external_queries", "q204_ann_topk10")
 
   /** Median of 3 timed runs after one warm-up (single runs are
     * FS-cache noisy — same reason Bench B3 reports a median). */

@@ -511,11 +511,12 @@ object IvfPqIndex {
     * PROBED when the bound certified — for the measured distribution
     * (SCALING.md round-18 row). */
   def searchAdaptive(spark: SparkSession, emb: DataFrame, path: String,
-                     queryPred: Column, k: Int = 3): (DataFrame, DataFrame) =
+                     queryPred: Column, k: Int = 3,
+                     poolC: Int = -1): (DataFrame, DataFrame) =
     searchAdaptiveFrame(spark, emb, path,
       emb.filter(queryPred)
         .select(col("vec_id").as("query_id"), col("emb").as("qe")),
-      k, excludeSelf = true)
+      k, excludeSelf = true, poolC = poolC)
 
   /** [[searchAdaptive]] for EXTERNAL query vectors (round 19 — VERDICT
     * r18 #7): `queries` carries (query_id, qe double[]) from OUTSIDE
@@ -524,14 +525,15 @@ object IvfPqIndex {
     * query competes against every corpus member). The geometric stop
     * certificate is query-position-only, so it transfers unchanged. */
   def searchAdaptiveQueries(spark: SparkSession, emb: DataFrame, path: String,
-                            queries: DataFrame, k: Int = 3)
-      : (DataFrame, DataFrame) =
+                            queries: DataFrame, k: Int = 3,
+                            poolC: Int = -1): (DataFrame, DataFrame) =
     searchAdaptiveFrame(spark, emb, path,
-      queries.select(col("query_id"), col("qe")), k, excludeSelf = false)
+      queries.select(col("query_id"), col("qe")), k, excludeSelf = false,
+      poolC = poolC)
 
   private def searchAdaptiveFrame(spark: SparkSession, emb: DataFrame,
                                   path: String, queries0: DataFrame, k: Int,
-                                  excludeSelf: Boolean)
+                                  excludeSelf: Boolean, poolC: Int)
       : (DataFrame, DataFrame) = {
     import spark.implicits._
     val queries = queries0.localCheckpoint()
@@ -587,7 +589,7 @@ object IvfPqIndex {
     def topkAt(open: Set[Long], depth: Int): Map[Long, Seq[Long]] =
       searchFrame(spark, emb, path,
         queries.filter(col("query_id").isin(open.toSeq: _*)),
-        nProbe = depth, k = k, excludeSelf = excludeSelf)
+        nProbe = depth, k = k, excludeSelf = excludeSelf, poolC = poolC)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .groupBy(_._1).map { case (q, rs) =>
@@ -637,11 +639,12 @@ object IvfPqIndex {
     * pin, so the depth scales with the deployment's cell count instead
     * of silently under-probing at the next bump. */
   def search(spark: SparkSession, emb: DataFrame, path: String,
-             queryPred: Column, nProbe: Int = -1, k: Int = 3): DataFrame =
+             queryPred: Column, nProbe: Int = -1, k: Int = 3,
+             poolC: Int = -1): DataFrame =
     searchFrame(spark, emb, path,
       emb.filter(queryPred)
         .select(col("vec_id").as("query_id"), col("emb").as("qe")),
-      nProbe, k, excludeSelf = true)
+      nProbe, k, excludeSelf = true, poolC = poolC)
 
   /** [[search]] for EXTERNAL query vectors (round 19 — VERDICT r18
     * #7): `queries` carries (query_id, qe double[]) from outside the
@@ -653,13 +656,21 @@ object IvfPqIndex {
     * tie-closed ADC pool, and the exact re-rank are all agnostic to
     * where the query vector came from). */
   def searchQueries(spark: SparkSession, emb: DataFrame, path: String,
-                    queries: DataFrame, nProbe: Int = -1, k: Int = 3): DataFrame =
+                    queries: DataFrame, nProbe: Int = -1, k: Int = 3,
+                    poolC: Int = -1): DataFrame =
     searchFrame(spark, emb, path, queries.select(col("query_id"), col("qe")),
-      nProbe, k, excludeSelf = false)
+      nProbe, k, excludeSelf = false, poolC = poolC)
 
   private def searchFrame(spark: SparkSession, emb: DataFrame, path: String,
                           queries: DataFrame, nProbe: Int, k: Int,
-                          excludeSelf: Boolean): DataFrame = {
+                          excludeSelf: Boolean, poolC: Int = -1): DataFrame = {
+    // pool size: the measured-margin knob, per (store, corpus, K).
+    // C = PqIndex.C is the k≤3 pin; a DEEPER serve must bring a pool
+    // its own recall gate measured (q204 pins 4C at k=10 — the true
+    // 10th neighbor's full-corpus ADC rank exceeds C on this corpus,
+    // which no tie-closure can repair: margin and tie-purity are
+    // orthogonal pool properties)
+    val pc = if (poolC > 0) poolC else C
     val stored = UpsertStore.read(spark, path).getOrElse(
       sys.error(s"no ivf-pq index at $path — run ensure first"))
     val cents = UpsertStore.read(spark, s"${path}__centroids").getOrElse(
@@ -701,7 +712,7 @@ object IvfPqIndex {
       .groupBy("query_id")
       // TIE-CLOSED pool (round 19 — VERDICT r18 #5; see PqIndex.adcPool)
       .agg(TopKFunctions.top_k_pool_tie_closed(-col("adist"), col("vec_id"),
-        C, 4 * C).as("cand"))
+        pc, 4 * pc).as("cand"))
       .select(col("query_id"), explode(expr("transform(cand, x -> x.id)")).as("neighbor_id"))
     // exact re-rank on raw vectors: ≤ C point lookups per query
     pool
