@@ -49,6 +49,15 @@ import graft.{QueryDef, Tables}
 object CrawlDay {
   import QueryDef.sql
 
+  import graft.Stage.par
+
+  private def T[A](l: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    if (sys.env.contains("GRAFT_PROFILE_CRAWL"))
+      System.err.println(f"[crawl] $l%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    r
+  }
+
   private val crawlDaySql: String =
     s"""WITH RECURSIVE ${Dedup.manifestCtes},
        |man AS (SELECT doc_id, (reason = 'kept') AS keep, reason FROM reasons),
@@ -123,67 +132,107 @@ object CrawlDay {
     val cut = math.floor(0.8 * maxId).toLong
     val base = graft.Scratch.dir("graft_crawl_day")
 
-    // 1. curation: gate → clusters → quality facts → manifest, the
-    // crawl-day batch folded into the bootstrapped history stores
-    val mm = new graft.streaming.ManifestMaintainer(s, d, s"$base/manifest")
-    mm.bootstrap(docs.filter(col("doc_id") <= cut))
-    mm.ingestBatch(docs.filter(col("doc_id") > cut), Some(0L))
-    val manifest = mm.current
-
-    // 2. the day's KEPT docs flow to the serving indexes (the kept
-    // semi-join is the only inter-stage edge — keep-fraction-sized)
-    val keptDocs = docs
-      .join(manifest.filter(col("keep")).select("doc_id"), Seq("doc_id"))
-      .persist()
-    try {
-      val pm = new graft.streaming.PostingsMaintainer(s, s"$base/postings")
-      pm.bootstrap(keptDocs.filter(col("doc_id") <= cut))
-      pm.ingestBatch(keptDocs.filter(col("doc_id") > cut), Some(0L))
-      val tm = new graft.streaming.TrigramMaintainer(s, s"$base/trigram")
-      tm.bootstrap(keptDocs.filter(col("doc_id") <= cut))
-      tm.ingestBatch(keptDocs.filter(col("doc_id") > cut), Some(0L))
-      // round 17 (VERDICT r16 #7): the positional phrase family joins
-      // the composition — same kept-delta lifecycle as the other
-      // serving indexes, one phrase answer served from the store
-      val phm = new graft.streaming.PhraseMaintainer(s, s"$base/phrase")
-      phm.bootstrap(keptDocs.filter(col("doc_id") <= cut))
-      phm.ingestBatch(keptDocs.filter(col("doc_id") > cut), Some(0L))
-      // the same day's embedding delta into the composed ANN store
+    // The DENSE leg (IVF-PQ bootstrap → ingest → ANN serve) depends
+    // only on the embeddings table — not on the curation state or the
+    // kept set — so the whole chain runs as one concurrent stage
+    // spanning the text-side composition (round 19, guide §2.6 — the
+    // q199 annLeg shape applied here: the four serving-index builds
+    // used to run strictly serially, leaving most of local[32] idle in
+    // each one's fixed-cost tail). Its stores are its own.
+    val annLeg = concurrent.Future {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val maxV = emb.agg(max("vec_id")).head().getLong(0)
       val cutV = math.floor(0.8 * maxV).toLong
       val im = new graft.streaming.IvfPqMaintainer(s, s"$base/ivfpq")
-      im.bootstrap(emb.filter(col("vec_id") <= cutV))
-      im.ingestBatch(emb.filter(col("vec_id") > cutV), Some(0L))
+      T("ivfpq boot+ingest") {
+        im.bootstrap(emb.filter(col("vec_id") <= cutV))
+        im.ingestBatch(emb.filter(col("vec_id") > cutV), Some(0L))
+      }
+      T("ann serve")(im.serve(emb, col("vec_id") < 5)
+        .select(lit("ann").as("kind"), col("query_id").as("k1"),
+          col("rk").as("k2"), col("neighbor_id").cast("string").as("v"))
+        .localCheckpoint())
+    }(graft.Stage.ec)
 
-      // 3. serves from the committed stores, one tall frame
+    // the detached dense leg must never outlive a failed query (the
+    // q199 ADVICE r18 rule): any text-side failure first DRAINS annLeg,
+    // attaching its failure, if any, as suppressed.
+    try {
+      // 1. curation: gate → clusters → quality facts → manifest, the
+      // crawl-day batch folded into the bootstrapped history stores.
+      // This stage must finish first: it defines the kept set the
+      // serving indexes index.
+      val mm = new graft.streaming.ManifestMaintainer(s, d, s"$base/manifest")
+      T("manifest boot")(mm.bootstrap(docs.filter(col("doc_id") <= cut)))
+      T("manifest ingest")(mm.ingestBatch(docs.filter(col("doc_id") > cut), Some(0L)))
+      val manifest = mm.current
+
+      // 2. the day's KEPT docs flow to the serving indexes (the kept
+      // semi-join is the only inter-stage edge — keep-fraction-sized).
+      // Materialized ONCE (localCheckpoint): three concurrent chains
+      // scan it, each twice (bootstrap cut + ingest cut).
+      val keptDocs = docs
+        .join(manifest.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        .localCheckpoint()
+      // the three text-index families are disjoint stores → their
+      // bootstrap→ingest chains run as parallel stages (q199's shape)
+      val pm = new graft.streaming.PostingsMaintainer(s, s"$base/postings")
+      val tm = new graft.streaming.TrigramMaintainer(s, s"$base/trigram")
+      val phm = new graft.streaming.PhraseMaintainer(s, s"$base/phrase")
+      par(
+        () => T("postings boot+ingest") {
+          pm.bootstrap(keptDocs.filter(col("doc_id") <= cut))
+          pm.ingestBatch(keptDocs.filter(col("doc_id") > cut), Some(0L))
+        },
+        () => T("trigram boot+ingest") {
+          tm.bootstrap(keptDocs.filter(col("doc_id") <= cut))
+          tm.ingestBatch(keptDocs.filter(col("doc_id") > cut), Some(0L))
+        },
+        // round 17 (VERDICT r16 #7): the positional phrase family in
+        // the composition — same kept-delta lifecycle as the others
+        () => T("phrase boot+ingest") {
+          phm.bootstrap(keptDocs.filter(col("doc_id") <= cut))
+          phm.ingestBatch(keptDocs.filter(col("doc_id") > cut), Some(0L))
+        })
+
+      // 3. serves from the committed stores, one tall frame — the
+      // three text serves are read-only on disjoint stores, so they
+      // materialize in parallel too (the q199 serve shape)
       val manifestRows = manifest.select(lit("manifest").as("kind"),
         col("doc_id").as("k1"), lit(0L).as("k2"), col("reason").as("v"))
       val queries = keptDocs.filter(col("doc_id") < 3)
         .select(col("doc_id").as("query_id"),
           explode(TextAnalysis.tokens(col("text"))).as("term"))
         .distinct()
-      val bm25Rows = Retrieval.topKRanks(
-          pm.search(queries).filter(col("query_id") =!= col("doc_id")), 10)
-        .select(lit("bm25").as("kind"), col("query_id").as("k1"),
-          col("rk").as("k2"), col("doc_id").cast("string").as("v"))
-      val subRows = tm.serve(
-          Seq("key agg row", "zz missing zz").toDF("query"), keptDocs)
-        .select(lit("substr").as("kind"), col("doc_id").as("k1"),
-          lit(0L).as("k2"), col("query").as("v"))
-      val phraseRows = phm.serve(
-          Seq("key agg row", "zz missing zz").toDF("query"))
-        .select(lit("phrase").as("kind"), col("doc_id").as("k1"),
-          col("n_hits").as("k2"), col("query").as("v"))
-      val annRows = im.serve(emb, col("vec_id") < 5)
-        .select(lit("ann").as("kind"), col("query_id").as("k1"),
-          col("rk").as("k2"), col("neighbor_id").cast("string").as("v"))
-      manifestRows.unionByName(bm25Rows).unionByName(subRows)
-        .unionByName(phraseRows).unionByName(annRows)
+      val served = par(
+        () => T("bm25 serve")(Retrieval.topKRanks(
+            pm.search(queries).filter(col("query_id") =!= col("doc_id")), 10)
+          .select(lit("bm25").as("kind"), col("query_id").as("k1"),
+            col("rk").as("k2"), col("doc_id").cast("string").as("v"))
+          .localCheckpoint()),
+        () => T("substr serve")(tm.serve(
+            Seq("key agg row", "zz missing zz").toDF("query"), keptDocs)
+          .select(lit("substr").as("kind"), col("doc_id").as("k1"),
+            lit(0L).as("k2"), col("query").as("v"))
+          .localCheckpoint()),
+        () => T("phrase serve")(phm.serve(
+            Seq("key agg row", "zz missing zz").toDF("query"))
+          .select(lit("phrase").as("kind"), col("doc_id").as("k1"),
+            col("n_hits").as("k2"), col("query").as("v"))
+          .localCheckpoint()))
+      val annRows = concurrent.Await.result(
+        annLeg, concurrent.duration.Duration.Inf)
+      (served :+ annRows).foldLeft(manifestRows)(_ unionByName _)
         .orderBy("kind", "k1", "k2", "v")
-        .localCheckpoint() // materialize before keptDocs unpersists
-    } finally keptDocs.unpersist()
+        .localCheckpoint()
+    } catch {
+      case t: Throwable =>
+        scala.util.Try(concurrent.Await.result(annLeg,
+          concurrent.duration.Duration.Inf)).failed
+          .foreach(s => if (s ne t) t.addSuppressed(s))
+        throw t
+    }
   }
 
   val all: Seq[QueryDef] = Seq(q190CrawlDay)

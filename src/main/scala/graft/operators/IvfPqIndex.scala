@@ -121,11 +121,23 @@ object IvfPqIndex {
     * the [[VectorIndex.assignCells]] rule (cosine, ties to the higher
     * centroid id; zero vectors pin to -1 similarity). */
   private[operators] def assignCells(unit: DataFrame, cents: DataFrame): DataFrame =
+    assignCellsWithSim(unit, cents).select("vec_id", "cell")
+
+  /** [[assignCells]] plus the WINNING cosine (round 19): the build and
+    * extend paths need each member's similarity to its assigned
+    * centroid for the `__cellstats` radii anyway — emitting it from the
+    * assignment aggregate removes the join-back-and-recompute pass
+    * (unit ⋈ cells ⋈ centroids + a second cosine evaluation per row)
+    * that `ensure`/`extend` used to pay. `csim` here is the same
+    * unrounded `nanvl(cosine, -1)` the old cellstats pass computed —
+    * max(struct(csim, centroid_id)) picks exactly the max_by row. */
+  private[operators] def assignCellsWithSim(unit: DataFrame, cents: DataFrame): DataFrame =
     unit.crossJoin(broadcast(cents))
       .withColumn("csim", nanvl(
         VectorFunctions.cosine_similarity(col("emb"), col("cemb")), lit(-1.0)))
       .groupBy("vec_id")
-      .agg(max_by(col("centroid_id"), struct(col("csim"), col("centroid_id"))).as("cell"))
+      .agg(max(struct(col("csim"), col("centroid_id"))).as("w"))
+      .select(col("vec_id"), col("w.centroid_id").as("cell"), col("w.csim").as("csim"))
 
   /** TRAINED coarse quantizer (VERDICT r15 #4 — the scale posture for
     * √N-cell deployments, where unbalanced seed cells erase the IVF
@@ -167,52 +179,77 @@ object IvfPqIndex {
     val centSchema = StructType(Seq(
       StructField("centroid_id", LongType, nullable = false),
       StructField("cemb", ArrayType(DoubleType), nullable = false)))
-    val sample = unit.orderBy("vec_id").limit(centroids * 8)
-      .persist()
-    var cents: DataFrame = sample.orderBy("vec_id").limit(centroids)
-      .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"))
-    for (_ <- 1 to iters) {
-      val prev = cents.select("centroid_id", "cemb").collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-      val assigned = sample.crossJoin(broadcast(cents))
-        .withColumn("csim", round(nanvl(
-          VectorFunctions.cosine_similarity(col("emb"), col("cemb")), lit(-1.0)), 6))
-        .groupBy("vec_id")
-        .agg(max_by(col("centroid_id"), struct(col("csim"), col("centroid_id"))).as("cell"),
-          first(col("emb")).as("emb"))
-        .persist()
-      try {
-        val means = assigned
-          .select(col("cell"), posexplode(col("emb")))
-          .groupBy("cell", "pos").agg(avg(col("col")).as("av"))
-          .groupBy("cell")
-          .agg(array_sort(collect_list(struct(col("pos"), col("av")))).as("pv"))
-          .select(col("cell"), expr("transform(pv, x -> x.av)").as("cemb"))
-          .collect()
-          .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-        val empties = prev.keys.toSeq.filterNot(means.contains).sorted
-        val reseeds: Map[Long, Seq[Double]] =
-          if (empties.isEmpty) Map.empty
-          else {
-            val counts = assigned.groupBy("cell").count()
-              .collect().map(r => r.getLong(0) -> r.getLong(1))
-            val largest = counts.maxBy { case (cid, n) => (n, -cid) }._1
-            val far = assigned.filter(col("cell") === largest)
-              .withColumn("fsim", round(nanvl(VectorFunctions.cosine_similarity(
-                col("emb"), typedLit(means(largest))), lit(-1.0)), 6))
-              .orderBy(col("fsim").asc, col("vec_id").asc)
-              .limit(empties.size)
-              .select("emb").collect().map(_.getSeq[Double](0))
-            empties.zip(far).toMap
-          }
-        val rows = prev.keys.toSeq.sorted.map(cid =>
-          Row(cid, reseeds.getOrElse(cid, means.getOrElse(cid, prev(cid)))))
-        cents = spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), centSchema)
-      } finally assigned.unpersist()
+    // DRIVER-LOCAL Lloyd (round 19 — guide §1.2/§5: the training
+    // sample is BOUNDED at centroids × 8 rows by the FAISS sample
+    // discipline above, i.e. metadata-scale at any corpus size, yet
+    // the loop used to round-trip it through the scheduler ~3 times
+    // per iteration — assign/persist, means collect, reseed collects —
+    // ≈ 10 distributed jobs of pure fixed cost per build). ONE bounded
+    // collect replaces them; every rule is reproduced exactly:
+    // 6-dp-HALF_UP-rounded cosine assignment with ties to the higher
+    // centroid id, per-cell means (summed in ascending vec_id order —
+    // the distributed avg() was partition-order-sensitive in the last
+    // ulp, which the rounded assignment already had to absorb), and
+    // the FAISS empty-cell reseed (farthest members of the largest
+    // cell, rounded-cosine asc / vec_id asc, largest-cell ties to the
+    // lower id).
+    val sample: Array[(Long, Array[Double])] =
+      unit.orderBy("vec_id").limit(centroids * 8)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val c = dot / (math.sqrt(na) * math.sqrt(nb)) // CosineSimilarity's form
+      if (c.isNaN) -1.0 else c // nanvl(…, -1.0)
     }
-    sample.unpersist()
-    cents
+    def r6(x: Double): Double = // Spark Round(…, 6) on DoubleType
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var cents: Seq[(Long, Array[Double])] =
+      sample.take(centroids).toSeq.map { case (id, e) => id -> e }
+    for (_ <- 1 to iters) {
+      // assignment: rounded cosine, ties to the HIGHER centroid id
+      val assigned: Array[(Long, Long, Array[Double])] =
+        sample.map { case (vid, e) =>
+          var bestC = Long.MinValue; var bestS = Double.NegativeInfinity
+          cents.foreach { case (cid, ce) =>
+            val s = r6(cos(e, ce))
+            if (s > bestS || (s == bestS && cid > bestC)) { bestS = s; bestC = cid }
+          }
+          (vid, bestC, e)
+        }
+      val byCell = assigned.groupBy(_._2)
+      val means: Map[Long, Array[Double]] = byCell.map { case (cell, ms) =>
+        val dim = ms.head._3.length
+        val sum = new Array[Double](dim)
+        ms.sortBy(_._1).foreach { case (_, _, e) =>
+          var i = 0; while (i < dim) { sum(i) += e(i); i += 1 }
+        }
+        var i = 0; while (i < dim) { sum(i) /= ms.length; i += 1 }
+        cell -> sum
+      }
+      val prevMap = cents.toMap
+      val prevIds = cents.map(_._1)
+      val empties = prevIds.filterNot(means.contains).sorted
+      val reseeds: Map[Long, Array[Double]] =
+        if (empties.isEmpty) Map.empty
+        else {
+          val largest = byCell.view.mapValues(_.length.toLong).toSeq
+            .maxBy { case (cid, n) => (n, -cid) }._1
+          val far = byCell(largest)
+            .map { case (vid, _, e) => (r6(cos(e, means(largest))), vid, e) }
+            .sortBy { case (fs, vid, _) => (fs, vid) }
+            .take(empties.size).map(_._3)
+          empties.zip(far).toMap
+        }
+      cents = prevIds.sorted.map(cid =>
+        cid -> reseeds.getOrElse(cid, means.getOrElse(cid, prevMap(cid))))
+    }
+    val rows = cents.map { case (cid, e) => Row(cid, e.toSeq) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), centSchema)
   }
 
   /** Build (or fingerprint-gate-serve) the composed index for `emb`
@@ -234,31 +271,39 @@ object IvfPqIndex {
     val unit = PqIndex.unitEmb(emb).persist()
     try {
       val cents = trainCoarse(spark, unit, centroids)
-      val cells = assignCells(unit, cents)
+      // the assignment aggregate feeds the store rows AND the cellstats
+      // radii (one persisted pass — round 19: the old shape re-joined
+      // the written cells back against unit + centroids and re-ran the
+      // cosine per row just to recover the similarity the assignment
+      // had already computed)
+      val cellsS = assignCellsWithSim(unit, cents).persist()
+      val cells = cellsS.select("vec_id", "cell")
       val parts = PqIndex.subParts(unit)
       val (books, assigned) = PqIndex.trainCodebooks(spark, parts)
       val codes = PqIndex.packCodes(assigned)
-      UpsertStore.replace(spark, path, cells.join(codes, Seq("vec_id")),
-        Seq("vec_id"), assumeKeyUnique = true)
+      // the four DATA stores are disjoint and all gated by the meta
+      // commit below, so their writes run as parallel stages (round
+      // 19, guide §2.6): crash semantics unchanged — any incomplete
+      // subset under a dirty/stale meta degrades to a rebuild exactly
+      // as the old serial order did. The cellstats aggregate is one
+      // cells-sized pass over the assignment's own (cell, csim) rows
+      // (round 18; counts round 19 for the plan-time certificate) —
+      // maintained HERE so the adaptive serve never pays a corpus
+      // pass to derive.
+      graft.Stage.par(
+        () => UpsertStore.replace(spark, path, cells.join(codes, Seq("vec_id")),
+          Seq("vec_id"), assumeKeyUnique = true),
+        () => UpsertStore.replace(spark, s"${path}__centroids", cents,
+          Seq("centroid_id"), assumeKeyUnique = true),
+        () => UpsertStore.replace(spark, s"${path}__codebooks", books,
+          Seq("m", "cid"), assumeKeyUnique = true),
+        () => UpsertStore.replace(spark, s"${path}__cellstats",
+          cellsS.groupBy("cell")
+            .agg(min("csim").as("min_cos"), count(lit(1)).as("nm"))
+            .withColumn("corpus_n", lit(n)).withColumn("corpus_h", lit(h)),
+          Seq("cell"), assumeKeyUnique = true))
       parts.unpersist() // Lloyd-loop cache, released once codes commit
-      UpsertStore.replace(spark, s"${path}__centroids", cents,
-        Seq("centroid_id"), assumeKeyUnique = true)
-      UpsertStore.replace(spark, s"${path}__codebooks", books,
-        Seq("m", "cid"), assumeKeyUnique = true)
-      // per-cell angular radii + MEMBER COUNTS for the adaptive
-      // probe's exact stop bound (round 18; counts round 19 — the
-      // plan-time certificate in [[graft.plans.AnnTopKRewrite]] needs
-      // how many members each bound covers): one extra cells-sized
-      // aggregate over the already-unit-normalized pass — maintained
-      // HERE so the adaptive serve never pays a corpus pass to derive
-      UpsertStore.replace(spark, s"${path}__cellstats",
-        cells.join(unit, Seq("vec_id"))
-          .join(broadcast(cents), col("cell") === col("centroid_id"))
-          .withColumn("cs", nanvl(
-            VectorFunctions.cosine_similarity(col("emb"), col("cemb")), lit(-1.0)))
-          .groupBy("cell").agg(min("cs").as("min_cos"), count(lit(1)).as("nm"))
-          .withColumn("corpus_n", lit(n)).withColumn("corpus_h", lit(h)),
-        Seq("cell"), assumeKeyUnique = true)
+      cellsS.unpersist()
       // a REBUILD starts a new ledger epoch (txn = -1): the store
       // content now corresponds to exactly this corpus, so txn ids
       // committed against the PREVIOUS epoch must not make later
@@ -333,38 +378,42 @@ object IvfPqIndex {
     val unit = PqIndex.unitEmb(delta).persist()
     val (dn, dh) = deltaFp.getOrElse(PqIndex.fingerprint(delta))
     try {
-      val cells = assignCells(unit, cents)
+      val cellsS = assignCellsWithSim(unit, cents).persist()
+      val cells = cellsS.select("vec_id", "cell")
       val codes = PqIndex.packCodes(
         PqIndex.encodeParts(PqIndex.subParts(unit), books))
-      UpsertStore.upsert(spark, path, cells.join(codes, Seq("vec_id")),
-        Seq("vec_id"), assumeKeyUnique = true)
-      // adaptive-probe radii + counts: MIN-merge the delta's per-cell
-      // member cosines into the stored table (a new member can only
-      // grow a cell's radius, i.e. lower its min_cos), ADD the delta
-      // member counts, and stamp the advanced fingerprint — the table
-      // is cells-sized, so the rewrite is metadata work. A pre-r18
-      // store without the table (or a pre-r19 one without counts)
-      // just keeps serving via the adaptive path's derive-on-miss
-      // fallback behind the fingerprint.
-      UpsertStore.read(spark, s"${path}__cellstats")
-        .filter(_.columns.contains("nm")).foreach { prevStats =>
-        val deltaStats = cells.join(unit, Seq("vec_id"))
-          .join(broadcast(cents), col("cell") === col("centroid_id"))
-          .withColumn("cs", nanvl(
-            VectorFunctions.cosine_similarity(col("emb"), col("cemb")), lit(-1.0)))
-          .groupBy("cell").agg(min("cs").as("dmin"), count(lit(1)).as("dnm"))
-        UpsertStore.replace(spark, s"${path}__cellstats",
-          prevStats.select("cell", "min_cos", "nm")
-            .join(deltaStats, Seq("cell"), "full_outer")
-            .select(col("cell"),
-              least(coalesce(col("min_cos"), lit(1.0)),
-                coalesce(col("dmin"), lit(1.0))).as("min_cos"),
-              (coalesce(col("nm"), lit(0L)) +
-                coalesce(col("dnm"), lit(0L))).as("nm"))
-            .withColumn("corpus_n", lit(baseN + dn))
-            .withColumn("corpus_h", lit(baseH ^ dh)),
-          Seq("cell"), assumeKeyUnique = true)
-      }
+      // the composed-rows upsert and the cellstats rewrite touch
+      // disjoint stores, both gated by the meta advance below — run
+      // them as parallel stages (round 19, guide §2.6; same
+      // crash-degrades-to-rebuild argument as ensure's data writes).
+      // cellstats: MIN-merge the delta's per-cell member cosines into
+      // the stored table (a new member can only grow a cell's radius,
+      // i.e. lower its min_cos), ADD the delta member counts, and
+      // stamp the advanced fingerprint — the table is cells-sized, so
+      // the rewrite is metadata work. A pre-r18 store without the
+      // table (or a pre-r19 one without counts) just keeps serving
+      // via the adaptive path's derive-on-miss fallback behind the
+      // fingerprint.
+      graft.Stage.par(
+        () => UpsertStore.upsert(spark, path, cells.join(codes, Seq("vec_id")),
+          Seq("vec_id"), assumeKeyUnique = true),
+        () => UpsertStore.read(spark, s"${path}__cellstats")
+          .filter(_.columns.contains("nm")).foreach { prevStats =>
+            val deltaStats = cellsS
+              .groupBy("cell").agg(min("csim").as("dmin"), count(lit(1)).as("dnm"))
+            UpsertStore.replace(spark, s"${path}__cellstats",
+              prevStats.select("cell", "min_cos", "nm")
+                .join(deltaStats, Seq("cell"), "full_outer")
+                .select(col("cell"),
+                  least(coalesce(col("min_cos"), lit(1.0)),
+                    coalesce(col("dmin"), lit(1.0))).as("min_cos"),
+                  (coalesce(col("nm"), lit(0L)) +
+                    coalesce(col("dnm"), lit(0L))).as("nm"))
+                .withColumn("corpus_n", lit(baseN + dn))
+                .withColumn("corpus_h", lit(baseH ^ dh)),
+              Seq("cell"), assumeKeyUnique = true)
+          })
+      cellsS.unpersist()
     } finally unit.unpersist()
     UpsertStore.replace(spark, metaPath,
       metaRow(spark, baseN + dn, baseH ^ dh, centroids, dirty = false,

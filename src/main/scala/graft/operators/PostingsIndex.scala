@@ -110,7 +110,10 @@ object PostingsIndex {
     // touches the (heavy) text column; vocabulary and stats then
     // derive from the just-written store — a column-pruned parquet
     // re-read (term / doc_id+tf), far cheaper than re-tokenizing the
-    // corpus per derived table (was: three corpus scans per build)
+    // corpus per derived table (was: three corpus scans per build).
+    // (Round-19 note: a persist-and-parallel-write variant was tried
+    // and reverted — it trades the pruned re-read for a corpus-sized
+    // cache, the wrong trade at 100 TB, for ≈0 local win.)
     UpsertStore.replace(spark, path, Retrieval.postings(docs),
       Seq("term", "doc_id"), assumeKeyUnique = true)
     val stored = UpsertStore.read(spark, path).getOrElse(
@@ -170,7 +173,11 @@ object PostingsIndex {
       UpsertStore.upsert(spark, path, deltaTf, Seq("term", "doc_id"),
         assumeKeyUnique = true)
       // df for EXACTLY the delta's terms, recounted from the store —
-      // delta-term-sized work, replay-exact (see scaladoc)
+      // delta-term-sized work, replay-exact (see scaladoc). term is a
+      // merge-key column, so Catalyst's PushDownLeftSemiAntiJoin
+      // already prunes the merge shuffle below this semi-join (round-19
+      // measured note: an explicit pre-merge scope only added AQE
+      // stage-jobs and was reverted).
       val deltaTerms = deltaTf.select("term").distinct()
       val postings = UpsertStore.read(spark, path).getOrElse(
         sys.error(s"postings table at $path unreadable"))

@@ -152,34 +152,11 @@ object Takedown {
        |FROM annr WHERE rk <= 3
        |ORDER BY kind, k1, k2, v""".stripMargin
 
-  /** Daemon pool for the composition's independent store stages —
-    * the [[graft.streaming.ManifestMaintainer]] stageEc idiom: each
-    * index family is a disjoint store, so its boot / retract-extend
-    * chain / serve is an independent job DAG. */
-  private lazy val stageEc = concurrent.ExecutionContext.fromExecutor(
-    java.util.concurrent.Executors.newCachedThreadPool(r => {
-      val t = new Thread(r, "takedown-stage")
-      t.setDaemon(true)
-      t
-    }))
-  private def par[A](fs: (() => A)*): Seq[A] = {
-    val futs = fs.map(f => concurrent.Future(f())(stageEc))
-    // await ALL stages before surfacing any failure (ADVICE r18): a
-    // sequential first-failure rethrow would leave sibling stages
-    // running Spark jobs against the same session after the query has
-    // failed — stray concurrent writes to scratch stores and
-    // confusing secondary errors on the failure path. Collect every
-    // outcome, then rethrow the first failure with the rest attached
-    // as suppressed.
-    val outcomes = futs.map(f => scala.util.Try(
-      concurrent.Await.result(f, concurrent.duration.Duration.Inf)))
-    val failures = outcomes.collect { case scala.util.Failure(t) => t }
-    if (failures.nonEmpty) {
-      failures.tail.foreach(failures.head.addSuppressed)
-      throw failures.head
-    }
-    outcomes.map(_.get)
-  }
+  /** Stage pool + await-all-failure aggregation: the shared
+    * [[graft.Stage]] contract (round 19 — one spelling engine-wide;
+    * this object's private copy was its origin). */
+  private def stageEc = graft.Stage.ec
+  private def par[A](fs: (() => A)*): Seq[A] = graft.Stage.par(fs: _*)
 
   val q199TakedownDay: QueryDef = sql("q199_takedown_day", takedownSql) { (s, d) =>
     import s.implicits._

@@ -51,11 +51,14 @@ object TrigramIndex {
     // df both read it, so it persists for exactly this scope
     val g = grams(docs).persist()
     try {
-      UpsertStore.replace(spark, s"$path", g,
-        Seq("gram", "doc_id"), assumeKeyUnique = true)
-      UpsertStore.replace(spark, s"${path}__df",
-        g.groupBy("gram").agg(count(lit(1)).as("df")),
-        Seq("gram"), assumeKeyUnique = true)
+      // disjoint stores, both consumers of the persisted gram pass →
+      // parallel write stages (round 19, guide §2.6)
+      graft.Stage.par(
+        () => UpsertStore.replace(spark, s"$path", g,
+          Seq("gram", "doc_id"), assumeKeyUnique = true),
+        () => UpsertStore.replace(spark, s"${path}__df",
+          g.groupBy("gram").agg(count(lit(1)).as("df")),
+          Seq("gram"), assumeKeyUnique = true))
     } finally g.unpersist()
   }
 

@@ -125,18 +125,26 @@ final class JoinViewMaintainer(
   def bootstrap(fact: DataFrame, dimDfs: Seq[DataFrame]): Unit = {
     require(dimDfs.size == dims.size,
       s"expected ${dims.size} dimension frame(s), got ${dimDfs.size}")
-    val f = UpsertStore.dedupByKey(factProj(fact), factKeys)
+    // materialize the deduped sides ONCE (each feeds its own store
+    // write AND the view join), then commit the 2 + n independent
+    // stores as parallel stages (round 19, guide §2.6 — bootstrap has
+    // no ledger and replace-convergent crash semantics, so commit
+    // order between disjoint stores never mattered)
+    val f = UpsertStore.dedupByKey(factProj(fact), factKeys).localCheckpoint()
     val ds = dimDfs.zipWithIndex.map { case (df, i) =>
-      UpsertStore.dedupByKey(dimProj(i)(df), dims(i).dimKeys)
+      UpsertStore.dedupByKey(dimProj(i)(df), dims(i).dimKeys).localCheckpoint()
     }
-    UpsertStore.replace(spark, factPath, f, factKeys, assumeKeyUnique = true)
-    ds.zipWithIndex.foreach { case (d, i) =>
-      UpsertStore.replace(spark, dimPath(i), d, dims(i).dimKeys,
-        assumeKeyUnique = true)
-    }
-    // FK-shaped joins of key-unique sides are key-unique by fact key
-    UpsertStore.replace(spark, basePath, joined(f, ds), factKeys,
-      assumeKeyUnique = true)
+    val writes: Seq[() => Unit] =
+      Seq(() => UpsertStore.replace(spark, factPath, f, factKeys,
+        assumeKeyUnique = true)) ++
+      ds.zipWithIndex.map[() => Unit] { case (d, i) =>
+        () => UpsertStore.replace(spark, dimPath(i), d, dims(i).dimKeys,
+          assumeKeyUnique = true)
+      } ++
+      // FK-shaped joins of key-unique sides are key-unique by fact key
+      Seq(() => UpsertStore.replace(spark, basePath, joined(f, ds), factKeys,
+        assumeKeyUnique = true))
+    graft.Stage.par(writes: _*)
   }
 
   /** 2-way compatibility spelling. */
@@ -152,9 +160,29 @@ final class JoinViewMaintainer(
     // retract a row a LATER batch legitimately materialized
     if (txnId.exists(_ <= UpsertStore.committedTxn(spark, basePath))) return
     val d = UpsertStore.dedupByKey(factProj(delta), factKeys)
+      .localCheckpoint() // one materialization: store upsert + dim scopes + view join
     UpsertStore.upsert(spark, factPath, d, factKeys,
       assumeKeyUnique = true, txnId = txnId)
-    val dimStores = dims.indices.map(readDim)
+    // each dimension store is read SCOPED to the delta's FK values
+    // (round 19, guide §2.4): the ΔF ⋈ dims probe only ever keeps
+    // dimension rows the delta references, so the dim stores' merge
+    // shuffles run over the delta's FK fan-out, not the whole store —
+    // rows whose current version doesn't match drop at the join
+    // exactly as before
+    val dimStores = dims.indices.map { j =>
+      val spec = dims(j)
+      // the scope is DETACHED (localCheckpoint, delta-FK-sized): a
+      // lazy scope would smuggle the delta's attribute ids into the
+      // dim-store plan, and the later joined() drop-by-reference
+      // silently no-ops once Spark's self-join disambiguation rewrites
+      // them — leaking the dim key column into the view schema
+      val scope = spec.factFk.zip(spec.dimKeys).foldLeft(
+        d.select(spec.factFk.map(col): _*).distinct()) {
+        case (df, (f, k)) => df.withColumnRenamed(f, k)
+      }.localCheckpoint()
+      UpsertStore.readScoped(spark, dimPath(j), scope).getOrElse(
+        sys.error(s"join view at $basePath not bootstrapped"))
+    }
     val vd = joined(broadcast(d), dimStores).localCheckpoint()
     // ADVICE r16/r17: delta keys whose join produced NO row have no
     // live view row to keep — delete whatever stale row an earlier FK
@@ -199,8 +227,23 @@ final class JoinViewMaintainer(
     require(i >= 0 && i < dims.size, s"no dimension $i (have ${dims.size})")
     if (txnId.exists(_ <= UpsertStore.committedTxn(spark, dimPath(i)))) return
     val d = UpsertStore.dedupByKey(dimProj(i)(delta), dims(i).dimKeys)
+      .localCheckpoint() // one materialization: fact scope + view join + dim upsert
     val dimDfs = dims.indices.map(j => if (j == i) broadcast(d) else readDim(j))
-    UpsertStore.upsert(spark, basePath, joined(readFact(), dimDfs), factKeys,
+    // the fact store is read SCOPED to the delta's keys-as-FKs (round
+    // 19, guide §2.4 — the at-scale point of this maintainer): a
+    // dimension trickle's view rewrite touches exactly the facts
+    // referencing it, so the fact store's last-writer-wins merge
+    // shuffle must be fan-out-sized, never fact-table-sized. A fact
+    // whose SUPERSEDED version referenced the delta rides into the
+    // scope and drops at the join below, exactly as it did when the
+    // whole store was read.
+    val factScope = dims(i).dimKeys.zip(dims(i).factFk).foldLeft(
+      d.select(dims(i).dimKeys.map(col): _*).distinct()) {
+      case (df, (k, f)) => df.withColumnRenamed(k, f)
+    }.localCheckpoint() // detached — see ingestFact's scope note
+    val fact = UpsertStore.readScoped(spark, factPath, factScope).getOrElse(
+      sys.error(s"join view at $basePath not bootstrapped"))
+    UpsertStore.upsert(spark, basePath, joined(fact, dimDfs), factKeys,
       assumeKeyUnique = true)
     UpsertStore.upsert(spark, dimPath(i), d, dims(i).dimKeys,
       assumeKeyUnique = true, txnId = txnId)
@@ -254,7 +297,13 @@ final class JoinViewMaintainer(
     val kAsFk = dims(i).dimKeys.zip(dims(i).factFk).foldLeft(k) {
       case (df, (dk, fk)) => df.withColumnRenamed(dk, fk)
     }
-    val stale = current.join(kAsFk, dims(i).factFk, "left_semi")
+    // scoped view read (round 19): the stale set is fan-out-sized, so
+    // its derivation must not merge the whole view store; the
+    // readScoped superset (older-version FK matches) is re-filtered by
+    // the same semi-join as before
+    val stale = UpsertStore.readScoped(spark, basePath, kAsFk)
+      .getOrElse(sys.error(s"join view at $basePath not bootstrapped"))
+      .join(kAsFk, dims(i).factFk, "left_semi")
       .select(factKeys.map(col): _*).localCheckpoint()
     UpsertStore.delete(spark, dimPath(i), k, dims(i).dimKeys)
     if (!stale.isEmpty) UpsertStore.delete(spark, basePath, stale, factKeys)

@@ -118,7 +118,12 @@ final class ManifestMaintainer(
           .select("doc_id")
         // no broadcast hint on the member set: it is usually tiny but
         // an adversarial mega-cluster could exceed the driver — AQE
-        // picks broadcast when it actually fits
+        // picks broadcast when it actually fits. (Round-19 measured
+        // note: doc_id is the facts store's KEY, so Catalyst's
+        // PushDownLeftSemiAntiJoin already pushes this semi-join below
+        // the store's merge aggregate — an explicit pre-merge scope
+        // was tried and REVERTED: it only added AQE stage-jobs,
+        // q159 280→328 jobs in the ProfileJobs A/B.)
         facts.join(members.union(ids).distinct(), Seq("doc_id"), "left_semi")
     }
     val withCluster = scoped.join(ct, Seq("doc_id"), "left")

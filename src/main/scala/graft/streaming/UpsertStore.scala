@@ -140,11 +140,33 @@ object UpsertStore {
       }.sum
     }
 
-  private def mergeParts(spark: SparkSession, path: String, m: Manifest): DataFrame = {
+  private def mergeParts(spark: SparkSession, path: String, m: Manifest,
+                         scope: Option[DataFrame] = None): DataFrame = {
     val parts =
       m.base.map(v => spark.read.parquet(s"$path/v=$v").withColumn("__seq", lit(v))).toSeq ++
         m.deltas.map(v => spark.read.parquet(s"$path/d=$v").withColumn("__seq", lit(v)))
-    val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val all0 = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    // SCOPED merge (round 19, guide §2.3/§2.4): restrict the
+    // last-writer-wins merge to key GROUPS any of whose live versions
+    // matches `scope` (semi-join on scope's columns). Whole groups are
+    // kept — filtering individual versions could crown a superseded
+    // row. When every scope column is a KEY column, all versions of a
+    // key share the scope values, so group membership IS row
+    // membership and one semi-join (pushed below the merge) suffices;
+    // a value-column scope needs the key-collecting first pass. Either
+    // way the merge shuffle is scope-fan-out-sized, not store-sized.
+    val all = scope match {
+      case None => all0
+      case Some(sc) =>
+        val scCols = sc.columns.toSeq
+        if (parts.size == 1 || scCols.forall(m.keys.contains))
+          all0.join(sc, scCols, "left_semi")
+        else {
+          val hit = all0.join(sc, scCols, "left_semi")
+            .select(m.keys.map(k => col(s"`$k`")): _*).distinct()
+          all0.join(hit, m.keys, "left_semi")
+        }
+    }
     if (m.deltas.isEmpty || parts.size == 1) all.drop("__seq")
     else {
       val cols = all.columns.filterNot(_ == "__seq")
@@ -164,6 +186,20 @@ object UpsertStore {
     * (highest commit seq per key; each part is already key-unique). */
   def read(spark: SparkSession, path: String): Option[DataFrame] =
     readManifest(spark, path).map(m => mergeParts(spark, path, m))
+
+  /** Current contents RESTRICTED to key groups whose ANY live version
+    * semi-joins `scope` (on scope's column names). When the scope
+    * columns are the store's keys this is exactly `read().semiJoin(
+    * scope)`; for value-column scopes (e.g. an FK) it is a SUPERSET of
+    * the current rows matching scope — a current row whose older
+    * version matched rides along and must be re-filtered by the
+    * caller's join, which every call site already does. The point is
+    * the plan shape (guide §2.3/§2.4): the last-writer-wins merge
+    * shuffle runs over the scope's fan-out instead of the whole store
+    * — at 100 TB a dimension trickle must not re-shuffle the fact
+    * store. */
+  def readScoped(spark: SparkSession, path: String, scope: DataFrame): Option[DataFrame] =
+    readManifest(spark, path).map(m => mergeParts(spark, path, m, Some(scope)))
 
   /** Committed snapshot ids, oldest first, with whether each is still
     * READABLE (every data dir its manifest references still exists).
