@@ -97,16 +97,33 @@ object Bench {
     val calibrationSec = calibration(spark)
     System.err.println(f"[bench] calibration                      $calibrationSec%8.2f s")
 
+    // SLOW-QUERY REP REDUCTION (round 20 — VERDICT r19 #1/#2: the
+    // 32-core driver bench hit its budget for the first time, rc=124,
+    // from suite growth — q203/q204 ≈ 20-25 s of new lifecycles — ×
+    // median-of-3 × the 4-run compositions). A query whose WARM run
+    // exceeds SPARK_GRAFT_BENCH_SLOW_SEC (default 10 s) is timed ONCE
+    // instead of median-of-3; the second-pass remeasure below still
+    // gives the slowest rows an end-of-run median-of-3 next to a fresh
+    // calibration anchor, so min(first, remeasure) adjudication keeps
+    // working. ADDITIONS-ONLY: the `queries` map is unchanged in shape,
+    // and the per-query rep count is recorded in the new `reps` key.
+    val slowSec = sys.env.get("SPARK_GRAFT_BENCH_SLOW_SEC")
+      .map(_.toDouble).getOrElse(10.0)
+    val reps = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = queryList.map { q =>
       val r = try {
+        val tw0 = System.nanoTime()
         force(q.fn(spark, sfDir))
-        val runs = Seq.fill(3) {
+        val warmSec = (System.nanoTime() - tw0) / 1e9
+        val n = if (warmSec > slowSec) 1 else 3
+        reps += q.name -> n
+        val runs = Seq.fill(n) {
           val t0 = System.nanoTime()
           force(q.fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         }.sorted
-        q.name -> runs(1)
+        q.name -> runs(n / 2)
       } catch {
         case e: Throwable =>
           errors += q.name
@@ -208,13 +225,15 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val rs = remeasured.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val repJson = reps.filter(_._2 != 3)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""streaming_rows_per_sec":$streamingRps,"upsert_rows_per_sec":$upsertRps,""" +
       s""""streaming_rows_per_sec_remeasure":$streamingRpsRe,""" +
       s""""upsert_rows_per_sec_remeasure":$upsertRpsRe,""" +
-      s""""calibration_sec":$calibrationSec,"remeasure":$rs,""" +
+      s""""calibration_sec":$calibrationSec,"remeasure":$rs,"reps":$repJson,""" +
       s""""calibration_end_sec":$calibrationEnd,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     // persist the COMPLETE per-query blob in-repo: the driver's

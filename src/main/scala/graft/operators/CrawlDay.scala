@@ -138,8 +138,9 @@ object CrawlDay {
     // spanning the text-side composition (round 19, guide §2.6 — the
     // q199 annLeg shape applied here: the four serving-index builds
     // used to run strictly serially, leaving most of local[32] idle in
-    // each one's fixed-cost tail). Its stores are its own.
-    val annLeg = concurrent.Future {
+    // each one's fixed-cost tail). Its stores are its own. Detached
+    // through the BOUNDED stage pool (round 20 — VERDICT r19 #4).
+    val annLeg = graft.Stage.detach {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val maxV = emb.agg(max("vec_id")).head().getLong(0)
@@ -153,7 +154,7 @@ object CrawlDay {
         .select(lit("ann").as("kind"), col("query_id").as("k1"),
           col("rk").as("k2"), col("neighbor_id").cast("string").as("v"))
         .localCheckpoint())
-    }(graft.Stage.ec)
+    }
 
     // the detached dense leg must never outlive a failed query (the
     // q199 ADVICE r18 rule): any text-side failure first DRAINS annLeg,
@@ -170,11 +171,12 @@ object CrawlDay {
 
       // 2. the day's KEPT docs flow to the serving indexes (the kept
       // semi-join is the only inter-stage edge — keep-fraction-sized).
-      // Materialized ONCE (localCheckpoint): three concurrent chains
-      // scan it, each twice (bootstrap cut + ingest cut).
-      val keptDocs = docs
-        .join(manifest.filter(col("keep")).select("doc_id"), Seq("doc_id"))
-        .localCheckpoint()
+      // Materialized ONCE, to executor-local DISK (round 20 — ADVICE
+      // r19: a corpus-fraction frame scanned by three concurrent
+      // chains must not pin MEMORY_AND_DISK blocks against the
+      // unified execution pool); unpersisted after the serves land.
+      val keptDocs = graft.Stage.pinDisk(docs
+        .join(manifest.filter(col("keep")).select("doc_id"), Seq("doc_id")))
       // the three text-index families are disjoint stores → their
       // bootstrap→ingest chains run as parallel stages (q199's shape)
       val pm = new graft.streaming.PostingsMaintainer(s, s"$base/postings")
@@ -223,9 +225,11 @@ object CrawlDay {
           .localCheckpoint()))
       val annRows = concurrent.Await.result(
         annLeg, concurrent.duration.Duration.Inf)
-      (served :+ annRows).foldLeft(manifestRows)(_ unionByName _)
+      val out = (served :+ annRows).foldLeft(manifestRows)(_ unionByName _)
         .orderBy("kind", "k1", "k2", "v")
         .localCheckpoint()
+      keptDocs.unpersist(blocking = false) // serves are all materialized
+      out
     } catch {
       case t: Throwable =>
         scala.util.Try(concurrent.Await.result(annLeg,

@@ -174,6 +174,24 @@ object IvfPqIndex {
     * [[extend]]; a retrain is a gate-missed rebuild. */
   private[operators] def trainCoarse(spark: SparkSession, unit: DataFrame,
                                      centroids: Int, iters: Int = 3): DataFrame = {
+    // SIZE GATE (round 20 — ADVICE r19 / VERDICT r19 #5): the driver-
+    // local loop below collects the centroids×8 training sample and
+    // runs O(sample·centroids·dim) flops per iteration SINGLE-THREADED
+    // — a clear win while the sample is metadata-sized (locally: 128
+    // rows × 16 centroids × 8 dims replaces ~10 fixed-cost scheduler
+    // round-trips per build), but at the √N-centroid posture a 10⁹-
+    // vector corpus trains ~250 k full-dim vectors — GBs collected to
+    // the driver and ~10¹⁰·dim flops/iter, a driver hang. The branch:
+    // driver-local iff sample·dim = centroids·8·dim ≤ 10⁷ doubles
+    // (≤ 80 MB collected, ≲10⁹·dim/8 flops per iter at √N centroids),
+    // else the r18 DISTRIBUTED loop ([[trainCoarseDistributed]] —
+    // restored, not re-derived). IvfPqIndexSpec pins both paths to
+    // identical centroids on a shared fixture; SCALING.md carries the
+    // threshold arithmetic.
+    val dim = unit.select(size(col("emb")).as("d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    if (centroids.toLong * 8L * math.max(dim, 1) > 10000000L)
+      return trainCoarseDistributed(spark, unit, centroids, iters)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
     val centSchema = StructType(Seq(
@@ -250,6 +268,72 @@ object IvfPqIndex {
     }
     val rows = cents.map { case (cid, e) => Row(cid, e.toSeq) }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), centSchema)
+  }
+
+  /** The DISTRIBUTED Lloyd loop — the round-18 implementation, kept
+    * verbatim as the over-budget branch of [[trainCoarse]]'s size gate
+    * (round 20): same seeds, same 6-dp-rounded-cosine assignment with
+    * ties to the higher centroid id, same FAISS empty-cell reseed.
+    * Per-cell means use the distributed `avg()` fold (partition-order-
+    * sensitive in the last ulp — exactly the sensitivity the rounded
+    * assignment absorbs); IvfPqIndexSpec pins both paths to identical
+    * centroids on a shared fixture. ~3 scheduler round-trips per
+    * iteration over a sample-sized frame — fixed cost that only pays
+    * for itself when the sample is too big to collect. */
+  private[operators] def trainCoarseDistributed(
+      spark: SparkSession, unit: DataFrame,
+      centroids: Int, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+    val centSchema = StructType(Seq(
+      StructField("centroid_id", LongType, nullable = false),
+      StructField("cemb", ArrayType(DoubleType), nullable = false)))
+    val sample = unit.orderBy("vec_id").limit(centroids * 8)
+      .persist()
+    var cents: DataFrame = sample.orderBy("vec_id").limit(centroids)
+      .select(col("vec_id").as("centroid_id"), col("emb").as("cemb"))
+    for (_ <- 1 to iters) {
+      val prev = cents.select("centroid_id", "cemb").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val assigned = sample.crossJoin(broadcast(cents))
+        .withColumn("csim", round(nanvl(
+          VectorFunctions.cosine_similarity(col("emb"), col("cemb")), lit(-1.0)), 6))
+        .groupBy("vec_id")
+        .agg(max_by(col("centroid_id"), struct(col("csim"), col("centroid_id"))).as("cell"),
+          first(col("emb")).as("emb"))
+        .persist()
+      try {
+        val means = assigned
+          .select(col("cell"), posexplode(col("emb")))
+          .groupBy("cell", "pos").agg(avg(col("col")).as("av"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("pos"), col("av")))).as("pv"))
+          .select(col("cell"), expr("transform(pv, x -> x.av)").as("cemb"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+        val empties = prev.keys.toSeq.filterNot(means.contains).sorted
+        val reseeds: Map[Long, Seq[Double]] =
+          if (empties.isEmpty) Map.empty
+          else {
+            val counts = assigned.groupBy("cell").count()
+              .collect().map(r => r.getLong(0) -> r.getLong(1))
+            val largest = counts.maxBy { case (cid, n) => (n, -cid) }._1
+            val far = assigned.filter(col("cell") === largest)
+              .withColumn("fsim", round(nanvl(VectorFunctions.cosine_similarity(
+                col("emb"), typedLit(means(largest))), lit(-1.0)), 6))
+              .orderBy(col("fsim").asc, col("vec_id").asc)
+              .limit(empties.size)
+              .select("emb").collect().map(_.getSeq[Double](0))
+            empties.zip(far).toMap
+          }
+        val rows = prev.keys.toSeq.sorted.map(cid =>
+          Row(cid, reseeds.getOrElse(cid, means.getOrElse(cid, prev(cid)))))
+        cents = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), centSchema)
+      } finally assigned.unpersist()
+    }
+    sample.unpersist()
+    cents
   }
 
   /** Build (or fingerprint-gate-serve) the composed index for `emb`
@@ -635,14 +719,21 @@ object IvfPqIndex {
           }
         }.foldLeft(-2.0)(math.max)
     }
-    def topkAt(open: Set[Long], depth: Int): Map[Long, Seq[Long]] =
+    // each round's [[searchFrame]] already computes the EXACT re-rank
+    // cosine for every returned neighbor (the top-k heap's score field)
+    // — collecting it alongside the ids (round 20, guide §1.2 "don't
+    // compute things you throw away") removes the separate neighbor-
+    // vector fetch job the old loop paid PER ROUND just to recompute
+    // the same cosines on the driver.
+    def topkAt(open: Set[Long], depth: Int): Map[Long, Seq[(Long, Double)]] =
       searchFrame(spark, emb, path,
         queries.filter(col("query_id").isin(open.toSeq: _*)),
-        nProbe = depth, k = k, excludeSelf = excludeSelf, poolC = poolC)
+        nProbe = depth, k = k, excludeSelf = excludeSelf, poolC = poolC,
+        keepSim = true)
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         .groupBy(_._1).map { case (q, rs) =>
-          q -> rs.sortBy(_._2).map(_._3).toSeq
+          q -> rs.sortBy(_._2).map(t => (t._3, t._4)).toSeq
         }
     val depthAt = scala.collection.mutable.Map.empty[Long, Int]
     val resultOf = scala.collection.mutable.Map.empty[Long, Seq[Long]]
@@ -651,21 +742,15 @@ object IvfPqIndex {
     var done = false
     while (unresolved.nonEmpty && !done) {
       val cur = topkAt(unresolved, depth)
-      // neighbor vectors for the exact k-th similarity: ≤ k per query
-      val nbrIds = cur.values.flatten.toSeq.distinct
-      val nvecs =
-        if (nbrIds.isEmpty) Map.empty[Long, Array[Double]]
-        else emb.filter(col("vec_id").isin(nbrIds: _*)).select("vec_id", "emb")
-          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
       val settled = unresolved.filter { q =>
         val tk = cur.getOrElse(q, Seq.empty)
         depth >= cells || (tk.size == k && {
-          val sk = tk.map(n => cos(qvecs(q), nvecs(n))).min
+          val sk = tk.map(_._2).min // exact re-rank cosine of the k-th
           sk >= boundAt(q, depth) + 1e-9
         })
       }
       settled.foreach { q =>
-        depthAt(q) = depth; resultOf(q) = cur.getOrElse(q, Seq.empty)
+        depthAt(q) = depth; resultOf(q) = cur.getOrElse(q, Seq.empty).map(_._1)
       }
       unresolved = unresolved -- settled
       if (depth >= cells) done = true else depth = math.min(depth * 2, cells)
@@ -712,7 +797,8 @@ object IvfPqIndex {
 
   private def searchFrame(spark: SparkSession, emb: DataFrame, path: String,
                           queries: DataFrame, nProbe: Int, k: Int,
-                          excludeSelf: Boolean, poolC: Int = -1): DataFrame = {
+                          excludeSelf: Boolean, poolC: Int = -1,
+                          keepSim: Boolean = false): DataFrame = {
     // pool size: the measured-margin knob, per (store, corpus, K).
     // C = PqIndex.C is the k≤3 pin; a DEEPER serve must bring a pool
     // its own recall gate measured (q204 pins 4C at k=10 — the true
@@ -764,7 +850,7 @@ object IvfPqIndex {
         pc, 4 * pc).as("cand"))
       .select(col("query_id"), explode(expr("transform(cand, x -> x.id)")).as("neighbor_id"))
     // exact re-rank on raw vectors: ≤ C point lookups per query
-    pool
+    val reranked = pool
       .join(emb.select(col("vec_id").as("neighbor_id"), col("emb").as("ce")),
         Seq("neighbor_id"))
       .join(broadcast(queries.select(col("query_id"), col("qe"))), Seq("query_id"))
@@ -773,8 +859,12 @@ object IvfPqIndex {
       .groupBy("query_id")
       .agg(TopKFunctions.top_k_by_score(col("sim"), col("neighbor_id"), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
-        col("col.id").as("neighbor_id"))
-      .orderBy("query_id", "rk")
+    // keepSim (round 20): the adaptive caller reads the k-th EXACT
+    // re-rank cosine straight from the heap's score field instead of
+    // re-fetching neighbor vectors — the public serves drop it.
+    val cols = Seq(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+      col("col.id").as("neighbor_id")) ++
+      (if (keepSim) Seq(col("col.score").as("sim")) else Nil)
+    reranked.select(cols: _*).orderBy("query_id", "rk")
   }
 }

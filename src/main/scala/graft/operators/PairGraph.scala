@@ -469,7 +469,7 @@ object PairGraph {
     // and EITHER partial-commit order degrades the same way (the
     // metas' fingerprints disagree until both land → a serve in the
     // crash window gate-misses to a rebuild, never reads stale).
-    val phase1 = concurrent.Future {
+    val phase1 = graft.Stage.detach {
       if (txnId > metaRtxn(meta)) {
         val incident = pairs0
           .join(goneIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
@@ -481,8 +481,10 @@ object PairGraph {
             .withColumn("rtxn", lit(metaRtxn(meta))),
           Seq("meta_id"), assumeKeyUnique = true)
         // pairs and sigs are independent stores → concurrent commits
-        val delPairs = concurrent.Future(
-          UpsertStore.delete(spark, path, incident, Seq("doc_a", "doc_b")))(stageEc)
+        // (inline-sequential when this phase itself runs as a stage —
+        // the round-20 bounded-pool nesting rule)
+        val delPairs = graft.Stage.detach(
+          UpsertStore.delete(spark, path, incident, Seq("doc_a", "doc_b")))
         UpsertStore.delete(spark, s"${path}__sigs", goneIds, Seq("doc_id"))
         concurrent.Await.result(delPairs, concurrent.duration.Duration.Inf)
         // the EXTEND ledger (txn) is preserved — only rtxn advances
@@ -493,7 +495,7 @@ object PairGraph {
             .withColumn("rtxn", lit(txnId)),
           Seq("meta_id"), assumeKeyUnique = true)
       }
-    }(stageEc)
+    }
     def awaitPhase1(): Unit =
       concurrent.Await.result(phase1, concurrent.duration.Duration.Inf)
     try {
@@ -554,14 +556,6 @@ object PairGraph {
         throw t
     }
   }
-
-  /** Daemon pool for [[retract]]'s concurrent store phases. */
-  private lazy val stageEc = concurrent.ExecutionContext.fromExecutor(
-    java.util.concurrent.Executors.newCachedThreadPool(r => {
-      val t = new Thread(r, "pairgraph-stage")
-      t.setDaemon(true)
-      t
-    }))
 
   /** Register the pair graph + cluster table for `docs` under the
     * `graft` catalog (VERDICT r7 #5): builds (or gate-serves) both

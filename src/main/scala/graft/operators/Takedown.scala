@@ -155,7 +155,6 @@ object Takedown {
   /** Stage pool + await-all-failure aggregation: the shared
     * [[graft.Stage]] contract (round 19 — one spelling engine-wide;
     * this object's private copy was its origin). */
-  private def stageEc = graft.Stage.ec
   private def par[A](fs: (() => A)*): Seq[A] = graft.Stage.par(fs: _*)
 
   val q199TakedownDay: QueryDef = sql("q199_takedown_day", takedownSql) { (s, d) =>
@@ -183,7 +182,7 @@ object Takedown {
     // store holds).
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val annLeg = concurrent.Future {
+    val annLeg = graft.Stage.detach {
       IvfPqIndex.ensure(s, emb, s"$base/ivfpq")
       IvfPqIndex.retract(s, emb.filter(col("vec_id").isin(7L, 8L, 9L)),
         s"$base/ivfpq", Some(1L))
@@ -192,7 +191,7 @@ object Takedown {
         .select(lit("ann").as("kind"), col("query_id").as("k1"),
           col("rk").as("k2"), col("neighbor_id").cast("string").as("v"))
         .localCheckpoint()
-    }(stageEc)
+    }
 
     // the detached dense leg must never outlive a failed query (ADVICE
     // r18): any text-side failure first DRAINS annLeg (no cooperative
@@ -205,9 +204,10 @@ object Takedown {
     // defines the kept set they index).
     val mm = new graft.streaming.ManifestMaintainer(s, d, s"$base/manifest")
     mm.bootstrap(docs)
-    val keptBefore = docs
-      .join(mm.current.filter(col("keep")).select("doc_id"), Seq("doc_id"))
-      .localCheckpoint()
+    // corpus-fraction frame scanned by three concurrent boot chains —
+    // DISK-pinned, not localCheckpointed (round 20, ADVICE r19)
+    val keptBefore = graft.Stage.pinDisk(docs
+      .join(mm.current.filter(col("keep")).select("doc_id"), Seq("doc_id")))
     par(
       () => PostingsIndex.ensure(s, keptBefore, s"$base/postings"),
       () => TrigramIndex.build(s, keptBefore, s"$base/trigram"),
@@ -234,9 +234,8 @@ object Takedown {
     // retract→extend chain per store family, chains in parallel (the
     // single-writer contract is per store; each chain owns one)
     mm.retract(gone, txnId = 1L)
-    val keptAfter = docs
-      .join(mm.current.filter(col("keep")).select("doc_id"), Seq("doc_id"))
-      .localCheckpoint()
+    val keptAfter = graft.Stage.pinDisk(docs
+      .join(mm.current.filter(col("keep")).select("doc_id"), Seq("doc_id")))
     val removals = keptBefore
       .join(keptAfter.select("doc_id"), Seq("doc_id"), "left_anti").localCheckpoint()
     val additions = keptAfter
@@ -283,9 +282,12 @@ object Takedown {
         .localCheckpoint())
     val annRows = concurrent.Await.result(
       annLeg, concurrent.duration.Duration.Inf)
-    (served :+ annRows).foldLeft(manifestRows)(_ unionByName _)
+    val out = (served :+ annRows).foldLeft(manifestRows)(_ unionByName _)
       .orderBy("kind", "k1", "k2", "v")
       .localCheckpoint()
+    keptBefore.unpersist(blocking = false)
+    keptAfter.unpersist(blocking = false)
+    out
     } catch {
       case t: Throwable =>
         scala.util.Try(concurrent.Await.result(annLeg,

